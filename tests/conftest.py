@@ -1,0 +1,35 @@
+"""Test configuration: 8 virtual CPU devices + x64 for precision oracles.
+
+Env vars must be set before jax initializes its backends, hence at module
+import time here (conftest is imported before any test module).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU: the axon TPU tunnel is too slow for unit tests
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU tunnel via
+# jax.config.update("jax_platforms", "axon,cpu"); unit tests must run on the
+# 8-device virtual CPU mesh, so override it back after import.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
