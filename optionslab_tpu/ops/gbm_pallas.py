@@ -1,0 +1,230 @@
+"""Fused Pallas TPU kernel: GBM terminal simulation + payoff/Greek reduction.
+
+This is the TPU-native replacement for the reference's hot loop — the
+``(n_options × n_sims × n_steps)`` normals cube materialized at
+``monte_carlo_unified.py:329`` and the Numba ``prange`` path loops
+(``gbm_numba.py:75``). Design (SURVEY.md §5 "long-context" analog):
+
+  * **No HBM path materialization.** Normals are generated *inside* the
+    kernel with the hardware PRNG (`pltpu.prng_random_bits`) and consumed
+    immediately; only 4 accumulator tiles of shape (C, 128) ever leave VMEM.
+  * **Box–Muller with both branches.** Each uniform pair yields a cos and a
+    sin normal; with antithetic ±z that is 4 payoff evaluations per random
+    pair — 4× the paths per random bit.
+  * **Counter-based determinism.** The PRNG is re-seeded per (seed, block)
+    so any path block can be regenerated independently — the property that
+    lets the path axis shard freely over ICI.
+  * **Greeks in the same pass.** The kernel accumulates, per contract row:
+      A  = Σ payoff                (price, stderr)
+      B  = Σ payoff²               (stderr)
+      M1 = Σ 1{exercise}·S_T       (pathwise delta; rho/theta derived)
+      Mz = Σ 1{exercise}·S_T·z     (pathwise vega; LR-PW gamma)
+    Host-side closed-form combinations (see :func:`_combine`) then produce
+    price, delta, gamma, vega, theta, rho and the standard error — one
+    kernel launch for the full Greek ladder, vs the reference's 3+ full
+    re-simulations (``monte_carlo_unified.py:633`` delta_gamma_batch).
+
+Layout: contracts live on the sublane axis (padded to 8), path blocks on
+the lane axis (LANES per draw). Books smaller than 8 rows are replicated
+across rows — replicas process *different* random paths (the PRNG stream
+differs per row), so replication adds samples instead of wasting compute;
+the host combiner merges replica moments.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import ContractBatch
+from ..utils.config import EPS_TIME
+
+SUBLANES = 8  # f32 sublane tile
+LANES = 512  # path-block lane width (multiple of 128)
+PATHS_PER_ROW_BLOCK = 4 * LANES  # cos/sin × (±antithetic)
+_TWO_PI = 6.283185307179586
+_INV_2_24 = 1.0 / (1 << 24)
+_INV_2_25 = 1.0 / (1 << 25)
+
+
+def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
+                pay_ref, pay2_ref, m1_ref, mz_ref):
+    """One grid step = one path block of PATHS_PER_ROW_BLOCK paths per row."""
+    block = pl.program_id(0)
+
+    @pl.when(block == 0)
+    def _init():
+        pay_ref[:, :] = jnp.zeros_like(pay_ref)
+        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+        m1_ref[:, :] = jnp.zeros_like(m1_ref)
+        mz_ref[:, :] = jnp.zeros_like(mz_ref)
+
+    # independent, reproducible stream per (seed, block)
+    pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))  # Knuth 2654435761 as i32
+
+    rows = s0_ref.shape[0]
+    # random bits arrive as int32; (x >> 8) & 0xFFFFFF equals the logical
+    # shift's low 24 bits, and int32→f32 is a supported Mosaic cast
+    # (uint32→f32 is not).
+    mask24 = jnp.int32(0x00FFFFFF)
+    u1_bits = (pltpu.prng_random_bits((rows, LANES)) >> 8) & mask24
+    u2_bits = (pltpu.prng_random_bits((rows, LANES)) >> 8) & mask24
+    # uniforms strictly inside (0,1): 24 bits + half-ulp offset
+    u1 = u1_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
+    u2 = u2_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
+    radius = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    z_cos = radius * jnp.cos(theta)
+    z_sin = radius * jnp.sin(theta)
+
+    s0 = s0_ref[:, :]  # (rows, 1)
+    k = k_ref[:, :]
+    cp = cp_ref[:, :]
+    a = a_ref[:, :]  # (r - q - σ²/2)·T
+    s = s_ref[:, :]  # σ·√T
+
+    acc_pay = jnp.zeros((rows, LANES), jnp.float32)
+    acc_pay2 = jnp.zeros((rows, LANES), jnp.float32)
+    acc_m1 = jnp.zeros((rows, LANES), jnp.float32)
+    acc_mz = jnp.zeros((rows, LANES), jnp.float32)
+    for z in (z_cos, -z_cos, z_sin, -z_sin):
+        st = s0 * jnp.exp(a + s * z)
+        x = cp * (st - k)
+        pay = jnp.maximum(x, 0.0)
+        ind_st = jnp.where(x > 0, st, 0.0)
+        acc_pay += pay
+        acc_pay2 += pay * pay
+        acc_m1 += ind_st
+        acc_mz += ind_st * z
+
+    # lane-chunk reduction into the (rows, 128) accumulators
+    for off in range(0, LANES, 128):
+        pay_ref[:, :] += acc_pay[:, off:off + 128]
+        pay2_ref[:, :] += acc_pay2[:, off:off + 128]
+        m1_ref[:, :] += acc_m1[:, off:off + 128]
+        mz_ref[:, :] += acc_mz[:, off:off + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "interpret"))
+def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, interpret: bool = False):
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
+    acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _gbm_kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+            param_spec, param_spec, param_spec, param_spec, param_spec,
+        ],
+        out_specs=[acc_spec] * 4,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=n_blocks * rows * LANES * 4 * 12,
+            bytes_accessed=rows * (5 * 4 + 4 * 128 * 4),
+            transcendentals=n_blocks * rows * LANES * 7,
+        ),
+        interpret=interpret,
+    )(seed, s0, k, cp, a, s)
+
+
+def _prepare(batch: ContractBatch):
+    """Flatten + pad/replicate the book onto SUBLANES-aligned rows."""
+    b = batch.broadcast()
+    c = max(b.size, 1)
+    flat = jax.tree.map(lambda x: jnp.broadcast_to(x, b.shape).reshape(-1).astype(jnp.float32), b)
+    reps = max(1, SUBLANES // c)  # replicate small books to fill sublanes
+    rows = ((c * reps + SUBLANES - 1) // SUBLANES) * SUBLANES
+    pad = rows - c * reps
+
+    def expand(x):
+        tiled = jnp.tile(x, reps)
+        return jnp.pad(tiled, (0, pad), mode="edge").reshape(rows, 1)
+
+    s0 = expand(flat.spot)
+    k = expand(flat.strike)
+    cp = expand(flat.cp)
+    t = jnp.maximum(flat.maturity, EPS_TIME)
+    a = expand((flat.rate - flat.dividend - 0.5 * flat.vol**2) * flat.maturity)
+    s = expand(flat.vol * jnp.sqrt(t))
+    return b, flat, (s0, k, cp, a, s), c, reps, rows, pad
+
+
+def _combine(b, flat, outs, c, reps, n_per_row, dtype):
+    """Row moments → price/Greeks/stderr per original contract."""
+    pay, pay2, m1, mz = [o.sum(axis=1) for o in outs]  # (rows,)
+
+    def merge(v):
+        # rows [i, i+c, i+2c, ...] are replicas of contract i
+        return v[: c * reps].reshape(reps, c).sum(axis=0)
+
+    n = jnp.asarray(n_per_row * reps, jnp.float32)
+    pay, pay2, m1, mz = merge(pay), merge(pay2), merge(m1), merge(mz)
+
+    t = jnp.maximum(flat.maturity, EPS_TIME)
+    sqrt_t = jnp.sqrt(t)
+    sig_sqrt_t = jnp.maximum(flat.vol * sqrt_t, 1e-12)
+    df = jnp.exp(-flat.rate * flat.maturity)
+    mean_pay = pay / n
+    mean_m1 = m1 / n
+    mean_mz = mz / n
+
+    price = df * mean_pay
+    var = jnp.maximum(pay2 / n - mean_pay**2, 0.0)
+    stderr = df * jnp.sqrt(var / n)
+    delta = df * flat.cp * mean_m1 / flat.spot
+    vega = df * flat.cp * (mean_mz * sqrt_t - flat.vol * t * mean_m1)
+    gamma = df * flat.cp * (mean_mz / sig_sqrt_t - mean_m1) / flat.spot**2
+    rho = t * (df * flat.cp * mean_m1 - price)
+    theta = -(
+        -flat.rate * price
+        + df * flat.cp * (
+            (flat.rate - flat.dividend - 0.5 * flat.vol**2) * mean_m1
+            + flat.vol / (2.0 * sqrt_t) * mean_mz
+        )
+    )
+
+    expired = flat.maturity <= EPS_TIME
+    intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
+    out = {
+        "price": jnp.where(expired, intrinsic, price),
+        "std_error": jnp.where(expired, 0.0, stderr),
+        "delta": delta,
+        "gamma": gamma,
+        "vega": vega,
+        "rho": rho,
+        "theta": theta,
+    }
+    return {kk: v.reshape(b.shape).astype(dtype) for kk, v in out.items()}
+
+
+def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0) -> dict:
+    """Price + stderr + full first/second-order Greek ladder, one kernel pass.
+
+    ``n_paths`` is the *per-contract* path budget; it is rounded up to a
+    whole number of path blocks (the actual count is what stderr reflects).
+    Returns a dict with price/std_error/delta/gamma/vega/rho/theta arrays
+    shaped like the broadcast batch.
+    """
+    b, flat, params, c, reps, rows, _pad = _prepare(batch)
+    n_blocks = max(1, math.ceil(n_paths / (PATHS_PER_ROW_BLOCK * reps)))
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    # off-TPU (unit tests): run under the TPU-semantics interpreter, which
+    # implements the pltpu PRNG primitives (plain interpret=True does not)
+    interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
+    outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, interpret=interpret)
+    return _combine(b, flat, outs, c, reps, n_blocks * PATHS_PER_ROW_BLOCK, batch.dtype)
+
+
+def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
+    """Actual number of simulated paths per contract for a given request."""
+    b = batch.broadcast()
+    c = max(b.size, 1)
+    reps = max(1, SUBLANES // c)
+    n_blocks = max(1, math.ceil(n_paths / (PATHS_PER_ROW_BLOCK * reps)))
+    return n_blocks * PATHS_PER_ROW_BLOCK * reps
