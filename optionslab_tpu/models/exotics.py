@@ -1,0 +1,553 @@
+"""Exotic option pricers on a shared scan-based GBM path engine.
+
+Reference capabilities covered (SURVEY.md §2.2, ``src/pricing_models/
+exotic_options.py``):
+  - Asian arithmetic/geometric + geometric closed form (``:133-160``)
+  - Barrier: 4 knock types, discrete monitoring (``:174-224``)
+  - American via Longstaff–Schwartz LSM (``:236-307``) + early-exercise
+    boundary estimation (``:309``)
+  - Lookback floating/fixed (``:347-401``)
+  - Autocallable/snowball (``:404-491``)
+  - Cliquet with local/global caps (``:494-554``)
+  - module-level convenience functions (``:557-606``)
+
+TPU-first design: the reference materializes the full ``(n_paths,
+n_steps+1)`` path matrix for every payoff (``exotic_options.py:40``). Here
+a single ``lax.scan`` engine carries only (log-spot, running statistics) —
+running sum for Asians, running extrema for barriers/lookbacks, coupon
+state for autocallables — so HBM holds O(paths), not O(paths × steps).
+LSM is the one payoff that genuinely needs cross-sectional state at
+exercise dates; it stores spots at the ``n_dates`` exercise dates only and
+solves the per-date regressions with masked normal equations (fixed
+shapes — no dynamic ITM subsetting, SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.math import norm_cdf
+from ..utils.config import EPS_TIME
+from ..utils.exceptions import ValidationError
+
+# ---------------------------------------------------------------------------
+# Shared scan engine
+# ---------------------------------------------------------------------------
+
+
+def _gbm_scan(key, spot, maturity, rate, dividend, vol, n_paths, n_steps,
+              init_stats, update, antithetic=True, dtype=jnp.float32):
+    """Scan paths; ``update(stats, s, step_idx)`` folds running statistics.
+
+    Returns (terminal spots (n_paths,), final stats). Antithetic pairs are
+    interleaved as the two halves of the path axis.
+    """
+    dt = jnp.asarray(maturity / n_steps, dtype)
+    drift = jnp.asarray((rate - dividend - 0.5 * vol * vol) * dt, dtype)
+    sig_dt = jnp.asarray(vol, dtype) * jnp.sqrt(dt)
+    half = n_paths // 2 if antithetic else n_paths
+
+    def step(carry, i):
+        log_s, stats = carry
+        z = jax.random.normal(jax.random.fold_in(key, i), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z]) if antithetic else z
+        log_s = log_s + drift + sig_dt * z
+        s = jnp.asarray(spot, dtype) * jnp.exp(log_s)
+        stats = update(stats, s, i)
+        return (log_s, stats), None
+
+    n_eff = half * 2 if antithetic else n_paths
+    log_s0 = jnp.zeros(n_eff, dtype)
+    s0 = jnp.full(n_eff, spot, dtype)
+    stats0 = init_stats(s0)
+    (log_s, stats), _ = lax.scan(step, (log_s0, stats0), jnp.arange(n_steps))
+    return jnp.asarray(spot, dtype) * jnp.exp(log_s), stats
+
+
+def _discounted_mean_stderr(pay, rate, maturity):
+    df = jnp.exp(-rate * maturity)
+    n = pay.shape[0]
+    price = df * pay.mean()
+    stderr = df * pay.std(ddof=1) / jnp.sqrt(n * 1.0)
+    return price, stderr
+
+
+# ---------------------------------------------------------------------------
+# Asian
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "averaging", "return_stderr"))
+def asian_price(spot, strike, maturity, rate, vol, key, cp=1.0, dividend=0.0,
+                n_paths: int = 100_000, n_steps: int = 64,
+                averaging: str = "arithmetic", return_stderr: bool = False):
+    """Fixed-strike Asian on the running average (includes every step after
+    t=0, matching discrete averaging)."""
+    if averaging not in ("arithmetic", "geometric"):
+        raise ValidationError(f"averaging must be arithmetic|geometric, got {averaging}")
+    geo = averaging == "geometric"
+
+    def init(s0):
+        return jnp.zeros_like(s0)
+
+    def update(acc, s, i):
+        return acc + (jnp.log(s) if geo else s)
+
+    _, acc = _gbm_scan(key, spot, maturity, rate, dividend, vol, n_paths, n_steps, init, update)
+    avg = jnp.exp(acc / n_steps) if geo else acc / n_steps
+    pay = jnp.maximum(cp * (avg - strike), 0.0)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+def geometric_asian_closed_form(spot, strike, maturity, rate, vol, cp=1.0,
+                                dividend=0.0, n_steps: int = 64):
+    """Discrete geometric-average Asian closed form — the test oracle the
+    reference also keeps (``exotic_options.py:133-160``).
+
+    log(G/S0) is exactly Normal(μ_g, σ_g²) with
+      μ_g  = (r - q - σ²/2)·dt·(m+1)/2
+      σ_g² = σ²·dt·(m+1)(2m+1)/(6m)
+    and the discounted expectation follows the Black formula on G.
+    """
+    m = float(n_steps)
+    t = jnp.asarray(maturity)
+    dt = t / m
+    mu_g = (rate - dividend - 0.5 * vol**2) * dt * (m + 1.0) / 2.0
+    var_g = vol**2 * dt * (m + 1.0) * (2.0 * m + 1.0) / (6.0 * m)
+    sd = jnp.sqrt(jnp.maximum(var_g, 1e-30))
+    fwd_g = spot * jnp.exp(mu_g + 0.5 * var_g)
+    d1 = (jnp.log(spot / strike) + mu_g + var_g) / sd
+    d2 = d1 - sd
+    df = jnp.exp(-rate * t)
+    return df * cp * (fwd_g * norm_cdf(cp * d1) - strike * norm_cdf(cp * d2))
+
+
+# ---------------------------------------------------------------------------
+# Barrier
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "barrier_type", "return_stderr"))
+def barrier_price(spot, strike, barrier, maturity, rate, vol, key, cp=1.0,
+                  dividend=0.0, n_paths: int = 100_000, n_steps: int = 64,
+                  barrier_type: str = "up-and-out", rebate: float = 0.0,
+                  return_stderr: bool = False):
+    """Discretely monitored barrier (reference: ``exotic_options.py:174-224``).
+
+    The crossing indicator is a running OR in the scan carry — no path
+    matrix. ``barrier_type`` ∈ {up,down}-and-{in,out}.
+    """
+    parts = barrier_type.split("-")
+    if len(parts) != 3 or parts[0] not in ("up", "down") or parts[2] not in ("in", "out"):
+        raise ValidationError(f"unknown barrier type {barrier_type!r}")
+    up = parts[0] == "up"
+    knock_in = parts[2] == "in"
+
+    def init(s0):
+        crossed0 = (s0 >= barrier) if up else (s0 <= barrier)
+        return crossed0
+
+    def update(crossed, s, i):
+        hit = (s >= barrier) if up else (s <= barrier)
+        return crossed | hit
+
+    terminal, crossed = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                                  n_paths, n_steps, init, update)
+    vanilla = jnp.maximum(cp * (terminal - strike), 0.0)
+    pay = jnp.where(crossed, vanilla, rebate) if knock_in else jnp.where(crossed, rebate, vanilla)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+# ---------------------------------------------------------------------------
+# Lookback
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "floating", "return_stderr"))
+def lookback_price(spot, strike, maturity, rate, vol, key, cp=1.0, dividend=0.0,
+                   n_paths: int = 100_000, n_steps: int = 64,
+                   floating: bool = True, return_stderr: bool = False):
+    """Lookback on the running extremum (reference: ``exotic_options.py:347``).
+
+    Floating: call pays S_T − min S, put pays max S − S_T.
+    Fixed: call pays max S − K, put pays K − min S.
+    """
+
+    def init(s0):
+        return (s0, s0)  # (running min, running max)
+
+    def update(stats, s, i):
+        mn, mx = stats
+        return (jnp.minimum(mn, s), jnp.maximum(mx, s))
+
+    terminal, (mn, mx) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                                   n_paths, n_steps, init, update)
+    if floating:
+        pay = jnp.where(cp > 0, terminal - mn, mx - terminal)
+    else:
+        pay = jnp.where(cp > 0, jnp.maximum(mx - strike, 0.0), jnp.maximum(strike - mn, 0.0))
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+# ---------------------------------------------------------------------------
+# Autocallable (snowball-style)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "n_obs", "return_stderr"))
+def autocallable_price(spot, maturity, rate, vol, key, dividend=0.0,
+                       notional: float = 100.0, autocall_barrier: float = 1.0,
+                       coupon_barrier: float = 0.8, ki_barrier: float = 0.7,
+                       coupon_rate: float = 0.08, n_obs: int = 4,
+                       n_paths: int = 100_000, n_steps: int = 252,
+                       return_stderr: bool = False):
+    """Autocall note (reference: ``exotic_options.py:404-491``): at each of
+    ``n_obs`` equally spaced observation dates, if S ≥ autocall·S0 the note
+    redeems at par + accrued coupon; coupons accrue while S ≥ coupon·S0;
+    continuous knock-in at ki·S0 converts final redemption into a short put.
+
+    Scan carry: (alive, knocked_in, pv accumulated). Observation dates are
+    step-index masks — static control flow.
+    """
+    obs_every = n_steps // n_obs
+
+    def init(s0):
+        alive = jnp.ones_like(s0, dtype=bool)
+        ki = jnp.zeros_like(s0, dtype=bool)
+        pv = jnp.zeros_like(s0)
+        return (alive, ki, pv)
+
+    def update(stats, s, i):
+        alive, ki, pv = stats
+        ki = ki | (s <= ki_barrier * spot)
+        is_obs = ((i + 1) % obs_every == 0)
+        obs_idx = (i + 1) // obs_every  # 1-based observation number
+        t_obs = obs_idx * obs_every * (maturity / n_steps)
+        df = jnp.exp(-rate * t_obs)
+        called = alive & is_obs & (s >= autocall_barrier * spot)
+        coupon_paid = alive & is_obs & (s >= coupon_barrier * spot)
+        pv = pv + jnp.where(coupon_paid, df * notional * coupon_rate / n_obs, 0.0)
+        pv = pv + jnp.where(called, df * notional, 0.0)
+        alive = alive & ~called
+        return (alive, ki, pv)
+
+    terminal, (alive, ki, pv) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                                          n_paths, n_steps, init, update)
+    df_T = jnp.exp(-rate * maturity)
+    # final redemption for notes that survived: par unless knocked in below par
+    loss = jnp.minimum(terminal / spot, 1.0)
+    final = jnp.where(ki, notional * loss, notional)
+    pay = pv + jnp.where(alive, df_T * final, 0.0)
+    n = pay.shape[0]
+    price = pay.mean()
+    stderr = pay.std(ddof=1) / jnp.sqrt(n * 1.0)
+    return (price, stderr) if return_stderr else price
+
+
+# ---------------------------------------------------------------------------
+# Cliquet
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "n_periods", "return_stderr"))
+def cliquet_price(spot, maturity, rate, vol, key, dividend=0.0,
+                  local_floor: float = -0.05, local_cap: float = 0.05,
+                  global_floor: float = 0.0, global_cap: float = 1e9,
+                  notional: float = 100.0, n_periods: int = 12,
+                  n_paths: int = 100_000, n_steps: int = 252,
+                  return_stderr: bool = False):
+    """Cliquet / ratchet (reference: ``exotic_options.py:494-554``): sum of
+    locally capped/floored period returns, globally capped/floored."""
+    per = n_steps // n_periods
+
+    def init(s0):
+        return (s0, jnp.zeros_like(s0))  # (period start spot, capped return sum)
+
+    def update(stats, s, i):
+        s_start, acc = stats
+        is_end = ((i + 1) % per == 0)
+        ret = s / s_start - 1.0
+        capped = jnp.clip(ret, local_floor, local_cap)
+        acc = acc + jnp.where(is_end, capped, 0.0)
+        s_start = jnp.where(is_end, s, s_start)
+        return (s_start, acc)
+
+    _, (_, acc) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                            n_paths, n_steps, init, update)
+    payoff = notional * jnp.clip(acc, global_floor, global_cap)
+    price, stderr = _discounted_mean_stderr(payoff, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+# ---------------------------------------------------------------------------
+# American via Longstaff–Schwartz
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_dates", "basis", "return_stderr"))
+def american_lsm_price(spot, strike, maturity, rate, vol, key, cp=-1.0,
+                       dividend=0.0, n_paths: int = 100_000, n_dates: int = 50,
+                       basis: int = 3, return_stderr: bool = False):
+    """Longstaff–Schwartz American pricing (reference: ``exotic_options.py:
+    236-307``).
+
+    TPU recast of the dynamically-shaped ITM regression: the per-date
+    weighted normal equations use the ITM indicator as a weight —
+    fixed-shape ``(basis+1)×(basis+1)`` solves inside a backward scan, no
+    boolean subsetting. Basis: polynomials in S/K up to degree ``basis``.
+    """
+    dtype = jnp.float32
+    dt = maturity / n_dates
+    drift = (rate - dividend - 0.5 * vol * vol) * dt
+    sig_dt = vol * jnp.sqrt(jnp.asarray(dt, dtype))
+    half = n_paths // 2
+
+    def fwd(log_s, i):
+        z = jax.random.normal(jax.random.fold_in(key, i), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        log_s = log_s + drift + sig_dt * z
+        return log_s, log_s
+
+    _, log_paths = lax.scan(fwd, jnp.zeros(n_paths, dtype), jnp.arange(n_dates))
+    s_paths = spot * jnp.exp(log_paths)  # (n_dates, n_paths)
+
+    def intrinsic(s):
+        return jnp.maximum(cp * (s - strike), 0.0)
+
+    disc = jnp.exp(-rate * dt)
+
+    def backward(cash, idx):
+        # cash: value received along each path at its (current) optimal stop,
+        # discounted to date idx+1. Regress continuation on ITM paths.
+        s = s_paths[idx]
+        ex = intrinsic(s)
+        itm = ex > 0
+        x = s / strike
+        feats = jnp.stack([x**p for p in range(basis + 1)], axis=0)  # (b+1, paths)
+        w = itm.astype(dtype)
+        y = disc * cash
+        a_mat = (feats * w) @ feats.T
+        b_vec = (feats * w) @ y
+        ridge = 1e-6 * jnp.eye(basis + 1, dtype=dtype)
+        coef = jnp.linalg.solve(a_mat + ridge, b_vec)
+        cont = coef @ feats
+        exercise = itm & (ex > cont)
+        cash = jnp.where(exercise, ex, disc * cash)
+        return cash, exercise
+
+    cash_T = intrinsic(s_paths[-1])
+    cash, ex_decisions = lax.scan(backward, cash_T, jnp.arange(n_dates - 2, -1, -1))
+    pay = disc * cash  # discount the last step back to t=0
+    n = pay.shape[0]
+    price = pay.mean()
+    stderr = pay.std(ddof=1) / jnp.sqrt(n * 1.0)
+    price = jnp.maximum(price, intrinsic(jnp.asarray(spot, dtype)))
+    return (price, stderr) if return_stderr else price
+
+
+def lsm_exercise_boundary(spot, strike, maturity, rate, vol, key, cp=-1.0,
+                          dividend=0.0, n_paths: int = 50_000, n_dates: int = 50):
+    """Early-exercise boundary estimate per date (reference:
+    ``exotic_options.py:309``): smallest (put) / largest (call) exercised
+    spot at each date, NaN where no exercise occurred."""
+    dtype = jnp.float32
+    dt = maturity / n_dates
+    drift = (rate - dividend - 0.5 * vol * vol) * dt
+    sig_dt = vol * jnp.sqrt(jnp.asarray(dt, dtype))
+    half = n_paths // 2
+
+    def fwd(log_s, i):
+        z = jax.random.normal(jax.random.fold_in(key, i), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        log_s = log_s + drift + sig_dt * z
+        return log_s, log_s
+
+    _, log_paths = lax.scan(fwd, jnp.zeros(n_paths, dtype), jnp.arange(n_dates))
+    s_paths = spot * jnp.exp(log_paths)
+    disc = jnp.exp(-rate * dt)
+
+    def backward(cash, idx):
+        s = s_paths[idx]
+        ex = jnp.maximum(cp * (s - strike), 0.0)
+        itm = ex > 0
+        x = s / strike
+        feats = jnp.stack([x**p for p in range(4)], axis=0)
+        w = itm.astype(dtype)
+        y = disc * cash
+        coef = jnp.linalg.solve((feats * w) @ feats.T + 1e-6 * jnp.eye(4, dtype=dtype),
+                                (feats * w) @ y)
+        cont = coef @ feats
+        exercise = itm & (ex > cont)
+        boundary = jnp.where(
+            jnp.any(exercise),
+            jnp.where(cp < 0, jnp.max(jnp.where(exercise, s, -jnp.inf)),
+                      jnp.min(jnp.where(exercise, s, jnp.inf))),
+            jnp.nan,
+        )
+        cash = jnp.where(exercise, ex, disc * cash)
+        return cash, boundary
+
+    cash_T = jnp.maximum(cp * (s_paths[-1] - strike), 0.0)
+    _, boundaries = lax.scan(backward, cash_T, jnp.arange(n_dates - 2, -1, -1))
+    return boundaries[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Dataclass adapters (reference exposes exotic classes + convenience fns)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class AsianOption:
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    vol: float
+    option_type: str = "call"
+    dividend: float = 0.0
+    averaging: str = "arithmetic"
+    n_paths: int = 100_000
+    n_steps: int = 64
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        return asian_price(self.spot, self.strike, self.maturity, self.rate, self.vol,
+                           jax.random.PRNGKey(self.seed), cp, self.dividend,
+                           self.n_paths, self.n_steps, self.averaging, return_stderr)
+
+
+@dataclasses.dataclass
+class BarrierOption:
+    spot: float
+    strike: float
+    barrier: float
+    maturity: float
+    rate: float
+    vol: float
+    option_type: str = "call"
+    barrier_type: str = "up-and-out"
+    rebate: float = 0.0
+    dividend: float = 0.0
+    n_paths: int = 100_000
+    n_steps: int = 64
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        return barrier_price(self.spot, self.strike, self.barrier, self.maturity,
+                             self.rate, self.vol, jax.random.PRNGKey(self.seed), cp,
+                             self.dividend, self.n_paths, self.n_steps,
+                             self.barrier_type, self.rebate, return_stderr)
+
+
+@dataclasses.dataclass
+class LookbackOption:
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    vol: float
+    option_type: str = "call"
+    floating: bool = True
+    dividend: float = 0.0
+    n_paths: int = 100_000
+    n_steps: int = 64
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        return lookback_price(self.spot, self.strike, self.maturity, self.rate,
+                              self.vol, jax.random.PRNGKey(self.seed), cp,
+                              self.dividend, self.n_paths, self.n_steps,
+                              self.floating, return_stderr)
+
+
+@dataclasses.dataclass
+class AmericanOptionLSM:
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    vol: float
+    option_type: str = "put"
+    dividend: float = 0.0
+    n_paths: int = 100_000
+    n_dates: int = 50
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        return american_lsm_price(self.spot, self.strike, self.maturity, self.rate,
+                                  self.vol, jax.random.PRNGKey(self.seed), cp,
+                                  self.dividend, self.n_paths, self.n_dates,
+                                  return_stderr=return_stderr)
+
+    def exercise_boundary(self):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        return lsm_exercise_boundary(self.spot, self.strike, self.maturity, self.rate,
+                                     self.vol, jax.random.PRNGKey(self.seed), cp,
+                                     self.dividend, self.n_paths, self.n_dates)
+
+
+@dataclasses.dataclass
+class AutocallableNote:
+    spot: float
+    maturity: float
+    rate: float
+    vol: float
+    dividend: float = 0.0
+    notional: float = 100.0
+    autocall_barrier: float = 1.0
+    coupon_barrier: float = 0.8
+    ki_barrier: float = 0.7
+    coupon_rate: float = 0.08
+    n_obs: int = 4
+    n_paths: int = 100_000
+    n_steps: int = 252
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        return autocallable_price(self.spot, self.maturity, self.rate, self.vol,
+                                  jax.random.PRNGKey(self.seed), self.dividend,
+                                  self.notional, self.autocall_barrier,
+                                  self.coupon_barrier, self.ki_barrier,
+                                  self.coupon_rate, self.n_obs, self.n_paths,
+                                  self.n_steps, return_stderr)
+
+
+@dataclasses.dataclass
+class CliquetOption:
+    spot: float
+    maturity: float
+    rate: float
+    vol: float
+    dividend: float = 0.0
+    local_floor: float = -0.05
+    local_cap: float = 0.05
+    global_floor: float = 0.0
+    global_cap: float = 1e9
+    notional: float = 100.0
+    n_periods: int = 12
+    n_paths: int = 100_000
+    n_steps: int = 252
+    seed: int = 0
+
+    def price(self, return_stderr: bool = False):
+        return cliquet_price(self.spot, self.maturity, self.rate, self.vol,
+                             jax.random.PRNGKey(self.seed), self.dividend,
+                             self.local_floor, self.local_cap, self.global_floor,
+                             self.global_cap, self.notional, self.n_periods,
+                             self.n_paths, self.n_steps, return_stderr)
+
+
+# module-level convenience functions (reference: exotic_options.py:557-606)
+def price_asian_option(S, K, T, r, sigma, option_type="call", **kw):
+    return AsianOption(S, K, T, r, sigma, option_type, **kw).price()
+
+
+def price_barrier_option(S, K, B, T, r, sigma, option_type="call", barrier_type="up-and-out", **kw):
+    return BarrierOption(S, K, B, T, r, sigma, option_type, barrier_type, **kw).price()
+
+
+def price_american_lsm(S, K, T, r, sigma, option_type="put", **kw):
+    return AmericanOptionLSM(S, K, T, r, sigma, option_type, **kw).price()
+
+
+def price_lookback_option(S, K, T, r, sigma, option_type="call", floating=True, **kw):
+    return LookbackOption(S, K, T, r, sigma, option_type, floating, **kw).price()

@@ -45,16 +45,22 @@ from ..types import ContractBatch
 from ..utils.config import EPS_TIME
 
 SUBLANES = 8  # f32 sublane tile
-LANES = 512  # path-block lane width (multiple of 128)
-PATHS_PER_ROW_BLOCK = 4 * LANES  # cos/sin × (±antithetic)
+_VMEM_ELEMS_PER_BUF = 256 * 1024  # ~1 MB f32 per live buffer, ~8 live => ~8 MB
+
+
+def _lanes_for(rows: int) -> int:
+    """Lane width per path block: as wide as VMEM allows, 128-aligned."""
+    return int(min(2048, max(128, (_VMEM_ELEMS_PER_BUF // rows) // 128 * 128)))
+
+
 _TWO_PI = 6.283185307179586
 _INV_2_24 = 1.0 / (1 << 24)
 _INV_2_25 = 1.0 / (1 << 25)
 
 
 def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
-                pay_ref, pay2_ref, m1_ref, mz_ref):
-    """One grid step = one path block of PATHS_PER_ROW_BLOCK paths per row."""
+                pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int):
+    """One grid step = one path block of 4*lanes paths per row."""
     block = pl.program_id(0)
 
     @pl.when(block == 0)
@@ -72,8 +78,8 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
     # shift's low 24 bits, and int32→f32 is a supported Mosaic cast
     # (uint32→f32 is not).
     mask24 = jnp.int32(0x00FFFFFF)
-    u1_bits = (pltpu.prng_random_bits((rows, LANES)) >> 8) & mask24
-    u2_bits = (pltpu.prng_random_bits((rows, LANES)) >> 8) & mask24
+    u1_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
+    u2_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
     # uniforms strictly inside (0,1): 24 bits + half-ulp offset
     u1 = u1_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
     u2 = u2_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
@@ -88,10 +94,10 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
     a = a_ref[:, :]  # (r - q - σ²/2)·T
     s = s_ref[:, :]  # σ·√T
 
-    acc_pay = jnp.zeros((rows, LANES), jnp.float32)
-    acc_pay2 = jnp.zeros((rows, LANES), jnp.float32)
-    acc_m1 = jnp.zeros((rows, LANES), jnp.float32)
-    acc_mz = jnp.zeros((rows, LANES), jnp.float32)
+    acc_pay = jnp.zeros((rows, lanes), jnp.float32)
+    acc_pay2 = jnp.zeros((rows, lanes), jnp.float32)
+    acc_m1 = jnp.zeros((rows, lanes), jnp.float32)
+    acc_mz = jnp.zeros((rows, lanes), jnp.float32)
     for z in (z_cos, -z_cos, z_sin, -z_sin):
         st = s0 * jnp.exp(a + s * z)
         x = cp * (st - k)
@@ -103,20 +109,21 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
         acc_mz += ind_st * z
 
     # lane-chunk reduction into the (rows, 128) accumulators
-    for off in range(0, LANES, 128):
+    for off in range(0, lanes, 128):
         pay_ref[:, :] += acc_pay[:, off:off + 128]
         pay2_ref[:, :] += acc_pay2[:, off:off + 128]
         m1_ref[:, :] += acc_m1[:, off:off + 128]
         mz_ref[:, :] += acc_mz[:, off:off + 128]
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "interpret"))
-def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret"))
+def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, lanes: int,
+            interpret: bool = False):
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
     acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _gbm_kernel,
+        functools.partial(_gbm_kernel, lanes=lanes),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
@@ -125,9 +132,9 @@ def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, interpret: bool 
         out_specs=[acc_spec] * 4,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=n_blocks * rows * LANES * 4 * 12,
+            flops=n_blocks * rows * lanes * 4 * 12,
             bytes_accessed=rows * (5 * 4 + 4 * 128 * 4),
-            transcendentals=n_blocks * rows * LANES * 7,
+            transcendentals=n_blocks * rows * lanes * 7,
         ),
         interpret=interpret,
     )(seed, s0, k, cp, a, s)
@@ -203,6 +210,24 @@ def _combine(b, flat, outs, c, reps, n_per_row, dtype):
     return {kk: v.reshape(b.shape).astype(dtype) for kk, v in out.items()}
 
 
+@functools.partial(jax.jit, static_argnames=("n_paths",))
+def _full_pipeline(batch: ContractBatch, seed, n_paths: int) -> dict:
+    """prepare → kernel → combine, traced as ONE program so a call costs a
+    single dispatch (the tunnel-latency lesson: eager host ops dominate
+    otherwise)."""
+    b, flat, params, c, reps, rows, _pad = _prepare(batch)
+    lanes = _lanes_for(rows)
+    paths_per_row_block = 4 * lanes  # cos/sin × (±antithetic)
+    n_blocks = max(1, math.ceil(n_paths / (paths_per_row_block * reps)))
+    seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+    # off-TPU (unit tests): run under the TPU-semantics interpreter, which
+    # implements the pltpu PRNG primitives (plain interpret=True does not)
+    interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
+    outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, lanes=lanes,
+                   interpret=interpret)
+    return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block, batch.dtype)
+
+
 def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0) -> dict:
     """Price + stderr + full first/second-order Greek ladder, one kernel pass.
 
@@ -211,14 +236,7 @@ def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed:
     Returns a dict with price/std_error/delta/gamma/vega/rho/theta arrays
     shaped like the broadcast batch.
     """
-    b, flat, params, c, reps, rows, _pad = _prepare(batch)
-    n_blocks = max(1, math.ceil(n_paths / (PATHS_PER_ROW_BLOCK * reps)))
-    seed_arr = jnp.asarray([seed], jnp.int32)
-    # off-TPU (unit tests): run under the TPU-semantics interpreter, which
-    # implements the pltpu PRNG primitives (plain interpret=True does not)
-    interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
-    outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, interpret=interpret)
-    return _combine(b, flat, outs, c, reps, n_blocks * PATHS_PER_ROW_BLOCK, batch.dtype)
+    return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths)
 
 
 def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
@@ -226,5 +244,7 @@ def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
     b = batch.broadcast()
     c = max(b.size, 1)
     reps = max(1, SUBLANES // c)
-    n_blocks = max(1, math.ceil(n_paths / (PATHS_PER_ROW_BLOCK * reps)))
-    return n_blocks * PATHS_PER_ROW_BLOCK * reps
+    rows = ((c * reps + SUBLANES - 1) // SUBLANES) * SUBLANES
+    per_block = 4 * _lanes_for(rows)
+    n_blocks = max(1, math.ceil(n_paths / (per_block * reps)))
+    return n_blocks * per_block * reps

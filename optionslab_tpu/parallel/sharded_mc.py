@@ -71,7 +71,6 @@ def sharded_mc_price(batch: ContractBatch, key, cfg: MCConfig, mesh) -> MCResult
         mesh=mesh,
         in_specs=spec_in,
         out_specs=spec_out,
-        check_rep=False,
     )
     price, se = fn(batch, key)
     return MCResult(price=price, std_error=se, n_paths=jnp.asarray(cfg.n_paths))
@@ -101,6 +100,5 @@ def sharded_book_price(batch: ContractBatch, key, cfg: MCConfig, mesh) -> jnp.nd
             P(),
         ),
         out_specs=P(BOOK_AXIS),
-        check_rep=False,
     )
     return fn(batch.broadcast(), key)
