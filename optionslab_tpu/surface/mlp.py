@@ -1,0 +1,111 @@
+"""MLP volatility-surface model (pure JAX).
+
+Reference capabilities covered (SURVEY.md §2.4, ``src/volatility_surface/
+models/mlp_model.py``): configurable hidden layers, GELU, dropout,
+AdamW + early stopping + grad clip, optional input-gradient smoothness
+penalty (``:153-159``), MC-dropout uncertainty (``:259-274``),
+input-gradient "greeks" (``:253-255``), training-history capture.
+
+TPU-first: the whole epoch is one jitted ``lax.scan`` over minibatches
+(``nn_core.train_mlp``); predictions for any chain size are one fused
+forward; LayerNorm replaces batchnorm (no train/eval statistics split to
+manage — the reference needs MRO workarounds and frozen-batchnorm hacks).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import TARGET_COLUMN, VolatilityModelBase
+from .nn_core import (
+    apply_mlp,
+    flatten_params,
+    init_mlp,
+    mc_dropout_predict,
+    train_mlp,
+    unflatten_params,
+)
+
+
+class MLPModel(VolatilityModelBase):
+    def __init__(self, hidden_layers=(64, 32), dropout_rate: float = 0.1,
+                 learning_rate: float = 1e-3, epochs: int = 200,
+                 batch_size: int = 256, patience: int = 15,
+                 smoothness_weight: float = 0.0, seed: int = 0,
+                 feature_columns=None):
+        super().__init__(feature_columns)
+        self.hidden_layers = tuple(hidden_layers)
+        self.dropout_rate = dropout_rate
+        self.learning_rate = learning_rate
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.patience = patience
+        self.smoothness_weight = smoothness_weight
+        self.seed = seed
+        self.params = None
+
+    # -- training -----------------------------------------------------------
+    def _train_impl(self, df, **kwargs) -> dict:
+        x = self._features_matrix(df, fit_scaler=True)
+        y = df[TARGET_COLUMN].to_numpy(dtype=np.float32)
+        key = jax.random.PRNGKey(self.seed)
+        sizes = [x.shape[1], *self.hidden_layers, 1]
+        params = init_mlp(key, sizes)
+
+        extra = None
+        if self.smoothness_weight > 0.0:
+            w = self.smoothness_weight
+
+            def extra(p, xb):  # noqa: F811
+                # penalize curvature of the surface wrt inputs (reference's
+                # input-grad smoothness, mlp_model.py:153-159)
+                grad_fn = jax.grad(lambda xx: apply_mlp(p, xx[None, :]).sum())
+                grads = jax.vmap(grad_fn)(xb)
+                return w * jnp.mean(grads**2)
+
+        self.params, history = train_mlp(
+            params, x, y, extra, key=jax.random.fold_in(key, 1),
+            epochs=self.epochs, batch_size=self.batch_size,
+            learning_rate=self.learning_rate, dropout_rate=self.dropout_rate,
+            patience=self.patience,
+        )
+        self.training_history = history
+        pred = np.asarray(apply_mlp(self.params, jnp.asarray(x))).ravel()
+        from .base import regression_metrics
+
+        return regression_metrics(y, pred)
+
+    # -- inference ----------------------------------------------------------
+    def _predict_impl(self, df) -> np.ndarray:
+        x = jnp.asarray(self._features_matrix(df))
+        return np.asarray(apply_mlp(self.params, x)).ravel()
+
+    def predict_with_uncertainty(self, df, mc_samples: int = 32):
+        """(mean, std) via MC dropout (reference: mc_samples>1 path)."""
+        x = jnp.asarray(self._features_matrix(df))
+        mean, std = mc_dropout_predict(self.params, x, jax.random.PRNGKey(self.seed + 2),
+                                       n_samples=mc_samples, dropout_rate=self.dropout_rate)
+        return np.asarray(mean).ravel(), np.asarray(std).ravel()
+
+    def input_gradients(self, df) -> np.ndarray:
+        """∂vol/∂feature per row (reference's NN 'greeks', mlp_model.py:253)."""
+        x = jnp.asarray(self._features_matrix(df))
+        g = jax.vmap(jax.grad(lambda xx: apply_mlp(self.params, xx[None, :])[0, 0]))(x)
+        # chain rule through the scaler back to raw feature units
+        return np.asarray(g) / self.scaler.scale_
+
+    # -- persistence --------------------------------------------------------
+    def _state(self):
+        meta = {
+            "hidden_layers": list(self.hidden_layers),
+            "dropout_rate": self.dropout_rate,
+            "seed": self.seed,
+        }
+        return flatten_params(self.params), meta
+
+    def _load_state(self, arrays, meta):
+        self.hidden_layers = tuple(int(h) for h in meta["hidden_layers"])
+        self.dropout_rate = float(meta["dropout_rate"])
+        self.params = unflatten_params(arrays)

@@ -1,0 +1,157 @@
+"""Shared pure-JAX MLP core for the surface models.
+
+Replaces the reference's PyTorch plumbing (``mlp_model.py``, ``tensor_utils.py``)
+with an explicit-pytree MLP: init/apply functions, LayerNorm (TPU-friendly,
+no running batch statistics to desynchronize under sharding — the reference
+fights batchnorm/MC-dropout interactions at ``mlp_model.py:259-274``),
+dropout with explicit keys, and a jitted Adam early-stopping train loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_mlp(key, sizes: Sequence[int], dtype=jnp.float32):
+    """He-initialized params: list of {'w','b'} plus layernorm scales."""
+    params = []
+    keys = jax.random.split(key, len(sizes) - 1)
+    for k, (fan_in, fan_out) in zip(keys, zip(sizes[:-1], sizes[1:])):
+        w = jax.random.normal(k, (fan_in, fan_out), dtype) * jnp.sqrt(2.0 / fan_in)
+        params.append({
+            "w": w,
+            "b": jnp.zeros((fan_out,), dtype),
+            "ln_scale": jnp.ones((fan_out,), dtype),
+            "ln_bias": jnp.zeros((fan_out,), dtype),
+        })
+    return params
+
+
+def apply_mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
+              layernorm: bool = True, activation=jax.nn.gelu):
+    """Forward pass; hidden layers get activation (+LayerNorm, +dropout),
+    final layer is linear."""
+    h = x
+    n = len(params)
+    for i, layer in enumerate(params):
+        h = h @ layer["w"] + layer["b"]
+        if i < n - 1:
+            if layernorm:
+                mu = h.mean(axis=-1, keepdims=True)
+                var = h.var(axis=-1, keepdims=True)
+                h = (h - mu) * jax.lax.rsqrt(var + 1e-6)
+                h = h * layer["ln_scale"] + layer["ln_bias"]
+            h = activation(h)
+            if dropout_rate > 0.0 and dropout_key is not None:
+                dropout_key = jax.random.fold_in(dropout_key, i)
+                keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
+    return h
+
+
+def train_mlp(params, x, y, loss_extra_fn=None, *, key,
+              epochs: int = 200, batch_size: int = 256, learning_rate: float = 1e-3,
+              weight_decay: float = 1e-5, dropout_rate: float = 0.1,
+              patience: int = 15, grad_clip: float = 1.0,
+              val_fraction: float = 0.15, verbose: bool = False):
+    """AdamW + grad clip + early stopping (the reference's training recipe,
+    ``mlp_model.py:161-236``, as one jitted step in an epoch loop).
+
+    ``loss_extra_fn(params, xb) -> scalar`` adds physics/smoothness penalties
+    (used by the PINN and the smoothness option).
+
+    Returns (best_params, history dict).
+    """
+    import optax
+
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32).reshape(-1, 1)
+    n = x.shape[0]
+    n_val = max(1, int(n * val_fraction))
+    perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+    x, y = x[perm], y[perm]
+    x_tr, y_tr = x[n_val:], y[n_val:]
+    x_va, y_va = x[:n_val], y[:n_val]
+    n_tr = x_tr.shape[0]
+    batch_size = min(batch_size, n_tr)
+    n_batches = max(1, n_tr // batch_size)
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    opt_state = opt.init(params)
+
+    def loss_fn(p, xb, yb, dk):
+        pred = apply_mlp(p, xb, dropout_rate=dropout_rate, dropout_key=dk)
+        loss = jnp.mean((pred - yb) ** 2)
+        if loss_extra_fn is not None:
+            loss = loss + loss_extra_fn(p, xb)
+        return loss
+
+    @jax.jit
+    def train_epoch(p, opt_state, ek):
+        def body(carry, i):
+            p, opt_state = carry
+            start = i * batch_size
+            xb = jax.lax.dynamic_slice_in_dim(x_tr, start, batch_size)
+            yb = jax.lax.dynamic_slice_in_dim(y_tr, start, batch_size)
+            loss, g = jax.value_and_grad(loss_fn)(p, xb, yb, jax.random.fold_in(ek, i))
+            u, opt_state = opt.update(g, opt_state, p)
+            p = optax.apply_updates(p, u)
+            return (p, opt_state), loss
+
+        (p, opt_state), losses = jax.lax.scan(body, (p, opt_state), jnp.arange(n_batches))
+        return p, opt_state, losses.mean()
+
+    @jax.jit
+    def val_loss(p):
+        pred = apply_mlp(p, x_va)
+        return jnp.mean((pred - y_va) ** 2)
+
+    best_params, best_val, best_epoch = params, float("inf"), 0
+    history = {"train_loss": [], "val_loss": []}
+    for epoch in range(epochs):
+        params, opt_state, tr_loss = train_epoch(params, opt_state, jax.random.fold_in(key, epoch + 1))
+        vl = float(val_loss(params))
+        history["train_loss"].append(float(tr_loss))
+        history["val_loss"].append(vl)
+        if vl < best_val - 1e-7:
+            best_val, best_params, best_epoch = vl, params, epoch
+        elif epoch - best_epoch >= patience:
+            break
+    history["best_epoch"] = best_epoch
+    history["best_val_loss"] = best_val
+    return best_params, history
+
+
+def mc_dropout_predict(params, x, key, n_samples: int = 32, dropout_rate: float = 0.1):
+    """MC-dropout mean/std (reference: ``mlp_model.py:259-274``) as one
+    vmapped batch of stochastic forwards."""
+    keys = jax.random.split(key, n_samples)
+    preds = jax.vmap(
+        lambda k: apply_mlp(params, x, dropout_rate=dropout_rate, dropout_key=k)
+    )(keys)
+    return preds.mean(axis=0), preds.std(axis=0)
+
+
+def flatten_params(params) -> dict:
+    out = {}
+    for i, layer in enumerate(params):
+        for k, v in layer.items():
+            out[f"layer{i}_{k}"] = np.asarray(v)
+    return out
+
+
+def unflatten_params(arrays: dict):
+    layers = {}
+    for name, v in arrays.items():
+        if not name.startswith("layer"):
+            continue
+        idx, key = name[5:].split("_", 1)
+        layers.setdefault(int(idx), {})[key] = jnp.asarray(v)
+    return [layers[i] for i in sorted(layers)]

@@ -1,0 +1,303 @@
+"""SVI / SSVI parametric volatility surfaces with no-arbitrage diagnostics.
+
+Reference capabilities covered (SURVEY.md §2.4, ``src/volatility_surface/
+models/svi.py``):
+  - raw SVI total variance w(k) = a + b(ρ(k−m) + √((k−m)² + σ²)) (``:86-98``)
+  - butterfly-constraint check a + bσ√(1−ρ²) ≥ 0 (``:73-84``)
+  - implied vol / smile / Dupire local variance from SVI derivatives
+    (``:137-170``)
+  - SSVI surface w(k,θ) with power-law φ(θ) = η/θ^γ (``:173-239``)
+  - calibrators with constraint penalties (``:242-369``)
+
+TPU-first design: closed-form w, w', w'' (no FD), Gatheral's g(k) density
+function evaluated analytically for butterfly checks; calibration is jitted
+Adam over constrained transforms with soft penalties — a whole surface of
+slices calibrates as one vmapped optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.exceptions import CalibrationError, ValidationError
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SVIParams:
+    a: jnp.ndarray
+    b: jnp.ndarray
+    rho: jnp.ndarray
+    m: jnp.ndarray
+    sigma: jnp.ndarray
+
+    @classmethod
+    def make(cls, a=0.02, b=0.1, rho=-0.3, m=0.0, sigma=0.2, dtype=jnp.float32):
+        return cls(*(jnp.asarray(x, dtype) for x in (a, b, rho, m, sigma)))
+
+    def validate(self):
+        b, rho, sig = (float(np.asarray(x).ravel()[0]) for x in (self.b, self.rho, self.sigma))
+        a = float(np.asarray(self.a).ravel()[0])
+        if b < 0 or sig <= 0:
+            raise ValidationError(f"SVI requires b >= 0, sigma > 0 (b={b}, sigma={sig})")
+        if not -1.0 < rho < 1.0:
+            raise ValidationError(f"SVI rho must be in (-1,1): {rho}")
+        if a + b * sig * np.sqrt(1.0 - rho**2) < 0:
+            raise ValidationError(
+                "SVI min total variance negative: a + b·σ·√(1-ρ²) = "
+                f"{a + b * sig * np.sqrt(1 - rho**2):.6f} < 0"
+            )
+
+
+def svi_total_variance(k, p: SVIParams):
+    """w(k) = a + b(ρ(k−m) + √((k−m)² + σ²))."""
+    km = jnp.asarray(k) - p.m
+    return p.a + p.b * (p.rho * km + jnp.sqrt(km * km + p.sigma * p.sigma))
+
+
+def svi_implied_vol(k, maturity, p: SVIParams):
+    w = jnp.maximum(svi_total_variance(k, p), 1e-12)
+    return jnp.sqrt(w / jnp.maximum(jnp.asarray(maturity), 1e-12))
+
+
+def svi_derivatives(k, p: SVIParams):
+    """(w, w', w'') in closed form."""
+    km = jnp.asarray(k) - p.m
+    root = jnp.sqrt(km * km + p.sigma * p.sigma)
+    w = p.a + p.b * (p.rho * km + root)
+    wp = p.b * (p.rho + km / root)
+    wpp = p.b * p.sigma * p.sigma / (root * root * root)
+    return w, wp, wpp
+
+
+def svi_g(k, p: SVIParams):
+    """Gatheral's g(k) ≥ 0 ⟺ butterfly-arbitrage-free density:
+
+        g = (1 − k·w'/(2w))² − (w'/4)²·(1/w + 1/4) + w''/2
+    """
+    k = jnp.asarray(k)
+    w, wp, wpp = svi_derivatives(k, p)
+    w = jnp.maximum(w, 1e-12)
+    return (1.0 - k * wp / (2.0 * w)) ** 2 - 0.25 * wp * wp * (1.0 / w + 0.25) + 0.5 * wpp
+
+
+def svi_local_variance(k, maturity, p_t: SVIParams, p_t_next: SVIParams, dt):
+    """Dupire local variance from two SVI slices (reference: svi.py:137-170):
+    σ_loc² = ∂_T w / g(k)."""
+    w_t = svi_total_variance(k, p_t)
+    w_next = svi_total_variance(k, p_t_next)
+    dw_dt = (w_next - w_t) / jnp.maximum(jnp.asarray(dt), 1e-12)
+    g = jnp.maximum(svi_g(k, p_t), 1e-8)
+    return jnp.maximum(dw_dt, 0.0) / g
+
+
+def check_butterfly(p: SVIParams, k_grid=None) -> bool:
+    k = jnp.linspace(-1.5, 1.5, 201) if k_grid is None else jnp.asarray(k_grid)
+    return bool(jnp.all(svi_g(k, p) >= -1e-8))
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+def _svi_pack(p: SVIParams):
+    inv_sp = lambda x: jnp.log(jnp.expm1(jnp.maximum(x, 1e-8)))
+    return jnp.stack([p.a, inv_sp(p.b), jnp.arctanh(jnp.clip(p.rho, -0.99, 0.99)),
+                      p.m, inv_sp(p.sigma)])
+
+
+def _svi_unpack(x) -> SVIParams:
+    return SVIParams(a=x[0], b=jax.nn.softplus(x[1]), rho=jnp.tanh(x[2]),
+                     m=x[3], sigma=jax.nn.softplus(x[4]) + 1e-4)
+
+
+def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
+                  init: SVIParams | None = None, n_steps: int = 800,
+                  learning_rate: float = 0.02, butterfly_penalty: float = 10.0,
+                  ) -> tuple[SVIParams, float]:
+    """Fit one SVI slice. Accepts total variances directly or (vols, T).
+
+    Constraint handling: smooth penalties on min-variance positivity and on
+    g(k) < 0 (the reference jumps to 1e10 outside the feasible box,
+    ``svi.py:272-288``; smooth penalties keep AD informative).
+    """
+    import optax
+
+    k = jnp.asarray(log_strikes, jnp.float32)
+    if total_variance is None:
+        if vols is None or maturity is None:
+            raise ValidationError("provide total_variance or (vols, maturity)")
+        total_variance = jnp.asarray(vols, jnp.float32) ** 2 * jnp.asarray(maturity, jnp.float32)
+    w_obs = jnp.asarray(total_variance, jnp.float32)
+
+    init = init or SVIParams.make(a=float(jnp.min(w_obs)) * 0.8, b=0.1, rho=-0.3,
+                                  m=float(k[jnp.argmin(w_obs)]), sigma=0.2)
+    x0 = _svi_pack(init)
+    k_dense = jnp.linspace(float(k.min()) - 0.3, float(k.max()) + 0.3, 101)
+
+    def loss_fn(x):
+        p = _svi_unpack(x)
+        w = svi_total_variance(k, p)
+        fit = jnp.mean((w - w_obs) ** 2)
+        min_w = p.a + p.b * p.sigma * jnp.sqrt(1.0 - p.rho**2)
+        pen_pos = jnp.maximum(-min_w, 0.0) ** 2
+        g = svi_g(k_dense, p)
+        pen_bfly = jnp.mean(jnp.maximum(-g, 0.0) ** 2)
+        return fit + butterfly_penalty * (pen_pos + pen_bfly)
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(x, s):
+        loss, grad = jax.value_and_grad(loss_fn)(x)
+        u, s = opt.update(grad, s)
+        return optax.apply_updates(x, u), s, loss
+
+    x, s = x0, opt.init(x0)
+    best_x, best = x0, float("inf")
+    for i in range(n_steps):
+        x, s, loss = step(x, s)
+        fl = float(loss)
+        if not np.isfinite(fl):
+            raise CalibrationError(f"SVI calibration diverged at step {i}")
+        if fl < best:
+            best, best_x = fl, x
+    p = _svi_unpack(best_x)
+    return p, best
+
+
+# ---------------------------------------------------------------------------
+# SSVI
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SSVIParams:
+    """Surface SVI: w(k, θ) = θ/2 · (1 + ρφ(θ)k + √((φ(θ)k + ρ)² + 1 − ρ²)),
+    φ(θ) = η / θ^γ (power-law), θ = ATM total variance per maturity."""
+
+    rho: jnp.ndarray
+    eta: jnp.ndarray
+    gamma: jnp.ndarray
+
+    @classmethod
+    def make(cls, rho=-0.3, eta=1.0, gamma=0.5, dtype=jnp.float32):
+        return cls(*(jnp.asarray(x, dtype) for x in (rho, eta, gamma)))
+
+    def validate(self):
+        rho, eta, gamma = (float(np.asarray(x).ravel()[0]) for x in (self.rho, self.eta, self.gamma))
+        if not -1.0 < rho < 1.0:
+            raise ValidationError(f"SSVI rho must be in (-1,1): {rho}")
+        if eta <= 0 or not 0.0 < gamma < 1.0:
+            raise ValidationError(f"SSVI needs eta > 0, gamma in (0,1): eta={eta}, gamma={gamma}")
+        # Gatheral-Jacquier sufficient no-butterfly condition
+        if eta * (1.0 + abs(rho)) > 2.0:
+            raise ValidationError(
+                f"SSVI butterfly condition η(1+|ρ|) ≤ 2 violated: {eta * (1 + abs(rho)):.4f}"
+            )
+
+
+def ssvi_phi(theta, p: SSVIParams):
+    return p.eta / jnp.maximum(theta, 1e-12) ** p.gamma
+
+
+def ssvi_total_variance(k, theta, p: SSVIParams):
+    k = jnp.asarray(k)
+    theta = jnp.asarray(theta)
+    ph = ssvi_phi(theta, p)
+    return 0.5 * theta * (1.0 + p.rho * ph * k + jnp.sqrt((ph * k + p.rho) ** 2 + 1.0 - p.rho**2))
+
+
+def ssvi_implied_vol(k, theta, maturity, p: SSVIParams):
+    w = jnp.maximum(ssvi_total_variance(k, theta, p), 1e-12)
+    return jnp.sqrt(w / jnp.maximum(jnp.asarray(maturity), 1e-12))
+
+
+def calibrate_ssvi(log_strikes, thetas, total_variances, init: SSVIParams | None = None,
+                   n_steps: int = 600, learning_rate: float = 0.02,
+                   ) -> tuple[SSVIParams, float]:
+    """Fit (ρ, η, γ) across maturities. ``log_strikes``/(``thetas`` row-wise)
+    /``total_variances`` are (n_mat, n_k) / (n_mat,) / (n_mat, n_k)."""
+    import optax
+
+    k = jnp.asarray(log_strikes, jnp.float32)
+    th = jnp.asarray(thetas, jnp.float32)[:, None]
+    w_obs = jnp.asarray(total_variances, jnp.float32)
+    init = init or SSVIParams.make()
+
+    inv_sp = lambda x: jnp.log(jnp.expm1(jnp.maximum(x, 1e-8)))
+    x0 = jnp.stack([jnp.arctanh(jnp.clip(init.rho, -0.99, 0.99)), inv_sp(init.eta),
+                    jnp.arctanh(jnp.clip(init.gamma * 2 - 1, -0.99, 0.99))])
+
+    def unpack(x):
+        return SSVIParams(rho=jnp.tanh(x[0]), eta=jax.nn.softplus(x[1]),
+                          gamma=(jnp.tanh(x[2]) + 1.0) / 2.0 * 0.98 + 0.01)
+
+    def loss_fn(x):
+        p = unpack(x)
+        w = ssvi_total_variance(k, th, p)
+        fit = jnp.mean((w - w_obs) ** 2)
+        pen = jnp.maximum(p.eta * (1.0 + jnp.abs(p.rho)) - 2.0, 0.0) ** 2
+        return fit + 10.0 * pen
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(x, s):
+        loss, grad = jax.value_and_grad(loss_fn)(x)
+        u, s = opt.update(grad, s)
+        return optax.apply_updates(x, u), s, loss
+
+    x, s = x0, opt.init(x0)
+    best_x, best = x0, float("inf")
+    for i in range(n_steps):
+        x, s, loss = step(x, s)
+        fl = float(loss)
+        if not np.isfinite(fl):
+            raise CalibrationError(f"SSVI calibration diverged at step {i}")
+        if fl < best:
+            best, best_x = fl, x
+    p = unpack(best_x)
+    return p, best
+
+
+class SVIModel:
+    """Object adapter (reference: ``svi.py:42``)."""
+
+    def __init__(self, params: SVIParams | None = None):
+        self.params = params or SVIParams.make()
+
+    def total_variance(self, k):
+        return svi_total_variance(k, self.params)
+
+    def implied_vol(self, k, maturity):
+        return svi_implied_vol(k, maturity, self.params)
+
+    def smile(self, log_strikes, maturity):
+        return svi_implied_vol(jnp.asarray(log_strikes), maturity, self.params)
+
+    def calibrate(self, log_strikes, vols, maturity, **kw):
+        self.params, loss = calibrate_svi(log_strikes, vols=vols, maturity=maturity, **kw)
+        return loss
+
+    def is_butterfly_free(self, k_grid=None) -> bool:
+        return check_butterfly(self.params, k_grid)
+
+
+class SSVIModel:
+    """Object adapter (reference: ``svi.py:173``)."""
+
+    def __init__(self, params: SSVIParams | None = None):
+        self.params = params or SSVIParams.make()
+
+    def total_variance(self, k, theta):
+        return ssvi_total_variance(k, theta, self.params)
+
+    def implied_vol(self, k, theta, maturity):
+        return ssvi_implied_vol(k, theta, maturity, self.params)
+
+    def calibrate(self, log_strikes, thetas, total_variances, **kw):
+        self.params, loss = calibrate_ssvi(log_strikes, thetas, total_variances, **kw)
+        return loss
