@@ -31,8 +31,8 @@ from .nn_core import (
 
 class MLPModel(VolatilityModelBase):
     def __init__(self, hidden_layers=(64, 32), dropout_rate: float = 0.1,
-                 learning_rate: float = 1e-3, epochs: int = 200,
-                 batch_size: int = 256, patience: int = 15,
+                 learning_rate: float = 3e-3, epochs: int = 300,
+                 batch_size: int = 64, patience: int = 30,
                  smoothness_weight: float = 0.0, seed: int = 0,
                  feature_columns=None):
         super().__init__(feature_columns)

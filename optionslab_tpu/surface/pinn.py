@@ -100,8 +100,8 @@ class PINNVolatilityModel(VolatilityModelBase):
 
     def __init__(self, hidden_layers=(64, 64, 32), preset: str = "medium",
                  penalty_weights: dict | None = None, n_collocation: int = 512,
-                 learning_rate: float = 2e-3, epochs: int = 300,
-                 batch_size: int = 512, patience: int = 30, seed: int = 0):
+                 learning_rate: float = 5e-3, epochs: int = 800,
+                 batch_size: int = 512, patience: int = 100, seed: int = 0):
         super().__init__(feature_columns=["log_moneyness", "time_to_maturity"])
         if preset not in PENALTY_PRESETS:
             raise ValidationError(f"unknown preset {preset!r}; choose {list(PENALTY_PRESETS)}")
@@ -132,6 +132,11 @@ class PINNVolatilityModel(VolatilityModelBase):
 
         key = jax.random.PRNGKey(self.seed)
         params = init_mlp(key, [2, *self.hidden_layers, 1])
+        # head bias so softplus(bias) ≈ mean observed total variance — the
+        # net starts on the surface instead of at softplus(0) ≈ 0.69
+        w_mean = float(jnp.mean(w_obs))
+        inv_sp = float(np.log(np.expm1(max(w_mean, 1e-4))))
+        params[-1]["b"] = params[-1]["b"].at[0].set(inv_sp)
 
         lam_cal = self.weights["calendar"]
         lam_bf = self.weights["butterfly"]
@@ -142,7 +147,10 @@ class PINNVolatilityModel(VolatilityModelBase):
 
         def loss_fn(p, ck):
             w_pred = _w_fn(p, k_obs, t_obs)
-            fit = jnp.mean((w_pred - w_obs) ** 2)
+            # fit in IV space: errors in w at short T amplify as 1/√T in
+            # vol, so matching vols directly weights maturities correctly
+            iv_pred = jnp.sqrt(jnp.maximum(w_pred, 1e-12) / jnp.maximum(t_obs, 1e-6))
+            fit = jnp.mean((iv_pred - iv) ** 2)
             kk = jax.random.uniform(ck, (n_col,), minval=k_lo, maxval=k_hi)
             tt = jax.random.uniform(jax.random.fold_in(ck, 1), (n_col,), minval=t_lo, maxval=t_hi)
             return (fit

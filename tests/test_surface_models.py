@@ -1,0 +1,284 @@
+"""Vol-surface stack tests: SVI/SSVI, MLP, PINN, kernel ridge, forests,
+generator, arbitrage ops (SURVEY.md §4 items 3, 8 + reference
+tests/test_models.py patterns: save/load parity, thread smoke)."""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optionslab_tpu.data.synthetic import (
+    generate_synthetic_chain,
+    generate_synthetic_smile,
+    generate_synthetic_surface,
+)
+from optionslab_tpu.surface import (
+    KernelRidgeModel,
+    MLPModel,
+    PINNVolatilityModel,
+    RandomForestVolatilityModel,
+    GradientBoostingVolatilityModel,
+    SSVIParams,
+    SVIModel,
+    SVIParams,
+    VolatilitySurfaceGenerator,
+    butterfly_check,
+    calendar_check,
+    calibrate_ssvi,
+    calibrate_svi,
+    correct_arbitrage,
+    engineer_features,
+    isotonic_pava,
+    ssvi_total_variance,
+    surface_arbitrage_report,
+    svi_g,
+    svi_total_variance,
+    tune_model,
+)
+from optionslab_tpu.surface.base import TARGET_COLUMN
+from optionslab_tpu.utils.exceptions import DataError, ModelError, ValidationError
+
+
+@pytest.fixture(scope="module")
+def chain():
+    df = generate_synthetic_chain(n_rows=400, seed=3)
+    return engineer_features(df)
+
+
+class TestFeatures:
+    def test_feature_columns_created(self, chain):
+        for c in ("moneyness", "log_moneyness", "ttm_squared", "volatility_skew"):
+            assert c in chain.columns
+
+    def test_missing_base_raises(self, chain):
+        with pytest.raises(DataError):
+            engineer_features(chain.drop(columns=["strike_price"]))
+
+
+class TestSVI:
+    def test_calibration_recovers_slice(self):
+        true = SVIParams.make(a=0.02, b=0.12, rho=-0.4, m=0.05, sigma=0.2, dtype=jnp.float64)
+        k = jnp.linspace(-0.4, 0.4, 21)
+        w = svi_total_variance(k, true)
+        fit, loss = calibrate_svi(k, w, n_steps=1200)
+        assert loss < 1e-6
+        w_fit = svi_total_variance(k, fit)
+        np.testing.assert_allclose(np.asarray(w_fit), np.asarray(w), atol=2e-3)
+
+    def test_g_positive_for_sane_params(self):
+        p = SVIParams.make(a=0.02, b=0.1, rho=-0.3, m=0.0, sigma=0.25)
+        g = svi_g(jnp.linspace(-1.0, 1.0, 101), p)
+        assert bool(jnp.all(g > 0))
+
+    def test_validate_rejects_negative_min_variance(self):
+        with pytest.raises(ValidationError):
+            SVIParams.make(a=-0.5, b=0.1, rho=0.0, m=0.0, sigma=0.1).validate()
+
+    def test_model_smile(self):
+        m = SVIModel(SVIParams.make())
+        vols = m.smile(np.linspace(-0.3, 0.3, 7), 0.5)
+        assert vols.shape == (7,)
+        assert bool(jnp.all(vols > 0))
+        assert m.is_butterfly_free()
+
+    def test_ssvi_calibration(self):
+        true = SSVIParams.make(rho=-0.4, eta=0.8, gamma=0.45)
+        k = jnp.linspace(-0.4, 0.4, 15)
+        thetas = jnp.asarray([0.01, 0.04, 0.09])
+        w = ssvi_total_variance(k[None, :], thetas[:, None], true)
+        fit, loss = calibrate_ssvi(jnp.broadcast_to(k, (3, 15)), thetas, w, n_steps=800)
+        assert loss < 1e-6
+        assert abs(float(fit.rho) + 0.4) < 0.1
+
+
+class TestMLP:
+    def test_train_eval_better_than_constant(self, chain):
+        m = MLPModel(hidden_layers=(32, 16), epochs=250, seed=1)
+        metrics = m.train(chain)
+        assert metrics["rmse"] < float(np.std(chain[TARGET_COLUMN]))
+        assert metrics["r2"] > 0.5
+
+    def test_predict_before_train_raises(self, chain):
+        with pytest.raises(ModelError):
+            MLPModel().predict_volatility(chain)
+
+    def test_save_load_identical_predictions(self, chain, tmp_path):
+        m = MLPModel(hidden_layers=(16,), epochs=30, seed=2)
+        m.train(chain)
+        pred1 = m.predict_volatility(chain)
+        m.save_model(tmp_path / "mlp")
+        m2 = MLPModel()
+        m2.load_model(tmp_path / "mlp")
+        pred2 = m2.predict_volatility(chain)
+        np.testing.assert_allclose(pred1, pred2, rtol=1e-5)
+
+    def test_mc_dropout_uncertainty(self, chain):
+        m = MLPModel(hidden_layers=(16,), epochs=20, dropout_rate=0.2, seed=3)
+        m.train(chain)
+        mean, std = m.predict_with_uncertainty(chain.head(32), mc_samples=16)
+        assert mean.shape == (32,)
+        assert np.all(std >= 0) and std.max() > 0
+
+    def test_input_gradients_shape(self, chain):
+        m = MLPModel(hidden_layers=(16,), epochs=10, seed=4)
+        m.train(chain)
+        g = m.input_gradients(chain.head(8))
+        assert g.shape == (8, len(m.feature_columns))
+
+    def test_thread_safety_smoke(self, chain):
+        m = MLPModel(hidden_layers=(16,), epochs=10, seed=5)
+        m.train(chain)
+        errs = []
+
+        def worker():
+            try:
+                m.predict_volatility(chain.head(50))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(5)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert not errs
+
+
+class TestPINN:
+    @pytest.fixture(scope="class")
+    def trained(self):
+        df = generate_synthetic_chain(n_rows=400, seed=7)
+        df = engineer_features(df)
+        m = PINNVolatilityModel(hidden_layers=(32, 32), epochs=400, preset="medium", seed=0)
+        m.train(df)
+        return m, df
+
+    def test_fit_quality(self, trained):
+        m, df = trained
+        metrics = m.evaluate(df)
+        assert metrics["rmse"] < 0.05
+
+    def test_arbitrage_audit(self, trained):
+        m, _ = trained
+        report = m.check_arbitrage(n_k=41, n_t=9)
+        assert report["calendar_violation_rate"] <= 0.05
+        assert report["butterfly_violation_rate"] <= 0.10
+
+    def test_save_load(self, trained, tmp_path):
+        m, df = trained
+        p1 = m.predict_volatility(df.head(50))
+        m.save_model(tmp_path / "pinn")
+        m2 = PINNVolatilityModel()
+        m2.load_model(tmp_path / "pinn")
+        np.testing.assert_allclose(p1, m2.predict_volatility(df.head(50)), rtol=1e-5)
+
+    def test_bad_preset_raises(self):
+        with pytest.raises(ValidationError):
+            PINNVolatilityModel(preset="ultra")
+
+
+class TestClassicalModels:
+    @pytest.mark.parametrize("cls,kw", [
+        (KernelRidgeModel, {"gamma": 0.5, "alpha": 1e-4}),
+        (RandomForestVolatilityModel, {"n_estimators": 30, "max_depth": 8}),
+        (GradientBoostingVolatilityModel, {"max_iter": 60}),
+    ])
+    def test_train_predict_saveload(self, chain, tmp_path, cls, kw):
+        m = cls(**kw)
+        metrics = m.train(chain)
+        assert metrics["r2"] > 0.5
+        pred = m.predict_volatility(chain.head(20))
+        m.save_model(tmp_path / cls.__name__)
+        m2 = cls()
+        m2.load_model(tmp_path / cls.__name__)
+        np.testing.assert_allclose(pred, m2.predict_volatility(chain.head(20)), rtol=1e-5)
+
+    def test_feature_importances(self, chain):
+        m = RandomForestVolatilityModel(n_estimators=20)
+        m.train(chain)
+        imp = m.feature_importances()
+        assert set(imp) == set(m.feature_columns)
+        assert abs(sum(imp.values()) - 1.0) < 1e-6
+
+
+class TestGenerator:
+    def test_rbf_exact_at_quotes(self):
+        k, t, iv = generate_synthetic_surface(11, 4)
+        kk, tt = np.meshgrid(k, t)
+        gen = VolatilitySurfaceGenerator(kk.ravel(), tt.ravel(), iv.ravel(), method="rbf")
+        out = gen.get_surface_batch(kk.ravel(), tt.ravel())
+        np.testing.assert_allclose(out, iv.ravel(), atol=1e-3)
+
+    def test_grid_and_cache(self):
+        k, t, iv = generate_synthetic_surface(11, 4)
+        kk, tt = np.meshgrid(k, t)
+        gen = VolatilitySurfaceGenerator(kk.ravel(), tt.ravel(), iv.ravel(), method="idw")
+        g1 = gen.generate_surface(np.linspace(-0.3, 0.3, 9), np.linspace(0.2, 1.5, 5))
+        g2 = gen.generate_surface(np.linspace(-0.3, 0.3, 9), np.linspace(0.2, 1.5, 5))
+        assert g1 is g2  # cache hit
+        assert g1.shape == (5, 9)
+
+    def test_nearest_and_point_query(self):
+        k, t, iv = generate_synthetic_surface(11, 4)
+        kk, tt = np.meshgrid(k, t)
+        gen = VolatilitySurfaceGenerator(kk.ravel(), tt.ravel(), iv.ravel(), method="nearest")
+        v = gen.get_volatility(0.0, 0.5)
+        assert 0.05 < v < 1.0
+
+    def test_validation(self):
+        with pytest.raises(DataError):
+            VolatilitySurfaceGenerator([0.1, 0.2], [0.5, 0.5], [0.2, 0.2])
+        with pytest.raises(ValidationError):
+            k, t, iv = generate_synthetic_surface(5, 2)
+            kk, tt = np.meshgrid(k, t)
+            VolatilitySurfaceGenerator(kk.ravel(), tt.ravel(), iv.ravel(), method="spline")
+
+
+class TestArbitrageOps:
+    def test_pava_monotone(self):
+        y = np.array([1.0, 0.5, 2.0, 1.5, 3.0])
+        out = isotonic_pava(y)
+        assert np.all(np.diff(out) >= -1e-12)
+        # projection property: does not move already-monotone data
+        mono = np.array([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(isotonic_pava(mono), mono)
+
+    def test_calendar_check_flags_decreasing(self):
+        w = np.array([[0.04, 0.04], [0.03, 0.05]])  # first strike decreases
+        _, mask = calendar_check(np.array([0.5, 1.0]), w)
+        assert bool(mask[0, 0]) and not bool(mask[0, 1])
+
+    def test_butterfly_check_flags_concave_smile(self):
+        k = np.linspace(-0.5, 0.5, 21)
+        w_good = 0.04 + 0.1 * k**2
+        _, mask_good = butterfly_check(k, w_good)
+        assert not bool(np.any(np.asarray(mask_good)))
+        # wing slope 2.5 > 2 violates the Roger–Lee bound → negative density
+        w_bad = 0.04 + 2.5 * np.abs(k)
+        _, mask_bad = butterfly_check(k, w_bad)
+        assert bool(np.any(np.asarray(mask_bad)))
+
+    def test_correct_arbitrage_removes_calendar_violations(self):
+        k, t, iv = generate_synthetic_surface(15, 5)
+        iv_bad = iv.copy()
+        iv_bad[2] = iv_bad[2] * 0.5  # crush one maturity → calendar violations
+        fixed = correct_arbitrage(k, t, iv_bad)
+        report = surface_arbitrage_report(k, t, fixed)
+        assert report["calendar_violation_rate"] == 0.0
+
+    def test_surface_report_clean_surface(self):
+        k, t, iv = generate_synthetic_surface(21, 6)
+        report = surface_arbitrage_report(k, t, iv)
+        assert report["calendar_violation_rate"] < 0.05
+
+
+class TestGridSearch:
+    def test_tune_model_picks_best(self, chain):
+        small = chain.head(150).reset_index(drop=True)
+        best, score, results = tune_model(
+            KernelRidgeModel, small,
+            {"gamma": [0.3, 1.0], "alpha": [1e-3]},
+            n_folds=2,
+        )
+        assert best["gamma"] in (0.3, 1.0)
+        assert len(results) == 2
+        assert score < 0.1
