@@ -31,12 +31,31 @@ from ..utils.exceptions import ValidationError
 
 
 def _grid(spot, vol, maturity, n_space, width):
-    """Uniform log-spot grid centered on log(S0): x in [logS0 ± width·σ√T]."""
+    """Uniform log-spot grid centered on log(S0): x in [logS0 ± width·σ√T].
+
+    The grid is STOP-GRADIENTED: differentiating the price wrt S/σ/T must
+    not move the mesh (otherwise AD returns the derivative at fixed
+    moneyness, not fixed strike). The solution is read off by local
+    interpolation at log(S) instead (see ``_read_price``).
+    """
     t = jnp.maximum(maturity, EPS_TIME)
     half = width * jnp.maximum(vol, 0.05) * jnp.sqrt(t)
     x0 = jnp.log(spot)
     x = x0 + jnp.linspace(-1.0, 1.0, n_space) * half
+    x = jax.lax.stop_gradient(x)
     return x, x[1] - x[0]
+
+
+def _read_price(v, x, spot):
+    """Quadratic (3-node Lagrange) interpolation of the solution at log(S):
+    smooth in S so AD delta/gamma are the standard central differences."""
+    mid = x.shape[0] // 2
+    xe = jnp.log(spot)
+    x0, x1, x2 = x[mid - 1], x[mid], x[mid + 1]
+    l0 = (xe - x1) * (xe - x2) / ((x0 - x1) * (x0 - x2))
+    l1 = (xe - x0) * (xe - x2) / ((x1 - x0) * (x1 - x2))
+    l2 = (xe - x0) * (xe - x1) / ((x2 - x0) * (x2 - x1))
+    return l0 * v[mid - 1] + l1 * v[mid] + l2 * v[mid + 1]
 
 
 def _cn_single(spot, strike, maturity, rate, vol, dividend, cp,
@@ -90,9 +109,9 @@ def _cn_single(spot, strike, maturity, rate, vol, dividend, cp,
         return v_new, None
 
     v, _ = lax.scan(step, v0, jnp.arange(n_time, dtype=v0.dtype))
-    # S0 sits exactly at the grid center (odd n_space) — read it off
-    mid = n_space // 2
-    return v[mid]
+    # S0 sits at the grid center (odd n_space); interpolate so spot
+    # derivatives flow through the solution, not the mesh
+    return _read_price(v, x, spot)
 
 
 @functools.partial(jax.jit, static_argnames=("n_space", "n_time", "american", "scheme"))
@@ -149,7 +168,7 @@ def explicit_fdm_price(batch: ContractBatch, n_space: int = 201, n_time: int = 2
             return v_new, None
 
         v, _ = lax.scan(step, intrinsic, None, length=n_time)
-        return v[n_space // 2]
+        return _read_price(v, x, s)
 
     prices = jax.vmap(single)(flat.spot, flat.strike, flat.maturity, flat.rate, flat.vol,
                               flat.dividend, flat.cp)
