@@ -1,0 +1,35 @@
+from .expected_shortfall import ExpectedShortfall
+from .portfolio import OptionsPortfolio, Position
+from .sensitivity import SensitivityAnalysis
+from .stress import StressScenario, StressTester
+from .var import (
+    VaRAnalyzer,
+    delta_normal_var,
+    historical_es,
+    historical_var,
+    lognormal_var,
+    monte_carlo_var,
+    option_var,
+    parametric_es,
+    parametric_var,
+    stressed_var,
+)
+
+__all__ = [
+    "VaRAnalyzer",
+    "historical_var",
+    "historical_es",
+    "parametric_var",
+    "parametric_es",
+    "lognormal_var",
+    "monte_carlo_var",
+    "delta_normal_var",
+    "option_var",
+    "stressed_var",
+    "ExpectedShortfall",
+    "StressScenario",
+    "StressTester",
+    "SensitivityAnalysis",
+    "OptionsPortfolio",
+    "Position",
+]
