@@ -1,0 +1,197 @@
+"""Dupire local volatility: surface extraction + local-vol PDE pricer.
+
+Reference capabilities covered (SURVEY.md §2.2, ``src/pricing_models/
+local_vol.py``):
+  - σ_loc²(K,T) from an IV surface via the Dupire formula with derivatives
+    of BS call prices (``:73-138``)
+  - interpolated surface object (``:163`` RectBivariateSpline)
+  - explicit-FDM pricer reading σ(S,t) per node (``:181-262``)
+  - ``PricerProtocol``-compatible ``price`` (``:264``)
+  - sample smile generator (``:280``)
+
+TPU-first design: the Dupire numerator/denominator come from AD derivatives
+of the (smooth, interpolated) total-variance surface — the "local vol from
+total variance" form
+
+    σ_loc²(k,T) = ∂_T w / [1 − (k/w)∂_k w + ¼(−¼ − 1/w + k²/w²)(∂_k w)²
+                            + ½ ∂²_k w]
+
+which avoids differentiating noisy call prices (reference FD-differentiates
+BS prices). Interpolation is bilinear in (k, T) on a dense grid — jit-able
+and AD-safe; the local-vol PDE is the same θ-scheme engine as ``fdm.py``
+with a σ(S,t) lookup per node/step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.tridiag import tridiag_solve
+from ..utils.config import EPS_TIME
+from ..utils.exceptions import ValidationError
+
+
+def _bilinear(grid_x, grid_y, values, xq, yq):
+    """Differentiable bilinear interpolation; clamps outside the grid.
+
+    values: (n_y, n_x); xq/yq broadcastable."""
+    nx = grid_x.shape[0]
+    ny = grid_y.shape[0]
+    dx = grid_x[1] - grid_x[0]
+    dy = grid_y[1] - grid_y[0]
+    fx = jnp.clip((xq - grid_x[0]) / dx, 0.0, nx - 1.001)
+    fy = jnp.clip((yq - grid_y[0]) / dy, 0.0, ny - 1.001)
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - ix
+    ty = fy - iy
+    v00 = values[iy, ix]
+    v01 = values[iy, ix + 1]
+    v10 = values[iy + 1, ix]
+    v11 = values[iy + 1, ix + 1]
+    return (v00 * (1 - tx) * (1 - ty) + v01 * tx * (1 - ty)
+            + v10 * (1 - tx) * ty + v11 * tx * ty)
+
+
+class LocalVolSurface:
+    """σ_loc(S, t) interpolator on a dense (log-moneyness, T) grid."""
+
+    def __init__(self, k_grid, t_grid, local_vol_grid, spot, rate, dividend=0.0):
+        self.k_grid = jnp.asarray(k_grid, jnp.float32)
+        self.t_grid = jnp.asarray(t_grid, jnp.float32)
+        self.grid = jnp.asarray(local_vol_grid, jnp.float32)  # (n_t, n_k)
+        self.spot = float(spot)
+        self.rate = float(rate)
+        self.dividend = float(dividend)
+
+    def __call__(self, s, t):
+        """σ_loc at spot level(s) s and time(s) t (k = log(s/S0·e^{(r-q)t}))."""
+        fwd = self.spot * jnp.exp((self.rate - self.dividend) * jnp.asarray(t))
+        k = jnp.log(jnp.maximum(jnp.asarray(s), 1e-12) / fwd)
+        return _bilinear(self.k_grid, self.t_grid, self.grid, k, jnp.asarray(t))
+
+
+class DupireLocalVol:
+    """Extracts σ_loc(k, T) from an IV function and prices through it."""
+
+    def __init__(self, iv_fn, spot, rate, dividend=0.0,
+                 k_range=(-0.8, 0.8), t_range=(0.02, 2.5), n_k: int = 121, n_t: int = 60):
+        """``iv_fn(k, T) -> implied vol`` must be a smooth (differentiable)
+        function of log-moneyness k and maturity T — e.g. an SVI/SSVI/PINN
+        surface or an interpolated market surface."""
+        self.iv_fn = iv_fn
+        self.spot = float(spot)
+        self.rate = float(rate)
+        self.dividend = float(dividend)
+        self.k_grid = jnp.linspace(*k_range, n_k)
+        self.t_grid = jnp.linspace(*t_range, n_t)
+        self.surface = self._build()
+
+    def _w(self, k, t):
+        iv = self.iv_fn(k, t)
+        return iv * iv * t
+
+    def local_variance(self, k, t):
+        """Dupire in total-variance form via AD (no FD of prices)."""
+        k = jnp.asarray(k, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+
+        w_fn = self._w
+        w = w_fn(k, t)
+        dw_dt = jax.vmap(lambda kk, tt: jax.grad(lambda a: w_fn(kk, a))(tt))(k.ravel(), t.ravel()).reshape(k.shape)
+        dw_dk = jax.vmap(lambda kk, tt: jax.grad(lambda a: w_fn(a, tt))(kk))(k.ravel(), t.ravel()).reshape(k.shape)
+        d2w_dk2 = jax.vmap(
+            lambda kk, tt: jax.grad(jax.grad(lambda a: w_fn(a, tt)))(kk)
+        )(k.ravel(), t.ravel()).reshape(k.shape)
+
+        w_safe = jnp.maximum(w, 1e-8)
+        denom = (1.0 - k / w_safe * dw_dk
+                 + 0.25 * (-0.25 - 1.0 / w_safe + (k / w_safe) ** 2) * dw_dk**2
+                 + 0.5 * d2w_dk2)
+        return jnp.clip(jnp.maximum(dw_dt, 1e-8) / jnp.maximum(denom, 1e-4), 1e-6, 4.0)
+
+    def _build(self) -> LocalVolSurface:
+        kk, tt = jnp.meshgrid(self.k_grid, self.t_grid)  # (n_t, n_k)
+        var = self.local_variance(kk, tt)
+        return LocalVolSurface(self.k_grid, self.t_grid, jnp.sqrt(var),
+                               self.spot, self.rate, self.dividend)
+
+    # -- PDE pricer through the local-vol surface ---------------------------
+    def _solve(self, strike, maturity, cp, n_space: int = 201, n_time: int = 200,
+               american: bool = False):
+        return _lv_solve(self.surface.k_grid, self.surface.t_grid, self.surface.grid,
+                         self.spot, self.rate, self.dividend, strike, maturity, cp,
+                         n_space=n_space, n_time=n_time, american=american)
+
+    def price(self, S, K, T, r=None, sigma=None, option_type="call", q=None):
+        """PricerProtocol-compatible (reference: ``local_vol.py:264``);
+        r/σ/q arguments are ignored — the surface supplies dynamics."""
+        if abs(float(S) - self.spot) > 1e-9 * max(self.spot, 1.0):
+            raise ValidationError(
+                "local-vol surface was built for spot "
+                f"{self.spot}; rebuild for S={S}")
+        cp = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
+        return self._solve(jnp.float32(K), jnp.float32(T), jnp.float32(cp))
+
+
+def sample_smile_iv_fn(base_vol=0.2, skew=-0.15, smile=0.1, term=0.02):
+    """Smooth synthetic IV surface (reference's sample smile,
+    ``local_vol.py:280``) for demos/tests."""
+
+    def iv(k, t):
+        return (base_vol + skew * k + smile * k * k
+                + term * jnp.sqrt(jnp.maximum(t, 1e-6)))
+
+    return iv
+
+
+@functools.partial(jax.jit, static_argnames=("n_space", "n_time", "american"))
+def _lv_solve(k_grid, t_grid, vol_grid, spot, rate, dividend, strike, maturity, cp,
+              n_space: int = 201, n_time: int = 200, american: bool = False):
+    """Implicit time stepping through the interpolated local-vol surface."""
+    strike = jnp.asarray(strike, jnp.float32)
+    maturity = jnp.asarray(maturity, jnp.float32)
+    cp = jnp.asarray(cp, jnp.float32)
+    t_total = jnp.maximum(maturity, EPS_TIME)
+
+    def sigma_at(s, t):
+        fwd = spot * jnp.exp((rate - dividend) * t)
+        kq = jnp.log(jnp.maximum(s, 1e-12) / fwd)
+        return _bilinear(k_grid, t_grid, vol_grid, kq, t)
+
+    atm_vol = sigma_at(jnp.asarray(spot, jnp.float32), 0.5 * t_total)
+    half = 6.0 * jnp.maximum(atm_vol, 0.1) * jnp.sqrt(t_total)
+    x = jax.lax.stop_gradient(jnp.log(spot) + jnp.linspace(-1.0, 1.0, n_space) * half)
+    dx = x[1] - x[0]
+    s_nodes = jnp.exp(x)
+    dt = t_total / n_time
+    intrinsic = jnp.maximum(cp * (s_nodes - strike), 0.0)
+
+    def step(v, i):
+        tau = t_total - (i + 0.5) * dt  # calendar time of this step
+        sig = sigma_at(s_nodes, jnp.maximum(tau, 1e-4))
+        sig2 = sig * sig
+        mu = rate - dividend - 0.5 * sig2
+        a = 0.5 * sig2 / dx**2 - 0.5 * mu / dx
+        b = -sig2 / dx**2 - rate
+        c = 0.5 * sig2 / dx**2 + 0.5 * mu / dx
+        lo = (-dt * a).at[0].set(0.0).at[-1].set(0.0)
+        di = (1.0 - dt * b).at[0].set(1.0).at[-1].set(1.0)
+        up = (-dt * c).at[0].set(0.0).at[-1].set(0.0)
+        tau_exp = (i + 1.0) * dt
+        vlo = jnp.where(cp > 0, 0.0, strike * jnp.exp(-rate * tau_exp) - s_nodes[0])
+        vhi = jnp.where(cp > 0, s_nodes[-1] * jnp.exp(-dividend * tau_exp)
+                        - strike * jnp.exp(-rate * tau_exp), 0.0)
+        rhs = v.at[0].set(jnp.maximum(vlo, 0.0)).at[-1].set(jnp.maximum(vhi, 0.0))
+        v_new = tridiag_solve(lo, di, up, rhs)
+        if american:
+            v_new = jnp.maximum(v_new, intrinsic)
+        return v_new, None
+
+    v, _ = lax.scan(step, intrinsic, jnp.arange(n_time, dtype=jnp.float32))
+    return v[n_space // 2]
