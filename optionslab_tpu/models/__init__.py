@@ -1,0 +1,120 @@
+"""Pricing-model façade — the counterpart of the reference's 40-symbol
+``src/pricing_models/__init__.py:70-112`` public API."""
+
+from .binomial import BinomialTree, binomial_greeks, binomial_price
+from .black_scholes import (
+    BlackScholesPricer,
+    bs_greeks,
+    bs_greeks_ad,
+    bs_price,
+    bs_vega,
+)
+from .exotics import (
+    AmericanOptionLSM,
+    AsianOption,
+    AutocallableNote,
+    BarrierOption,
+    CliquetOption,
+    LookbackOption,
+    american_lsm_price,
+    asian_price,
+    autocallable_price,
+    barrier_price,
+    cliquet_price,
+    geometric_asian_closed_form,
+    lookback_price,
+    lsm_exercise_boundary,
+    price_american_lsm,
+    price_asian_option,
+    price_barrier_option,
+    price_lookback_option,
+)
+from .fdm import (
+    CrankNicolsonSolver,
+    ExplicitFDMSolver,
+    explicit_fdm_price,
+    explicit_fdm_stable_steps,
+    fdm_price,
+)
+from .heston import (
+    HestonParams,
+    HestonPricer,
+    calibrate_heston,
+    heston_mc_price,
+    heston_price,
+    heston_simulate_paths,
+)
+from .iv import (
+    implied_vol,
+    implied_volatility,
+    implied_volatility_vectorized,
+    iv_surface_from_prices,
+)
+from .jump_diffusion import (
+    KouJumpDiffusion,
+    MertonJumpDiffusion,
+    kou_mc_price,
+    merton_mc_price,
+    merton_price,
+)
+from .local_vol import DupireLocalVol, LocalVolSurface, sample_smile_iv_fn
+from .monte_carlo import (
+    MCConfig,
+    MCMethod,
+    MCResult,
+    MonteCarloPricer,
+    draw_normals,
+    gbm_paths,
+    gbm_terminal,
+    mc_greeks,
+    mc_greeks_smoothed,
+    mc_price,
+    mc_price_control_variate,
+    mc_price_result,
+)
+from .sabr import SABRModel, SABRParams, calibrate_sabr, sabr_implied_vol, sabr_price
+from .surrogate import MonteCarloMLSurrogate, generate_training_data
+from .validation import (
+    check_greeks_consistency,
+    check_price_bounds,
+    check_put_call_parity,
+    check_smile_butterfly,
+    mc_convergence_study,
+    validate_pricer,
+)
+
+__all__ = [
+    # Black-Scholes
+    "bs_price", "bs_vega", "bs_greeks", "bs_greeks_ad", "BlackScholesPricer",
+    # Monte Carlo
+    "MCConfig", "MCMethod", "MCResult", "MonteCarloPricer", "mc_price",
+    "mc_price_result", "mc_price_control_variate", "mc_greeks",
+    "mc_greeks_smoothed", "draw_normals", "gbm_terminal", "gbm_paths",
+    # lattice / PDE
+    "BinomialTree", "binomial_price", "binomial_greeks",
+    "CrankNicolsonSolver", "ExplicitFDMSolver", "fdm_price",
+    "explicit_fdm_price", "explicit_fdm_stable_steps",
+    # IV
+    "implied_vol", "implied_volatility", "implied_volatility_vectorized",
+    "iv_surface_from_prices",
+    # stochastic / jump models
+    "HestonPricer", "HestonParams", "heston_price", "heston_mc_price",
+    "heston_simulate_paths", "calibrate_heston",
+    "SABRModel", "SABRParams", "sabr_implied_vol", "sabr_price", "calibrate_sabr",
+    "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",
+    "merton_mc_price", "kou_mc_price",
+    # local vol
+    "DupireLocalVol", "LocalVolSurface", "sample_smile_iv_fn",
+    # exotics
+    "AsianOption", "BarrierOption", "LookbackOption", "AmericanOptionLSM",
+    "AutocallableNote", "CliquetOption", "asian_price", "barrier_price",
+    "lookback_price", "american_lsm_price", "autocallable_price",
+    "cliquet_price", "geometric_asian_closed_form", "lsm_exercise_boundary",
+    "price_asian_option", "price_barrier_option", "price_american_lsm",
+    "price_lookback_option",
+    # surrogate
+    "MonteCarloMLSurrogate", "generate_training_data",
+    # validation
+    "check_put_call_parity", "check_price_bounds", "check_greeks_consistency",
+    "check_smile_butterfly", "mc_convergence_study", "validate_pricer",
+]
