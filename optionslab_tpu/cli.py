@@ -1,0 +1,284 @@
+"""Command-line demo layer — the framework's answer to the reference's
+Streamlit dashboard (SURVEY.md §2.10): every capability constructible and
+runnable through one uniform entry point, batch- or scalar-style.
+
+Usage:
+    python -m optionslab_tpu.cli price --model bs --spot 100 --strike 100
+    python -m optionslab_tpu.cli greeks --spot 100 --vol 0.25
+    python -m optionslab_tpu.cli mc --n-paths 1000000 --method pallas
+    python -m optionslab_tpu.cli iv --price 10.45
+    python -m optionslab_tpu.cli exotic --kind asian
+    python -m optionslab_tpu.cli surface --model svi
+    python -m optionslab_tpu.cli var --value 1e6
+    python -m optionslab_tpu.cli backtest
+    python -m optionslab_tpu.cli bench-harness
+    python -m optionslab_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _common_contract_args(p):
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--vol", type=float, default=0.2)
+    p.add_argument("--dividend", type=float, default=0.0)
+    p.add_argument("--type", dest="option_type", default="call", choices=["call", "put"])
+
+
+def cmd_info(args) -> dict:
+    import jax
+
+    from .utils.config import default_device_kind, tpu_available
+
+    return {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "tpu": tpu_available(),
+        "device_kind": default_device_kind(),
+    }
+
+
+def cmd_price(args) -> dict:
+    from .types import ContractBatch
+
+    batch = ContractBatch.make(args.spot, args.strike, args.maturity, args.rate,
+                               args.vol, args.option_type, args.dividend)
+    out = {"model": args.model}
+    if args.model == "bs":
+        from .models import bs_price
+
+        out["price"] = float(bs_price(args.spot, args.strike, args.maturity, args.rate,
+                                      args.vol, 1.0 if args.option_type == "call" else -1.0,
+                                      args.dividend))
+    elif args.model == "binomial":
+        from .models import binomial_price
+
+        out["price"] = float(binomial_price(batch, american=args.american, n_steps=args.steps))
+    elif args.model == "fdm":
+        from .models import fdm_price
+
+        out["price"] = float(fdm_price(batch, american=args.american))
+    elif args.model == "heston":
+        from .models import HestonParams, heston_price
+
+        out["price"] = float(heston_price(batch, HestonParams.make()))
+    elif args.model == "merton":
+        from .models import MertonJumpDiffusion
+
+        out["price"] = float(MertonJumpDiffusion().price(
+            args.spot, args.strike, args.maturity, args.rate, args.vol,
+            args.option_type, args.dividend))
+    return out
+
+
+def cmd_greeks(args) -> dict:
+    from .models import bs_greeks
+
+    cp = 1.0 if args.option_type == "call" else -1.0
+    g = bs_greeks(args.spot, args.strike, args.maturity, args.rate, args.vol, cp,
+                  args.dividend)
+    return {k: float(v) for k, v in g.items()}
+
+
+def cmd_mc(args) -> dict:
+    import jax
+
+    from .types import ContractBatch
+
+    batch = ContractBatch.make(args.spot, args.strike, args.maturity, args.rate,
+                               args.vol, args.option_type, args.dividend)
+    if args.method == "pallas":
+        from .ops.gbm_pallas import pallas_mc_price_greeks
+
+        out = pallas_mc_price_greeks(batch, n_paths=args.n_paths, seed=args.seed)
+        return {k: float(v) for k, v in out.items()}
+    from .models import MCConfig, MCMethod, mc_greeks, mc_price_result
+
+    cfg = MCConfig(n_paths=args.n_paths, method=MCMethod(args.method))
+    res = mc_price_result(batch, jax.random.PRNGKey(args.seed), cfg)
+    g = mc_greeks(batch, jax.random.PRNGKey(args.seed), cfg)
+    return {"price": float(res.price), "std_error": float(res.std_error),
+            **{k: float(v) for k, v in g.items() if k != "price"}}
+
+
+def cmd_iv(args) -> dict:
+    from .models import implied_volatility
+
+    iv = implied_volatility(args.price, args.spot, args.strike, args.maturity,
+                            args.rate, args.option_type, args.dividend)
+    return {"implied_vol": float(iv)}
+
+
+def cmd_exotic(args) -> dict:
+    from .models import (
+        AmericanOptionLSM,
+        AsianOption,
+        AutocallableNote,
+        BarrierOption,
+        CliquetOption,
+        LookbackOption,
+    )
+
+    common = (args.spot, args.strike, args.maturity, args.rate, args.vol)
+    if args.kind == "asian":
+        opt = AsianOption(*common, option_type=args.option_type, n_paths=args.n_paths)
+    elif args.kind == "barrier":
+        opt = BarrierOption(args.spot, args.strike, args.barrier, args.maturity,
+                            args.rate, args.vol, option_type=args.option_type,
+                            barrier_type=args.barrier_type, n_paths=args.n_paths)
+    elif args.kind == "lookback":
+        opt = LookbackOption(*common, option_type=args.option_type, n_paths=args.n_paths)
+    elif args.kind == "american":
+        opt = AmericanOptionLSM(*common, option_type=args.option_type, n_paths=args.n_paths)
+    elif args.kind == "autocallable":
+        opt = AutocallableNote(args.spot, args.maturity, args.rate, args.vol,
+                               n_paths=args.n_paths)
+    else:
+        opt = CliquetOption(args.spot, args.maturity, args.rate, args.vol,
+                            n_paths=args.n_paths)
+    price, se = opt.price(return_stderr=True)
+    return {"kind": args.kind, "price": float(price), "std_error": float(se)}
+
+
+def cmd_surface(args) -> dict:
+    from .data.synthetic import generate_synthetic_smile
+
+    k, vols = generate_synthetic_smile(n_strikes=25, maturity=0.5, noise=0.003, seed=1)
+    if args.model == "svi":
+        from .surface import SVIModel
+
+        m = SVIModel()
+        loss = m.calibrate(k, vols, 0.5)
+        fitted = np.asarray(m.smile(k, 0.5))
+        return {"model": "svi", "loss": float(loss),
+                "rmse_bps": float(np.sqrt(np.mean((fitted - vols) ** 2)) * 1e4),
+                "butterfly_free": m.is_butterfly_free()}
+    from .benchmarks import VolSurfaceBenchmark
+
+    bench = VolSurfaceBenchmark(models=[args.model]).run(k, vols, 0.5, n_trials=1)
+    return json.loads(bench.to_dataframe().iloc[0].to_json())
+
+
+def cmd_var(args) -> dict:
+    from .risk import VaRAnalyzer
+
+    a = VaRAnalyzer(confidence=args.confidence, seed=0)
+    return {
+        "parametric_var": a.parametric(args.mu, args.sigma * args.value),
+        "lognormal_var": a.parametric_lognormal(args.value, args.mu, args.sigma),
+        "monte_carlo_var": a.monte_carlo(args.value, args.mu, args.sigma),
+    }
+
+
+def cmd_backtest(args) -> dict:
+    from .backtest import BacktestEngine
+
+    rng = np.random.default_rng(args.seed)
+    dt = 1 / 252
+    z = rng.standard_normal(252)
+    prices = 100 * np.exp(np.cumsum((0.05 - 0.5 * args.vol**2) * dt
+                                    + args.vol * np.sqrt(dt) * z))
+    prices = np.concatenate([[100.0], prices])
+    res = BacktestEngine(rate=0.03).run_delta_hedge(
+        prices, strike=100.0, maturity=1.0, sigma=args.hedge_vol)
+    return res.summary()
+
+
+def cmd_bench_harness(args) -> dict:
+    from .benchmarks import VolSurfaceBenchmark
+    from .data.synthetic import generate_synthetic_smile
+
+    k, vols = generate_synthetic_smile(n_strikes=21, maturity=0.5, noise=0.002, seed=0)
+    models = args.models.split(",") if args.models else ["svi", "sabr", "kernel_ridge"]
+    bench = VolSurfaceBenchmark(models=models).run(k, vols, 0.5, n_trials=args.trials)
+    return {"table": json.loads(bench.to_dataframe().to_json(orient="records")),
+            "best": bench.best_model()}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="optionslab_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info")
+
+    pp = sub.add_parser("price")
+    _common_contract_args(pp)
+    pp.add_argument("--model", default="bs",
+                    choices=["bs", "binomial", "fdm", "heston", "merton"])
+    pp.add_argument("--american", action="store_true")
+    pp.add_argument("--steps", type=int, default=512)
+
+    pg = sub.add_parser("greeks")
+    _common_contract_args(pg)
+
+    pm = sub.add_parser("mc")
+    _common_contract_args(pm)
+    pm.add_argument("--n-paths", type=int, default=100_000)
+    pm.add_argument("--method", default="xla", choices=["xla", "qmc", "pallas"])
+    pm.add_argument("--seed", type=int, default=0)
+
+    pi = sub.add_parser("iv")
+    _common_contract_args(pi)
+    pi.add_argument("--price", type=float, required=True)
+
+    pe = sub.add_parser("exotic")
+    _common_contract_args(pe)
+    pe.add_argument("--kind", default="asian",
+                    choices=["asian", "barrier", "lookback", "american",
+                             "autocallable", "cliquet"])
+    pe.add_argument("--barrier", type=float, default=120.0)
+    pe.add_argument("--barrier-type", default="up-and-out")
+    pe.add_argument("--n-paths", type=int, default=100_000)
+
+    ps = sub.add_parser("surface")
+    ps.add_argument("--model", default="svi")
+
+    pv = sub.add_parser("var")
+    pv.add_argument("--value", type=float, default=1e6)
+    pv.add_argument("--mu", type=float, default=0.05)
+    pv.add_argument("--sigma", type=float, default=0.2)
+    pv.add_argument("--confidence", type=float, default=0.95)
+
+    pb = sub.add_parser("backtest")
+    pb.add_argument("--vol", type=float, default=0.2)
+    pb.add_argument("--hedge-vol", type=float, default=0.2)
+    pb.add_argument("--seed", type=int, default=0)
+
+    ph = sub.add_parser("bench-harness")
+    ph.add_argument("--models", default="")
+    ph.add_argument("--trials", type=int, default=1)
+    return p
+
+
+COMMANDS = {
+    "info": cmd_info,
+    "price": cmd_price,
+    "greeks": cmd_greeks,
+    "mc": cmd_mc,
+    "iv": cmd_iv,
+    "exotic": cmd_exotic,
+    "surface": cmd_surface,
+    "var": cmd_var,
+    "backtest": cmd_backtest,
+    "bench-harness": cmd_bench_harness,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = COMMANDS[args.command](args)
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,6 +18,7 @@ so the same code path is differentiable everywhere.
 
 from __future__ import annotations
 
+
 import jax
 import jax.numpy as jnp
 
@@ -26,8 +27,12 @@ from ..types import ContractBatch
 from ..utils.config import EPS_TIME, EPS_VOL
 
 
+@jax.jit
 def bs_price(spot, strike, maturity, rate, vol, cp=1.0, dividend=0.0):
     """European option price. ``cp``: +1 call, -1 put. Broadcasts all args.
+
+    jit-wrapped so a facade call is ONE dispatch (scalars trace as 0-d
+    arrays; only new shapes/dtypes recompile).
 
     Degenerate cases: T<=0 → intrinsic; vol<=0 → discounted intrinsic on the
     forward (the deterministic limit), both selected with AD-safe masks.
@@ -47,6 +52,7 @@ def bs_price(spot, strike, maturity, rate, vol, cp=1.0, dividend=0.0):
     return jnp.where(maturity <= EPS_TIME, expired, out)
 
 
+@jax.jit
 def bs_vega(spot, strike, maturity, rate, vol, dividend=0.0):
     """∂price/∂vol (same for calls and puts)."""
     d1, _ = d1_d2(spot, strike, maturity, rate, vol, dividend)
@@ -55,6 +61,7 @@ def bs_vega(spot, strike, maturity, rate, vol, dividend=0.0):
     return jnp.where((maturity <= EPS_TIME) | (vol <= EPS_VOL), 0.0, vega)
 
 
+@jax.jit
 def bs_greeks(spot, strike, maturity, rate, vol, cp=1.0, dividend=0.0):
     """Closed-form Greeks dict: delta, gamma, vega, theta, rho, plus
     second-order vanna / charm / vomma / speed and dual_delta.

@@ -247,8 +247,9 @@ def calibrate_heston(market_prices, batch: ContractBatch,
     vega-weighted price error (equivalent first-order to IV error, no inner
     root-find) and gradients come from AD through :func:`heston_price`.
     Returns (params, final_loss); raises CalibrationError on NaN collapse.
+    The whole Adam loop is one scanned on-device program.
     """
-    import optax
+    from ..ops.optim import scan_adam
 
     market = jnp.asarray(market_prices, jnp.float32)
     w = jnp.ones_like(market) if weights is None else jnp.asarray(weights, jnp.float32)
@@ -261,27 +262,12 @@ def calibrate_heston(market_prices, batch: ContractBatch,
         rel = (model - market) / jnp.maximum(market, 1e-3)
         return jnp.mean(w * rel * rel)
 
-    opt = optax.adam(learning_rate)
-    state = opt.init(x0)
-
-    @jax.jit
-    def train_step(x, state):
-        loss, g = jax.value_and_grad(loss_fn)(x)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(x, updates), state, loss
-
-    x = x0
-    best_x, best_loss = x0, float("inf")
-    for i in range(n_steps):
-        x, state, loss = train_step(x, state)
-        fl = float(loss)
-        if not np.isfinite(fl):
-            raise CalibrationError(f"calibration diverged at step {i} (loss={fl})")
-        if fl < best_loss:
-            best_loss, best_x = fl, x
+    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("Heston calibration diverged (non-finite loss)")
     params = _from_unconstrained(best_x)
     params.validate()
-    return params, best_loss
+    return params, float(best_loss)
 
 
 class HestonPricer:

@@ -96,11 +96,11 @@ def implied_volatility(price, S, K, T, r, option_type="call", q=0.0,
     if validate:
         import numpy as np
 
-        lower, upper = _no_arb_bounds(
-            jnp.asarray(S, jnp.float64), jnp.asarray(K, jnp.float64),
-            jnp.asarray(T, jnp.float64), jnp.asarray(r, jnp.float64),
-            jnp.asarray(cp), jnp.asarray(q, jnp.float64),
-        )
+        # host-side numpy: float64 regardless of the jax x64 flag
+        S_, K_, T_, r_, q_ = (np.asarray(v, np.float64) for v in (S, K, T, r, q))
+        df_r, df_q = np.exp(-r_ * T_), np.exp(-q_ * T_)
+        lower = np.maximum(cp * (S_ * df_q - K_ * df_r), 0.0)
+        upper = np.where(cp > 0, S_ * df_q, K_ * df_r)
         if np.any(np.asarray(price) <= np.asarray(lower)):
             raise ArbitrageViolationError(
                 f"price {price} at/below no-arbitrage lower bound {lower}"

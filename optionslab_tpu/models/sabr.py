@@ -118,9 +118,10 @@ def calibrate_sabr(forward, strikes, maturity, market_vols,
                    ) -> tuple[SABRParams, float]:
     """Fit (α, ρ, ν) to a smile with β fixed (reference: ``sabr.py:207``).
 
-    Jitted Adam on transformed parameters; loss = MSE of implied vols.
+    The entire Adam loop is one scanned on-device program; loss = MSE of
+    implied vols.
     """
-    import optax
+    from ..ops.optim import scan_adam
 
     vols = jnp.asarray(market_vols, jnp.float32)
     ks = jnp.asarray(strikes, jnp.float32)
@@ -138,26 +139,12 @@ def calibrate_sabr(forward, strikes, maturity, market_vols,
         model = sabr_implied_vol(forward, ks, maturity, unpack(x))
         return jnp.mean((model - vols) ** 2)
 
-    opt = optax.adam(learning_rate)
-
-    @jax.jit
-    def train_step(x, state):
-        loss, g = jax.value_and_grad(loss_fn)(x)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(x, updates), state, loss
-
-    x, state = x0, opt.init(x0)
-    best_x, best_loss = x0, float("inf")
-    for i in range(n_steps):
-        x, state, loss = train_step(x, state)
-        fl = float(loss)
-        if not np.isfinite(fl):
-            raise CalibrationError(f"SABR calibration diverged at step {i}")
-        if fl < best_loss:
-            best_loss, best_x = fl, x
+    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("SABR calibration diverged (non-finite loss)")
     params = unpack(best_x)
     params.validate()
-    return params, best_loss
+    return params, float(best_loss)
 
 
 class SABRModel:

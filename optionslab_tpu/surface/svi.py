@@ -122,9 +122,10 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
 
     Constraint handling: smooth penalties on min-variance positivity and on
     g(k) < 0 (the reference jumps to 1e10 outside the feasible box,
-    ``svi.py:272-288``; smooth penalties keep AD informative).
+    ``svi.py:272-288``; smooth penalties keep AD informative). The whole
+    Adam loop runs on-device as ONE scanned program (ops.optim.scan_adam).
     """
-    import optax
+    from ..ops.optim import scan_adam
 
     k = jnp.asarray(log_strikes, jnp.float32)
     if total_variance is None:
@@ -148,25 +149,11 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
         pen_bfly = jnp.mean(jnp.maximum(-g, 0.0) ** 2)
         return fit + butterfly_penalty * (pen_pos + pen_bfly)
 
-    opt = optax.adam(learning_rate)
-
-    @jax.jit
-    def step(x, s):
-        loss, grad = jax.value_and_grad(loss_fn)(x)
-        u, s = opt.update(grad, s)
-        return optax.apply_updates(x, u), s, loss
-
-    x, s = x0, opt.init(x0)
-    best_x, best = x0, float("inf")
-    for i in range(n_steps):
-        x, s, loss = step(x, s)
-        fl = float(loss)
-        if not np.isfinite(fl):
-            raise CalibrationError(f"SVI calibration diverged at step {i}")
-        if fl < best:
-            best, best_x = fl, x
+    best_x, best_loss, final_loss = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("SVI calibration diverged (non-finite loss)")
     p = _svi_unpack(best_x)
-    return p, best
+    return p, float(best_loss)
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +207,7 @@ def calibrate_ssvi(log_strikes, thetas, total_variances, init: SSVIParams | None
                    ) -> tuple[SSVIParams, float]:
     """Fit (ρ, η, γ) across maturities. ``log_strikes``/(``thetas`` row-wise)
     /``total_variances`` are (n_mat, n_k) / (n_mat,) / (n_mat, n_k)."""
-    import optax
+    from ..ops.optim import scan_adam
 
     k = jnp.asarray(log_strikes, jnp.float32)
     th = jnp.asarray(thetas, jnp.float32)[:, None]
@@ -242,25 +229,11 @@ def calibrate_ssvi(log_strikes, thetas, total_variances, init: SSVIParams | None
         pen = jnp.maximum(p.eta * (1.0 + jnp.abs(p.rho)) - 2.0, 0.0) ** 2
         return fit + 10.0 * pen
 
-    opt = optax.adam(learning_rate)
-
-    @jax.jit
-    def step(x, s):
-        loss, grad = jax.value_and_grad(loss_fn)(x)
-        u, s = opt.update(grad, s)
-        return optax.apply_updates(x, u), s, loss
-
-    x, s = x0, opt.init(x0)
-    best_x, best = x0, float("inf")
-    for i in range(n_steps):
-        x, s, loss = step(x, s)
-        fl = float(loss)
-        if not np.isfinite(fl):
-            raise CalibrationError(f"SSVI calibration diverged at step {i}")
-        if fl < best:
-            best, best_x = fl, x
+    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("SSVI calibration diverged (non-finite loss)")
     p = unpack(best_x)
-    return p, best
+    return p, float(best_loss)
 
 
 class SVIModel:

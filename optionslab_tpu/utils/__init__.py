@@ -1,4 +1,10 @@
-from .config import DEFAULT_DTYPE, DEFAULT_SEED, resolve_dtype, tpu_available
+from .config import (
+    DEFAULT_DTYPE,
+    DEFAULT_SEED,
+    enable_compilation_cache,
+    resolve_dtype,
+    tpu_available,
+)
 from .exceptions import (
     ArbitrageViolationError,
     CalibrationError,
@@ -23,6 +29,7 @@ __all__ = [
     "DEFAULT_SEED",
     "resolve_dtype",
     "tpu_available",
+    "enable_compilation_cache",
     "OptionsLabTPUError",
     "ValidationError",
     "CalibrationError",

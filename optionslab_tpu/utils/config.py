@@ -84,3 +84,19 @@ def default_device_kind() -> str:
         return jax.devices()[0].device_kind
     except Exception:
         return "cpu"
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Persist compiled XLA programs across processes (the TPU analog of the
+    reference's Numba ``cache=True``, SURVEY.md §5 checkpoint/resume).
+
+    First compile of the big kernels is 20–40 s on TPU; with the cache, a
+    restarted server re-loads them in milliseconds.
+    """
+    cache_dir = path or os.environ.get(
+        "OPTIONSLAB_COMPILE_CACHE", os.path.expanduser("~/.cache/optionslab_tpu/xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
