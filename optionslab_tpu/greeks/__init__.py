@@ -1,3 +1,4 @@
+from .tree import compute_greeks
 from .unified import (
     PricerProtocol,
     bs_price_fn,
@@ -15,6 +16,7 @@ from .unified import (
 )
 
 __all__ = [
+    "compute_greeks",
     "PricerProtocol",
     "greeks_from_fn",
     "greeks_batch",

@@ -325,8 +325,19 @@ class MonteCarloPricer:
     def _batch(self, S, K, T, r, sigma, option_type, q):
         return ContractBatch.make(S, K, T, r, sigma, option_type, q, dtype=self.cfg.dtype)
 
+    def _pallas(self, batch):
+        from ..ops.gbm_pallas import pallas_mc_price_greeks
+
+        return pallas_mc_price_greeks(batch, n_paths=self.cfg.n_paths, seed=self.seed)
+
     def price(self, S, K, T, r, sigma, option_type="call", q=0.0, return_result: bool = False):
         b = self._batch(S, K, T, r, sigma, option_type, q)
+        if self.cfg.method == MCMethod.PALLAS:
+            out = self._pallas(b)
+            if return_result:
+                return MCResult(price=out["price"], std_error=out["std_error"],
+                                n_paths=jnp.asarray(self.cfg.n_paths))
+            return out["price"]
         if return_result:
             return self._result_jit(b, self._key)
         return self._price_jit(b, self._key)
@@ -335,10 +346,13 @@ class MonteCarloPricer:
     price_batch = price
 
     def delta_gamma(self, S, K, T, r, sigma, option_type="call", q=0.0):
-        g = self._greeks_jit(self._batch(S, K, T, r, sigma, option_type, q), self._key)
+        g = self.greeks(S, K, T, r, sigma, option_type, q)
         return g["delta"], g["gamma"]
 
     delta_gamma_batch = delta_gamma
 
     def greeks(self, S, K, T, r, sigma, option_type="call", q=0.0):
-        return self._greeks_jit(self._batch(S, K, T, r, sigma, option_type, q), self._key)
+        b = self._batch(S, K, T, r, sigma, option_type, q)
+        if self.cfg.method == MCMethod.PALLAS:
+            return self._pallas(b)
+        return self._greeks_jit(b, self._key)
