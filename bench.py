@@ -22,7 +22,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     # throughput case: single contract, large path count amortizes dispatch
-    n_paths = 128_000_000 if on_tpu else 1_000_000
+    n_paths = 1_000_000_000 if on_tpu else 1_000_000
     batch = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
 
     # warmup / compile

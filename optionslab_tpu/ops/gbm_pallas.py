@@ -45,6 +45,8 @@ from ..types import ContractBatch
 from ..utils.config import EPS_TIME
 
 SUBLANES = 8  # f32 sublane tile
+TARGET_ROWS = 256  # replicate small books up to this many rows: bigger tiles
+                   # amortize per-grid-step overhead (~3x on 1-contract books)
 _VMEM_ELEMS_PER_BUF = 256 * 1024  # ~1 MB f32 per live buffer, ~8 live => ~8 MB
 
 
@@ -145,7 +147,7 @@ def _prepare(batch: ContractBatch):
     b = batch.broadcast()
     c = max(b.size, 1)
     flat = jax.tree.map(lambda x: jnp.broadcast_to(x, b.shape).reshape(-1).astype(jnp.float32), b)
-    reps = max(1, SUBLANES // c)  # replicate small books to fill sublanes
+    reps = max(1, TARGET_ROWS // c)  # replicate small books into big tiles
     rows = ((c * reps + SUBLANES - 1) // SUBLANES) * SUBLANES
     pad = rows - c * reps
 
@@ -243,7 +245,7 @@ def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
     """Actual number of simulated paths per contract for a given request."""
     b = batch.broadcast()
     c = max(b.size, 1)
-    reps = max(1, SUBLANES // c)
+    reps = max(1, TARGET_ROWS // c)
     rows = ((c * reps + SUBLANES - 1) // SUBLANES) * SUBLANES
     per_block = 4 * _lanes_for(rows)
     n_blocks = max(1, math.ceil(n_paths / (per_block * reps)))

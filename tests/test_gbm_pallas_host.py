@@ -1,0 +1,88 @@
+"""Host-side logic of the Pallas GBM kernel: layout prep, replica merge,
+Greek combination formulas. (The in-kernel PRNG path is validated on real
+TPU by bench.py / the verify drive; the CPU interpreter stubs PRNG.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models.black_scholes import bs_greeks
+from optionslab_tpu.ops import gbm_pallas as gp
+from optionslab_tpu.types import ContractBatch
+
+
+class TestPrepare:
+    @pytest.mark.parametrize("c", [1, 3, 8, 20, 1000])
+    def test_layout_invariants(self, c):
+        spots = jnp.linspace(80.0, 120.0, c) if c > 1 else 100.0
+        b = ContractBatch.make(spots, 100.0, 1.0, 0.05, 0.2, "call")
+        _, flat, params, c_out, reps, rows, pad = gp._prepare(b)
+        assert c_out == c
+        assert rows % gp.SUBLANES == 0
+        assert rows >= c * reps
+        assert pad == rows - c * reps
+        for p in params:
+            assert p.shape == (rows, 1)
+        # replicas tile the book: row i*c + j holds contract j
+        s0 = np.asarray(params[0]).ravel()
+        for j in range(min(c, 5)):
+            np.testing.assert_allclose(s0[j], s0[c + j] if reps > 1 else s0[j])
+
+    def test_lanes_budget(self):
+        for rows in (8, 64, 256, 1024, 4096):
+            lanes = gp._lanes_for(rows)
+            assert lanes % 128 == 0
+            assert rows * lanes <= gp._VMEM_ELEMS_PER_BUF or lanes == 128
+
+    def test_paths_per_launch_monotone(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        n1 = gp.pallas_paths_per_launch(b, 1_000)
+        n2 = gp.pallas_paths_per_launch(b, 1_000_000)
+        n3 = gp.pallas_paths_per_launch(b, 100_000_000)
+        # one block is ~1M paths for a single contract (TARGET_ROWS tiles)
+        assert n1 >= 1_000 and n2 >= 1_000_000 and n3 >= 100_000_000
+        assert n1 <= n2 <= n3 and n3 > n2
+
+
+class TestCombine:
+    def test_greek_formulas_match_bs_with_synthetic_moments(self):
+        """Feed _combine with EXACT moments computed from a large normal
+        sample — the combination formulas must reproduce BS Greeks."""
+        rng = np.random.default_rng(0)
+        n = 4_000_000
+        S, K, T, r, sig, q = 100.0, 100.0, 1.0, 0.05, 0.2, 0.0
+        z = rng.standard_normal(n).astype(np.float64)
+        st = S * np.exp((r - q - sig**2 / 2) * T + sig * np.sqrt(T) * z)
+        pay = np.maximum(st - K, 0.0)
+        ind_st = np.where(st > K, st, 0.0)
+
+        b = ContractBatch.make(S, K, T, r, sig, "call")
+        bb, flat, params, c, reps, rows, _ = gp._prepare(b)
+        # distribute the sample across rows (equal chunks)
+        per_row = n // rows
+        outs = []
+        for moments in (pay, pay**2, ind_st, ind_st * z):
+            row_sums = moments[: per_row * rows].reshape(rows, per_row).sum(axis=1)
+            # shape (rows, 128): put the row sum in lane 0
+            arr = np.zeros((rows, 128), np.float32)
+            arr[:, 0] = row_sums
+            outs.append(jnp.asarray(arr))
+        out = gp._combine(bb, flat, outs, c, reps, per_row, jnp.float32)
+        ex = bs_greeks(S, K, T, r, sig, 1.0, q)
+        assert abs(float(out["price"]) - float(ex["price"])) < 0.05
+        assert abs(float(out["delta"]) - float(ex["delta"])) < 0.005
+        assert abs(float(out["gamma"]) - float(ex["gamma"])) < 0.001
+        assert abs(float(out["vega"]) - float(ex["vega"])) < 0.3
+        assert abs(float(out["rho"]) - float(ex["rho"])) < 0.3
+        assert abs(float(out["theta"]) - float(ex["theta"])) < 0.2
+        assert float(out["std_error"]) > 0
+
+    def test_expired_contract_override(self):
+        b = ContractBatch.make(110.0, 100.0, 0.0, 0.05, 0.2, "call")
+        bb, flat, params, c, reps, rows, _ = gp._prepare(b)
+        outs = [jnp.zeros((rows, 128), jnp.float32)] * 4
+        out = gp._combine(bb, flat, outs, c, reps, 1000, jnp.float32)
+        assert float(out["price"]) == pytest.approx(10.0)
+        assert float(out["std_error"]) == 0.0
