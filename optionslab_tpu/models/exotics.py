@@ -404,9 +404,19 @@ class AsianOption:
     n_paths: int = 100_000
     n_steps: int = 64
     seed: int = 0
+    engine: str = "scan"  # "scan" (AD-capable) | "pallas" (fastest, TPU)
 
     def price(self, return_stderr: bool = False):
         cp = 1.0 if self.option_type == "call" else -1.0
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_exotic_price
+
+            kind = "asian_arith" if self.averaging == "arithmetic" else "asian_geo"
+            p, se, _ = pallas_exotic_price(kind, self.spot, self.strike, self.maturity,
+                                           self.rate, self.vol, cp, self.dividend,
+                                           n_paths=self.n_paths, n_steps=self.n_steps,
+                                           seed=self.seed)
+            return (p, se) if return_stderr else p
         return asian_price(self.spot, self.strike, self.maturity, self.rate, self.vol,
                            jax.random.PRNGKey(self.seed), cp, self.dividend,
                            self.n_paths, self.n_steps, self.averaging, return_stderr)
@@ -427,9 +437,19 @@ class BarrierOption:
     n_paths: int = 100_000
     n_steps: int = 64
     seed: int = 0
+    engine: str = "scan"
 
     def price(self, return_stderr: bool = False):
         cp = 1.0 if self.option_type == "call" else -1.0
+        if self.engine == "pallas" and self.rebate == 0.0:
+            from ..ops.exotic_pallas import pallas_exotic_price
+
+            p, se, _ = pallas_exotic_price(f"barrier_{self.barrier_type}", self.spot,
+                                           self.strike, self.maturity, self.rate,
+                                           self.vol, cp, self.dividend,
+                                           barrier=self.barrier, n_paths=self.n_paths,
+                                           n_steps=self.n_steps, seed=self.seed)
+            return (p, se) if return_stderr else p
         return barrier_price(self.spot, self.strike, self.barrier, self.maturity,
                              self.rate, self.vol, jax.random.PRNGKey(self.seed), cp,
                              self.dividend, self.n_paths, self.n_steps,
@@ -449,9 +469,19 @@ class LookbackOption:
     n_paths: int = 100_000
     n_steps: int = 64
     seed: int = 0
+    engine: str = "scan"
 
     def price(self, return_stderr: bool = False):
         cp = 1.0 if self.option_type == "call" else -1.0
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_exotic_price
+
+            kind = "lookback_float" if self.floating else "lookback_fixed"
+            p, se, _ = pallas_exotic_price(kind, self.spot, self.strike, self.maturity,
+                                           self.rate, self.vol, cp, self.dividend,
+                                           n_paths=self.n_paths, n_steps=self.n_steps,
+                                           seed=self.seed)
+            return (p, se) if return_stderr else p
         return lookback_price(self.spot, self.strike, self.maturity, self.rate,
                               self.vol, jax.random.PRNGKey(self.seed), cp,
                               self.dividend, self.n_paths, self.n_steps,

@@ -244,7 +244,6 @@ def mc_greeks(batch: ContractBatch, key, cfg: MCConfig = MCConfig()) -> dict:
 
     b0 = batch.broadcast()
     args = (b0.spot, b0.vol, b0.rate, b0.maturity, b0.dividend, b0.strike)
-    price_val = price_of(*args) if b0.shape == () else None  # noqa: F841 (grad below recomputes)
     dS, dsig, dr, dT, dq, dK = jax.grad(price_of, argnums=(0, 1, 2, 3, 4, 5))(*args)
 
     # LR-PW gamma on the effective single-step representation:
