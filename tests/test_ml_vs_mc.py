@@ -63,29 +63,35 @@ class TestHonestClaim:
         assert t_bs < 20 * t_ml + 0.05
 
     def test_surrogate_wins_when_truth_is_expensive(self, surrogate):
-        """When each true pricing needs an expensive model (Heston CF at
-        high node count here as the stand-in), the <1ms surrogate forward
-        is orders of magnitude faster per query batch."""
-        from optionslab_tpu.models.heston import HestonParams, heston_price
+        """When the true pricer is genuinely expensive (Heston Monte Carlo
+        here), the surrogate's single fused forward wins per warm call —
+        the scenario where the reference concludes ML pays off."""
+        from optionslab_tpu.models.heston import HestonParams, heston_mc_price
+        from optionslab_tpu.models.surrogate import apply_mlp
         from optionslab_tpu.types import ContractBatch
 
-        p = sample_contracts(512, seed=11)
+        p = sample_contracts(256, seed=11)
         batch = ContractBatch.make(p["spot"], p["strike"], p["maturity"], p["rate"],
                                    p["vol"], 1, 0.0)
         params = HestonParams.make()
-        # expensive truth: compile + evaluate high-resolution CF pricing
-        t0 = time.perf_counter()
-        jax.block_until_ready(heston_price(batch, params, n_nodes=512, u_max=400.0))
-        t_truth_cold = time.perf_counter() - t0
+        key = jax.random.PRNGKey(0)
 
-        x = engineer_surrogate_features(p)
-        surrogate._forward(x[:1])  # warm
+        def truth():
+            return heston_mc_price(batch, params, key, n_paths=20_000, n_steps=50)
+
+        x = jnp.asarray((engineer_surrogate_features(p) - surrogate._x_mean)
+                        / surrogate._x_scale)
+        ml = jax.jit(lambda xx: apply_mlp(surrogate.params, xx))
+
+        jax.block_until_ready(truth())
+        jax.block_until_ready(ml(x))
         t0 = time.perf_counter()
-        surrogate._forward(x)
+        jax.block_until_ready(truth())
+        t_truth = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(ml(x))
         t_ml = time.perf_counter() - t0
-        # the surrogate amortizes: a cold expensive-model call costs far
-        # more than a surrogate batch query
-        assert t_truth_cold > t_ml
+        assert t_truth > t_ml
 
     def test_surrogate_accuracy_envelope(self, surrogate):
         """Document the accuracy envelope: delta is the strongest head
