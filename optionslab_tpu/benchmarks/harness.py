@@ -182,6 +182,37 @@ class SABRWrapper:
                            float(self.params.nu)])
 
 
+class SSVIWrapper:
+    """Single-slice SSVI fit (θ taken from the observed ATM variance)."""
+
+    name = "ssvi"
+
+    def __init__(self, n_steps: int = 500):
+        self.n_steps = n_steps
+
+    def calibrate(self, k, vols, t, seed=0):
+        from ..surface.svi import calibrate_ssvi
+
+        k = np.asarray(k)
+        vols = np.asarray(vols)
+        self.t = float(np.mean(t))
+        atm_idx = int(np.argmin(np.abs(k)))
+        self.theta = float(vols[atm_idx] ** 2 * self.t)
+        w = (vols**2 * self.t)[None, :]
+        self.params, loss = calibrate_ssvi(k[None, :], np.asarray([self.theta]), w,
+                                           n_steps=self.n_steps)
+        return loss
+
+    def predict(self, k, t=None):
+        from ..surface.svi import ssvi_implied_vol
+
+        return np.asarray(ssvi_implied_vol(np.asarray(k), self.theta, self.t, self.params))
+
+    def get_params(self) -> np.ndarray:
+        return np.asarray([float(self.params.rho), float(self.params.eta),
+                           float(self.params.gamma)])
+
+
 class _FeatureModelWrapper:
     """Adapts VolatilityModelBase subclasses to smile calibration."""
 
@@ -286,6 +317,7 @@ class PINNWrapper:
 
 DEFAULT_WRAPPERS: dict[str, Callable] = {
     "svi": SVIWrapper,
+    "ssvi": SSVIWrapper,
     "sabr": SABRWrapper,
     "mlp": MLPWrapper,
     "kernel_ridge": KernelRidgeWrapper,

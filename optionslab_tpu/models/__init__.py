@@ -74,6 +74,10 @@ from .monte_carlo import (
 )
 from .sabr import SABRModel, SABRParams, calibrate_sabr, sabr_implied_vol, sabr_price
 from .surrogate import MonteCarloMLSurrogate, generate_training_data
+# Reference-name aliases: OptionsLab users should find the symbols they know
+# (src/pricing_models/__init__.py exports these names).
+from .black_scholes import bs_price as black_scholes  # noqa: F401
+from .monte_carlo import MonteCarloPricer as MonteCarloPricerUni  # noqa: F401
 from .validation import (
     check_greeks_consistency,
     check_price_bounds,
@@ -114,6 +118,8 @@ __all__ = [
     "price_lookback_option",
     # surrogate
     "MonteCarloMLSurrogate", "generate_training_data",
+    # reference-name aliases
+    "black_scholes", "MonteCarloPricerUni",
     # validation
     "check_put_call_parity", "check_price_bounds", "check_greeks_consistency",
     "check_smile_butterfly", "mc_convergence_study", "validate_pricer",

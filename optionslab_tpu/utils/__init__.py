@@ -15,7 +15,9 @@ from .exceptions import (
     OptionsLabTPUError,
     ValidationError,
 )
+from .checkpoint import restore_pytree, save_pytree
 from .logging import get_logger, setup_logging
+from .profiling import annotate, device_memory_stats, trace
 from .timing import Timer, benchmark_fn, get_timings, reset_timings, timed
 from .validation import (
     check_non_negative,
@@ -39,6 +41,11 @@ __all__ = [
     "ModelError",
     "DependencyError",
     "setup_logging",
+    "save_pytree",
+    "restore_pytree",
+    "trace",
+    "annotate",
+    "device_memory_stats",
     "get_logger",
     "timed",
     "Timer",
