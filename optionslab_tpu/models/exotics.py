@@ -290,7 +290,9 @@ def american_lsm_price(spot, strike, maturity, rate, vol, key, cp=-1.0,
     TPU recast of the dynamically-shaped ITM regression: the per-date
     weighted normal equations use the ITM indicator as a weight —
     fixed-shape ``(basis+1)×(basis+1)`` solves inside a backward scan, no
-    boolean subsetting. Basis: polynomials in S/K up to degree ``basis``.
+    boolean subsetting. Basis: polynomials in the CENTERED moneyness
+    (S/K − 1) — centering keeps the normal equations well-conditioned in
+    float32 (uncentered powers degrade visibly beyond ~50 exercise dates).
     """
     dtype = jnp.float32
     dt = maturity / n_dates
@@ -312,19 +314,21 @@ def american_lsm_price(spot, strike, maturity, rate, vol, key, cp=-1.0,
 
     disc = jnp.exp(-rate * dt)
 
+    inv_n = 1.0 / n_paths
+
     def backward(cash, idx):
         # cash: value received along each path at its (current) optimal stop,
         # discounted to date idx+1. Regress continuation on ITM paths.
         s = s_paths[idx]
         ex = intrinsic(s)
         itm = ex > 0
-        x = s / strike
+        x = s / strike - 1.0  # centered moneyness: f32-stable regression
         feats = jnp.stack([x**p for p in range(basis + 1)], axis=0)  # (b+1, paths)
         w = itm.astype(dtype)
         y = disc * cash
-        a_mat = (feats * w) @ feats.T
-        b_vec = (feats * w) @ y
-        ridge = 1e-6 * jnp.eye(basis + 1, dtype=dtype)
+        a_mat = (feats * w) @ feats.T * inv_n
+        b_vec = (feats * w) @ y * inv_n
+        ridge = 1e-8 * jnp.eye(basis + 1, dtype=dtype)
         coef = jnp.linalg.solve(a_mat + ridge, b_vec)
         cont = coef @ feats
         exercise = itm & (ex > cont)
@@ -366,12 +370,13 @@ def lsm_exercise_boundary(spot, strike, maturity, rate, vol, key, cp=-1.0,
         s = s_paths[idx]
         ex = jnp.maximum(cp * (s - strike), 0.0)
         itm = ex > 0
-        x = s / strike
+        x = s / strike - 1.0  # centered (see american_lsm_price)
         feats = jnp.stack([x**p for p in range(4)], axis=0)
         w = itm.astype(dtype)
         y = disc * cash
-        coef = jnp.linalg.solve((feats * w) @ feats.T + 1e-6 * jnp.eye(4, dtype=dtype),
-                                (feats * w) @ y)
+        inv_n = 1.0 / n_paths
+        coef = jnp.linalg.solve((feats * w) @ feats.T * inv_n + 1e-8 * jnp.eye(4, dtype=dtype),
+                                (feats * w) @ y * inv_n)
         cont = coef @ feats
         exercise = itm & (ex > cont)
         boundary = jnp.where(

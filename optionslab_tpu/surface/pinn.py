@@ -158,8 +158,9 @@ class PINNVolatilityModel(VolatilityModelBase):
                     + lam_bf * butterfly_penalty(p, kk, tt)
                     + lam_wing * wing_penalty(p, kk, tt)), fit
 
+        schedule = optax.cosine_decay_schedule(self.learning_rate, self.epochs, alpha=0.05)
         opt = optax.chain(optax.clip_by_global_norm(1.0),
-                          optax.adamw(self.learning_rate, weight_decay=1e-5))
+                          optax.adamw(schedule, weight_decay=1e-5))
         opt_state = opt.init(params)
 
         @jax.jit

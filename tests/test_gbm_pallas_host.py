@@ -63,7 +63,8 @@ class TestCombine:
         # distribute the sample across rows (equal chunks)
         per_row = n // rows
         outs = []
-        for moments in (pay, pay**2, ind_st, ind_st * z):
+        ind = (st > K).astype(np.float64)
+        for moments in (pay, pay**2, ind_st, ind_st * z, ind):
             row_sums = moments[: per_row * rows].reshape(rows, per_row).sum(axis=1)
             # shape (rows, 128): put the row sum in lane 0
             arr = np.zeros((rows, 128), np.float32)
@@ -77,12 +78,13 @@ class TestCombine:
         assert abs(float(out["vega"]) - float(ex["vega"])) < 0.3
         assert abs(float(out["rho"]) - float(ex["rho"])) < 0.3
         assert abs(float(out["theta"]) - float(ex["theta"])) < 0.2
+        assert abs(float(out["dual_delta"]) - float(ex["dual_delta"])) < 0.005
         assert float(out["std_error"]) > 0
 
     def test_expired_contract_override(self):
         b = ContractBatch.make(110.0, 100.0, 0.0, 0.05, 0.2, "call")
         bb, flat, params, c, reps, rows, _ = gp._prepare(b)
-        outs = [jnp.zeros((rows, 128), jnp.float32)] * 4
+        outs = [jnp.zeros((rows, 128), jnp.float32)] * 5
         out = gp._combine(bb, flat, outs, c, reps, 1000, jnp.float32)
         assert float(out["price"]) == pytest.approx(10.0)
         assert float(out["std_error"]) == 0.0
