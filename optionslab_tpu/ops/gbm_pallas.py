@@ -61,7 +61,7 @@ _INV_2_25 = 1.0 / (1 << 25)
 
 
 def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
-                pay_ref, pay2_ref, m1_ref, mz_ref, ind_ref, *, lanes: int):
+                pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int):
     """One grid step = one path block of 4*lanes paths per row."""
     block = pl.program_id(0)
 
@@ -71,7 +71,6 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
         pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
         m1_ref[:, :] = jnp.zeros_like(m1_ref)
         mz_ref[:, :] = jnp.zeros_like(mz_ref)
-        ind_ref[:, :] = jnp.zeros_like(ind_ref)
 
     # independent, reproducible stream per (seed, block)
     pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))  # Knuth 2654435761 as i32
@@ -101,18 +100,15 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
     acc_pay2 = jnp.zeros((rows, lanes), jnp.float32)
     acc_m1 = jnp.zeros((rows, lanes), jnp.float32)
     acc_mz = jnp.zeros((rows, lanes), jnp.float32)
-    acc_ind = jnp.zeros((rows, lanes), jnp.float32)
     for z in (z_cos, -z_cos, z_sin, -z_sin):
         st = s0 * jnp.exp(a + s * z)
         x = cp * (st - k)
         pay = jnp.maximum(x, 0.0)
-        exercised = x > 0
-        ind_st = jnp.where(exercised, st, 0.0)
+        ind_st = jnp.where(x > 0, st, 0.0)
         acc_pay += pay
         acc_pay2 += pay * pay
         acc_m1 += ind_st
         acc_mz += ind_st * z
-        acc_ind += exercised.astype(jnp.float32)
 
     # lane-chunk reduction into the (rows, 128) accumulators
     for off in range(0, lanes, 128):
@@ -120,13 +116,12 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
         pay2_ref[:, :] += acc_pay2[:, off:off + 128]
         m1_ref[:, :] += acc_m1[:, off:off + 128]
         mz_ref[:, :] += acc_mz[:, off:off + 128]
-        ind_ref[:, :] += acc_ind[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret"))
 def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, lanes: int,
             interpret: bool = False):
-    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 5
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
     acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -136,7 +131,7 @@ def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, lanes: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
             param_spec, param_spec, param_spec, param_spec, param_spec,
         ],
-        out_specs=[acc_spec] * 5,
+        out_specs=[acc_spec] * 4,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * rows * lanes * 4 * 12,
@@ -171,14 +166,14 @@ def _prepare(batch: ContractBatch):
 
 def _combine(b, flat, outs, c, reps, n_per_row, dtype):
     """Row moments → price/Greeks/stderr per original contract."""
-    pay, pay2, m1, mz, ind = [o.sum(axis=1) for o in outs]  # (rows,)
+    pay, pay2, m1, mz = [o.sum(axis=1) for o in outs]  # (rows,)
 
     def merge(v):
         # rows [i, i+c, i+2c, ...] are replicas of contract i
         return v[: c * reps].reshape(reps, c).sum(axis=0)
 
     n = jnp.asarray(n_per_row * reps, jnp.float32)
-    pay, pay2, m1, mz, ind = merge(pay), merge(pay2), merge(m1), merge(mz), merge(ind)
+    pay, pay2, m1, mz = merge(pay), merge(pay2), merge(m1), merge(mz)
 
     t = jnp.maximum(flat.maturity, EPS_TIME)
     sqrt_t = jnp.sqrt(t)
@@ -188,15 +183,16 @@ def _combine(b, flat, outs, c, reps, n_per_row, dtype):
     mean_m1 = m1 / n
     mean_mz = mz / n
 
-    mean_ind = ind / n
     price = df * mean_pay
     var = jnp.maximum(pay2 / n - mean_pay**2, 0.0)
     stderr = df * jnp.sqrt(var / n)
     delta = df * flat.cp * mean_m1 / flat.spot
     vega = df * flat.cp * (mean_mz * sqrt_t - flat.vol * t * mean_m1)
     gamma = df * flat.cp * (mean_mz / sig_sqrt_t - mean_m1) / flat.spot**2
-    dual_delta = -df * flat.cp * mean_ind
-    dividend_rho = -t * df * flat.cp * mean_m1
+    # identities on the same moments (no extra accumulator needed):
+    # price = S·delta - K·cp·df·E[1{}]  =>  dual_delta = (price - S·delta)/K
+    dual_delta = (price - flat.spot * delta) / flat.strike
+    dividend_rho = -t * flat.spot * delta
     rho = t * (df * flat.cp * mean_m1 - price)
     theta = -(
         -flat.rate * price

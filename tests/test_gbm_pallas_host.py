@@ -63,8 +63,7 @@ class TestCombine:
         # distribute the sample across rows (equal chunks)
         per_row = n // rows
         outs = []
-        ind = (st > K).astype(np.float64)
-        for moments in (pay, pay**2, ind_st, ind_st * z, ind):
+        for moments in (pay, pay**2, ind_st, ind_st * z):
             row_sums = moments[: per_row * rows].reshape(rows, per_row).sum(axis=1)
             # shape (rows, 128): put the row sum in lane 0
             arr = np.zeros((rows, 128), np.float32)
@@ -84,7 +83,7 @@ class TestCombine:
     def test_expired_contract_override(self):
         b = ContractBatch.make(110.0, 100.0, 0.0, 0.05, 0.2, "call")
         bb, flat, params, c, reps, rows, _ = gp._prepare(b)
-        outs = [jnp.zeros((rows, 128), jnp.float32)] * 5
+        outs = [jnp.zeros((rows, 128), jnp.float32)] * 4
         out = gp._combine(bb, flat, outs, c, reps, 1000, jnp.float32)
         assert float(out["price"]) == pytest.approx(10.0)
         assert float(out["std_error"]) == 0.0

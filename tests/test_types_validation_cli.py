@@ -1,0 +1,126 @@
+"""ContractBatch pytree, pricing-validation module, and CLI smoke tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optionslab_tpu.cli import main as cli_main
+from optionslab_tpu.models.black_scholes import bs_greeks, bs_price
+from optionslab_tpu.models.validation import (
+    check_greeks_consistency,
+    check_price_bounds,
+    check_put_call_parity,
+    check_smile_butterfly,
+    mc_convergence_study,
+    validate_pricer,
+)
+from optionslab_tpu.types import ContractBatch
+from optionslab_tpu.utils.exceptions import ValidationError
+
+F = jnp.float64
+
+
+class TestContractBatch:
+    def test_broadcast_and_shape(self):
+        b = ContractBatch.make([90.0, 100.0, 110.0], 100.0, 1.0, 0.05, 0.2, "call")
+        assert b.shape == (3,)
+        bb = b.broadcast()
+        assert bb.strike.shape == (3,)
+
+    def test_mixed_option_types(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, ["call", "put", "call"])
+        np.testing.assert_array_equal(np.asarray(b.cp), [1.0, -1.0, 1.0])
+
+    def test_is_pytree(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "put")
+        leaves = jax.tree.leaves(b)
+        assert len(leaves) == 7
+        b2 = jax.tree.map(lambda x: x * 2, b)
+        assert float(b2.spot) == 200.0
+
+    def test_replace_and_astype(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        b2 = b.replace(vol=0.3)
+        assert float(b2.vol) == pytest.approx(0.3)
+        b3 = b.astype(jnp.float64)
+        assert b3.spot.dtype == jnp.float64
+
+    def test_intrinsic_with_path_axis(self):
+        b = ContractBatch.make([100.0, 90.0], 100.0, 1.0, 0.05, 0.2, ["call", "put"])
+        paths = jnp.asarray([[95.0, 105.0], [95.0, 105.0]])  # (2 contracts, 2 paths)
+        pay = b.intrinsic(paths)
+        np.testing.assert_allclose(np.asarray(pay), [[0.0, 5.0], [5.0, 0.0]])
+
+    def test_forward_and_discount(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call", 0.02, dtype=F)
+        assert float(b.forward()) == pytest.approx(100.0 * np.exp(0.03))
+        assert float(b.discount()) == pytest.approx(np.exp(-0.05))
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(ValidationError):
+            ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "straddle")
+
+
+class TestValidationModule:
+    def test_parity_pass_and_fail(self):
+        S, K, T, r = (jnp.asarray(x, F) for x in (100.0, 100.0, 1.0, 0.05))
+        c = bs_price(S, K, T, r, jnp.asarray(0.2, F), 1.0, 0.0)
+        p = bs_price(S, K, T, r, jnp.asarray(0.2, F), -1.0, 0.0)
+        assert check_put_call_parity(c, p, S, K, T, r)["passed"]
+        assert not check_put_call_parity(c + 0.01, p, S, K, T, r)["passed"]
+
+    def test_bounds(self):
+        rep = check_price_bounds(10.45, 100.0, 100.0, 1.0, 0.05, 1.0)
+        assert rep["passed"]
+        rep2 = check_price_bounds(150.0, 100.0, 100.0, 1.0, 0.05, 1.0)
+        assert not rep2["passed"]
+
+    def test_greeks_consistency(self):
+        g = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
+        assert check_greeks_consistency(g, cp=1.0)["passed"]
+        bad = dict(g)
+        bad["gamma"] = -abs(np.asarray(g["gamma"]))
+        rep = check_greeks_consistency(bad, cp=1.0)
+        assert not rep["passed"] and "negative gamma" in rep["issues"]
+
+    def test_smile_butterfly(self):
+        k = np.linspace(-0.4, 0.4, 21)
+        assert check_smile_butterfly(k, 0.04 + 0.02 * k**2)["passed"]
+        assert not check_smile_butterfly(k, 0.04 + 2.5 * np.abs(k))["passed"]
+
+    def test_mc_convergence(self):
+        rep = mc_convergence_study(path_counts=(1_000, 8_000, 64_000))
+        assert rep["converged"], rep
+
+    def test_validate_pricer_bs(self):
+        rep = validate_pricer(lambda S, K, T, r, s, cp, q: bs_price(S, K, T, r, s, cp, q))
+        assert rep["passed"]
+
+
+class TestCLI:
+    def test_price_json(self, capsys):
+        cli_main(["price", "--model", "bs"])
+        out = json.loads(capsys.readouterr().out)
+        assert abs(out["price"] - 10.4506) < 1e-3
+
+    def test_greeks_json(self, capsys):
+        cli_main(["greeks"])
+        out = json.loads(capsys.readouterr().out)
+        assert 0.5 < out["delta"] < 0.75
+
+    def test_iv_json(self, capsys):
+        cli_main(["iv", "--price", "10.4506"])
+        out = json.loads(capsys.readouterr().out)
+        assert abs(out["implied_vol"] - 0.2) < 1e-3
+
+    def test_var_json(self, capsys):
+        cli_main(["var", "--value", "100"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["parametric_var"] > 0
+
+    def test_unknown_command_exits(self):
+        with pytest.raises(SystemExit):
+            cli_main(["teleport"])
