@@ -21,6 +21,7 @@ from .exotics import (
     autocallable_price,
     barrier_price,
     cliquet_price,
+    exotic_greeks,
     geometric_asian_closed_form,
     lookback_price,
     lsm_exercise_boundary,
@@ -113,7 +114,7 @@ __all__ = [
     "AsianOption", "BarrierOption", "LookbackOption", "AmericanOptionLSM",
     "AutocallableNote", "CliquetOption", "asian_price", "barrier_price",
     "lookback_price", "american_lsm_price", "autocallable_price",
-    "cliquet_price", "geometric_asian_closed_form", "lsm_exercise_boundary",
+    "cliquet_price", "exotic_greeks", "geometric_asian_closed_form", "lsm_exercise_boundary",
     "price_asian_option", "price_barrier_option", "price_american_lsm",
     "price_lookback_option",
     # surrogate

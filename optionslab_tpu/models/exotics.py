@@ -393,6 +393,34 @@ def lsm_exercise_boundary(spot, strike, maturity, rate, vol, key, cp=-1.0,
     return boundaries[::-1]
 
 
+
+# ---------------------------------------------------------------------------
+# AD Greeks for path-dependent payoffs
+# ---------------------------------------------------------------------------
+def exotic_greeks(price_fn, spot, vol, rate, maturity, **kwargs):
+    """delta/vega/rho/theta of any scan-engine exotic by ``jax.grad``.
+
+    ``price_fn(spot, vol, rate, maturity) -> price`` must be built on the
+    differentiable scan engine (Asian/lookback/cliquet payoffs are a.e.
+    smooth in the parameters; barriers' crossing indicators have zero
+    pathwise derivative at the barrier — use FD for barrier-level
+    sensitivities). The reference has no exotic Greeks at all
+    (``docs/development_notes.md``: "No American option Greeks").
+    """
+    spot = jnp.asarray(spot, jnp.float32)
+    vol = jnp.asarray(vol, jnp.float32)
+    rate = jnp.asarray(rate, jnp.float32)
+    maturity = jnp.asarray(maturity, jnp.float32)
+    price, grads = jax.value_and_grad(price_fn, argnums=(0, 1, 2, 3))(
+        spot, vol, rate, maturity, **kwargs)
+    return {
+        "price": price,
+        "delta": grads[0],
+        "vega": grads[1],
+        "rho": grads[2],
+        "theta": -grads[3],
+    }
+
 # ---------------------------------------------------------------------------
 # Dataclass adapters (reference exposes exotic classes + convenience fns)
 # ---------------------------------------------------------------------------
@@ -425,6 +453,15 @@ class AsianOption:
         return asian_price(self.spot, self.strike, self.maturity, self.rate, self.vol,
                            jax.random.PRNGKey(self.seed), cp, self.dividend,
                            self.n_paths, self.n_steps, self.averaging, return_stderr)
+
+    def greeks(self):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        key = jax.random.PRNGKey(self.seed)
+        return exotic_greeks(
+            lambda s, v, r, t: asian_price(s, self.strike, t, r, v, key, cp,
+                                           self.dividend, self.n_paths,
+                                           self.n_steps, self.averaging),
+            self.spot, self.vol, self.rate, self.maturity)
 
 
 @dataclasses.dataclass
@@ -491,6 +528,15 @@ class LookbackOption:
                               self.vol, jax.random.PRNGKey(self.seed), cp,
                               self.dividend, self.n_paths, self.n_steps,
                               self.floating, return_stderr)
+
+    def greeks(self):
+        cp = 1.0 if self.option_type == "call" else -1.0
+        key = jax.random.PRNGKey(self.seed)
+        return exotic_greeks(
+            lambda s, v, r, t: lookback_price(s, self.strike, t, r, v, key, cp,
+                                              self.dividend, self.n_paths,
+                                              self.n_steps, self.floating),
+            self.spot, self.vol, self.rate, self.maturity)
 
 
 @dataclasses.dataclass
