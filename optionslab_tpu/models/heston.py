@@ -286,7 +286,15 @@ class HestonPricer:
     price = price_european
 
     def price_monte_carlo(self, S, K, T, r, option_type="call", q=0.0,
-                          n_paths=100_000, n_steps=100, seed=0):
+                          n_paths=100_000, n_steps=100, seed=0, engine="scan"):
+        if engine == "pallas":
+            from ..ops.heston_pallas import pallas_heston_price
+
+            cp = 1.0 if str(option_type).lower().startswith("c") else -1.0
+            price, _, _ = pallas_heston_price(S, K, T, r, self.params, cp, q,
+                                              n_paths=n_paths, n_steps=n_steps,
+                                              seed=seed)
+            return price
         batch = ContractBatch.make(S, K, T, r, jnp.sqrt(self.params.v0), option_type, q)
         return heston_mc_price(batch, self.params, jax.random.PRNGKey(seed),
                                n_paths=n_paths, n_steps=n_steps)
