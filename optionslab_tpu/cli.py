@@ -193,6 +193,13 @@ def cmd_backtest(args) -> dict:
     return res.summary()
 
 
+def cmd_serve(args) -> dict:  # pragma: no cover - blocking
+    from .server import PricingServer
+
+    PricingServer(args.port, args.host).serve_forever()
+    return {}
+
+
 def cmd_bench_harness(args) -> dict:
     from .benchmarks import VolSurfaceBenchmark
     from .data.synthetic import generate_synthetic_smile
@@ -256,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     ph = sub.add_parser("bench-harness")
     ph.add_argument("--models", default="")
     ph.add_argument("--trials", type=int, default=1)
+
+    psv = sub.add_parser("serve")
+    psv.add_argument("--port", type=int, default=8777)
+    psv.add_argument("--host", default="127.0.0.1")
     return p
 
 
@@ -270,6 +281,7 @@ COMMANDS = {
     "var": cmd_var,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,
+    "serve": cmd_serve,
 }
 
 

@@ -1,0 +1,205 @@
+"""HTTP pricing server — the production-serving face of the framework.
+
+The reference's user surface is a Streamlit dashboard (SURVEY.md §2.10);
+for production deployment the equivalent capability is a JSON API over the
+same façade. Endpoints (all POST, JSON body, JSON response):
+
+  /price   {"model": "bs|binomial|heston|merton", contract fields...}
+  /greeks  {contract fields...}                      → full BS Greek ladder
+  /mc      {"n_paths": N, "method": "pallas|xla", contract fields...}
+  /iv      {"price": P, contract fields...}
+  /batch/price {"model": "bs", "spot": [...], ...}   → batched pricing
+  /health  (GET)
+
+Design: stdlib ThreadingHTTPServer (no extra deps); all numerics go through
+the jitted façade so a request costs one device dispatch; the first request
+per shape pays the compile (pre-warmed for the common scalar shapes at
+startup).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_DEFAULTS = {"spot": 100.0, "strike": 100.0, "maturity": 1.0, "rate": 0.05,
+             "vol": 0.2, "dividend": 0.0, "option_type": "call"}
+
+
+def _contract(body: dict):
+    p = {**_DEFAULTS, **body}
+    cp = 1.0 if str(p["option_type"]).lower().startswith("c") else -1.0
+    return p, cp
+
+
+def _to_jsonable(x):
+    arr = np.asarray(x)
+    return arr.item() if arr.ndim == 0 else arr.tolist()
+
+
+def handle_price(body: dict) -> dict:
+    from .models import HestonParams, MertonJumpDiffusion, binomial_price, bs_price, heston_price
+    from .types import ContractBatch
+
+    p, cp = _contract(body)
+    model = body.get("model", "bs")
+    batch = ContractBatch.make(p["spot"], p["strike"], p["maturity"], p["rate"],
+                               p["vol"], p["option_type"], p["dividend"])
+    if model == "bs":
+        out = bs_price(p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"],
+                       cp, p["dividend"])
+    elif model == "binomial":
+        out = binomial_price(batch, american=bool(body.get("american", False)),
+                             n_steps=int(body.get("n_steps", 512)))
+    elif model == "heston":
+        out = heston_price(batch, HestonParams.make(**body.get("heston_params", {})))
+    elif model == "merton":
+        jd = body.get("merton_params", {})
+        out = MertonJumpDiffusion(**jd).price(p["spot"], p["strike"], p["maturity"],
+                                              p["rate"], p["vol"], p["option_type"],
+                                              p["dividend"])
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    return {"model": model, "price": _to_jsonable(out)}
+
+
+def handle_greeks(body: dict) -> dict:
+    from .models import bs_greeks
+
+    p, cp = _contract(body)
+    g = bs_greeks(p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"], cp,
+                  p["dividend"])
+    return {k: _to_jsonable(v) for k, v in g.items()}
+
+
+def handle_mc(body: dict) -> dict:
+    from .types import ContractBatch
+
+    p, cp = _contract(body)
+    n_paths = int(body.get("n_paths", 1_000_000))
+    seed = int(body.get("seed", 0))
+    batch = ContractBatch.make(p["spot"], p["strike"], p["maturity"], p["rate"],
+                               p["vol"], p["option_type"], p["dividend"])
+    if body.get("method", "pallas") == "pallas":
+        from .ops.gbm_pallas import pallas_mc_price_greeks
+
+        out = pallas_mc_price_greeks(batch, n_paths=n_paths, seed=seed)
+        return {k: _to_jsonable(v) for k, v in out.items()}
+    import jax
+
+    from .models import MCConfig, mc_greeks, mc_price_result
+
+    cfg = MCConfig(n_paths=n_paths)
+    res = mc_price_result(batch, jax.random.PRNGKey(seed), cfg)
+    g = mc_greeks(batch, jax.random.PRNGKey(seed), cfg)
+    return {"price": _to_jsonable(res.price), "std_error": _to_jsonable(res.std_error),
+            **{k: _to_jsonable(v) for k, v in g.items() if k != "price"}}
+
+
+def handle_iv(body: dict) -> dict:
+    from .models import implied_volatility
+
+    p, _ = _contract(body)
+    iv = implied_volatility(float(body["price"]), p["spot"], p["strike"],
+                            p["maturity"], p["rate"], p["option_type"], p["dividend"])
+    return {"implied_vol": _to_jsonable(iv)}
+
+
+ROUTES = {
+    "/price": handle_price,
+    "/greeks": handle_greeks,
+    "/mc": handle_mc,
+    "/iv": handle_iv,
+    "/batch/price": handle_price,  # same handler — fields may be lists
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def _send(self, code: int, payload: dict):
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/health":
+            import jax
+
+            self._send(200, {"status": "ok", "backend": jax.default_backend(),
+                             "devices": [str(d) for d in jax.devices()]})
+        else:
+            self._send(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        handler = ROUTES.get(self.path)
+        if handler is None:
+            self._send(404, {"error": f"unknown endpoint {self.path}",
+                             "endpoints": sorted(ROUTES)})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            self._send(200, handler(body))
+        except Exception as e:
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def log_message(self, fmt, *args):
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+
+class PricingServer:
+    """Embeddable server: ``PricingServer(port).start()`` / ``.stop()``."""
+
+    def __init__(self, port: int = 8777, host: str = "127.0.0.1", warm: bool = True):
+        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+        if warm:
+            self.warmup()
+
+    @staticmethod
+    def warmup():
+        """Compile the common scalar shapes before serving."""
+        try:
+            handle_price({"model": "bs"})
+            handle_greeks({})
+        except Exception as e:  # pragma: no cover
+            logger.warning("warmup failed: %s", e)
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        logger.info("pricing server on port %d", self.port)
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self):  # pragma: no cover - blocking entry
+        logger.info("pricing server on port %d (blocking)", self.port)
+        self.httpd.serve_forever()
+
+
+def main(argv=None):  # pragma: no cover - CLI entry
+    import argparse
+
+    ap = argparse.ArgumentParser(description="optionslab_tpu pricing server")
+    ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args(argv)
+    PricingServer(args.port, args.host).serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,94 @@
+"""HTTP pricing server: endpoint behavior over a real socket."""
+
+import http.client
+import json
+
+import pytest
+
+from optionslab_tpu.server import PricingServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = PricingServer(port=0, warm=True).start()  # port 0 = ephemeral
+    yield s
+    s.stop()
+
+
+def _post(server, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("POST", path, json.dumps(body), {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+def _get(server, path):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    payload = json.loads(resp.read())
+    conn.close()
+    return resp.status, payload
+
+
+class TestServer:
+    def test_health(self, server):
+        status, body = _get(server, "/health")
+        assert status == 200 and body["status"] == "ok"
+
+    def test_price_default_bs(self, server):
+        status, body = _post(server, "/price", {})
+        assert status == 200
+        assert abs(body["price"] - 10.4506) < 1e-3
+
+    def test_price_binomial_american(self, server):
+        status, body = _post(server, "/price", {
+            "model": "binomial", "american": True, "option_type": "put",
+            "n_steps": 200})
+        assert status == 200
+        assert 6.0 < body["price"] < 6.2
+
+    def test_greeks(self, server):
+        status, body = _post(server, "/greeks", {"vol": 0.25})
+        assert status == 200
+        assert 0.5 < body["delta"] < 0.75
+        assert body["gamma"] > 0
+
+    def test_iv_roundtrip(self, server):
+        status, body = _post(server, "/iv", {"price": 10.4506})
+        assert status == 200
+        assert abs(body["implied_vol"] - 0.2) < 1e-3
+
+    def test_batch_price(self, server):
+        status, body = _post(server, "/batch/price", {
+            "spot": [90.0, 100.0, 110.0], "model": "bs"})
+        assert status == 200
+        prices = body["price"]
+        assert len(prices) == 3 and prices[0] < prices[1] < prices[2]
+
+    def test_unknown_endpoint_404(self, server):
+        status, body = _post(server, "/teleport", {})
+        assert status == 404 and "endpoints" in body
+
+    def test_bad_body_400(self, server):
+        status, body = _post(server, "/price", {"model": "quantum"})
+        assert status == 400 and "error" in body
+
+    def test_iv_arbitrage_violation_400(self, server):
+        status, body = _post(server, "/iv", {"price": 1e-9, "strike": 50.0})
+        assert status == 400 and "ArbitrageViolation" in body["error"]
+
+    def test_concurrent_requests(self, server):
+        import threading
+
+        results = []
+
+        def hit():
+            results.append(_post(server, "/price", {})[0])
+
+        threads = [threading.Thread(target=hit) for _ in range(8)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert results == [200] * 8
