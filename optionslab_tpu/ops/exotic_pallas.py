@@ -73,42 +73,39 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
     inv_n = param_ref[5]
 
     shape = (ROWS, LANES)
-    log_s0 = jnp.log(s0)
     barrier_up = "up" in kind
     knock_in = kind.endswith("in")
+    geo = kind.startswith("asian_geo")  # carried in log space (no per-step exp)
 
-    def init_stat(x0):
+    def init_stat(s_like):
         if kind.startswith("asian_arith"):
-            return jnp.exp(x0)  # running sum of S (first fixing at t=dt added below)
-        if kind.startswith("asian_geo"):
-            return x0 * 0.0
+            return s_like  # running sum of S, seeded with S0 (removed in payoff)
+        if geo:
+            return jnp.zeros(shape, jnp.float32)
         if kind.startswith("lookback"):
-            return jnp.exp(x0)  # running extremum seeded at S0
-        # barrier: crossed flag as float
-        hit0 = (jnp.exp(x0) >= barrier) if barrier_up else (jnp.exp(x0) <= barrier)
+            return s_like  # running extremum seeded at S0
+        hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
         return hit0.astype(jnp.float32)
 
-    def update_stat(stat, log_s):
-        s = jnp.exp(log_s)
+    def update_stat(stat, s_or_log):
         if kind.startswith("asian_arith"):
-            return stat + s
-        if kind.startswith("asian_geo"):
-            return stat + log_s
+            return stat + s_or_log
+        if geo:
+            return stat + s_or_log  # log-spot
         if kind.startswith("lookback"):
             if cp > 0 and kind == "lookback_float":
-                return jnp.minimum(stat, s)  # float call pays S_T - min
+                return jnp.minimum(stat, s_or_log)  # float call pays S_T - min
             if cp < 0 and kind == "lookback_float":
-                return jnp.maximum(stat, s)
+                return jnp.maximum(stat, s_or_log)
             if cp > 0:
-                return jnp.maximum(stat, s)  # fixed call pays max - K
-            return jnp.minimum(stat, s)
-        hit = (s >= barrier) if barrier_up else (s <= barrier)
+                return jnp.maximum(stat, s_or_log)  # fixed call pays max - K
+            return jnp.minimum(stat, s_or_log)
+        hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
         return jnp.maximum(stat, hit.astype(jnp.float32))
 
-    def payoff(stat, log_s):
-        s_t = jnp.exp(log_s)
+    def payoff(stat, s_or_log):
+        s_t = jnp.exp(s_or_log) if geo else s_or_log
         if kind.startswith("asian"):
-            # (n_steps fixings after t=0; arith stat seeded with S0 — remove)
             if kind.startswith("asian_arith"):
                 avg = (stat - s0) * inv_n
             else:
@@ -121,18 +118,30 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat if knock_in else (1.0 - stat))
 
-    # four antithetic/orthogonal path states share the RNG stream
-    x0 = jnp.full(shape, log_s0, jnp.float32)
-    states = (x0, x0, x0, x0)
-    stats = tuple(init_stat(x0) for _ in range(4))
+    if geo:
+        state0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    else:
+        state0 = jnp.full(shape, s0, jnp.float32)
+    states = (state0, state0, state0, state0)
+    stats = tuple(init_stat(state0) for _ in range(4))
+    growth = jnp.exp(drift_dt)  # hoisted: one exp for the whole kernel
 
     def body(i, carry):
         (xa, xb, xc, xd), (sa, sb, sc, sd) = carry
         z1, z2 = _normals(shape)
-        xa = xa + drift_dt + vol_sqrt_dt * z1
-        xb = xb + drift_dt - vol_sqrt_dt * z1
-        xc = xc + drift_dt + vol_sqrt_dt * z2
-        xd = xd + drift_dt - vol_sqrt_dt * z2
+        if geo:
+            xa = xa + drift_dt + vol_sqrt_dt * z1
+            xb = xb + drift_dt - vol_sqrt_dt * z1
+            xc = xc + drift_dt + vol_sqrt_dt * z2
+            xd = xd + drift_dt - vol_sqrt_dt * z2
+        else:
+            # antithetic shares the exponential: e^{-s·z} = 1/e^{s·z}
+            w1 = jnp.exp(vol_sqrt_dt * z1)
+            w2 = jnp.exp(vol_sqrt_dt * z2)
+            xa = xa * (growth * w1)
+            xb = xb * growth / w1
+            xc = xc * (growth * w2)
+            xd = xd * growth / w2
         sa = update_stat(sa, xa)
         sb = update_stat(sb, xb)
         sc = update_stat(sc, xc)

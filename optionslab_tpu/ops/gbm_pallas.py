@@ -100,8 +100,17 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
     acc_pay2 = jnp.zeros((rows, lanes), jnp.float32)
     acc_m1 = jnp.zeros((rows, lanes), jnp.float32)
     acc_mz = jnp.zeros((rows, lanes), jnp.float32)
-    for z in (z_cos, -z_cos, z_sin, -z_sin):
-        st = s0 * jnp.exp(a + s * z)
+    base = s0 * jnp.exp(a)  # S0·e^{drift}, one exp for all four branches
+    # antithetic shares the exponential: e^{-s·z} = 1/e^{s·z}
+    grow_cos = jnp.exp(s * z_cos)
+    grow_sin = jnp.exp(s * z_sin)
+    branches = (
+        (z_cos, base * grow_cos),
+        (-z_cos, base / grow_cos),
+        (z_sin, base * grow_sin),
+        (-z_sin, base / grow_sin),
+    )
+    for z, st in branches:
         x = cp * (st - k)
         pay = jnp.maximum(x, 0.0)
         ind_st = jnp.where(x > 0, st, 0.0)
