@@ -27,7 +27,7 @@ import numpy as np
 
 import jax
 
-from ..surface.arbitrage import butterfly_check, surface_arbitrage_report
+from ..surface.arbitrage import butterfly_check
 from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -161,7 +161,6 @@ class SABRWrapper:
         self.n_steps = n_steps
 
     def calibrate(self, k, vols, t, seed=0):
-        from ..surface.features import np as _np  # noqa: F401
         from ..models.sabr import calibrate_sabr
 
         self.t = float(np.mean(t))

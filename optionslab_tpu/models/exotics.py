@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.math import norm_cdf
-from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.math import d1_d2, norm_pdf
 from ..types import ContractBatch
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ArbitrageViolationError, ValidationError

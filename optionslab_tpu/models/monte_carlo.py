@@ -36,7 +36,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..ops.math import norm_pdf, smooth_indicator
+from ..ops.math import smooth_indicator
 from ..ops.rng import qmc_normals
 from ..types import ContractBatch
 from ..utils.config import DEFAULT_DTYPE, EPS_TIME

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..surface.nn_core import apply_mlp, flatten_params, init_mlp, train_mlp, unflatten_params
+from ..surface.nn_core import apply_mlp, flatten_params, init_mlp, unflatten_params
 from ..utils.exceptions import ModelError
 from .black_scholes import bs_greeks
 

@@ -22,7 +22,6 @@ import pathlib
 import time
 from typing import Any
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils.exceptions import DataError, ModelError

@@ -17,8 +17,6 @@ Grid queries after generation are bilinear interpolation on-device.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
