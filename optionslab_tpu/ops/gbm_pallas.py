@@ -59,9 +59,40 @@ _TWO_PI = 6.283185307179586
 _INV_2_24 = 1.0 / (1 << 24)
 _INV_2_25 = 1.0 / (1 << 25)
 
+# 30-bit direction numbers for the first two Sobol dimensions (dim 1 = van
+# der Corput; dim 2: s=1, a=0, m=[1] with v_k = v_{k-1} ^ (v_{k-1} >> 1)).
+_QMC_BITS = 30
+_INV_2_30 = 1.0 / (1 << _QMC_BITS)
+_V1 = tuple(1 << (_QMC_BITS - 1 - k) for k in range(_QMC_BITS))
+_V2_list = [1 << (_QMC_BITS - 1)]
+for _k in range(1, _QMC_BITS):
+    _V2_list.append(_V2_list[-1] ^ (_V2_list[-1] >> 1))
+_V2 = tuple(_V2_list)
+
+
+def _sobol_pair(idx, scramble1, scramble2):
+    """2-D scrambled-Sobol uniforms for integer point indices ``idx``.
+
+    Gray-code XOR of static direction numbers, fully unrolled int32 vector
+    ops; ``scramble*`` are seed-derived digital shifts (net-preserving).
+    """
+    gray = idx ^ (idx >> 1)
+    x1 = jnp.zeros_like(idx)
+    x2 = jnp.zeros_like(idx)
+    for k in range(_QMC_BITS):
+        bit = (gray >> k) & 1
+        x1 = x1 ^ (bit * _V1[k])
+        x2 = x2 ^ (bit * _V2[k])
+    x1 = x1 ^ scramble1
+    x2 = x2 ^ scramble2
+    u1 = x1.astype(jnp.float32) * _INV_2_30 + 0.5 * _INV_2_30
+    u2 = x2.astype(jnp.float32) * _INV_2_30 + 0.5 * _INV_2_30
+    return u1, u2
+
 
 def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
-                pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int):
+                pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int,
+                sampler: str = "prng"):
     """One grid step = one path block of 4*lanes paths per row."""
     block = pl.program_id(0)
 
@@ -72,19 +103,29 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
         m1_ref[:, :] = jnp.zeros_like(m1_ref)
         mz_ref[:, :] = jnp.zeros_like(mz_ref)
 
-    # independent, reproducible stream per (seed, block)
-    pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))  # Knuth 2654435761 as i32
-
     rows = s0_ref.shape[0]
-    # random bits arrive as int32; (x >> 8) & 0xFFFFFF equals the logical
-    # shift's low 24 bits, and int32→f32 is a supported Mosaic cast
-    # (uint32→f32 is not).
-    mask24 = jnp.int32(0x00FFFFFF)
-    u1_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
-    u2_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
-    # uniforms strictly inside (0,1): 24 bits + half-ulp offset
-    u1 = u1_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
-    u2 = u2_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
+    if sampler == "sobol":
+        # low-discrepancy: global point index per (block, row, lane); the
+        # Box–Muller pair consumes the 2-D Sobol point
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        idx = block * (rows * lanes) + row_ids * lanes + col_ids + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        s1 = (seed_ref[0] * jnp.int32(-1640531535)) & mask30
+        s2 = (seed_ref[0] * jnp.int32(40503) + jnp.int32(12345)) & mask30
+        u1, u2 = _sobol_pair(idx, s1, s2)
+    else:
+        # independent, reproducible stream per (seed, block)
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))  # Knuth 2654435761 as i32
+        # random bits arrive as int32; (x >> 8) & 0xFFFFFF equals the logical
+        # shift's low 24 bits, and int32→f32 is a supported Mosaic cast
+        # (uint32→f32 is not).
+        mask24 = jnp.int32(0x00FFFFFF)
+        u1_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
+        u2_bits = (pltpu.prng_random_bits((rows, lanes)) >> 8) & mask24
+        # uniforms strictly inside (0,1): 24 bits + half-ulp offset
+        u1 = u1_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
+        u2 = u2_bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
     radius = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = _TWO_PI * u2
     z_cos = radius * jnp.cos(theta)
@@ -127,14 +168,15 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
         mz_ref[:, :] += acc_mz[:, off:off + 128]
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret",
+                                              "sampler"))
 def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, lanes: int,
-            interpret: bool = False):
+            interpret: bool = False, sampler: str = "prng"):
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
     acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_gbm_kernel, lanes=lanes),
+        functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
@@ -227,8 +269,9 @@ def _combine(b, flat, outs, c, reps, n_per_row, dtype):
     return {kk: v.reshape(b.shape).astype(dtype) for kk, v in out.items()}
 
 
-@functools.partial(jax.jit, static_argnames=("n_paths",))
-def _full_pipeline(batch: ContractBatch, seed, n_paths: int) -> dict:
+@functools.partial(jax.jit, static_argnames=("n_paths", "sampler"))
+def _full_pipeline(batch: ContractBatch, seed, n_paths: int,
+                   sampler: str = "prng") -> dict:
     """prepare → kernel → combine, traced as ONE program so a call costs a
     single dispatch (the tunnel-latency lesson: eager host ops dominate
     otherwise)."""
@@ -241,11 +284,12 @@ def _full_pipeline(batch: ContractBatch, seed, n_paths: int) -> dict:
     # implements the pltpu PRNG primitives (plain interpret=True does not)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, lanes=lanes,
-                   interpret=interpret)
+                   interpret=interpret, sampler=sampler)
     return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block, batch.dtype)
 
 
-def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0) -> dict:
+def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0,
+                           sampler: str = "prng") -> dict:
     """Price + stderr + full first/second-order Greek ladder, one kernel pass.
 
     ``n_paths`` is the *per-contract* path budget; it is rounded up to a
@@ -253,7 +297,7 @@ def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed:
     Returns a dict with price/std_error/delta/gamma/vega/rho/theta arrays
     shaped like the broadcast batch.
     """
-    return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths)
+    return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths, sampler)
 
 
 def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
@@ -280,7 +324,7 @@ def pallas_mc_price(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 
     d/drate = rho, d/dvol = vega, d/ddividend = dividend_rho. ``cp`` is
     treated as non-differentiable (zero cotangent).
     """
-    return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths)["price"]
+    return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths, sampler)["price"]
 
 
 def _pallas_mc_price_fwd(batch, n_paths, seed):

@@ -87,3 +87,39 @@ class TestCombine:
         out = gp._combine(bb, flat, outs, c, reps, 1000, jnp.float32)
         assert float(out["price"]) == pytest.approx(10.0)
         assert float(out["std_error"]) == 0.0
+
+
+class TestSobolKernelEndToEnd:
+    """The Sobol sampler uses no hardware PRNG, so the FULL kernel runs
+    under the CPU interpreter — end-to-end numeric validation off-TPU."""
+
+    def test_price_and_greeks_match_bs(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        out = gp.pallas_mc_price_greeks(b, n_paths=1_000_000, seed=0, sampler="sobol")
+        ex = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
+        assert abs(float(out["price"]) - float(ex["price"])) < 5e-3
+        assert abs(float(out["delta"]) - float(ex["delta"])) < 1e-3
+        assert abs(float(out["gamma"]) - float(ex["gamma"])) < 1e-4
+        assert abs(float(out["vega"]) - float(ex["vega"])) < 0.05
+        assert abs(float(out["rho"]) - float(ex["rho"])) < 0.1
+        assert abs(float(out["dual_delta"]) - float(ex["dual_delta"])) < 1e-3
+
+    def test_put_and_book(self):
+        import jax.numpy as jnp
+
+        spots = jnp.asarray([90.0, 100.0, 110.0])
+        b = ContractBatch.make(spots, 100.0, 0.5, 0.03, 0.25, "put")
+        out = gp.pallas_mc_price_greeks(b, n_paths=500_000, seed=1, sampler="sobol")
+        ex = bs_greeks(spots, 100.0, 0.5, 0.03, 0.25, -1.0, 0.0)
+        np.testing.assert_allclose(np.asarray(out["price"]), np.asarray(ex["price"]),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out["delta"]), np.asarray(ex["delta"]),
+                                   atol=2e-3)
+
+    def test_scramble_seed_changes_estimate(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        p0 = float(gp.pallas_mc_price_greeks(b, n_paths=500_000, seed=0, sampler="sobol")["price"])
+        p1 = float(gp.pallas_mc_price_greeks(b, n_paths=500_000, seed=7, sampler="sobol")["price"])
+        assert p0 != p1
+        assert abs(p0 - 10.450583572185565) < 5e-3
+        assert abs(p1 - 10.450583572185565) < 5e-3
