@@ -99,7 +99,8 @@ def cmd_mc(args) -> dict:
     if args.method == "pallas":
         from .ops.gbm_pallas import pallas_mc_price_greeks
 
-        out = pallas_mc_price_greeks(batch, n_paths=args.n_paths, seed=args.seed)
+        out = pallas_mc_price_greeks(batch, n_paths=args.n_paths, seed=args.seed,
+                                     sampler=args.sampler)
         return {k: float(v) for k, v in out.items()}
     from .models import MCConfig, MCMethod, mc_greeks, mc_price_result
 
@@ -231,6 +232,7 @@ def build_parser() -> argparse.ArgumentParser:
     _common_contract_args(pm)
     pm.add_argument("--n-paths", type=int, default=100_000)
     pm.add_argument("--method", default="xla", choices=["xla", "qmc", "pallas"])
+    pm.add_argument("--sampler", default="prng", choices=["prng", "sobol"])
     pm.add_argument("--seed", type=int, default=0)
 
     pi = sub.add_parser("iv")
