@@ -128,15 +128,22 @@ def geometric_asian_closed_form(spot, strike, maturity, rate, vol, cp=1.0,
 # ---------------------------------------------------------------------------
 # Barrier
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "barrier_type", "return_stderr"))
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "barrier_type",
+                                              "continuous", "return_stderr"))
 def barrier_price(spot, strike, barrier, maturity, rate, vol, key, cp=1.0,
                   dividend=0.0, n_paths: int = 100_000, n_steps: int = 64,
                   barrier_type: str = "up-and-out", rebate: float = 0.0,
-                  return_stderr: bool = False):
-    """Discretely monitored barrier (reference: ``exotic_options.py:174-224``).
+                  continuous: bool = False, return_stderr: bool = False):
+    """Barrier option (reference: ``exotic_options.py:174-224``).
 
-    The crossing indicator is a running OR in the scan carry — no path
-    matrix. ``barrier_type`` ∈ {up,down}-and-{in,out}.
+    ``continuous=False``: discrete monitoring at every step — the crossing
+    indicator is a running OR in the scan carry (matches the reference).
+
+    ``continuous=True``: Brownian-bridge correction — the carry tracks each
+    path's SURVIVAL PROBABILITY, multiplying in the bridge crossing
+    probability p = exp(-2·ln(B/S_t)·ln(B/S_{t+1})/(σ²Δt)) between
+    monitoring dates. Removes the O(√Δt) discrete-monitoring bias for
+    continuously monitored contracts (a capability the reference lacks).
     """
     parts = barrier_type.split("-")
     if len(parts) != 3 or parts[0] not in ("up", "down") or parts[2] not in ("in", "out"):
@@ -144,18 +151,44 @@ def barrier_price(spot, strike, barrier, maturity, rate, vol, key, cp=1.0,
     up = parts[0] == "up"
     knock_in = parts[2] == "in"
 
-    def init(s0):
-        crossed0 = (s0 >= barrier) if up else (s0 <= barrier)
-        return crossed0
+    if not continuous:
+        def init(s0):
+            return (s0 >= barrier) if up else (s0 <= barrier)
 
-    def update(crossed, s, i):
-        hit = (s >= barrier) if up else (s <= barrier)
-        return crossed | hit
+        def update(crossed, s, i):
+            hit = (s >= barrier) if up else (s <= barrier)
+            return crossed | hit
 
-    terminal, crossed = _gbm_scan(key, spot, maturity, rate, dividend, vol,
-                                  n_paths, n_steps, init, update)
+        terminal, crossed = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                                      n_paths, n_steps, init, update)
+        survival = (~crossed).astype(jnp.float32)
+    else:
+        dt = maturity / n_steps
+        inv_sig2dt = 1.0 / jnp.maximum(vol * vol * dt, 1e-12)
+
+        def init(s0):
+            alive0 = jnp.where((s0 >= barrier) if up else (s0 <= barrier), 0.0, 1.0)
+            return (alive0, s0)
+
+        def update(stats, s, i):
+            surv, s_prev = stats
+            hit = (s >= barrier) if up else (s <= barrier)
+            # bridge crossing probability between s_prev and s (both on the
+            # non-knocked side): exp(-2·ln(B/s_prev)·ln(B/s)/(σ²Δt))
+            a = jnp.log(barrier / jnp.maximum(s_prev, 1e-12))
+            b = jnp.log(barrier / jnp.maximum(s, 1e-12))
+            p_cross = jnp.exp(-2.0 * a * b * inv_sig2dt)
+            p_cross = jnp.where(hit, 1.0, jnp.clip(p_cross, 0.0, 1.0))
+            return (surv * (1.0 - p_cross), s)
+
+        terminal, (survival, _) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                                            n_paths, n_steps, init, update)
+
     vanilla = jnp.maximum(cp * (terminal - strike), 0.0)
-    pay = jnp.where(crossed, vanilla, rebate) if knock_in else jnp.where(crossed, rebate, vanilla)
+    if knock_in:
+        pay = vanilla * (1.0 - survival) + rebate * survival
+    else:
+        pay = vanilla * survival + rebate * (1.0 - survival)
     price, stderr = _discounted_mean_stderr(pay, rate, maturity)
     return (price, stderr) if return_stderr else price
 
@@ -479,10 +512,11 @@ class BarrierOption:
     n_steps: int = 64
     seed: int = 0
     engine: str = "scan"
+    continuous: bool = False  # Brownian-bridge correction (continuous monitoring)
 
     def price(self, return_stderr: bool = False):
         cp = 1.0 if self.option_type == "call" else -1.0
-        if self.engine == "pallas" and self.rebate == 0.0:
+        if self.engine == "pallas" and self.rebate == 0.0 and not self.continuous:
             from ..ops.exotic_pallas import pallas_exotic_price
 
             p, se, _ = pallas_exotic_price(f"barrier_{self.barrier_type}", self.spot,
@@ -494,7 +528,8 @@ class BarrierOption:
         return barrier_price(self.spot, self.strike, self.barrier, self.maturity,
                              self.rate, self.vol, jax.random.PRNGKey(self.seed), cp,
                              self.dividend, self.n_paths, self.n_steps,
-                             self.barrier_type, self.rebate, return_stderr)
+                             self.barrier_type, self.rebate, self.continuous,
+                             return_stderr)
 
 
 @dataclasses.dataclass

@@ -154,3 +154,46 @@ class TestStructured:
         unfloored = float(CliquetOption(100.0, 1.0, 0.03, 0.25, global_floor=0.0,
                                         n_paths=50_000, seed=2).price())
         assert floored > unfloored
+
+
+class TestContinuousBarrier:
+    @staticmethod
+    def _uo_call_closed_form(S, K, B, T, r, sig):
+        """Merton/Haug continuous up-and-out call (K < B)."""
+        from scipy.stats import norm as nd
+
+        mu = (r - sig**2 / 2) / sig**2
+        srt = sig * np.sqrt(T)
+        x2 = np.log(S / B) / srt + (1 + mu) * srt
+        y1 = np.log(B * B / (S * K)) / srt + (1 + mu) * srt
+        y2 = np.log(B / S) / srt + (1 + mu) * srt
+        d1 = (np.log(S / K) + (r + sig**2 / 2) * T) / srt
+        vanilla = S * nd.cdf(d1) - K * np.exp(-r * T) * nd.cdf(d1 - srt)
+        Bt = S * nd.cdf(x2) - K * np.exp(-r * T) * nd.cdf(x2 - srt)
+        C = S * (B / S) ** (2 * (mu + 1)) * nd.cdf(-y1) \
+            - K * np.exp(-r * T) * (B / S) ** (2 * mu) * nd.cdf(-(y1 - srt))
+        D = S * (B / S) ** (2 * (mu + 1)) * nd.cdf(-y2) \
+            - K * np.exp(-r * T) * (B / S) ** (2 * mu) * nd.cdf(-(y2 - srt))
+        up_and_in = Bt - C + D
+        return vanilla - up_and_in
+
+    def test_bridge_removes_discrete_bias(self):
+        cf = self._uo_call_closed_form(100.0, 100.0, 120.0, 1.0, 0.05, 0.2)
+        opt = BarrierOption(100.0, 100.0, 120.0, 1.0, 0.05, 0.2,
+                            barrier_type="up-and-out", n_paths=300_000,
+                            n_steps=32, continuous=True)
+        p, se = opt.price(return_stderr=True)
+        assert abs(float(p) - cf) < 3 * float(se) + 5e-3
+        # discrete monitoring at 32 steps is badly biased upward vs continuous
+        disc = BarrierOption(100.0, 100.0, 120.0, 1.0, 0.05, 0.2,
+                             barrier_type="up-and-out", n_paths=300_000,
+                             n_steps=32).price()
+        assert float(disc) - cf > 0.1
+
+    def test_bridge_knock_in_out_parity(self):
+        common = dict(n_paths=200_000, n_steps=32, seed=4, continuous=True)
+        ki = float(BarrierOption(100.0, 100.0, 125.0, 1.0, 0.05, 0.2,
+                                 barrier_type="up-and-in", **common).price())
+        ko = float(BarrierOption(100.0, 100.0, 125.0, 1.0, 0.05, 0.2,
+                                 barrier_type="up-and-out", **common).price())
+        assert abs((ki + ko) - EURO_CALL) < 0.15
