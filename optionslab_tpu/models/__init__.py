@@ -58,7 +58,7 @@ from .jump_diffusion import (
     merton_mc_price,
     merton_price,
 )
-from .local_vol import DupireLocalVol, LocalVolSurface, sample_smile_iv_fn
+from .local_vol import DupireLocalVol, LocalVolSurface, local_vol_mc_price, sample_smile_iv_fn
 from .monte_carlo import (
     MCConfig,
     MCMethod,
@@ -109,7 +109,7 @@ __all__ = [
     "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",
     "merton_mc_price", "kou_mc_price",
     # local vol
-    "DupireLocalVol", "LocalVolSurface", "sample_smile_iv_fn",
+    "DupireLocalVol", "LocalVolSurface", "local_vol_mc_price", "sample_smile_iv_fn",
     # exotics
     "AsianOption", "BarrierOption", "LookbackOption", "AmericanOptionLSM",
     "AutocallableNote", "CliquetOption", "asian_price", "barrier_price",

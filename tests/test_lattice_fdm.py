@@ -112,3 +112,61 @@ class TestFDM:
     def test_solver_object(self):
         cn = CrankNicolsonSolver(n_space=201, n_time=100)
         assert abs(float(cn.price(*ATM)) - BS_CALL) < 0.05
+
+
+class TestLocalVol:
+    def test_flat_surface_reproduces_bs(self):
+        import jax.numpy as jnp
+
+        from optionslab_tpu.models.local_vol import DupireLocalVol, local_vol_mc_price
+
+        flat = lambda k, t: jnp.asarray(0.2) + 0.0 * k + 0.0 * t
+        lv = DupireLocalVol(flat, 100.0, 0.05)
+        # PDE pricer
+        assert abs(float(lv.price(100.0, 100.0, 1.0)) - BS_CALL) < 2e-2
+        # MC pricer
+        p, se = local_vol_mc_price(lv, 100.0, 1.0, n_paths=200_000)
+        assert abs(float(p) - BS_CALL) < 3 * float(se) + 5e-3
+
+    def test_smile_consistency_mc_reprices_vanillas(self):
+        """The Dupire round-trip: IV surface → local vol → MC → must return
+        the input smile's BS prices (the fundamental consistency property)."""
+        import jax.numpy as jnp
+
+        from optionslab_tpu.models.local_vol import (
+            DupireLocalVol,
+            local_vol_mc_price,
+            sample_smile_iv_fn,
+        )
+
+        smile = sample_smile_iv_fn()
+        lv = DupireLocalVol(smile, 100.0, 0.05)
+        for strike in (90.0, 100.0, 110.0):
+            k = float(jnp.log(strike / (100.0 * np.exp(0.05))))
+            iv = float(smile(jnp.asarray(k), jnp.asarray(1.0)))
+            target = float(bs_price(100.0, strike, 1.0, 0.05, iv, 1.0, 0.0))
+            p, se = local_vol_mc_price(lv, strike, 1.0, n_paths=200_000, n_steps=150)
+            assert abs(float(p) - target) < 3 * float(se) + 2e-2, strike
+
+    def test_asian_under_local_vol(self):
+        from optionslab_tpu.models.local_vol import (
+            DupireLocalVol,
+            local_vol_mc_price,
+            sample_smile_iv_fn,
+        )
+
+        lv = DupireLocalVol(sample_smile_iv_fn(), 100.0, 0.05)
+        p_asian, _ = local_vol_mc_price(lv, 100.0, 1.0, payoff="asian", n_paths=100_000)
+        p_euro, _ = local_vol_mc_price(lv, 100.0, 1.0, n_paths=100_000)
+        assert 0 < float(p_asian) < float(p_euro)
+
+    def test_bad_payoff_raises(self):
+        import jax.numpy as jnp
+
+        from optionslab_tpu.models.local_vol import DupireLocalVol, local_vol_mc_price
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        flat = lambda k, t: jnp.asarray(0.2) + 0.0 * k + 0.0 * t
+        lv = DupireLocalVol(flat, 100.0, 0.05, n_k=21, n_t=6)
+        with pytest.raises(ValidationError):
+            local_vol_mc_price(lv, 100.0, 1.0, payoff="rainbow")
