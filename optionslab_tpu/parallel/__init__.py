@@ -1,5 +1,6 @@
 from .mesh import BOOK_AXIS, PATH_AXIS, book_sharding, make_mesh, path_sharding, replicated
 from .sharded_mc import sharded_book_price, sharded_mc_price
+from .sharded_risk import sharded_historical_var_es, sharded_mc_var
 
 __all__ = [
     "BOOK_AXIS",
@@ -10,4 +11,6 @@ __all__ = [
     "replicated",
     "sharded_mc_price",
     "sharded_book_price",
+    "sharded_historical_var_es",
+    "sharded_mc_var",
 ]

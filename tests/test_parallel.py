@@ -61,3 +61,47 @@ class TestShardedMC:
         mesh = make_mesh(8)
         with pytest.raises(ValueError):
             sharded_mc_price(_batch(), KEY, MCConfig(n_paths=1004, dtype=jnp.float64), mesh)
+
+
+class TestShardedRisk:
+    def test_sharded_var_matches_global_sort(self, eight_devices):
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from optionslab_tpu.parallel.mesh import PATH_AXIS
+        from optionslab_tpu.parallel.sharded_risk import sharded_historical_var_es
+        from optionslab_tpu.risk import historical_es, historical_var
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(3)
+        pnl = rng.normal(0.0, 2.0, 80_000).astype(np.float32)
+        sharded = jax.device_put(jnp.asarray(pnl), NamedSharding(mesh, P(PATH_AXIS)))
+        var_s, es_s = sharded_historical_var_es(sharded, 0.95, mesh)
+        # exact match with the single-device sorted estimator (tail-based
+        # definition: VaR = m-th worst loss where m = ceil((1-c)·n))
+        from optionslab_tpu.parallel.sharded_risk import _tail_count
+
+        srt = np.sort(pnl)
+        m = _tail_count(0.95, pnl.size)
+        assert abs(float(var_s) - (-srt[m - 1])) < 1e-5
+        assert abs(float(es_s) - (-srt[:m].mean())) < 1e-5
+        # and statistically consistent with the quantile-based estimators
+        assert abs(float(var_s) - float(historical_var(pnl, 0.95))) < 0.05
+        assert abs(float(es_s) - float(historical_es(pnl, 0.95))) < 0.05
+
+    def test_sharded_mc_var(self, eight_devices):
+        from optionslab_tpu.parallel.sharded_risk import sharded_mc_var
+        from optionslab_tpu.risk import lognormal_var
+
+        mesh = make_mesh(8)
+        var, es = sharded_mc_var(100.0, 0.05, 0.2, KEY, mesh, 0.95, 1.0, 400_000)
+        cf = float(lognormal_var(100.0, 0.05, 0.2, 0.95, 1.0))
+        assert abs(float(var) - cf) < 0.5
+        assert float(es) > float(var)
+
+    def test_indivisible_paths_raise(self, eight_devices):
+        from optionslab_tpu.parallel.sharded_risk import sharded_mc_var
+
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError):
+            sharded_mc_var(100.0, 0.05, 0.2, KEY, mesh, n_paths=1001)
