@@ -148,14 +148,15 @@ class TestPINN:
     def trained(self):
         df = generate_synthetic_chain(n_rows=400, seed=7)
         df = engineer_features(df)
-        m = PINNVolatilityModel(hidden_layers=(32, 32), epochs=400, preset="medium", seed=0)
+        m = PINNVolatilityModel(hidden_layers=(32, 32), epochs=800, preset="medium", seed=0)
         m.train(df)
         return m, df
 
     def test_fit_quality(self, trained):
         m, df = trained
         metrics = m.evaluate(df)
-        assert metrics["rmse"] < 0.05
+        # penalty annealing fits to near the synthetic noise floor (0.004)
+        assert metrics["rmse"] < 0.012
 
     def test_arbitrage_audit(self, trained):
         m, _ = trained
