@@ -166,18 +166,26 @@ class ExportValidator:
 
 
 def export_surface_model(model, path, example_df=None) -> ExportResult:
-    """Convenience: export a trained JAX surface model's scaled forward
-    (scaler folded into the graph) + parity-check it."""
-    from ..surface.nn_core import apply_mlp
+    """Convenience: export a trained JAX surface model's forward (any input
+    preprocessing folded into the graph) + parity-check it.
 
+    Models may define ``export_forward() -> fn`` taking the RAW feature
+    matrix (n, n_features); otherwise the default scaler+MLP pipeline is
+    exported."""
     if getattr(model, "params", None) is None:
         raise ModelError("model must be trained before export")
-    mean = jnp.asarray(model.scaler.mean_, jnp.float32)
-    scale = jnp.asarray(model.scaler.scale_, jnp.float32)
-    params = model.params
 
-    def fn(x):
-        return apply_mlp(params, (x - mean) / scale)
+    if hasattr(model, "export_forward"):
+        fn = model.export_forward()
+    else:
+        from ..surface.nn_core import apply_mlp
+
+        mean = jnp.asarray(model.scaler.mean_, jnp.float32)
+        scale = jnp.asarray(model.scaler.scale_, jnp.float32)
+        params = model.params
+
+        def fn(x):
+            return apply_mlp(params, (x - mean) / scale)
 
     example = jnp.zeros((4, len(model.feature_columns)), jnp.float32)
     result = ModelExporter.export(fn, example, path,

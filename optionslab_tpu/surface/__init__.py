@@ -36,6 +36,7 @@ from .svi import (
     SVIParams,
     calibrate_ssvi,
     calibrate_svi,
+    calibrate_svi_surface,
     ssvi_total_variance,
     svi_g,
     svi_implied_vol,
@@ -48,7 +49,7 @@ __all__ = [
     "validate_features", "FEATURE_COLUMNS", "BASE_COLUMNS", "TARGET_COLUMN",
     "engineer_features",
     "SVIModel", "SVIParams", "SSVIModel", "SSVIParams", "calibrate_svi",
-    "calibrate_ssvi", "svi_total_variance", "svi_implied_vol", "svi_g",
+    "calibrate_ssvi", "calibrate_svi_surface", "svi_total_variance", "svi_implied_vol", "svi_g",
     "svi_local_variance", "ssvi_total_variance",
     "MLPModel", "PINNVolatilityModel", "KernelRidgeModel", "SVRModel",
     "RandomForestVolatilityModel", "GradientBoostingVolatilityModel",

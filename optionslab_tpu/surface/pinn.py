@@ -197,6 +197,17 @@ class PINNVolatilityModel(VolatilityModelBase):
         w = _w_fn(self.params, jnp.asarray(k, jnp.float32), jnp.asarray(t, jnp.float32))
         return jnp.sqrt(jnp.maximum(w, 1e-12) / jnp.maximum(jnp.asarray(t, jnp.float32), 1e-6))
 
+    def export_forward(self):
+        """Deployable forward for jax.export: raw (k, T) feature matrix →
+        implied vol column (used by ``optimize.export_surface_model``)."""
+        params = self.params
+
+        def fn(x):
+            w = _w_fn(params, x[:, 0], x[:, 1])
+            return jnp.sqrt(jnp.maximum(w, 1e-12) / jnp.maximum(x[:, 1], 1e-6))[:, None]
+
+        return fn
+
     def _predict_impl(self, df) -> np.ndarray:
         return np.asarray(self._iv(df["log_moneyness"].to_numpy(),
                                    df["time_to_maturity"].to_numpy())).ravel()

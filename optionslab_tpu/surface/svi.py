@@ -274,3 +274,32 @@ class SSVIModel:
     def calibrate(self, log_strikes, thetas, total_variances, **kw):
         self.params, loss = calibrate_ssvi(log_strikes, thetas, total_variances, **kw)
         return loss
+
+
+def calibrate_svi_surface(log_strikes, maturities, iv_grid, n_steps: int = 800,
+                          learning_rate: float = 0.02):
+    """Calibrate one SVI slice per maturity and report cross-slice
+    no-arbitrage diagnostics.
+
+    ``iv_grid``: (n_maturities, n_strikes). Returns (params_list,
+    report dict with per-slice loss, butterfly-free flags, and the calendar
+    violation rate of the FITTED surface).
+    """
+    k = jnp.asarray(log_strikes, jnp.float32)
+    mats = np.asarray(maturities, np.float64)
+    iv_grid = np.asarray(iv_grid, np.float64)
+    params_list, losses = [], []
+    for i, t in enumerate(mats):
+        p, loss = calibrate_svi(k, vols=iv_grid[i], maturity=float(t),
+                                n_steps=n_steps, learning_rate=learning_rate)
+        params_list.append(p)
+        losses.append(loss)
+    w_fit = np.stack([np.asarray(svi_total_variance(k, p)) for p in params_list])
+    cal_viol = float(np.mean(np.diff(w_fit, axis=0) < -1e-8))
+    bfly_free = [check_butterfly(p, k) for p in params_list]
+    return params_list, {
+        "slice_losses": losses,
+        "butterfly_free": bfly_free,
+        "calendar_violation_rate": cal_viol,
+        "arbitrage_free": cal_viol == 0.0 and all(bfly_free),
+    }
