@@ -52,6 +52,40 @@ def main():
     jax.block_until_ready(res)
     book_ms = (time.perf_counter() - t0) / 5 * 1e3
 
+    # secondary: exotic + Heston kernels and the QMC sampler (quick passes)
+    extras = {}
+    try:
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_price
+
+        p, _, n_e = pallas_exotic_price("asian_arith", 100.0, 100.0, 1.0, 0.05, 0.2,
+                                        n_paths=4_000_000, n_steps=252, seed=0)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        for i in range(3):
+            p, _, _ = pallas_exotic_price("asian_arith", 100.0, 100.0, 1.0, 0.05, 0.2,
+                                          n_paths=4_000_000, n_steps=252, seed=10 + i)
+        jax.block_until_ready(p)
+        extras["asian_path_steps_per_sec"] = round(n_e * 252 / ((time.perf_counter() - t0) / 3), 1)
+
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.ops.heston_pallas import pallas_heston_price
+
+        hp, _, n_h = pallas_heston_price(100.0, 100.0, 1.0, 0.05, HestonParams.make(),
+                                         n_paths=4_000_000, n_steps=100, seed=0)
+        jax.block_until_ready(hp)
+        t0 = time.perf_counter()
+        for i in range(3):
+            hp, _, _ = pallas_heston_price(100.0, 100.0, 1.0, 0.05, HestonParams.make(),
+                                           n_paths=4_000_000, n_steps=100, seed=1 + i)
+        jax.block_until_ready(hp)
+        extras["heston_path_steps_per_sec"] = round(
+            n_h * 100 / ((time.perf_counter() - t0) / 3), 1)
+
+        q = pallas_mc_price_greeks(batch, n_paths=16_000_000, seed=0, sampler="sobol")
+        extras["qmc_16m_price_abs_err"] = round(abs(float(q["price"]) - exact), 8)
+    except Exception as e:  # pragma: no cover - secondary metrics best-effort
+        extras["secondary_error"] = f"{type(e).__name__}: {e}"
+
     baseline = 3.33e7  # reference CPU anchor, price only
     result = {
         "metric": "pallas_gbm_mc_paths_per_sec_with_full_greeks",
@@ -68,6 +102,7 @@ def main():
             "price_exact_bs": exact,
             "stderr": round(stderr, 6),
             "book_1024x%dk_full_greeks_ms" % (book_paths // 1000): round(book_ms, 2),
+            **extras,
         },
     }
     print(json.dumps(result))
