@@ -30,8 +30,10 @@ from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 
 
-def _grid(spot, vol, maturity, n_space, width):
-    """Uniform log-spot grid centered on log(S0): x in [logS0 ± width·σ√T].
+def _grid(spot, vol, maturity, n_space, width, strike=None):
+    """Uniform log-spot grid centered on log(S0), wide enough to cover both
+    the diffusion cone (±width·σ√T) and the strike (payoff kink must lie
+    well inside the mesh for deep-ITM/OTM contracts).
 
     The grid is STOP-GRADIENTED: differentiating the price wrt S/σ/T must
     not move the mesh (otherwise AD returns the derivative at fixed
@@ -40,6 +42,8 @@ def _grid(spot, vol, maturity, n_space, width):
     """
     t = jnp.maximum(maturity, EPS_TIME)
     half = width * jnp.maximum(vol, 0.05) * jnp.sqrt(t)
+    if strike is not None:
+        half = half + jnp.abs(jnp.log(spot / strike))
     x0 = jnp.log(spot)
     x = x0 + jnp.linspace(-1.0, 1.0, n_space) * half
     x = jax.lax.stop_gradient(x)
@@ -63,7 +67,7 @@ def _cn_single(spot, strike, maturity, rate, vol, dividend, cp,
                width: float = 6.0):
     """One contract: θ-scheme (θ=0.5 CN, θ=1 implicit) on log-spot grid."""
     t = jnp.maximum(maturity, EPS_TIME)
-    x, dx = _grid(spot, vol, maturity, n_space, width)
+    x, dx = _grid(spot, vol, maturity, n_space, width, strike)
     s_nodes = jnp.exp(x)
     dt = t / n_time
     sig2 = vol * vol
@@ -150,7 +154,7 @@ def explicit_fdm_price(batch: ContractBatch, n_space: int = 201, n_time: int = 2
 
     def single(s, k, t, r, sig, q, cp):
         tt = jnp.maximum(t, EPS_TIME)
-        x, dx = _grid(s, sig, t, n_space, 6.0)
+        x, dx = _grid(s, sig, t, n_space, 6.0, k)
         s_nodes = jnp.exp(x)
         dt = tt / n_time
         sig2 = sig * sig

@@ -32,7 +32,8 @@ def check_put_call_parity(call_price, put_price, spot, strike, maturity, rate,
     }
 
 
-def check_price_bounds(price, spot, strike, maturity, rate, cp=1.0, dividend=0.0) -> dict:
+def check_price_bounds(price, spot, strike, maturity, rate, cp=1.0, dividend=0.0,
+                       atol: float = 1e-10) -> dict:
     """European no-arbitrage bounds (reference: validation.py:55):
     call: max(S·e^{-qT} - K·e^{-rT}, 0) <= C <= S·e^{-qT}
     put:  max(K·e^{-rT} - S·e^{-qT}, 0) <= P <= K·e^{-rT}
@@ -44,7 +45,7 @@ def check_price_bounds(price, spot, strike, maturity, rate, cp=1.0, dividend=0.0
     cp = jnp.asarray(cp)
     lower = jnp.maximum(cp * (s - k), 0.0)
     upper = jnp.where(cp > 0, s, k)
-    ok = (p >= lower - 1e-10) & (p <= upper + 1e-10)
+    ok = (p >= lower - atol) & (p <= upper + atol)
     return {"passed": bool(jnp.all(ok)), "violations": np.asarray(~ok)}
 
 
@@ -109,7 +110,7 @@ def mc_convergence_study(spot=100.0, strike=100.0, maturity=1.0, rate=0.05,
 
 
 def validate_pricer(price_fn, n_points: int = 32, seed: int = 0,
-                    atol_parity: float = 5e-3) -> dict:
+                    atol_parity: float = 5e-3, atol_bounds: float = 1e-10) -> dict:
     """End-to-end pricer audit: random parameter sweep through parity,
     bounds, and Greek checks. ``price_fn(S,K,T,r,sigma,cp,q) -> price``."""
     rng = np.random.default_rng(seed)
@@ -121,8 +122,8 @@ def validate_pricer(price_fn, n_points: int = 32, seed: int = 0,
     calls = np.asarray(price_fn(S, K, T, r, sig, 1.0, 0.0))
     puts = np.asarray(price_fn(S, K, T, r, sig, -1.0, 0.0))
     parity = check_put_call_parity(calls, puts, S, K, T, r, atol=atol_parity)
-    bounds_c = check_price_bounds(calls, S, K, T, r, 1.0)
-    bounds_p = check_price_bounds(puts, S, K, T, r, -1.0)
+    bounds_c = check_price_bounds(calls, S, K, T, r, 1.0, atol=atol_bounds)
+    bounds_p = check_price_bounds(puts, S, K, T, r, -1.0, atol=atol_bounds)
     return {
         "parity": parity,
         "call_bounds": bounds_c,
