@@ -59,6 +59,12 @@ from .jump_diffusion import (
     merton_price,
 )
 from .local_vol import DupireLocalVol, LocalVolSurface, local_vol_mc_price, sample_smile_iv_fn
+from .qmc_exotics import (
+    brownian_bridge_paths,
+    qmc_asian_price,
+    qmc_barrier_price,
+    qmc_lookback_price,
+)
 from .monte_carlo import (
     MCConfig,
     MCMethod,
@@ -117,6 +123,9 @@ __all__ = [
     "cliquet_price", "exotic_greeks", "geometric_asian_closed_form", "lsm_exercise_boundary",
     "price_asian_option", "price_barrier_option", "price_american_lsm",
     "price_lookback_option",
+    # QMC exotics (Brownian-bridge Sobol)
+    "qmc_asian_price", "qmc_barrier_price", "qmc_lookback_price",
+    "brownian_bridge_paths",
     # surrogate
     "MonteCarloMLSurrogate", "generate_training_data",
     # reference-name aliases
