@@ -103,6 +103,43 @@ def handle_mc(body: dict) -> dict:
             **{k: _to_jsonable(v) for k, v in g.items() if k != "price"}}
 
 
+def handle_exotic(body: dict) -> dict:
+    from .models import (
+        AmericanOptionLSM,
+        AsianOption,
+        BarrierOption,
+        CliquetOption,
+        LookbackOption,
+    )
+
+    p, _ = _contract(body)
+    kind = body.get("kind", "asian")
+    n_paths = int(body.get("n_paths", 100_000))
+    common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
+    if kind == "asian":
+        opt = AsianOption(*common, option_type=p["option_type"], n_paths=n_paths,
+                          averaging=body.get("averaging", "arithmetic"))
+    elif kind == "barrier":
+        opt = BarrierOption(p["spot"], p["strike"], float(body.get("barrier", 120.0)),
+                            p["maturity"], p["rate"], p["vol"],
+                            option_type=p["option_type"],
+                            barrier_type=body.get("barrier_type", "up-and-out"),
+                            continuous=bool(body.get("continuous", False)),
+                            n_paths=n_paths)
+    elif kind == "lookback":
+        opt = LookbackOption(*common, option_type=p["option_type"], n_paths=n_paths,
+                             floating=bool(body.get("floating", True)))
+    elif kind == "american":
+        opt = AmericanOptionLSM(*common, option_type=p["option_type"], n_paths=n_paths)
+    elif kind == "cliquet":
+        opt = CliquetOption(p["spot"], p["maturity"], p["rate"], p["vol"],
+                            n_paths=n_paths)
+    else:
+        raise ValueError(f"unknown exotic kind {kind!r}")
+    price, se = opt.price(return_stderr=True)
+    return {"kind": kind, "price": _to_jsonable(price), "std_error": _to_jsonable(se)}
+
+
 def handle_iv(body: dict) -> dict:
     from .models import implied_volatility
 
@@ -117,6 +154,7 @@ ROUTES = {
     "/greeks": handle_greeks,
     "/mc": handle_mc,
     "/iv": handle_iv,
+    "/exotic": handle_exotic,
     "/batch/price": handle_price,  # same handler — fields may be lists
 }
 

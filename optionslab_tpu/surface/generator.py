@@ -130,3 +130,32 @@ class VolatilitySurfaceGenerator:
 
     def clear_cache(self):
         self._cache.clear()
+
+    def plot_surface(self, strike_grid=None, maturity_grid=None, path=None):
+        """3-D surface render (reference: ``surface_generator.py:269-323``
+        matplotlib demo). Returns the figure; saves to ``path`` if given.
+        Requires matplotlib (import-gated)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError as e:  # pragma: no cover
+            from ..utils.exceptions import DependencyError
+
+            raise DependencyError("matplotlib is required for plot_surface") from e
+        kg = np.asarray(strike_grid if strike_grid is not None
+                        else np.linspace(-0.3, 0.3, 25), np.float32)
+        tg = np.asarray(maturity_grid if maturity_grid is not None
+                        else np.linspace(0.1, 2.0, 15), np.float32)
+        iv = self.generate_surface(kg, tg)
+        kk, tt = np.meshgrid(kg, tg)
+        fig = plt.figure(figsize=(8, 5))
+        ax = fig.add_subplot(projection="3d")
+        ax.plot_surface(kk, tt, iv, cmap="viridis", linewidth=0)
+        ax.set_xlabel("strike coordinate")
+        ax.set_ylabel("maturity")
+        ax.set_zlabel("implied vol")
+        if path:
+            fig.savefig(path, dpi=110, bbox_inches="tight")
+        return fig

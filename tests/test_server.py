@@ -92,3 +92,19 @@ class TestServer:
         [t.start() for t in threads]
         [t.join() for t in threads]
         assert results == [200] * 8
+
+
+class TestExoticEndpoint:
+    def test_asian(self, server):
+        status, body = _post(server, "/exotic", {"kind": "asian", "n_paths": 20000})
+        assert status == 200 and 0 < body["price"] < 10.45
+
+    def test_continuous_barrier(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "barrier", "barrier": 120.0, "continuous": True,
+            "n_paths": 20000})
+        assert status == 200 and 0 < body["price"] < 10.45
+
+    def test_unknown_kind_400(self, server):
+        status, body = _post(server, "/exotic", {"kind": "rainbow"})
+        assert status == 400

@@ -283,3 +283,13 @@ class TestGridSearch:
         assert best["gamma"] in (0.3, 1.0)
         assert len(results) == 2
         assert score < 0.1
+
+
+class TestGeneratorPlot:
+    def test_plot_surface_saves_png(self, tmp_path):
+        k, t, iv = generate_synthetic_surface(11, 4)
+        kk, tt = np.meshgrid(k, t)
+        gen = VolatilitySurfaceGenerator(kk.ravel(), tt.ravel(), iv.ravel(), method="idw")
+        out = tmp_path / "surface.png"
+        gen.plot_surface(path=out)
+        assert out.exists() and out.stat().st_size > 1000
