@@ -30,29 +30,54 @@ from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 
 
-def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool, n_steps: int):
+def _peizer_pratt(z, n):
+    """Peizer–Pratt method-2 inversion used by the Leisen–Reimer tree."""
+    denom = n + 1.0 / 3.0 + 0.1 / (n + 1.0)
+    inner = 1.0 - jnp.exp(-((z / denom) ** 2) * (n + 1.0 / 6.0))
+    return 0.5 + jnp.sign(z) * 0.5 * jnp.sqrt(jnp.maximum(inner, 0.0))
+
+
+def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool,
+               n_steps: int, method: str = "crr"):
     """One contract's lattice. Returns (price, node captures for greeks).
 
     Fixed-width vectors of length n_steps+1; index j holds the node with j
     up-moves. The scan runs from step n_steps-1 down to step 0; the value
     vectors at steps 2, 1, 0 are captured for lattice greeks.
+
+    ``method="leisen-reimer"`` uses the Peizer–Pratt lattice (odd n_steps):
+    O(1/N²) convergence vs CRR's oscillating O(1/N) — ~100 steps of LR beat
+    thousands of CRR steps for Europeans and Americans alike.
     """
     dtype = jnp.result_type(spot, strike, vol)
     t = jnp.maximum(maturity, EPS_TIME)
     dt = t / n_steps
     sqrt_dt = jnp.sqrt(dt)
-    u_log = vol * sqrt_dt
     disc = jnp.exp(-rate * dt)
     growth = jnp.exp((rate - dividend) * dt)
-    # risk-neutral up-probability, clamped (reference: binomial_tree.py:77-81)
-    p = (growth - jnp.exp(-u_log)) / jnp.maximum(jnp.exp(u_log) - jnp.exp(-u_log), 1e-12)
-    p = jnp.clip(p, 0.0, 1.0)
+    if method == "leisen-reimer":
+        sig_sqrt_t = jnp.maximum(vol, 1e-8) * jnp.sqrt(t)
+        d1 = (jnp.log(spot / strike) + (rate - dividend + 0.5 * vol * vol) * t) / sig_sqrt_t
+        d2 = d1 - sig_sqrt_t
+        n_f = jnp.asarray(float(n_steps), dtype)
+        p = jnp.clip(_peizer_pratt(d2, n_f), 1e-9, 1.0 - 1e-9)
+        p_star = jnp.clip(_peizer_pratt(d1, n_f), 1e-9, 1.0 - 1e-9)
+        u = growth * p_star / p
+        d = (growth - p * u) / (1.0 - p)
+        lu = jnp.log(u)
+        ld = jnp.log(jnp.maximum(d, 1e-12))
+    else:
+        u_log = vol * sqrt_dt
+        lu, ld = u_log, -u_log
+        # risk-neutral up-probability, clamped (reference: binomial_tree.py:77-81)
+        p = (growth - jnp.exp(-u_log)) / jnp.maximum(jnp.exp(u_log) - jnp.exp(-u_log), 1e-12)
+        p = jnp.clip(p, 0.0, 1.0)
 
     j = jnp.arange(n_steps + 1, dtype=dtype)
 
     def node_spots(step):
-        # S at step `step`, node j: S0 * exp((2j - step) * σ√dt)
-        return spot * jnp.exp((2.0 * j - step) * u_log)
+        # S at step `step`, node j: S0 * exp(j·ln u + (step-j)·ln d)
+        return spot * jnp.exp(j * lu + (step - j) * ld)
 
     v = jnp.maximum(cp * (node_spots(n_steps) - strike), 0.0)
 
@@ -72,37 +97,41 @@ def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool, 
     if n_steps >= 1:
         v, _ = step_back(v, jnp.asarray(0.0, dtype))
     price = v[0]
-    return price, (v1, v2, u_log, dt)
+    return price, (v1, v2, (lu, ld), dt)
 
 
 def _lattice_greeks(spot, v1, v2, u_log, dt, price):
     """Delta/gamma/theta from captured nodes (reference: binomial_tree.py:118-142)."""
-    s_u = spot * jnp.exp(u_log)
-    s_d = spot * jnp.exp(-u_log)
+    lu, ld = u_log  # (log-up, log-down)
+    s_u = spot * jnp.exp(lu)
+    s_d = spot * jnp.exp(ld)
     delta = (v1[1] - v1[0]) / jnp.maximum(s_u - s_d, 1e-12)
-    s_uu = spot * jnp.exp(2 * u_log)
-    s_dd = spot * jnp.exp(-2 * u_log)
-    d_up = (v2[2] - v2[1]) / jnp.maximum(s_uu - spot, 1e-12)
-    d_dn = (v2[1] - v2[0]) / jnp.maximum(spot - s_dd, 1e-12)
+    s_uu = spot * jnp.exp(2 * lu)
+    s_dd = spot * jnp.exp(2 * ld)
+    s_ud = spot * jnp.exp(lu + ld)
+    d_up = (v2[2] - v2[1]) / jnp.maximum(s_uu - s_ud, 1e-12)
+    d_dn = (v2[1] - v2[0]) / jnp.maximum(s_ud - s_dd, 1e-12)
     gamma = (d_up - d_dn) / jnp.maximum(0.5 * (s_uu - s_dd), 1e-12)
     theta = (v2[1] - price) / jnp.maximum(2.0 * dt, 1e-12)
     return delta, gamma, theta
 
 
-@functools.partial(jax.jit, static_argnames=("american", "n_steps", "richardson"))
+@functools.partial(jax.jit, static_argnames=("american", "n_steps", "richardson",
+                                             "method"))
 def binomial_price(batch: ContractBatch, american: bool = False, n_steps: int = 512,
-                   richardson: bool = False) -> jnp.ndarray:
+                   richardson: bool = False, method: str = "crr") -> jnp.ndarray:
     """Whole-book lattice pricing in one launch.
 
     ``richardson=True`` averages the N and N+1 step lattices, cancelling
     the CRR even/odd oscillation (≈ one order of accuracy for the cost of
     a second vmapped solve — both run in the same launch).
+    ``method="leisen-reimer"`` (odd ``n_steps``) converges O(1/N²).
     """
     b = batch.broadcast()
 
     def single(n):
         def inner(s, k, t, r, sig, q, cp):
-            price, _ = _crr_solve(s, k, t, r, sig, q, cp, american, n)
+            price, _ = _crr_solve(s, k, t, r, sig, q, cp, american, n, method)
             return price
         return inner
 
@@ -111,14 +140,17 @@ def binomial_price(batch: ContractBatch, american: bool = False, n_steps: int = 
             flat.dividend, flat.cp)
     prices = jax.vmap(single(n_steps))(*args)
     if richardson:
-        prices = 0.5 * (prices + jax.vmap(single(n_steps + 1))(*args))
+        # LR needs odd step counts: jump by 2 for its Richardson partner
+        partner = n_steps + (2 if method == "leisen-reimer" else 1)
+        prices = 0.5 * (prices + jax.vmap(single(partner))(*args))
     intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
     prices = jnp.where(flat.maturity <= EPS_TIME, intrinsic, prices)
     return prices.reshape(b.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("american", "n_steps"))
-def binomial_greeks(batch: ContractBatch, american: bool = False, n_steps: int = 512) -> dict:
+@functools.partial(jax.jit, static_argnames=("american", "n_steps", "method"))
+def binomial_greeks(batch: ContractBatch, american: bool = False, n_steps: int = 512,
+                    method: str = "crr") -> dict:
     """Price + full Greek ladder from ONE lattice per contract.
 
     delta/gamma/theta: lattice-analytic (node capture).
@@ -130,12 +162,13 @@ def binomial_greeks(batch: ContractBatch, american: bool = False, n_steps: int =
     flat = jax.tree.map(lambda x: x.reshape(-1), b)
 
     def single_all(s, k, t, r, sig, q, cp):
-        price, (v1, v2, u_log, dt) = _crr_solve(s, k, t, r, sig, q, cp, american, n_steps)
+        price, (v1, v2, u_log, dt) = _crr_solve(s, k, t, r, sig, q, cp, american,
+                                                n_steps, method)
         delta, gamma, theta = _lattice_greeks(s, v1, v2, u_log, dt, price)
         return price, delta, gamma, theta
 
     def price_only(s, k, t, r, sig, q, cp):
-        return _crr_solve(s, k, t, r, sig, q, cp, american, n_steps)[0]
+        return _crr_solve(s, k, t, r, sig, q, cp, american, n_steps, method)[0]
 
     price, delta, gamma, theta = jax.vmap(single_all)(
         flat.spot, flat.strike, flat.maturity, flat.rate, flat.vol, flat.dividend, flat.cp
@@ -162,19 +195,27 @@ class BinomialTree:
     (``binomial_tree.py:147``): price/delta/gamma/theta/vega/rho/
     calculate_all with scalar or array inputs."""
 
-    def __init__(self, n_steps: int = 512, american: bool = False):
+    def __init__(self, n_steps: int = 512, american: bool = False,
+                 method: str = "crr"):
         if n_steps < 3:
             raise ValidationError(f"n_steps must be >= 3, got {n_steps}")
+        if method not in ("crr", "leisen-reimer"):
+            raise ValidationError(f"method must be crr|leisen-reimer, got {method!r}")
+        if method == "leisen-reimer" and n_steps % 2 == 0:
+            n_steps += 1  # LR requires odd step counts
         self.n_steps = n_steps
         self.american = american
+        self.method = method
 
     def _greeks(self, S, K, T, r, sigma, option_type, q):
         batch = ContractBatch.make(S, K, T, r, sigma, option_type, q)
-        return binomial_greeks(batch, american=self.american, n_steps=self.n_steps)
+        return binomial_greeks(batch, american=self.american, n_steps=self.n_steps,
+                               method=self.method)
 
     def price(self, S, K, T, r, sigma, option_type="call", q=0.0):
         batch = ContractBatch.make(S, K, T, r, sigma, option_type, q)
-        return binomial_price(batch, american=self.american, n_steps=self.n_steps)
+        return binomial_price(batch, american=self.american, n_steps=self.n_steps,
+                              method=self.method)
 
     def delta(self, S, K, T, r, sigma, option_type="call", q=0.0):
         return self._greeks(S, K, T, r, sigma, option_type, q)["delta"]

@@ -170,3 +170,30 @@ class TestLocalVol:
         lv = DupireLocalVol(flat, 100.0, 0.05, n_k=21, n_t=6)
         with pytest.raises(ValidationError):
             local_vol_mc_price(lv, 100.0, 1.0, payoff="rainbow")
+
+
+class TestLeisenReimer:
+    def test_lr_converges_500x_faster_than_crr(self):
+        lr = float(binomial_price(_batch(), n_steps=101, method="leisen-reimer"))
+        crr = float(binomial_price(_batch(), n_steps=101))
+        assert abs(lr - BS_CALL) < 1e-4
+        assert abs(lr - BS_CALL) * 50 < abs(crr - BS_CALL)
+
+    def test_lr_american_put(self):
+        lr = float(binomial_price(_batch("put"), american=True, n_steps=201,
+                                  method="leisen-reimer"))
+        crr = float(binomial_price(_batch("put"), american=True, n_steps=2001))
+        assert abs(lr - crr) < 5e-3
+
+    def test_lr_greeks_match_bs(self):
+        g = binomial_greeks(_batch(), n_steps=201, method="leisen-reimer")
+        ex = bs_greeks(*[jnp.asarray(v, F) for v in ATM], 1.0, 0.0)
+        assert abs(float(g["delta"]) - float(ex["delta"])) < 1e-3
+        assert abs(float(g["vega"]) - float(ex["vega"])) < 0.05
+
+    def test_object_api_rounds_to_odd(self):
+        tree = BinomialTree(n_steps=100, method="leisen-reimer")
+        assert tree.n_steps == 101
+        assert abs(float(tree.price(*ATM)) - BS_CALL) < 1e-3
+        with pytest.raises(ValidationError):
+            BinomialTree(method="trinomial")
