@@ -12,6 +12,7 @@ Usage:
     python -m optionslab_tpu.cli var --value 1e6
     python -m optionslab_tpu.cli backtest
     python -m optionslab_tpu.cli bench-harness
+    python -m optionslab_tpu.cli serve --port 8777
     python -m optionslab_tpu.cli info
 """
 

@@ -8,6 +8,7 @@ same façade. Endpoints (all POST, JSON body, JSON response):
   /greeks  {contract fields...}                      → full BS Greek ladder
   /mc      {"n_paths": N, "method": "pallas|xla", contract fields...}
   /iv      {"price": P, contract fields...}
+  /exotic  {"kind": "asian|barrier|lookback|american|cliquet", ...}
   /batch/price {"model": "bs", "spot": [...], ...}   → batched pricing
   /health  (GET)
 
