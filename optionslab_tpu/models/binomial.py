@@ -31,10 +31,30 @@ from ..utils.exceptions import ValidationError
 
 
 def _peizer_pratt(z, n):
-    """Peizer–Pratt method-2 inversion used by the Leisen–Reimer tree."""
+    """Peizer–Pratt method-2 inversion used by the Leisen–Reimer tree.
+
+    ``-expm1(-u)`` instead of ``1 - exp(-u)``: u ≈ z²/n is tiny, and the
+    naive form cancels catastrophically in f32 (3e-2 price error on TPU
+    where exp is a couple of ulp worse than CPU's)."""
     denom = n + 1.0 / 3.0 + 0.1 / (n + 1.0)
-    inner = 1.0 - jnp.exp(-((z / denom) ** 2) * (n + 1.0 / 6.0))
+    u = ((z / denom) ** 2) * (n + 1.0 / 6.0)
+    # explicit series for small u (TPU lowers expm1 as exp-1, which cancels)
+    series = u * (1.0 - 0.5 * u + u * u / 6.0)
+    inner = jnp.where(u < 1e-2, series, -jnp.expm1(-u))
     return 0.5 + jnp.sign(z) * 0.5 * jnp.sqrt(jnp.maximum(inner, 0.0))
+
+
+def _exp_small(x):
+    """exp(x) with a Taylor branch for |x| < 0.03.
+
+    The per-step lattice factors exp(r·dt), exp(±σ√dt) have arguments of
+    order 1e-2–1e-4; the TPU's fast exp carries ~1e-5 ABSOLUTE error there,
+    which compounds n-fold through the induction (measured 2.5e-2 price
+    error at 101 steps). The 5-term series is exact to <1e-9 relative in
+    the branch and uses only correctly-rounded multiplies/adds.
+    """
+    series = 1.0 + x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x / 24.0)))
+    return jnp.where(jnp.abs(x) < 0.03, series, jnp.exp(x))
 
 
 def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool,
@@ -53,8 +73,8 @@ def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool,
     t = jnp.maximum(maturity, EPS_TIME)
     dt = t / n_steps
     sqrt_dt = jnp.sqrt(dt)
-    disc = jnp.exp(-rate * dt)
-    growth = jnp.exp((rate - dividend) * dt)
+    disc = _exp_small(-rate * dt)
+    growth = _exp_small((rate - dividend) * dt)
     if method == "leisen-reimer":
         sig_sqrt_t = jnp.maximum(vol, 1e-8) * jnp.sqrt(t)
         d1 = (jnp.log(spot / strike) + (rate - dividend + 0.5 * vol * vol) * t) / sig_sqrt_t
@@ -64,39 +84,50 @@ def _crr_solve(spot, strike, maturity, rate, vol, dividend, cp, american: bool,
         p_star = jnp.clip(_peizer_pratt(d1, n_f), 1e-9, 1.0 - 1e-9)
         u = growth * p_star / p
         d = (growth - p * u) / (1.0 - p)
-        lu = jnp.log(u)
-        ld = jnp.log(jnp.maximum(d, 1e-12))
     else:
         u_log = vol * sqrt_dt
-        lu, ld = u_log, -u_log
+        u = _exp_small(u_log)
+        d = _exp_small(-u_log)
         # risk-neutral up-probability, clamped (reference: binomial_tree.py:77-81)
-        p = (growth - jnp.exp(-u_log)) / jnp.maximum(jnp.exp(u_log) - jnp.exp(-u_log), 1e-12)
+        p = (growth - d) / jnp.maximum(u - d, 1e-12)
         p = jnp.clip(p, 0.0, 1.0)
+    lu = jnp.log(u)
+    ld = jnp.log(jnp.maximum(d, 1e-12))
 
-    j = jnp.arange(n_steps + 1, dtype=dtype)
+    # Node spots by EXACT cumulative products, never exp(j·log u): on TPU
+    # the transcendentals carry ~1e-5 relative error which exp(j·lu)
+    # amplifies j-fold (measured 2.5e-2 price error at 101 steps); cumprod
+    # multiplications are correctly rounded, growing only ~√n ulp.
+    ratio = u / jnp.maximum(d, 1e-12)
+    ratio_vec = jnp.concatenate([jnp.ones((1,), dtype),
+                                 jnp.full((n_steps,), ratio, dtype)])
+    up_over_down = jnp.cumprod(ratio_vec)  # (u/d)^j, exact mults
+    d_pows = jnp.cumprod(jnp.full((n_steps,), d, dtype))  # d^(i+1)
+    s_terminal = spot * d_pows[-1] * up_over_down  # S0·d^n·(u/d)^j
 
-    def node_spots(step):
-        # S at step `step`, node j: S0 * exp(j·ln u + (step-j)·ln d)
-        return spot * jnp.exp(j * lu + (step - j) * ld)
+    v = jnp.maximum(cp * (s_terminal - strike), 0.0)
+    inv_d = 1.0 / jnp.maximum(d, 1e-12)
 
-    v = jnp.maximum(cp * (node_spots(n_steps) - strike), 0.0)
-
-    def step_back(v, step):
+    def step_back(carry, _):
+        v, s_row = carry
+        # spots one step earlier: remove one down-move from every node
+        s_row = s_row * inv_d
         cont = disc * (p * jnp.roll(v, -1) + (1.0 - p) * v)
         if american:
-            cont = jnp.maximum(cont, jnp.maximum(cp * (node_spots(step) - strike), 0.0))
-        return cont, None
+            cont = jnp.maximum(cont, jnp.maximum(cp * (s_row - strike), 0.0))
+        return (cont, s_row), None
 
     # scan down to step 2, then two explicit steps capturing nodes
-    steps = jnp.arange(n_steps - 1, 1, -1, dtype=dtype)
-    v, _ = lax.scan(step_back, v, steps) if n_steps > 2 else (v, None)
-    v2 = v  # values at step 2 (nodes 0..2) — or terminal if n_steps <= 2
+    carry = (v, s_terminal)
+    if n_steps > 2:
+        carry, _ = lax.scan(step_back, carry, None, length=n_steps - 2)
+    v2 = carry[0]  # values at step 2 (nodes 0..2) — or terminal if n_steps <= 2
     if n_steps >= 2:
-        v, _ = step_back(v, jnp.asarray(1.0, dtype))
-    v1 = v  # step 1 (nodes 0..1)
+        carry, _ = step_back(carry, None)
+    v1 = carry[0]  # step 1 (nodes 0..1)
     if n_steps >= 1:
-        v, _ = step_back(v, jnp.asarray(0.0, dtype))
-    price = v[0]
+        carry, _ = step_back(carry, None)
+    price = carry[0][0]
     return price, (v1, v2, (lu, ld), dt)
 
 
