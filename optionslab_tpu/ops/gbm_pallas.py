@@ -320,8 +320,9 @@ def pallas_paths_per_launch(batch: ContractBatch, n_paths: int) -> int:
 # ---------------------------------------------------------------------------
 # custom_vjp: make jax.grad compose with the fused kernel
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def pallas_mc_price(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pallas_mc_price(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0,
+                    sampler: str = "prng"):
     """Differentiable price through the fused kernel.
 
     ``jax.grad`` of this function returns the kernel's own pathwise/LR
@@ -333,27 +334,38 @@ def pallas_mc_price(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 
     return _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths, sampler)["price"]
 
 
-def _pallas_mc_price_fwd(batch, n_paths, seed):
-    out = _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths)
+def _pallas_mc_price_fwd(batch, n_paths, seed, sampler):
+    out = _full_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths, sampler)
     return out["price"], (out, batch)
 
 
-def _pallas_mc_price_bwd(n_paths, seed, res, g):
+def _pallas_mc_price_bwd(n_paths, seed, sampler, res, g):
     out, batch = res
     b = batch.broadcast()
 
-    def fit(grad):
-        # cotangent per original (possibly scalar/broadcast) field shape
-        return jnp.broadcast_to(grad * g, b.shape).astype(b.dtype)
+    def fit(grad, field):
+        # cotangent in the broadcast shape, then summed back over the
+        # dimensions that were broadcast relative to the primal field
+        # (standard broadcast-VJP semantics: a scalar strike shared across
+        # a book receives the SUM of per-contract sensitivities)
+        full = jnp.broadcast_to(grad * g, b.shape)
+        shp = jnp.shape(field)
+        extra = full.ndim - len(shp)
+        if extra:
+            full = full.sum(axis=tuple(range(extra)))
+        axes = tuple(i for i, s in enumerate(shp) if s == 1 and full.shape[i] != 1)
+        if axes:
+            full = full.sum(axis=axes, keepdims=True)
+        return full.reshape(shp).astype(jnp.result_type(field))
 
     tangent = ContractBatch(
-        spot=fit(out["delta"]),
-        strike=fit(out["dual_delta"]),
-        maturity=fit(-out["theta"]),
-        rate=fit(out["rho"]),
-        vol=fit(out["vega"]),
-        dividend=fit(out["dividend_rho"]),
-        cp=jnp.zeros(b.shape, b.dtype),
+        spot=fit(out["delta"], batch.spot),
+        strike=fit(out["dual_delta"], batch.strike),
+        maturity=fit(-out["theta"], batch.maturity),
+        rate=fit(out["rho"], batch.rate),
+        vol=fit(out["vega"], batch.vol),
+        dividend=fit(out["dividend_rho"], batch.dividend),
+        cp=jnp.zeros(jnp.shape(batch.cp), jnp.result_type(batch.cp)),
     )
     return (tangent,)
 

@@ -123,3 +123,42 @@ class TestSobolKernelEndToEnd:
         assert p0 != p1
         assert abs(p0 - 10.450583572185565) < 5e-3
         assert abs(p1 - 10.450583572185565) < 5e-3
+
+
+class TestDifferentiablePrimal:
+    """Regression: pallas_mc_price is callable DIRECTLY (round-1 bug: the
+    primal body referenced an undefined `sampler`), and its custom VJP sums
+    cotangents over broadcast dimensions."""
+
+    @pytest.mark.parametrize("sampler", ["sobol", "prng"])
+    def test_direct_call_matches_greeks_price(self, sampler):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        p = gp.pallas_mc_price(b, 100_000, 0, sampler)
+        ref = gp.pallas_mc_price_greeks(b, n_paths=100_000, seed=0, sampler=sampler)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(ref["price"]), rtol=0, atol=0)
+
+    def test_grad_matches_kernel_greeks(self):
+        b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
+        g = jax.grad(lambda bb: gp.pallas_mc_price(bb, 200_000, 0, "sobol"))(b)
+        out = gp.pallas_mc_price_greeks(b, n_paths=200_000, seed=0, sampler="sobol")
+        np.testing.assert_allclose(float(g.spot), float(out["delta"]), rtol=1e-6)
+        np.testing.assert_allclose(float(g.vol), float(out["vega"]), rtol=1e-6)
+        np.testing.assert_allclose(float(g.strike), float(out["dual_delta"]), rtol=1e-6)
+        np.testing.assert_allclose(float(g.rate), float(out["rho"]), rtol=1e-6)
+        np.testing.assert_allclose(float(g.maturity), -float(out["theta"]), rtol=1e-6)
+
+    def test_grad_sums_over_broadcast_fields(self):
+        """Scalar strike shared across a 3-contract book: d(sum price)/dK
+        must be the SUM of per-contract dual-deltas, with scalar shape."""
+        spots = jnp.asarray([90.0, 100.0, 110.0])
+        b = ContractBatch.make(spots, 100.0, 1.0, 0.05, 0.2, "call")
+        assert jnp.shape(b.strike) == ()  # premise: strike really is scalar
+        g = jax.grad(lambda bb: jnp.sum(gp.pallas_mc_price(bb, 100_000, 0, "sobol")))(b)
+        out = gp.pallas_mc_price_greeks(b, n_paths=100_000, seed=0, sampler="sobol")
+        assert jnp.shape(g.strike) == ()
+        np.testing.assert_allclose(float(g.strike), float(jnp.sum(out["dual_delta"])),
+                                   rtol=1e-5)
+        # per-contract field keeps its per-contract gradient
+        assert g.spot.shape == (3,)
+        np.testing.assert_allclose(np.asarray(g.spot), np.asarray(out["delta"]),
+                                   rtol=1e-5)
