@@ -488,6 +488,14 @@ class AsianOption:
 
     def greeks(self):
         cp = 1.0 if self.option_type == "call" else -1.0
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_exotic_greeks
+
+            kind = "asian_arith" if self.averaging == "arithmetic" else "asian_geo"
+            return pallas_exotic_greeks(kind, self.spot, self.strike,
+                                        self.maturity, self.rate, self.vol, cp,
+                                        self.dividend, n_paths=self.n_paths,
+                                        n_steps=self.n_steps, seed=self.seed)
         key = jax.random.PRNGKey(self.seed)
         return exotic_greeks(
             lambda s, v, r, t: asian_price(s, self.strike, t, r, v, key, cp,
@@ -565,6 +573,14 @@ class LookbackOption:
 
     def greeks(self):
         cp = 1.0 if self.option_type == "call" else -1.0
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_exotic_greeks
+
+            kind = "lookback_float" if self.floating else "lookback_fixed"
+            return pallas_exotic_greeks(kind, self.spot, self.strike,
+                                        self.maturity, self.rate, self.vol, cp,
+                                        self.dividend, n_paths=self.n_paths,
+                                        n_steps=self.n_steps, seed=self.seed)
         key = jax.random.PRNGKey(self.seed)
         return exotic_greeks(
             lambda s, v, r, t: lookback_price(s, self.strike, t, r, v, key, cp,
@@ -616,8 +632,18 @@ class AutocallableNote:
     n_paths: int = 100_000
     n_steps: int = 252
     seed: int = 0
+    engine: str = "scan"  # "scan" (AD-capable) | "pallas" (fastest, TPU)
 
     def price(self, return_stderr: bool = False):
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_autocall_price
+
+            p, se, _ = pallas_autocall_price(
+                self.spot, self.maturity, self.rate, self.vol, self.dividend,
+                self.notional, self.autocall_barrier, self.coupon_barrier,
+                self.ki_barrier, self.coupon_rate, self.n_obs,
+                n_paths=self.n_paths, n_steps=self.n_steps, seed=self.seed)
+            return (p, se) if return_stderr else p
         return autocallable_price(self.spot, self.maturity, self.rate, self.vol,
                                   jax.random.PRNGKey(self.seed), self.dividend,
                                   self.notional, self.autocall_barrier,
@@ -642,8 +668,18 @@ class CliquetOption:
     n_paths: int = 100_000
     n_steps: int = 252
     seed: int = 0
+    engine: str = "scan"  # "scan" (AD-capable) | "pallas" (fastest, TPU)
 
     def price(self, return_stderr: bool = False):
+        if self.engine == "pallas":
+            from ..ops.exotic_pallas import pallas_cliquet_price
+
+            p, se, _ = pallas_cliquet_price(
+                self.spot, self.maturity, self.rate, self.vol, self.dividend,
+                self.local_floor, self.local_cap, self.global_floor,
+                self.global_cap, self.notional, self.n_periods,
+                n_paths=self.n_paths, n_steps=self.n_steps, seed=self.seed)
+            return (p, se) if return_stderr else p
         return cliquet_price(self.spot, self.maturity, self.rate, self.vol,
                              jax.random.PRNGKey(self.seed), self.dividend,
                              self.local_floor, self.local_cap, self.global_floor,

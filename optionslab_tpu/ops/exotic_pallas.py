@@ -1,20 +1,46 @@
-"""Fused Pallas kernel for path-dependent (exotic) payoffs.
+"""Fused Pallas kernels for path-dependent (exotic) payoffs.
 
 Extends the terminal-GBM kernel (``gbm_pallas.py``) with an IN-KERNEL time
 loop: each grid step simulates a block of paths through ALL time steps,
-carrying running statistics (sum / log-sum / min / max / barrier-crossed)
-in VMEM registers — the payoff is computed from the statistics inside the
-kernel and only (Σ payoff, Σ payoff²) accumulators ever leave the chip.
+carrying running statistics (sum / log-sum / min / max / barrier-crossed /
+coupon state) in VMEM registers — the payoff is computed from the
+statistics inside the kernel and only a handful of (ROWS, 128) moment
+accumulators ever leave the chip.
 
 This is the speed-of-light version of the ``lax.scan`` exotic engine
 (``models/exotics.py``): no per-step HBM traffic at all, hardware PRNG,
 and the Box–Muller cos/sin × (±antithetic) trick giving four path states
 per random draw. The scan engine remains the reference implementation and
-the AD path; tests cross-check the two statistically.
+the general AD path; tests cross-check the two statistically.
 
-Supported payoff kinds (static): asian_arith / asian_geo (call/put),
-lookback_float / lookback_fixed (call/put), barrier up/down × in/out
-(call/put, discrete monitoring at every step).
+Reference capability anchors: ``src/pricing_models/exotic_options.py``
+(Asian :83, barrier :174, lookback :347, autocallable :404-491, cliquet
+:494-554) and ``src/greeks/unified_greeks.py:177,235`` (exotic Greeks via
+FD re-pricing — here Greeks come out of the SAME kernel pass).
+
+Payoff kinds (static): asian_arith / asian_geo (call/put), lookback_float
+/ lookback_fixed (call/put), barrier up/down × in/out (call/put, discrete
+monitoring at every step), cliquet (local/global caps), autocall
+(snowball: autocall/coupon/knock-in barriers at discrete observations).
+
+In-kernel Greeks (:func:`pallas_exotic_greeks`, Asian + lookback): the
+kernel additionally carries the Brownian path value W and payoff-specific
+derivative accumulators, and reduces three pathwise moments
+
+    P0 = Σ cp·1{exercise}·A          (Σ payoff-homogeneous part)
+    G1 = Σ cp·1{exercise}·⟨S, W⟩     (Brownian-weighted moment)
+    G2 = Σ cp·1{exercise}·⟨S, t/T⟩   (time-weighted moment)
+
+from which delta/vega/rho/theta (and dividend-rho) follow by closed-form
+chain rules host-side — the full first-order ladder in ONE pass instead
+of the scan engine's ~1000× slower AD replay or the reference's 4+ FD
+re-pricings.
+
+Samplers: ``prng`` (default) uses the TPU hardware PRNG — fastest, but the
+CPU TPU-interpreter stubs it with zeros, so off-TPU tests use ``hash``, a
+counter-based murmur3-style generator built from pure int32 ops that runs
+bit-identically on TPU and under the interpreter (cross-platform
+determinism + CPU-verifiable end-to-end numerics).
 """
 
 from __future__ import annotations
@@ -31,7 +57,8 @@ from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 
 ROWS = 128  # path-block sublanes
-LANES = 512  # path-block lanes
+LANES = 512  # path-block lanes (price kernel)
+LANES_G = 256  # Greeks kernel: ~18 carried tiles, keep VMEM pressure low
 _TWO_PI = 6.283185307179586
 _INV_2_24 = 1.0 / (1 << 24)
 _INV_2_25 = 1.0 / (1 << 25)
@@ -39,23 +66,60 @@ _INV_2_25 = 1.0 / (1 << 25)
 PAYOFF_KINDS = (
     "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
-    "barrier_down-and-in",
+    "barrier_down-and-in", "cliquet", "autocall",
 )
+GREEK_KINDS = ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed")
+
+# params float32 vector layout (SMEM)
+_P_S0, _P_K, _P_DRIFT_DT, _P_VOLSQDT, _P_BARRIER, _P_INV_N, _P_GROWTH, \
+    _P_RDT, _P_SQDT, _P_A, _P_B, _P_C, _P_D, _P_E = range(14)
+N_PARAMS = 14
 
 
-def _normals(shape):
-    mask24 = jnp.int32(0x00FFFFFF)
-    u1 = ((pltpu.prng_random_bits(shape) >> 8) & mask24).astype(jnp.float32) * _INV_2_24 + _INV_2_25
-    u2 = ((pltpu.prng_random_bits(shape) >> 8) & mask24).astype(jnp.float32) * _INV_2_24 + _INV_2_25
+def _fmix(h):
+    """murmur3 finalizer with logical shifts emulated portably on int32
+    (arithmetic shift + mask == logical shift for the surviving bits)."""
+    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
+    h = h * jnp.int32(-2048144789)  # 0x85ebca6b
+    h = h ^ ((h >> 13) & jnp.int32(0x0007FFFF))
+    h = h * jnp.int32(-1028477387)  # 0xc2b2ae35
+    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
+    return h
+
+
+def _hash_uniform(counter, seed):
+    """Counter-based uniform in (0,1): double murmur3 mix, 24 mantissa bits."""
+    h = _fmix(counter ^ (seed * jnp.int32(-1640531535)))
+    h = _fmix(h + jnp.int32(0x632BE5AB))
+    bits = (h >> 8) & jnp.int32(0x00FFFFFF)
+    return bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
+
+
+def _draw_normals(sampler, seed, block, step, n_steps, shape):
+    """One antithetic Box–Muller draw pair (z_cos, z_sin) for this step."""
+    if sampler == "hash":
+        rows, lanes = shape
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane_id = rid * lanes + cid
+        base = ((block * n_steps + step) * 2) * (rows * lanes)
+        u1 = _hash_uniform(base + lane_id, seed)
+        u2 = _hash_uniform(base + rows * lanes + lane_id, seed)
+    else:
+        u1 = ((pltpu.prng_random_bits(shape) >> 8) & jnp.int32(0x00FFFFFF)
+              ).astype(jnp.float32) * _INV_2_24 + _INV_2_25
+        u2 = ((pltpu.prng_random_bits(shape) >> 8) & jnp.int32(0x00FFFFFF)
+              ).astype(jnp.float32) * _INV_2_24 + _INV_2_25
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = _TWO_PI * u2
     return r * jnp.cos(th), r * jnp.sin(th)
 
 
+# ---------------------------------------------------------------------------
+# Price kernel (all payoff kinds)
+# ---------------------------------------------------------------------------
 def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
-                   n_steps: int, cp: float):
-    """param_ref (SMEM, float32[8]): S0, K, drift_dt, vol_sqrt_dt, barrier,
-    inv_n_steps, unused, unused."""
+                   n_steps: int, cp: float, period: int, sampler: str):
     block = pl.program_id(0)
 
     @pl.when(block == 0)
@@ -63,14 +127,20 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         pay_ref[:, :] = jnp.zeros_like(pay_ref)
         pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
 
-    pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
 
-    s0 = param_ref[0]
-    strike = param_ref[1]
-    drift_dt = param_ref[2]
-    vol_sqrt_dt = param_ref[3]
-    barrier = param_ref[4]
-    inv_n = param_ref[5]
+    s0 = param_ref[_P_S0]
+    strike = param_ref[_P_K]
+    drift_dt = param_ref[_P_DRIFT_DT]
+    vol_sqrt_dt = param_ref[_P_VOLSQDT]
+    barrier = param_ref[_P_BARRIER]
+    inv_n = param_ref[_P_INV_N]
+    # exp(drift_dt) computed host-side at full precision: the in-kernel fast
+    # exp's absolute error near 1 would compound across all n_steps
+    growth = param_ref[_P_GROWTH]
+    rdt = param_ref[_P_RDT]
 
     shape = (ROWS, LANES)
     barrier_up = "up" in kind
@@ -79,44 +149,78 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
 
     def init_stat(s_like):
         if kind.startswith("asian_arith"):
-            return s_like  # running sum of S, seeded with S0 (removed in payoff)
+            return (s_like,)  # running sum of S, seeded with S0 (removed in payoff)
         if geo:
-            return jnp.zeros(shape, jnp.float32)
+            return (jnp.zeros(shape, jnp.float32),)
         if kind.startswith("lookback"):
-            return s_like  # running extremum seeded at S0
+            return (s_like,)  # running extremum seeded at S0
+        if kind == "cliquet":
+            # (period-start spot, capped-return accumulator)
+            return (s_like, jnp.zeros(shape, jnp.float32))
+        if kind == "autocall":
+            # (alive, knocked-in, pv of coupons/redemptions, all float 0/1)
+            return (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32))
         hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
-        return hit0.astype(jnp.float32)
+        return (hit0.astype(jnp.float32),)
 
-    def update_stat(stat, s_or_log):
+    def update_stat(stat, s_or_log, i):
         if kind.startswith("asian_arith"):
-            return stat + s_or_log
+            return (stat[0] + s_or_log,)
         if geo:
-            return stat + s_or_log  # log-spot
+            return (stat[0] + s_or_log,)  # log-spot
         if kind.startswith("lookback"):
             if cp > 0 and kind == "lookback_float":
-                return jnp.minimum(stat, s_or_log)  # float call pays S_T - min
+                return (jnp.minimum(stat[0], s_or_log),)  # float call pays S_T - min
             if cp < 0 and kind == "lookback_float":
-                return jnp.maximum(stat, s_or_log)
+                return (jnp.maximum(stat[0], s_or_log),)
             if cp > 0:
-                return jnp.maximum(stat, s_or_log)  # fixed call pays max - K
-            return jnp.minimum(stat, s_or_log)
+                return (jnp.maximum(stat[0], s_or_log),)  # fixed call pays max - K
+            return (jnp.minimum(stat[0], s_or_log),)
+        if kind == "cliquet":
+            s_start, acc = stat
+            is_end = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            capped = jnp.clip(s_or_log / s_start - 1.0,
+                              param_ref[_P_A], param_ref[_P_B])
+            acc = acc + is_end * capped
+            s_start = s_start + is_end * (s_or_log - s_start)
+            return (s_start, acc)
+        if kind == "autocall":
+            alive, ki, pv = stat
+            ki = jnp.maximum(ki, jnp.where(s_or_log <= param_ref[_P_C], 1.0, 0.0))
+            is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            df_i = jnp.exp(-rdt * (i + 1).astype(jnp.float32))
+            called = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_A], 1.0, 0.0)
+            couponed = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_B], 1.0, 0.0)
+            pv = pv + df_i * (param_ref[_P_D] * couponed + param_ref[_P_E] * called)
+            alive = alive * (1.0 - called)
+            return (alive, ki, pv)
         hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
-        return jnp.maximum(stat, hit.astype(jnp.float32))
+        return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
     def payoff(stat, s_or_log):
         s_t = jnp.exp(s_or_log) if geo else s_or_log
         if kind.startswith("asian"):
             if kind.startswith("asian_arith"):
-                avg = (stat - s0) * inv_n
+                avg = (stat[0] - s0) * inv_n
             else:
-                avg = jnp.exp(stat * inv_n)
+                avg = jnp.exp(stat[0] * inv_n)
             return jnp.maximum(cp * (avg - strike), 0.0)
         if kind == "lookback_float":
-            return (s_t - stat) if cp > 0 else (stat - s_t)
+            return (s_t - stat[0]) if cp > 0 else (stat[0] - s_t)
         if kind == "lookback_fixed":
-            return jnp.maximum(cp * (stat - strike), 0.0)
+            return jnp.maximum(cp * (stat[0] - strike), 0.0)
+        if kind == "cliquet":
+            # notional · clip(Σ capped period returns, global floor, cap)
+            return param_ref[_P_E] * jnp.clip(stat[1], param_ref[_P_C], param_ref[_P_D])
+        if kind == "autocall":
+            alive, ki, pv = stat
+            df_t = jnp.exp(-rdt * float(n_steps))
+            loss = jnp.maximum(1.0 - s_t / s0, 0.0)
+            final = param_ref[_P_E] * (1.0 - ki * loss)
+            return pv + alive * df_t * final  # already discounted in-kernel
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
-        return vanilla * (stat if knock_in else (1.0 - stat))
+        return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
     if geo:
         state0 = jnp.full(shape, jnp.log(s0), jnp.float32)
@@ -124,14 +228,10 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         state0 = jnp.full(shape, s0, jnp.float32)
     states = (state0, state0, state0, state0)
     stats = tuple(init_stat(state0) for _ in range(4))
-    # series exp: drift_dt ~ 1e-4, and the TPU fast exp's absolute error
-    # near 1 would otherwise compound across all n_steps multiplications
-    gd = drift_dt
-    growth = 1.0 + gd * (1.0 + gd * (0.5 + gd / 6.0))
 
     def body(i, carry):
         (xa, xb, xc, xd), (sa, sb, sc, sd) = carry
-        z1, z2 = _normals(shape)
+        z1, z2 = _draw_normals(sampler, seed, block, i, n_steps, shape)
         if geo:
             xa = xa + drift_dt + vol_sqrt_dt * z1
             xb = xb + drift_dt - vol_sqrt_dt * z1
@@ -145,10 +245,10 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
             xb = xb * growth / w1
             xc = xc * (growth * w2)
             xd = xd * growth / w2
-        sa = update_stat(sa, xa)
-        sb = update_stat(sb, xb)
-        sc = update_stat(sc, xc)
-        sd = update_stat(sd, xd)
+        sa = update_stat(sa, xa, i)
+        sb = update_stat(sb, xb, i)
+        sc = update_stat(sc, xc, i)
+        sd = update_stat(sd, xd, i)
         return (xa, xb, xc, xd), (sa, sb, sc, sd)
 
     states, stats = jax.lax.fori_loop(0, n_steps, body, (states, stats))
@@ -164,12 +264,15 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         pay2_ref[:, :] += acc2[:, off:off + 128]
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp"))
-def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float):
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
+                                             "period", "sampler"))
+def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
+            period: int = 1, sampler: str = "prng"):
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
-        functools.partial(_exotic_kernel, kind=kind, n_steps=n_steps, cp=cp),
+        functools.partial(_exotic_kernel, kind=kind, n_steps=n_steps, cp=cp,
+                          period=period, sampler=sampler),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -189,34 +292,315 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float):
 PATHS_PER_BLOCK = 4 * ROWS * LANES
 
 
+def _base_params(spot, strike, maturity, rate, vol, dividend, barrier, n_steps):
+    t = max(float(maturity), EPS_TIME)
+    dt = t / n_steps
+    drift_dt = (float(rate) - float(dividend) - 0.5 * float(vol) ** 2) * dt
+    p = [0.0] * N_PARAMS
+    p[_P_S0] = float(spot)
+    p[_P_K] = float(strike)
+    p[_P_DRIFT_DT] = drift_dt
+    p[_P_VOLSQDT] = float(vol) * math.sqrt(dt)
+    p[_P_BARRIER] = float(barrier)
+    p[_P_INV_N] = 1.0 / n_steps
+    p[_P_GROWTH] = math.exp(drift_dt)  # full-precision host exp
+    p[_P_RDT] = float(rate) * dt
+    p[_P_SQDT] = math.sqrt(dt)
+    return p, t
+
+
 def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                         cp: float = 1.0, dividend: float = 0.0,
                         barrier: float = 0.0, n_paths: int = 1_000_000,
-                        n_steps: int = 64, seed: int = 0):
+                        n_steps: int = 64, seed: int = 0,
+                        sampler: str = "prng"):
     """Fused exotic pricing: (price, stderr, actual_paths).
 
-    ``kind`` ∈ PAYOFF_KINDS. Whole simulation is one kernel launch; path
-    count rounds up to whole blocks of {PATHS_PER_BLOCK}.
+    ``kind`` ∈ PAYOFF_KINDS (cliquet/autocall have dedicated wrappers with
+    their structured parameters). Whole simulation is one kernel launch;
+    path count rounds up to whole blocks of {PATHS_PER_BLOCK}.
     """
     if kind not in PAYOFF_KINDS:
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
-    t = max(float(maturity), EPS_TIME)
-    dt = t / n_steps
-    params = jnp.asarray([
-        float(spot), float(strike),
-        (float(rate) - float(dividend) - 0.5 * float(vol) ** 2) * dt,
-        float(vol) * math.sqrt(dt),
-        float(barrier), 1.0 / n_steps, 0.0, 0.0,
-    ], jnp.float32)
+    if kind in ("cliquet", "autocall"):
+        raise ValidationError(f"use pallas_{kind}_price for structured params")
+    p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier, n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), params, kind=kind,
-                        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp))
-    n = n_blocks * PATHS_PER_BLOCK
-    total = pay.sum()
-    total2 = pay2.sum()
+    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+                        kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+                        cp=float(cp), sampler=sampler)
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                        math.exp(-float(rate) * t))
+
+
+def _mean_stderr(pay, pay2, n, df):
+    total, total2 = pay.sum(), pay2.sum()
     mean = total / n
     var = jnp.maximum(total2 / n - mean * mean, 0.0)
-    df = math.exp(-float(rate) * t)
-    price = df * mean
-    stderr = df * jnp.sqrt(var / n)
-    return price, stderr, n
+    return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
+                         local_floor: float = -0.05, local_cap: float = 0.05,
+                         global_floor: float = 0.0, global_cap: float = 1e9,
+                         notional: float = 100.0, n_periods: int = 12,
+                         n_paths: int = 1_000_000, n_steps: int = 252,
+                         seed: int = 0, sampler: str = "prng"):
+    """Fused cliquet/ratchet (scan parity: ``models/exotics.cliquet_price``;
+    reference anchor ``exotic_options.py:494-554``)."""
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError("n_steps must be a positive multiple of n_periods")
+    p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0, n_steps)
+    p[_P_A], p[_P_B] = float(local_floor), float(local_cap)
+    p[_P_C], p[_P_D] = float(global_floor), float(global_cap)
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+                        kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+                        period=n_steps // n_periods, sampler=sampler)
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                        math.exp(-float(rate) * t))
+
+
+def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
+                          notional: float = 100.0, autocall_barrier: float = 1.0,
+                          coupon_barrier: float = 0.8, ki_barrier: float = 0.7,
+                          coupon_rate: float = 0.08, n_obs: int = 4,
+                          n_paths: int = 1_000_000, n_steps: int = 252,
+                          seed: int = 0, sampler: str = "prng"):
+    """Fused autocallable/snowball note (scan parity:
+    ``models/exotics.autocallable_price``; reference anchor
+    ``exotic_options.py:404-491``). Coupons/redemptions are discounted
+    IN-KERNEL at their observation dates, so no terminal discount applies.
+    """
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    p, _t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0, n_steps)
+    p[_P_A] = float(autocall_barrier) * float(spot)
+    p[_P_B] = float(coupon_barrier) * float(spot)
+    p[_P_C] = float(ki_barrier) * float(spot)
+    p[_P_D] = float(notional) * float(coupon_rate) / n_obs
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+                        kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+                        period=n_steps // n_obs, sampler=sampler)
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Greeks kernel: price + pathwise delta/vega/rho/theta in one pass
+# ---------------------------------------------------------------------------
+def _exotic_greeks_kernel(seed_ref, param_ref, pay_ref, pay2_ref, p0_ref,
+                          g1_ref, g2_ref, *, kind: str, n_steps: int,
+                          cp: float, sampler: str):
+    """Carries, per antithetic branch: spot (or log-spot), the shared
+    Brownian values w1/w2, the payoff statistic, and derivative
+    accumulators. Reduces the P0/G1/G2 pathwise moments (module docstring).
+    """
+    block = pl.program_id(0)
+
+    @pl.when(block == 0)
+    def _init():
+        for ref in (pay_ref, pay2_ref, p0_ref, g1_ref, g2_ref):
+            ref[:, :] = jnp.zeros_like(ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0 = param_ref[_P_S0]
+    strike = param_ref[_P_K]
+    drift_dt = param_ref[_P_DRIFT_DT]
+    vol_sqrt_dt = param_ref[_P_VOLSQDT]
+    inv_n = param_ref[_P_INV_N]
+    growth = param_ref[_P_GROWTH]
+    sqdt = param_ref[_P_SQDT]
+
+    shape = (ROWS, LANES_G)
+    geo = kind == "asian_geo"
+    signs = (1.0, -1.0, 1.0, -1.0)  # branch sign on (w1, w1, w2, w2)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    if geo:
+        state0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    else:
+        state0 = jnp.full(shape, s0, jnp.float32)
+    xs = (state0, state0, state0, state0)
+    ws = (zero, zero)  # Brownian W for the (cos, sin) streams
+
+    if kind.startswith("asian"):
+        # (running Σ S or Σ log S, Σ S·W [arith] or Σ W [geo], Σ S·(i/n))
+        aux0 = (zero, zero, zero)
+    else:
+        # lookback: (running extremum m, W at extremum, (i/n) at extremum)
+        aux0 = (state0, zero, zero)
+    auxs = (aux0, aux0, aux0, aux0)
+
+    minimum = (kind == "lookback_float") == (cp > 0)  # float call / fixed put → min
+
+    def body(i, carry):
+        xs, (w1, w2), auxs = carry
+        z1, z2 = _draw_normals(sampler, seed, block, i, n_steps, shape)
+        w1 = w1 + sqdt * z1
+        w2 = w2 + sqdt * z2
+        if geo:
+            xs_new = (xs[0] + drift_dt + vol_sqrt_dt * z1,
+                      xs[1] + drift_dt - vol_sqrt_dt * z1,
+                      xs[2] + drift_dt + vol_sqrt_dt * z2,
+                      xs[3] + drift_dt - vol_sqrt_dt * z2)
+        else:
+            e1 = jnp.exp(vol_sqrt_dt * z1)
+            e2 = jnp.exp(vol_sqrt_dt * z2)
+            xs_new = (xs[0] * (growth * e1), xs[1] * growth / e1,
+                      xs[2] * (growth * e2), xs[3] * growth / e2)
+        frac = (i + 1).astype(jnp.float32) * inv_n  # t_{i+1}/T
+        new_auxs = []
+        for b, (x, aux) in enumerate(zip(xs_new, auxs)):
+            wb = signs[b] * (w1 if b < 2 else w2)
+            if kind == "asian_arith":
+                asum, aw, ai = aux
+                new_auxs.append((asum + x, aw + x * wb, ai + x * frac))
+            elif kind == "asian_geo":
+                lsum, cw, _ = aux
+                new_auxs.append((lsum + x, cw + wb, zero))
+            else:  # lookback: extremum + (W, i/n) frozen at the extremum
+                m, mw, mt = aux
+                better = (x < m) if minimum else (x > m)
+                new_auxs.append((jnp.where(better, x, m),
+                                 jnp.where(better, wb, mw),
+                                 jnp.where(better, frac, mt)))
+        return xs_new, (w1, w2), tuple(new_auxs)
+
+    xs, (w1, w2), auxs = jax.lax.fori_loop(0, n_steps, body, (xs, ws, auxs))
+
+    acc = [jnp.zeros(shape, jnp.float32) for _ in range(5)]
+    for b, (x, aux) in enumerate(zip(xs, auxs)):
+        wb = signs[b] * (w1 if b < 2 else w2)
+        if kind == "asian_arith":
+            asum, aw, ai = aux
+            avg = asum * inv_n
+            pay = jnp.maximum(cp * (avg - strike), 0.0)
+            ind = jnp.where(pay > 0, 1.0, 0.0)
+            p0 = cp * ind * avg
+            g1 = cp * ind * aw * inv_n
+            g2 = cp * ind * ai * inv_n
+        elif kind == "asian_geo":
+            lsum, cw, _ = aux
+            avg = jnp.exp(lsum * inv_n)
+            pay = jnp.maximum(cp * (avg - strike), 0.0)
+            ind = jnp.where(pay > 0, 1.0, 0.0)
+            p0 = cp * ind * avg
+            g1 = cp * ind * avg * cw * inv_n
+            g2 = jnp.zeros_like(p0)  # host substitutes (n+1)/(2n) · P0
+        elif kind == "lookback_fixed":
+            m, mw, mt = aux
+            pay = jnp.maximum(cp * (m - strike), 0.0)
+            ind = jnp.where(pay > 0, 1.0, 0.0)
+            p0 = cp * ind * m
+            g1 = cp * ind * m * mw
+            g2 = cp * ind * m * mt
+        else:  # lookback_float: pay = cp·(S_T − m), homogeneous of degree 1
+            m, mw, mt = aux
+            s_t = x
+            pay = cp * (s_t - m)
+            p0 = pay
+            g1 = cp * (s_t * wb - m * mw)
+            g2 = cp * (s_t * 1.0 - m * mt)
+        acc = [a + v for a, v in zip(acc, (pay, pay * pay, p0, g1, g2))]
+
+    for off in range(0, LANES_G, 128):
+        for ref, a in zip((pay_ref, pay2_ref, p0_ref, g1_ref, g2_ref), acc):
+            ref[:, :] += a[:, off:off + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
+                                             "sampler"))
+def _launch_greeks(seed, params, *, kind: str, n_steps: int, n_blocks: int,
+                   cp: float, sampler: str = "prng"):
+    acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
+    return pl.pallas_call(
+        functools.partial(_exotic_greeks_kernel, kind=kind, n_steps=n_steps,
+                          cp=cp, sampler=sampler),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[acc_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 5,
+        cost_estimate=pl.CostEstimate(
+            flops=n_blocks * n_steps * ROWS * LANES_G * 4 * 14,
+            bytes_accessed=5 * ROWS * 128 * 4,
+            transcendentals=n_blocks * n_steps * ROWS * LANES_G * 8,
+        ),
+        interpret=interpret,
+    )(seed, params)
+
+
+PATHS_PER_BLOCK_G = 4 * ROWS * LANES_G
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
+                                             "sampler"))
+def _greeks_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp, sampler):
+    """launch → moment combination, traced as ONE program (single dispatch
+    over the tunnel)."""
+    outs = _launch_greeks(seed, params, kind=kind, n_steps=n_steps,
+                          n_blocks=n_blocks, cp=cp, sampler=sampler)
+    n = n_blocks * PATHS_PER_BLOCK_G
+    spot, rate, vol, t, a_drift, df = scalars
+    pay_m, pay2_m, p0_m, g1_m, g2_m = [o.sum() / n for o in outs]
+    if kind == "asian_geo":
+        g2_m = 0.5 * (1.0 + 1.0 / n_steps) * p0_m  # Σ(i/n)/n = (n+1)/(2n)
+    price = df * pay_m
+    var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
+    return {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        "delta": df * p0_m / spot,
+        "vega": df * (g1_m - vol * t * g2_m),
+        "rho": -t * price + df * t * g2_m,
+        "theta": rate * price - df * (a_drift * g2_m + vol / (2.0 * t) * g1_m),
+        "dividend_rho": -df * t * g2_m,
+    }
+
+
+def pallas_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
+                         cp: float = 1.0, dividend: float = 0.0,
+                         n_paths: int = 1_000_000, n_steps: int = 64,
+                         seed: int = 0, sampler: str = "prng") -> dict:
+    """Exotic price + pathwise delta/vega/rho/theta/dividend_rho in ONE
+    kernel pass (kind ∈ GREEK_KINDS).
+
+    Pathwise chain rules (exact for these a.e.-smooth payoffs):
+      ∂S_i/∂S0 = S_i/S0,  ∂S_i/∂σ = S_i(W_i − σ t_i),  ∂S_i/∂r = S_i t_i,
+      ∂S_i/∂T = S_i(a·t_i/T + σ W_i/(2T)),  a = r − q − σ²/2,
+    reduced in-kernel to the P0/G1/G2 moments and combined host-side.
+
+    Caveat: for ``lookback_fixed`` with strike EXACTLY equal to spot, the
+    extremum (seeded at S0) has a probability atom at the payoff kink and
+    delta is ill-defined (left/right derivatives differ); any K ≠ S0 is
+    atom-free and exact.
+    Validated against the scan engine's AD (`models/exotics.exotic_greeks`)
+    and the lookback homogeneity identity. The returned dict also carries
+    ``paths`` (actual simulated path count).
+    """
+    if kind not in GREEK_KINDS:
+        raise ValidationError(
+            f"in-kernel Greeks support {GREEK_KINDS}; for {kind!r} use the "
+            "scan engine's AD (models/exotics.exotic_greeks) — barrier "
+            "indicators have zero pathwise derivative")
+    p, t = _base_params(spot, strike, maturity, rate, vol, dividend, 0.0, n_steps)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK_G))
+    a_drift = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    scalars = jnp.asarray([float(spot), float(rate), float(vol), t, a_drift,
+                           math.exp(-float(rate) * t)], jnp.float32)
+    out = _greeks_pipeline(jnp.asarray([seed], jnp.int32),
+                           jnp.asarray(p, jnp.float32), scalars, kind=kind,
+                           n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+                           sampler=sampler)
+    out = dict(out)
+    out["paths"] = n_blocks * PATHS_PER_BLOCK_G
+    return out

@@ -1,0 +1,179 @@
+"""End-to-end numeric validation of the fused exotic Pallas kernels.
+
+Runs on the CPU TPU-interpreter with the ``hash`` sampler (counter-based
+murmur3 normals from pure int32 ops — the hardware-PRNG path is stubbed to
+zeros off-TPU). Oracles:
+
+  * scan engine (`models/exotics.py`) — independent sampler, statistical
+    parity within combined stderr;
+  * discrete geometric-Asian closed form — EXACT price oracle, and via
+    ``jax.grad`` an exact Greek oracle for the in-kernel pathwise ladder;
+  * lookback homogeneity: the floating lookback price is homogeneous of
+    degree 1 in spot, so delta ≡ price / spot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models import exotics as ex
+from optionslab_tpu.ops.exotic_pallas import (
+    GREEK_KINDS,
+    pallas_autocall_price,
+    pallas_cliquet_price,
+    pallas_exotic_greeks,
+    pallas_exotic_price,
+)
+from optionslab_tpu.utils.exceptions import ValidationError
+
+S, K, T, R, SIG = 100.0, 100.0, 1.0, 0.05, 0.2
+N_STEPS = 8
+KEY = jax.random.PRNGKey(7)
+
+
+def tol(se_a, se_b, nsig=5.0, floor=1e-3):
+    return nsig * float(np.hypot(float(se_a), float(se_b))) + floor
+
+
+class TestPriceParityVsScan:
+    @pytest.mark.parametrize("kind,cp", [
+        ("asian_arith", 1.0), ("asian_arith", -1.0), ("asian_geo", 1.0),
+        ("lookback_float", 1.0), ("lookback_float", -1.0),
+        ("lookback_fixed", 1.0), ("lookback_fixed", -1.0),
+    ])
+    def test_asian_lookback(self, kind, cp):
+        p, se, _ = pallas_exotic_price(kind, S, K, T, R, SIG, cp,
+                                       n_paths=1, n_steps=N_STEPS, sampler="hash")
+        if kind.startswith("asian"):
+            avg = "arithmetic" if kind == "asian_arith" else "geometric"
+            ps, ses = ex.asian_price(S, K, T, R, SIG, KEY, cp, 0.0, 200_000,
+                                     N_STEPS, avg, return_stderr=True)
+        else:
+            ps, ses = ex.lookback_price(S, K, T, R, SIG, KEY, cp, 0.0, 200_000,
+                                        N_STEPS, kind == "lookback_float",
+                                        return_stderr=True)
+        assert abs(float(p) - float(ps)) < tol(se, ses), (float(p), float(ps))
+
+    @pytest.mark.parametrize("btype", ["up-and-out", "up-and-in",
+                                       "down-and-out", "down-and-in"])
+    def test_barrier(self, btype):
+        barrier = 120.0 if btype.startswith("up") else 85.0
+        p, se, _ = pallas_exotic_price(f"barrier_{btype}", S, K, T, R, SIG, 1.0,
+                                       barrier=barrier, n_paths=1,
+                                       n_steps=N_STEPS, sampler="hash")
+        ps, ses = ex.barrier_price(S, K, barrier, T, R, SIG, KEY, 1.0, 0.0,
+                                   200_000, N_STEPS, btype, return_stderr=True)
+        assert abs(float(p) - float(ps)) < tol(se, ses), (float(p), float(ps))
+
+    def test_cliquet(self):
+        p, se, _ = pallas_cliquet_price(S, T, R, SIG, n_periods=4,
+                                        n_steps=N_STEPS, n_paths=1, sampler="hash")
+        ps, ses = ex.cliquet_price(S, T, R, SIG, KEY, n_periods=4,
+                                   n_steps=N_STEPS, n_paths=200_000,
+                                   return_stderr=True)
+        assert abs(float(p) - float(ps)) < tol(se, ses), (float(p), float(ps))
+
+    def test_autocall(self):
+        kw = dict(notional=100.0, autocall_barrier=1.0, coupon_barrier=0.8,
+                  ki_barrier=0.7, coupon_rate=0.08, n_obs=4)
+        p, se, _ = pallas_autocall_price(S, T, R, SIG, 0.0, n_steps=N_STEPS,
+                                         n_paths=1, sampler="hash", **kw)
+        ps, ses = ex.autocallable_price(S, T, R, SIG, KEY, 0.0, n_steps=N_STEPS,
+                                        n_paths=200_000, return_stderr=True, **kw)
+        assert abs(float(p) - float(ps)) < tol(se, ses), (float(p), float(ps))
+
+    def test_geo_closed_form_oracle(self):
+        p, se, _ = pallas_exotic_price("asian_geo", S, K, T, R, SIG, 1.0,
+                                       n_paths=1, n_steps=N_STEPS, sampler="hash")
+        cf = float(ex.geometric_asian_closed_form(S, K, T, R, SIG, 1.0, 0.0, N_STEPS))
+        assert abs(float(p) - cf) < 5.0 * float(se) + 1e-3
+
+    def test_hash_sampler_deterministic(self):
+        p0, _, _ = pallas_exotic_price("asian_arith", S, K, T, R, SIG,
+                                       n_paths=1, n_steps=4, seed=3, sampler="hash")
+        p1, _, _ = pallas_exotic_price("asian_arith", S, K, T, R, SIG,
+                                       n_paths=1, n_steps=4, seed=3, sampler="hash")
+        p2, _, _ = pallas_exotic_price("asian_arith", S, K, T, R, SIG,
+                                       n_paths=1, n_steps=4, seed=4, sampler="hash")
+        assert float(p0) == float(p1)
+        assert float(p0) != float(p2)
+
+
+class TestKernelGreeks:
+    def test_geo_greeks_vs_closed_form_ad(self):
+        """Exact oracle: jax.grad of the discrete geometric closed form."""
+        g = pallas_exotic_greeks("asian_geo", S, K, T, R, SIG, 1.0,
+                                 n_paths=1, n_steps=N_STEPS, sampler="hash")
+
+        def cf(s, sig, r, t):
+            return ex.geometric_asian_closed_form(s, K, t, r, sig, 1.0, 0.0, N_STEPS)
+
+        price, grads = jax.value_and_grad(cf, argnums=(0, 1, 2, 3))(
+            jnp.float64(S), jnp.float64(SIG), jnp.float64(R), jnp.float64(T))
+        se = float(g["std_error"])
+        assert abs(float(g["price"]) - float(price)) < 5 * se + 1e-3
+        assert abs(float(g["delta"]) - float(grads[0])) < 0.01
+        assert abs(float(g["vega"]) - float(grads[1])) < 0.6
+        assert abs(float(g["rho"]) - float(grads[2])) < 0.6
+        assert abs(float(g["theta"]) - (-float(grads[3]))) < 0.3
+
+    @pytest.mark.parametrize("kind,cp", [
+        ("asian_arith", 1.0), ("asian_arith", -1.0),
+        ("lookback_fixed", 1.0), ("lookback_float", 1.0),
+    ])
+    def test_greeks_vs_scan_ad(self, kind, cp):
+        """Statistical parity with the scan engine's AD ladder.
+
+        lookback_fixed uses K=105 ≠ S0: with K = S0 the extremum (seeded at
+        S0) has a probability ATOM exactly at the payoff kink, where delta
+        is genuinely ill-defined (left/right derivatives differ).
+        """
+        k = 105.0 if kind == "lookback_fixed" else K
+        g = pallas_exotic_greeks(kind, S, k, T, R, SIG, cp,
+                                 n_paths=1, n_steps=N_STEPS, sampler="hash")
+        if kind == "asian_arith":
+            fn = lambda s, v, r, t: ex.asian_price(s, k, t, r, v, KEY, cp, 0.0,
+                                                   200_000, N_STEPS, "arithmetic")
+        else:
+            fn = lambda s, v, r, t: ex.lookback_price(s, k, t, r, v, KEY, cp, 0.0,
+                                                      200_000, N_STEPS,
+                                                      kind == "lookback_float")
+        ad = ex.exotic_greeks(fn, S, SIG, R, T)
+        assert abs(float(g["price"]) - float(ad["price"])) < tol(
+            g["std_error"], 0.03)
+        assert abs(float(g["delta"]) - float(ad["delta"])) < 0.02
+        assert abs(float(g["vega"]) - float(ad["vega"])) < 1.2
+        assert abs(float(g["rho"]) - float(ad["rho"])) < 1.2
+        assert abs(float(g["theta"]) - float(ad["theta"])) < 0.6
+
+    def test_lookback_float_homogeneity(self):
+        """price(λS) = λ·price(S) ⇒ delta = price/spot (exact identity)."""
+        g = pallas_exotic_greeks("lookback_float", S, K, T, R, SIG, 1.0,
+                                 n_paths=1, n_steps=N_STEPS, sampler="hash")
+        np.testing.assert_allclose(float(g["delta"]), float(g["price"]) / S,
+                                   rtol=1e-5)
+
+    def test_unsupported_kind_raises(self):
+        with pytest.raises(ValidationError):
+            pallas_exotic_greeks("barrier_up-and-out", S, K, T, R, SIG)
+        with pytest.raises(ValidationError):
+            pallas_exotic_price("cliquet", S, K, T, R, SIG)
+        with pytest.raises(ValidationError):
+            pallas_exotic_price("nope", S, K, T, R, SIG)
+        assert set(GREEK_KINDS) <= set(
+            ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed"))
+
+
+class TestDataclassEngines:
+    def test_cliquet_engine_kwarg(self):
+        o = ex.CliquetOption(S, T, R, SIG, n_periods=4, n_steps=8, n_paths=1,
+                             engine="pallas")
+        # dataclass routes to the kernel; sampler defaults to prng which the
+        # interpreter stubs — only check it runs and returns a finite scalar
+        # via the hash-sampler direct call above. Here: scan default works.
+        o_scan = ex.CliquetOption(S, T, R, SIG, n_periods=4, n_steps=8,
+                                  n_paths=10_000)
+        assert np.isfinite(float(o_scan.price()))
+        assert o.engine == "pallas"
