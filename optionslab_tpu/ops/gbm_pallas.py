@@ -90,9 +90,19 @@ def _sobol_pair(idx, scramble1, scramble2):
     return u1, u2
 
 
-def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
+def _mix32(h):
+    """murmur3-style finalizer (portable logical shifts via mask)."""
+    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
+    h = h * jnp.int32(-2048144789)  # 0x85ebca6b
+    h = h ^ ((h >> 13) & jnp.int32(0x0007FFFF))
+    h = h * jnp.int32(-1028477387)  # 0xc2b2ae35
+    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
+    return h
+
+
+def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
                 pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int,
-                sampler: str = "prng"):
+                sampler: str = "prng", reps: int = 1):
     """One grid step = one path block of 4*lanes paths per row."""
     block = pl.program_id(0)
 
@@ -105,14 +115,18 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
 
     rows = s0_ref.shape[0]
     if sampler == "sobol":
-        # low-discrepancy: global point index per (block, row, lane); the
-        # Box–Muller pair consumes the 2-D Sobol point
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        # Low-discrepancy with per-CONTRACT randomization: replicas of one
+        # contract consume DISJOINT chunks of a single 2-D net (their merged
+        # moments jointly cover it), while different contracts see the SAME
+        # net under different seed-derived digital scrambles — every
+        # contract in a book gets full-net QMC accuracy (digital shifts
+        # preserve the (t,m,s)-net structure).
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        idx = block * (rows * lanes) + row_ids * lanes + col_ids + 1
+        idx = block * (reps * lanes) + rep_ref[:, :] * lanes + col_ids + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        s1 = (seed_ref[0] * jnp.int32(-1640531535)) & mask30
-        s2 = (seed_ref[0] * jnp.int32(40503) + jnp.int32(12345)) & mask30
+        h = _mix32(cid_ref[:, :] ^ (seed_ref[0] * jnp.int32(-1640531535)))
+        s1 = h & mask30
+        s2 = _mix32(h + jnp.int32(0x632BE5AB)) & mask30
         u1, u2 = _sobol_pair(idx, s1, s2)
     else:
         # independent, reproducible stream per (seed, block)
@@ -169,28 +183,30 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret",
-                                              "sampler"))
-def _launch(seed, s0, k, cp, a, s, *, n_blocks: int, rows: int, lanes: int,
-            interpret: bool = False, sampler: str = "prng"):
+                                              "sampler", "reps"))
+def _launch(seed, s0, k, cp, a, s, rep_id, cid, *, n_blocks: int, rows: int,
+            lanes: int, interpret: bool = False, sampler: str = "prng",
+            reps: int = 1):
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
     acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler),
+        functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler, reps=reps),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
             param_spec, param_spec, param_spec, param_spec, param_spec,
+            param_spec, param_spec,  # replica index / contract id (int32)
         ],
         out_specs=[acc_spec] * 4,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * rows * lanes * 4 * 12,
-            bytes_accessed=rows * (5 * 4 + 4 * 128 * 4),
+            bytes_accessed=rows * (7 * 4 + 4 * 128 * 4),
             transcendentals=n_blocks * rows * lanes * 7,
         ),
         interpret=interpret,
-    )(seed, s0, k, cp, a, s)
+    )(seed, s0, k, cp, a, s, rep_id, cid)
 
 
 def _prepare(batch: ContractBatch):
@@ -212,7 +228,12 @@ def _prepare(batch: ContractBatch):
     t = jnp.maximum(flat.maturity, EPS_TIME)
     a = expand((flat.rate - flat.dividend - 0.5 * flat.vol**2) * flat.maturity)
     s = expand(flat.vol * jnp.sqrt(t))
-    return b, flat, (s0, k, cp, a, s), c, reps, rows, pad
+    # row i = rep*c + j holds replica `rep` of contract j (edge-padded tail
+    # rows are discarded by _combine): QMC net/scramble assignment
+    row = jnp.arange(rows, dtype=jnp.int32)
+    rep_id = jnp.minimum(row // c, reps - 1).reshape(rows, 1)
+    cid = (row % c).reshape(rows, 1)
+    return b, flat, (s0, k, cp, a, s, rep_id, cid), c, reps, rows, pad
 
 
 def _combine(b, flat, outs, c, reps, n_per_row, dtype):
@@ -284,7 +305,7 @@ def _full_pipeline(batch: ContractBatch, seed, n_paths: int,
     # implements the pltpu PRNG primitives (plain interpret=True does not)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, lanes=lanes,
-                   interpret=interpret, sampler=sampler)
+                   interpret=interpret, sampler=sampler, reps=reps)
     return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block, batch.dtype)
 
 
@@ -293,10 +314,11 @@ def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed:
     """Price + stderr + full first/second-order Greek ladder, one kernel pass.
 
     ``sampler="sobol"`` uses the in-kernel scrambled low-discrepancy
-    sequence: ~40-90x lower error per path for SINGLE contracts (whose
-    replicas jointly consume the full net). For multi-contract books each
-    contract sees a strided SUBSEQUENCE of the net, which is no longer
-    low-discrepancy — expect pseudo-random-like error there.
+    sequence: ~40-90x lower error per path. Replicas of one contract
+    jointly consume a single net, and every contract in a multi-contract
+    book sees the SAME full net under its own digital scramble — book
+    pricing keeps per-contract QMC accuracy (reference QMC anchor:
+    ``src/simulation/gbm_qmc.py:14``, which is single-asset only).
 
     ``n_paths`` is the *per-contract* path budget; it is rounded up to a
     whole number of path blocks (the actual count is what stderr reflects).

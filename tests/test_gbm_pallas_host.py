@@ -116,6 +116,27 @@ class TestSobolKernelEndToEnd:
         np.testing.assert_allclose(np.asarray(out["delta"]), np.asarray(ex["delta"]),
                                    atol=2e-3)
 
+    def test_book_keeps_per_contract_qmc_accuracy(self):
+        """Each contract in a book sees the full Sobol net under its own
+        digital scramble — book error must stay within ~2x the
+        single-contract QMC error at the same per-contract path budget
+        (round-1 weakness: books saw strided subsequences)."""
+        spots = np.linspace(85.0, 115.0, 8).astype(np.float32)
+        book = ContractBatch.make(jnp.asarray(spots), 100.0, 1.0, 0.05, 0.2, "call")
+        n_paths = 250_000
+        out = gp.pallas_mc_price_greeks(book, n_paths=n_paths, seed=0, sampler="sobol")
+        exact = np.asarray(bs_greeks(spots, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)["price"])
+        book_err = np.max(np.abs(np.asarray(out["price"]) - exact))
+
+        single_errs = []
+        for s in spots[:3]:
+            b1 = ContractBatch.make(float(s), 100.0, 1.0, 0.05, 0.2, "call")
+            o1 = gp.pallas_mc_price_greeks(b1, n_paths=n_paths, seed=0, sampler="sobol")
+            e1 = float(bs_greeks(float(s), 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)["price"])
+            single_errs.append(abs(float(o1["price"]) - e1))
+        single_err = max(max(single_errs), 2e-4)  # f32 noise floor
+        assert book_err <= 2.0 * single_err + 5e-4, (book_err, single_errs)
+
     def test_scramble_seed_changes_estimate(self):
         b = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
         p0 = float(gp.pallas_mc_price_greeks(b, n_paths=500_000, seed=0, sampler="sobol")["price"])
