@@ -1,5 +1,5 @@
 from .mesh import BOOK_AXIS, PATH_AXIS, book_sharding, make_mesh, path_sharding, replicated
-from .sharded_mc import sharded_book_price, sharded_mc_price
+from .sharded_mc import sharded_book_greeks, sharded_book_price, sharded_mc_price
 from .sharded_risk import sharded_historical_var_es, sharded_mc_var
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "replicated",
     "sharded_mc_price",
     "sharded_book_price",
+    "sharded_book_greeks",
     "sharded_historical_var_es",
     "sharded_mc_var",
 ]

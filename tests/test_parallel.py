@@ -26,15 +26,23 @@ class TestShardedMC:
         res = sharded_mc_price(_batch(), KEY, cfg, mesh)
         assert abs(float(res.price) - 10.450583572185565) < 3 * float(res.std_error)
 
-    def test_topology_independence_of_estimator_quality(self, eight_devices):
-        # different shard counts give different streams but statistically
-        # consistent prices
+    def test_topology_invariance_bit_identical(self, eight_devices):
+        """Fixed global RNG blocks + canonical-order reduction: the same
+        (seed, n_paths) gives BIT-IDENTICAL prices on 1/4/8-device meshes
+        (SURVEY §5's counter-based determinism requirement)."""
         cfg = MCConfig(n_paths=160_000, dtype=jnp.float64)
-        p8 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(8))
+        p1 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(1))
         p4 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(4))
-        assert abs(float(p8.price) - float(p4.price)) < 3 * (
-            float(p8.std_error) + float(p4.std_error)
-        )
+        p8 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(8))
+        assert float(p1.price) == float(p4.price) == float(p8.price)
+        assert float(p1.std_error) == float(p4.std_error) == float(p8.std_error)
+
+    def test_book_topology_invariance(self, eight_devices):
+        cfg = MCConfig(n_paths=8_000, dtype=jnp.float64)
+        b = _batch(6)  # not divisible by the book axis: exercises padding
+        p2 = sharded_book_price(b, KEY, cfg, make_mesh(8, book=2))
+        p4 = sharded_book_price(b, KEY, cfg, make_mesh(8, book=4))
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p4))
 
     def test_matches_single_device_engine_statistically(self, eight_devices):
         cfg = MCConfig(n_paths=160_000, dtype=jnp.float64)
@@ -56,6 +64,31 @@ class TestShardedMC:
         fn = jax.jit(lambda b, k: sharded_mc_price(b, k, cfg, mesh).price)
         p = fn(_batch(), KEY)
         assert abs(float(p) - 10.45) < 1.0
+
+    def test_book_result_and_greeks_parity_with_unsharded(self, eight_devices):
+        """sharded_book_greeks vs the unsharded AD ladder (mc_greeks):
+        different streams, so statistical parity at matched path counts."""
+        from optionslab_tpu.models.black_scholes import bs_greeks
+        from optionslab_tpu.models.monte_carlo import mc_greeks
+        from optionslab_tpu.parallel import sharded_book_greeks
+
+        mesh = make_mesh(8, book=2)
+        cfg = MCConfig(n_paths=400_000, dtype=jnp.float64)
+        b = _batch(8)
+        res = sharded_book_price(b, KEY, cfg, mesh, return_result=True)
+        assert res.price.shape == res.std_error.shape == (8,)
+        g = sharded_book_greeks(b, KEY, cfg, mesh)
+        ref = mc_greeks(b, jax.random.PRNGKey(99), cfg)
+        ex = bs_greeks(b.spot, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
+        se = np.asarray(res.std_error)
+        np.testing.assert_allclose(np.asarray(g["price"]), np.asarray(ex["price"]),
+                                   atol=float(5 * se.max()))
+        for k, tol in [("delta", 0.01), ("gamma", 0.002), ("vega", 0.6),
+                       ("rho", 0.6), ("theta", 0.3), ("dual_delta", 0.01)]:
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ex[k]),
+                                       atol=tol, err_msg=k)
+            np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ref[k]),
+                                       atol=2 * tol, err_msg=k + " vs mc_greeks")
 
     def test_invalid_path_split_raises(self, eight_devices):
         mesh = make_mesh(8)
