@@ -9,6 +9,14 @@ from .black_scholes import (
     bs_price,
     bs_vega,
 )
+from .american import (
+    LSMPolicy,
+    ab_upper_bound,
+    american_price_interval,
+    dual_upper_bound,
+    fit_lsm_policy,
+    lsm_lower_bound,
+)
 from .exotics import (
     AmericanOptionLSM,
     AsianOption,
@@ -43,6 +51,7 @@ from .heston import (
     calibrate_heston,
     heston_mc_price,
     heston_price,
+    heston_price_cos,
     heston_simulate_paths,
 )
 from .iv import (
@@ -95,6 +104,8 @@ from .validation import (
 )
 
 __all__ = [
+    "LSMPolicy", "fit_lsm_policy", "lsm_lower_bound", "ab_upper_bound",
+    "dual_upper_bound", "american_price_interval",
     # Black-Scholes
     "bs_price", "bs_vega", "bs_greeks", "bs_greeks_ad", "BlackScholesPricer",
     # Monte Carlo
@@ -109,7 +120,7 @@ __all__ = [
     "implied_vol", "implied_volatility", "implied_volatility_vectorized",
     "iv_surface_from_prices",
     # stochastic / jump models
-    "HestonPricer", "HestonParams", "heston_price", "heston_mc_price",
+    "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
     "heston_simulate_paths", "calibrate_heston",
     "SABRModel", "SABRParams", "sabr_implied_vol", "sabr_price", "calibrate_sabr",
     "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",

@@ -142,6 +142,81 @@ def heston_price(batch: ContractBatch, params: HestonParams,
 
 
 # ---------------------------------------------------------------------------
+# COS method (Fang–Oosterlee 2008) — second semi-analytic engine
+# ---------------------------------------------------------------------------
+def _heston_cumulants(params: HestonParams, rate, dividend, t):
+    """c1, c2 of ln(S_T/S_0) (COS paper eq. 30) for the truncation range."""
+    v0, k, th, s = params.v0, params.kappa, params.theta, params.sigma
+    rho = params.rho
+    ekt = jnp.exp(-k * t)
+    c1 = (rate - dividend) * t + (1.0 - ekt) * (th - v0) / (2.0 * k) - 0.5 * th * t
+    c2 = (1.0 / (8.0 * k**3)) * (
+        s * t * k * ekt * (v0 - th) * (8.0 * k * rho - 4.0 * s)
+        + k * rho * s * (1.0 - ekt) * (16.0 * th - 8.0 * v0)
+        + 2.0 * th * k * t * (-4.0 * k * rho * s + s**2 + 4.0 * k**2)
+        + s**2 * ((th - 2.0 * v0) * jnp.exp(-2.0 * k * t) + th * (6.0 * ekt - 7.0) + 2.0 * v0)
+        + 8.0 * k**2 * (v0 - th) * (1.0 - ekt)
+    )
+    return c1, jnp.maximum(c2, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("n_terms", "trunc_l"))
+def heston_price_cos(batch: ContractBatch, params: HestonParams,
+                     n_terms: int = 256, trunc_l: float = 12.0) -> jnp.ndarray:
+    """European prices via the COS expansion (Fang–Oosterlee 2008) — an
+    independent semi-analytic engine cross-checking the Lewis integral of
+    :func:`heston_price` (reference single engine: ``heston.py:131-183``).
+
+    Fourier-cosine expansion of the density on [a, b] from the c1/c2
+    cumulants (range a,b = c1 ∓ L·√(c2·T-free)); the PUT coefficients are
+    evaluated (bounded payoff on [a, 0] — numerically stable deep OTM) and
+    calls recovered via parity. Fully closed-form coefficients → one fused
+    launch over all (term, contract) pairs; AD-differentiable for Greeks.
+    """
+    b = batch.broadcast()
+    dtype = b.dtype
+    flat = jax.tree.map(lambda x: x.reshape(-1), b)
+    t = jnp.maximum(flat.maturity, EPS_TIME)
+    x = jnp.log(flat.spot / flat.strike)  # (C,)
+
+    c1, c2 = _heston_cumulants(params, flat.rate, flat.dividend, t)
+    # expansion variable is y = ln(S_T/K): density centered near c1 + x,
+    # so the truncation range carries the per-strike shift (COS paper eq. 49)
+    a = c1 + x - trunc_l * jnp.sqrt(c2)
+    bb = c1 + x + trunc_l * jnp.sqrt(c2)
+    width = bb - a
+
+    k = jnp.arange(n_terms, dtype=dtype)[:, None]  # (N, 1)
+    u = k * jnp.pi / width[None, :]  # (N, C)
+
+    # CF of ln(S_T/S_0): forward-centered CF shifted by the drift
+    phi = _heston_cf(u - 0.0j, params, t[None, :]) * jnp.exp(
+        1j * u * (flat.rate - flat.dividend)[None, :] * t[None, :])
+
+    # put payoff cosine coefficients on [a, d0], d0 = 0 clipped into [a, b]
+    # (the payoff support (-inf, 0) intersected with the truncation range):
+    #   V_k = 2K/(b-a) · (-chi_k(a,d0) + psi_k(a,d0))
+    kpw = k * jnp.pi / width[None, :]
+    d0 = jnp.clip(0.0, a, bb)[None, :]
+    arg_d = kpw * (d0 - a[None, :])
+    chi = (jnp.cos(arg_d) * jnp.exp(d0) - jnp.exp(a[None, :])
+           + kpw * jnp.sin(arg_d) * jnp.exp(d0)) / (1.0 + kpw * kpw)
+    psi = jnp.where(k == 0, d0 - a[None, :],
+                    jnp.sin(arg_d) / jnp.where(k == 0, 1.0, kpw))
+    v_k = 2.0 / width[None, :] * flat.strike[None, :] * (-chi + psi)
+
+    terms = jnp.real(phi * jnp.exp(1j * u * (x - a)[None, :])) * v_k
+    terms = terms.at[0].mul(0.5)  # Σ' halves the k=0 term
+    put = jnp.exp(-flat.rate * t) * jnp.sum(terms, axis=0)
+    put = jnp.maximum(put, 0.0)
+    call = put + flat.spot * jnp.exp(-flat.dividend * t) - flat.strike * jnp.exp(-flat.rate * t)
+    price = jnp.where(flat.cp > 0, call, put)
+    intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
+    price = jnp.where(flat.maturity <= EPS_TIME, intrinsic, price)
+    return price.reshape(b.shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # Monte Carlo (full-truncation Euler), scan over steps — no path matrix
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic"))
@@ -154,6 +229,9 @@ def heston_mc_price(batch: ContractBatch, params: HestonParams, key,
     (n_paths,) state, never (n_paths × n_steps)."""
     b = batch.broadcast()
     flat = jax.tree.map(lambda x: x.reshape(-1).astype(jnp.float32), b)
+    # simulation runs in f32 regardless of batch/param dtype (the scan carry
+    # must keep one dtype; callers wanting f64 stats should average batches)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
     c = flat.spot.shape[0]
     half = n_paths // 2 if antithetic else n_paths
 
@@ -193,7 +271,10 @@ def heston_simulate_paths(spot, params: HestonParams, rate, dividend, maturity, 
     """(n_paths, n_steps+1) spot paths + variance paths (reference:
     ``heston.py:257`` simulate_paths). For when the caller genuinely wants
     the trajectories (plots, exotics prototyping)."""
-    dt = maturity / n_steps
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    rate = jnp.asarray(rate, jnp.float32)
+    dividend = jnp.asarray(dividend, jnp.float32)
+    dt = jnp.asarray(maturity / n_steps, jnp.float32)
     sqrt_dt = jnp.sqrt(dt)
     srho = jnp.sqrt(jnp.maximum(1.0 - params.rho**2, 0.0))
 
@@ -279,8 +360,14 @@ class HestonPricer:
         self.params = HestonParams.make(v0, kappa, theta, sigma, rho)
         self.params.validate()
 
-    def price_european(self, S, K, T, r, option_type="call", q=0.0):
+    def price_european(self, S, K, T, r, option_type="call", q=0.0,
+                       engine: str = "lewis"):
+        """``engine``: "lewis" (Gauss–Legendre Lewis integral) or "cos"
+        (Fang–Oosterlee expansion) — two independent semi-analytic engines
+        that cross-check each other (tests assert 2e-4 agreement)."""
         batch = ContractBatch.make(S, K, T, r, jnp.sqrt(self.params.v0), option_type, q)
+        if engine == "cos":
+            return heston_price_cos(batch, self.params)
         return heston_price(batch, self.params)
 
     price = price_european

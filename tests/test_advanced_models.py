@@ -12,6 +12,7 @@ from optionslab_tpu.models.heston import (
     calibrate_heston,
     heston_mc_price,
     heston_price,
+    heston_price_cos,
     heston_simulate_paths,
 )
 from optionslab_tpu.models.jump_diffusion import (
@@ -77,6 +78,46 @@ class TestHeston:
             HestonPricer(v0=-0.1)
         with pytest.raises(ValidationError):
             HestonPricer(rho=1.5)
+
+    @pytest.mark.parametrize("pvals", [
+        (0.04, 2.0, 0.04, 0.3, -0.7),   # textbook
+        (0.09, 1.0, 0.09, 0.9, -0.9),   # extreme rho / vol-of-vol
+        (0.04, 0.5, 0.06, 0.5, 0.9),    # positive rho
+        (0.02, 3.0, 0.02, 0.6, -0.5),   # Feller-violating, thin v0
+    ])
+    def test_cos_cross_checks_lewis(self, pvals):
+        """Two INDEPENDENT semi-analytic engines (Lewis integral vs COS
+        expansion) must agree across strikes/maturities/types — including
+        extreme-rho and Feller-violating corners."""
+        par = HestonParams.make(*pvals, dtype=F)
+        strikes = jnp.asarray([60.0, 80.0, 100.0, 120.0, 160.0], F)
+        for t in (0.1, 1.0, 5.0):
+            for cp in ("call", "put"):
+                b = ContractBatch.make(100.0, strikes, t, 0.03, 0.2, cp,
+                                       dividend=0.01, dtype=F)
+                lew = np.asarray(heston_price(b, par, n_nodes=1024, u_max=3000.0))
+                cos = np.asarray(heston_price_cos(b, par))
+                np.testing.assert_allclose(cos, lew, atol=2e-4)
+
+    def test_cos_zero_volofvol_reduces_to_bs(self):
+        par = HestonParams.make(v0=0.04, kappa=2.0, theta=0.04, sigma=1e-4,
+                                rho=0.0, dtype=F)
+        p = float(heston_price_cos(_batch(), par))
+        assert abs(p - 10.450583572185565) < 1e-4
+
+    def test_cos_greeks_via_ad(self):
+        par = HestonParams.make(dtype=F)
+
+        def price_of(s):
+            return heston_price_cos(
+                ContractBatch.make(s, 100.0, 1.0, 0.05, 0.2, "call", dtype=F), par)
+
+        delta = float(jax.grad(price_of)(jnp.asarray(100.0, F)))
+        eps = 0.05
+        fd = (float(price_of(jnp.asarray(100 + eps, F)))
+              - float(price_of(jnp.asarray(100 - eps, F)))) / (2 * eps)
+        assert abs(delta - fd) < 1e-4
+        assert 0.3 < delta < 0.9
 
     @pytest.mark.slow
     def test_calibration_recovers_params(self):
