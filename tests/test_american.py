@@ -1,0 +1,116 @@
+"""American LSM policy + dual-bound bracket (models/american.py).
+
+Oracles: CRR binomial American (in-repo lattice), Black–Scholes European
+(no-dividend call never exercises early), and a Monte Carlo check that the
+closed-form conditional expectation of the piecewise dual value matches
+brute-force sampling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models import american as am
+from optionslab_tpu.models.binomial import binomial_price
+from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.types import ContractBatch
+
+S, K, T, R, SIG = 100.0, 100.0, 1.0, 0.05, 0.2
+
+
+@pytest.fixture(scope="module")
+def put_interval():
+    return am.american_price_interval(S, K, T, R, SIG, cp=-1.0, seed=0,
+                                      n_fit=100_000, n_lower=100_000,
+                                      n_outer=50_000, n_dates=50, basis=3)
+
+
+class TestBracket:
+    def test_ordering_and_width(self, put_interval):
+        out = put_interval
+        assert float(out["lower"]) <= float(out["upper"])
+        assert float(out["width"]) < 0.5  # closed-form dual is tight-ish on CPU sizes
+        assert float(out["upper_se"]) < 0.01
+
+    def test_contains_binomial_american(self, put_interval):
+        """True Bermudan-50 ≤ American; the bracket must sit consistently:
+        lower ≤ CRR American + noise, upper ≥ Bermudan (≈ CRR − O(1/n))."""
+        crr = float(binomial_price(ContractBatch.make(S, K, T, R, SIG, "put"),
+                                   american=True, n_steps=2001))
+        out = put_interval
+        lo = float(out["lower"]) - 3 * float(out["lower_se"])
+        hi = float(out["upper"]) + 3 * float(out["upper_se"])
+        assert lo <= crr <= hi + 0.02  # Bermudan-50 < American by ~0.01
+        # and the bracket is in the right neighborhood entirely
+        assert 5.9 < lo and hi < 6.6
+
+    def test_lower_above_european(self, put_interval):
+        euro = float(bs_price(S, K, T, R, SIG, -1.0, 0.0))
+        assert float(put_interval["lower"]) > euro  # early-exercise premium
+
+    def test_call_no_dividend_is_european(self):
+        out = am.american_price_interval(S, K, T, R, SIG, cp=1.0, seed=1,
+                                         n_fit=50_000, n_lower=50_000,
+                                         n_outer=20_000, n_dates=20, basis=3)
+        euro = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        assert abs(float(out["lower"]) - euro) < 4 * float(out["lower_se"]) + 0.01
+        assert float(out["upper"]) >= euro - 0.01
+
+    def test_payoff_feature_basis_beats_plain_polys(self):
+        """The h-feature must not hurt: lower bound at least as high as the
+        baseline scan-engine LSM (same budget) within noise."""
+        from optionslab_tpu.models.exotics import american_lsm_price
+
+        base = float(american_lsm_price(S, K, T, R, SIG, jax.random.PRNGKey(3),
+                                        cp=-1.0, n_paths=100_000, n_dates=50))
+        pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(4), cp=-1.0,
+                                n_paths=100_000, n_dates=50, basis=3)
+        lower, se = am.lsm_lower_bound(pol, jax.random.PRNGKey(5), 100_000)
+        assert float(lower) > base - 4 * float(se) - 0.02
+
+
+class TestDualInternals:
+    def test_expect_piecewise_matches_mc(self):
+        pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
+                                n_paths=50_000, n_dates=50, basis=3)
+        coefs = pol.vcoefs.astype(jnp.float64)
+        pcoefs = pol.coefs.astype(jnp.float64)
+        n_dates, basis = 50, 3
+        dt = T / n_dates
+        mu = (R - 0.5 * SIG**2) * dt
+        sig = SIG * np.sqrt(dt)
+        bounds = am._solve_boundaries(pcoefs, K, -1.0, basis, n_dates)
+        rng = np.random.default_rng(1)
+        kidx = 25
+        for s in (80.0, 100.0, 120.0):
+            z = rng.standard_normal(2_000_000)
+            snext = jnp.asarray(s * np.exp(mu + sig * z))
+            v_mc = float(np.mean(np.asarray(am._piecewise_value(
+                snext, bounds[kidx], coefs[kidx], K, -1.0, basis))))
+            v_cf = float(am._expect_piecewise(
+                jnp.asarray(s, jnp.float64), bounds[kidx], coefs[kidx], K,
+                -1.0, basis, mu, sig))
+            assert abs(v_mc - v_cf) < 5e-3, (s, v_mc, v_cf)
+
+    def test_boundary_monotone_toward_strike(self):
+        """Put exercise boundary rises toward K as maturity approaches."""
+        pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
+                                n_paths=100_000, n_dates=50, basis=3)
+        b = np.asarray(am._solve_boundaries(pol.coefs.astype(jnp.float64), K,
+                                            -1.0, 3, 50))
+        assert b[-1] == pytest.approx(K, rel=5e-3)  # terminal: exercise any ITM
+        # (grid resolution near K is ~0.15 on the 2048-node geometric grid)
+        assert 70.0 < b[20] < 100.0
+        # loose monotonicity on the trustworthy late half
+        late = b[30:]
+        assert np.all(np.diff(late) > -2.0)
+
+    def test_nested_ab_also_upper(self):
+        pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
+                                n_paths=50_000, n_dates=20, basis=3)
+        lower, lse = am.lsm_lower_bound(pol, jax.random.PRNGKey(1), 50_000)
+        upper, use = am.ab_upper_bound(pol, jax.random.PRNGKey(2),
+                                       n_outer=256, n_inner=64)
+        assert float(upper) + 3 * float(use) >= float(lower) - 3 * float(lse)
