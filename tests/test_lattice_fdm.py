@@ -86,6 +86,22 @@ class TestFDM:
         bi = float(binomial_price(_batch("put"), american=True, n_steps=1000))
         assert abs(cn - bi) < 2e-2
 
+    def test_policy_iteration_beats_projection(self):
+        """Howard LCP solve + kink-mid grid vs the reference-style
+        first-order projection, against the converged American put value
+        (CRR Richardson limit ≈ 6.09040; CRR@2001 itself carries +7e-4
+        discretization bias, measured in-repo)."""
+        true_val = 6.09040
+        pol = float(fdm_price(_batch("put"), 201, 200, american=True,
+                              american_method="policy"))
+        proj = float(fdm_price(_batch("put"), 201, 200, american=True,
+                               american_method="projection"))
+        assert abs(pol - true_val) < 2.5e-3
+        assert abs(pol - true_val) < abs(proj - true_val)
+        fine = float(fdm_price(_batch("put"), 801, 800, american=True,
+                               american_method="policy"))
+        assert abs(fine - true_val) < 4e-4
+
     def test_implicit_scheme(self):
         p = float(fdm_price(_batch(), 401, 400, scheme="implicit"))
         assert abs(p - BS_CALL) < 2e-2
