@@ -10,11 +10,14 @@ from .black_scholes import (
     bs_vega,
 )
 from .american import (
+    GridValue,
     LSMPolicy,
     ab_upper_bound,
+    american_continuous_interval,
     american_price_interval,
     dual_upper_bound,
     fit_lsm_policy,
+    grid_value_surface,
     lsm_lower_bound,
 )
 from .exotics import (
@@ -89,7 +92,8 @@ from .monte_carlo import (
     mc_price_result,
 )
 from .sabr import SABRModel, SABRParams, calibrate_sabr, sabr_implied_vol, sabr_price
-from .surrogate import MonteCarloMLSurrogate, generate_training_data
+from .surrogate import (WIDE_PARAM_RANGES, MonteCarloMLSurrogate,
+                        generate_training_data)
 # Reference-name aliases: OptionsLab users should find the symbols they know
 # (src/pricing_models/__init__.py exports these names).
 from .black_scholes import bs_price as black_scholes  # noqa: F401
@@ -106,6 +110,7 @@ from .validation import (
 __all__ = [
     "LSMPolicy", "fit_lsm_policy", "lsm_lower_bound", "ab_upper_bound",
     "dual_upper_bound", "american_price_interval",
+    "GridValue", "grid_value_surface", "american_continuous_interval",
     # Black-Scholes
     "bs_price", "bs_vega", "bs_greeks", "bs_greeks_ad", "BlackScholesPricer",
     # Monte Carlo

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.exceptions import ValidationError
+
 
 def _features(s, strike, cp, basis: int):
     """(basis+2, ...) regression features: 1, x, …, x^basis, h/K with
@@ -428,24 +430,413 @@ def dual_upper_bound(policy: LSMPolicy, key, n_outer: int = 500_000):
                           n_outer, policy.n_dates, policy.basis)
 
 
+# ---------------------------------------------------------------------------
+# Grid value surface + telescoping-BS dual: certified tight brackets
+# ---------------------------------------------------------------------------
+def _hat_pieces(c, m, s, h):
+    """E[Λ_c(z)] for z ~ N(m, s²), split into (left, right) hat pieces so
+    the grid-end nodes can keep only their interior half.
+
+    left  = E[(z − (c−h))/h · 1{c−h < z < c}]
+    right = E[((c+h) − z)/h · 1{c < z < c+h}]
+    """
+    from ..ops.math import norm_cdf
+
+    inv = 1.0 / s
+    al, be, ga = (c - h - m) * inv, (c - m) * inv, (c + h - m) * inv
+    phi = lambda u: jnp.exp(-0.5 * u * u) * 0.3989422804014327
+    left = ((m - (c - h)) * (norm_cdf(be) - norm_cdf(al))
+            + s * (phi(al) - phi(be))) / h
+    right = (((c + h) - m) * (norm_cdf(ga) - norm_cdf(be))
+             - s * (phi(be) - phi(ga))) / h
+    return left, right, norm_cdf
+
+
+@dataclasses.dataclass(frozen=True)
+class GridValue:
+    """Bermudan value surface on a uniform log-spot grid.
+
+    ``resid[k]`` holds Ṽ_k − BS(·, τ_k) at the nodes for exercise date k
+    (k = 0 … n_dates−1, date k at time (k+1)·dt); the dual and the policy
+    reconstruct Ṽ = BS + linear-interp(resid) — the exact-BS split makes
+    the dual martingale telescope (f32-safe) and shrinks interp error.
+    """
+
+    y0: float
+    h: float
+    resid: jnp.ndarray   # (n_dates, G) value residual vs European
+    cresid: jnp.ndarray  # (n_dates, G) continuation residual vs European
+    price: jnp.ndarray   # grid-induction price estimate at t=0
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    vol: float
+    cp: float
+    dividend: float
+    n_dates: int
+
+
+def _band_width(mu_f: float, s_f: float, h_f: float) -> int:
+    import math
+
+    return int(math.ceil((8.0 * s_f + abs(mu_f)) / h_f)) + 2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_dates", "n_grid", "cp", "band"))
+def _grid_induction(spot, strike, maturity, rate, vol, cp, dividend,
+                    n_dates: int, n_grid: int, band: int,
+                    width: float = 10.0):
+    """Backward induction V = max(ψ, e^{-rΔt}·E[V_lin(S')|·]) with the EXACT
+    one-step expectation of the piecewise-linear interpolant under GBM
+    (Gaussian hat-function moments). The kernel is shift-invariant on the
+    uniform log grid, and clamped extrapolation beyond the ends equals
+    EDGE-PADDING, so each step is one length-(2·band+1) convolution —
+    O(G·band) instead of a dense (G×G) matvec. Runs in f64; residual
+    surfaces vs European are returned in f32 (they parameterize the dual's
+    value function — only consistency, not precision, matters there)."""
+    f = jnp.float64
+    spot, strike, rate, vol, dividend = (jnp.asarray(v, f) for v in
+                                         (spot, strike, rate, vol, dividend))
+    t = jnp.asarray(maturity, f)
+    dt = t / n_dates
+    mu = (rate - dividend - 0.5 * vol * vol) * dt
+    s = vol * jnp.sqrt(dt)
+    half_w = width * vol * jnp.sqrt(t) + jnp.abs(jnp.log(spot / strike))
+    y = jnp.log(strike) + jnp.linspace(-1.0, 1.0, n_grid, dtype=f) * half_w
+    h = y[1] - y[0]
+
+    # shift-invariant kernel: weight of node at offset d for a state one
+    # step back, plus tail mass folded onto the end taps (edge padding
+    # makes those taps read the clamped edge value)
+    d = jnp.arange(-band, band + 1).astype(f)
+    left, right, ncdf = _hat_pieces(d * h, mu, s, h)
+    kern = left + right
+    kern = kern.at[0].add(ncdf((d[0] * h - mu) / s) - left[0])
+    kern = kern.at[-1].add(1.0 - ncdf((d[-1] * h - mu) / s) - right[-1])
+
+    def expect(v):  # E[V_lin(S')|y_i] for every node i
+        vp = jnp.pad(v, (band, band), mode="edge")
+        # correlate: out[i] = Σ_d kern[d]·vp[i + band + d]
+        return jnp.convolve(vp, kern[::-1], mode="valid")
+
+    s_nodes = jnp.exp(y)
+    psi = jnp.maximum(cp * (s_nodes - strike), 0.0)
+    disc1 = jnp.exp(-rate * dt)
+
+    from .black_scholes import bs_price
+
+    def bs_nodes(k):  # European value at the nodes, time-to-expiry (n-k)dt
+        tau = (n_dates - k).astype(f) * dt
+        return jnp.where(tau > 0, bs_price(s_nodes, strike,
+                                           jnp.maximum(tau, 1e-12), rate, vol,
+                                           cp, dividend), psi)
+
+    def backward(v_next, k):  # k = n_dates-2 … 0 (date index of the target)
+        cont = disc1 * expect(v_next)
+        v = jnp.maximum(psi, cont)
+        eu = bs_nodes(k + 1.0)
+        return v, ((v - eu).astype(jnp.float32), (cont - eu).astype(jnp.float32))
+
+    v_term = psi
+    _, (res_rev, cres_rev) = lax.scan(backward, v_term,
+                                      jnp.arange(n_dates - 2, -1, -1))
+    # terminal rows: Ṽ_n = ψ = BS(τ=0) → residual 0; continuation residual
+    # at the terminal date is also 0 by the same convention
+    zero = jnp.zeros((1, n_grid), jnp.float32)
+    resid = jnp.concatenate([res_rev[::-1], zero], axis=0)
+    cresid = jnp.concatenate([cres_rev[::-1], zero], axis=0)
+
+    # t=0 price estimate: discounted expectation of the date-0 value from
+    # S0 (no exercise at t=0), via one explicit hat-weight row
+    v0_nodes = resid[0].astype(f) + bs_nodes(jnp.asarray(1.0, f))
+    m0 = jnp.log(spot) + mu
+    lw, rw, _ = _hat_pieces(y, m0, s, h)
+    w0 = lw + rw
+    w0 = w0.at[0].set(rw[0] + ncdf((y[0] - m0) / s))
+    w0 = w0.at[-1].set(lw[-1] + 1.0 - ncdf((y[-1] - m0) / s))
+    price = disc1 * (w0 @ v0_nodes)
+    return y[0], h, resid, cresid, price
+
+
+def grid_value_surface(spot, strike, maturity, rate, vol, cp=-1.0,
+                       dividend=0.0, n_dates: int = 500,
+                       n_grid: int = 1024, width: float = 10.0) -> GridValue:
+    """Quadrature/transition-kernel Bermudan engine (beyond-reference):
+    near-exact value surface whose price cross-checks CN-LCP and CRR, and
+    the substrate for the certified [lower, upper] bracket."""
+    import math
+
+    t, v = float(maturity), float(vol)
+    dt = t / n_dates
+    mu = (float(rate) - float(dividend) - 0.5 * v * v) * dt
+    s = v * math.sqrt(dt)
+    half_w = width * v * math.sqrt(t) + abs(math.log(float(spot) / float(strike)))
+    h = 2.0 * half_w / (n_grid - 1)
+    band = _band_width(mu, s, h)
+    y0, h, resid, cresid, price = _grid_induction(
+        float(spot), float(strike), float(maturity), float(rate), float(vol),
+        float(cp), float(dividend), n_dates, n_grid, band, width)
+    return GridValue(float(y0), float(h), resid, cresid, price, float(spot),
+                     float(strike), float(maturity), float(rate), float(vol),
+                     float(cp), float(dividend), n_dates)
+
+
+def _interp_row(row, y0, h, y):
+    """Clamped linear interpolation of one grid row at points y."""
+    g = row.shape[-1]
+    pos = (y - y0) / h
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, g - 2)
+    frac = jnp.clip(pos - i0, 0.0, 1.0)
+    return (1.0 - frac) * row[i0] + frac * row[i0 + 1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_outer", "n_dates", "cp", "window"))
+def _grid_bracket(resid, cresid, y0, h, spot, strike, maturity, rate, vol,
+                  cp, dividend, key, n_outer: int, n_dates: int,
+                  window: int = 24):
+    """ONE forward pass → both certified bounds, sharing the telescoping-BS
+    + residual-hat martingale M (M_0 = 0, exact conditional expectations):
+
+      lower = Ê[h̃_τ − M_τ]            (τ = grid policy; optional stopping
+                                        makes E[M_τ] = 0, and M is a near-
+                                        perfect control variate: the
+                                        estimator variance is the DUALITY
+                                        GAP's, orders below raw payoffs)
+      upper = Ê[max_k (h̃_k − M_k)]    (valid for ANY martingale)
+
+    Both standard errors come out ~1e-5 at 1e5 paths.
+    """
+    from .black_scholes import bs_price
+
+    dtype = jnp.float64
+    t = jnp.asarray(maturity, dtype)
+    dt = t / n_dates
+    mu = (rate - dividend - 0.5 * vol * vol) * dt
+    s_step = vol * jnp.sqrt(dt)
+    half = n_outer // 2
+    g = resid.shape[-1]
+    offs = jnp.arange(-window, window + 1)
+
+    def e_resid(row, y_prev):
+        m = y_prev + mu
+        jc = jnp.clip(jnp.round((m - y0) / h).astype(jnp.int32), window,
+                      g - 1 - window)
+        idx = jc[:, None] + offs[None, :]
+        c = y0 + idx.astype(dtype) * h
+        left, right, ncdf = _hat_pieces(c, m[:, None], s_step, h)
+        w = left + right
+        w = w.at[:, 0].add(ncdf((c[:, 0] - m) / s_step) - left[:, 0])
+        w = w.at[:, -1].add(1.0 - ncdf((c[:, -1] - m) / s_step) - right[:, -1])
+        return (w * row[idx]).sum(axis=1)
+
+    bs0 = bs_price(jnp.asarray(spot, dtype), strike, t, rate, vol, cp, dividend)
+
+    def step(carry, k):
+        y_prev, m_mart, best, alive, f_low = carry
+        z = jax.random.normal(jax.random.fold_in(key, k), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        y = y_prev + mu + s_step * z
+        sj = jnp.exp(y)
+        df = jnp.exp(-rate * dt * (k + 1).astype(dtype))
+        tau_k = (n_dates - 1 - k).astype(dtype) * dt
+        euro = jnp.where(tau_k > 0,
+                         bs_price(sj, strike, jnp.maximum(tau_k, 1e-12), rate,
+                                  vol, cp, dividend),
+                         jnp.maximum(cp * (sj - strike), 0.0))
+        # martingale: telescoping BS part + exact residual-hat part
+        m_mart = m_mart + df * (_interp_row(resid[k], y0, h, y)
+                                - e_resid(resid[k], y_prev))
+        m_k = (df * euro - bs0) + m_mart
+        ex = jnp.maximum(cp * (sj - strike), 0.0)
+        h_k = df * ex
+        best = jnp.maximum(best, h_k - m_k)
+        # grid policy: exercise when intrinsic >= continuation
+        cont = euro + _interp_row(cresid[k], y0, h, y)
+        stop = alive & (ex > 0) & (ex >= cont)
+        f_low = jnp.where(stop, h_k - m_k, f_low)
+        alive = alive & ~stop
+        # unstopped paths at the last date: payoff 0 (OTM) minus M_n
+        f_low = jnp.where((k == n_dates - 1) & alive, -m_k, f_low)
+        return (y, m_mart, best, alive, f_low), None
+
+    h0 = jnp.maximum(cp * (spot - strike), 0.0)
+    init = (jnp.full(n_outer, jnp.log(spot), dtype),
+            jnp.zeros(n_outer, dtype), jnp.full(n_outer, h0, dtype),
+            jnp.ones(n_outer, bool), jnp.zeros(n_outer, dtype))
+    (_, _, best, _, f_low), _ = lax.scan(step, init, jnp.arange(n_dates))
+    lower = f_low.mean()
+    lower_se = f_low.std(ddof=1) / jnp.sqrt(n_outer * 1.0)
+    upper = best.mean()
+    upper_se = best.std(ddof=1) / jnp.sqrt(n_outer * 1.0)
+    return (jnp.maximum(lower, h0), lower_se, upper, upper_se)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_dates", "cp"))
+def _grid_lower(resid_c, y0, h, spot, strike, maturity, rate, vol, cp,
+                dividend, key, n_paths: int, n_dates: int):
+    """Out-of-sample lower bound under the grid policy (exercise when
+    intrinsic ≥ continuation), with the European payoff as control
+    variate."""
+    from .black_scholes import bs_price
+
+    dtype = jnp.float64
+    t = jnp.asarray(maturity, dtype)
+    dt = t / n_dates
+    drift = (rate - dividend - 0.5 * vol * vol) * dt
+    sig_dt = vol * jnp.sqrt(dt)
+    half = n_paths // 2
+
+    def step(carry, idx):
+        y, alive, pv = carry
+        z = jax.random.normal(jax.random.fold_in(key, idx), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        y = y + drift + sig_dt * z
+        sj = jnp.exp(y)
+        ex = jnp.maximum(cp * (sj - strike), 0.0)
+        tau = (n_dates - 1 - idx).astype(dtype) * dt
+        euro = jnp.where(tau > 0, bs_price(sj, strike, jnp.maximum(tau, 1e-12),
+                                           rate, vol, cp, dividend), 0.0)
+        cont = euro + _interp_row(resid_c[idx], y0, h, y)
+        stop = (ex > 0) & (ex >= cont)
+        df = jnp.exp(-rate * dt * (idx + 1).astype(dtype))
+        pv = pv + jnp.where(alive & stop, df * ex, 0.0)
+        alive = alive & ~stop
+        return (y, alive, pv), jnp.where(idx == n_dates - 1, df * ex, 0.0)
+
+    init = (jnp.full(n_paths, jnp.log(spot), dtype), jnp.ones(n_paths, bool),
+            jnp.zeros(n_paths, dtype))
+    (_, _, pv), euro_rows = lax.scan(step, init, jnp.arange(n_dates))
+    euro_pay = euro_rows.sum(axis=0)  # discounted terminal European payoff
+    euro_cf = bs_price(jnp.asarray(spot, dtype), strike, t, rate, vol, cp,
+                       dividend)
+    adj = pv - (euro_pay - euro_cf)  # control variate, beta = 1
+    price = adj.mean()
+    se = adj.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+    return jnp.maximum(price, jnp.maximum(cp * (spot - strike), 0.0)), se
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_outer", "n_dates", "cp", "window"))
+def _grid_dual_upper(resid, y0, h, spot, strike, maturity, rate, vol, cp,
+                     dividend, key, n_outer: int, n_dates: int,
+                     window: int = 24):
+    """Dual upper bound with the telescoping-BS martingale.
+
+    Ṽ_k(S) = BS(S, τ_k) + lininterp(resid_k)(ln S). The discounted BS part
+    is an exact martingale (its increments telescope — evaluated twice,
+    not summed), and the residual part's conditional expectation is exact
+    Gaussian hat-moments over a ±window node stencil (hat mass beyond
+    8σ-step ≈ 1e-15). U = E[max_k (h̃_k − M_k)] is a valid bound for any
+    martingale; tightness = induction-surface quality.
+    """
+    from .black_scholes import bs_price
+
+    dtype = jnp.float64
+    t = jnp.asarray(maturity, dtype)
+    dt = t / n_dates
+    mu = (rate - dividend - 0.5 * vol * vol) * dt
+    s_step = vol * jnp.sqrt(dt)
+    half = n_outer // 2
+    g = resid.shape[-1]
+    offs = jnp.arange(-window, window + 1)
+
+    def e_resid(row, y_prev):
+        """Exact E[lininterp(row)(y') | y_prev] via windowed hat moments."""
+        m = y_prev + mu  # (P,)
+        jc = jnp.clip(jnp.round((m - y0) / h).astype(jnp.int32), window,
+                      g - 1 - window)
+        idx = jc[:, None] + offs[None, :]  # (P, 2W+1)
+        c = y0 + idx.astype(dtype) * h
+        left, right, ncdf = _hat_pieces(c, m[:, None], s_step, h)
+        w = left + right
+        # clamp tails at the WINDOW edges (mass there < 1e-15 unless the
+        # window was clipped at the grid edge, where clamping is exact)
+        w = w.at[:, 0].add(ncdf((c[:, 0] - m) / s_step) - left[:, 0])
+        w = w.at[:, -1].add(1.0 - ncdf((c[:, -1] - m) / s_step) - right[:, -1])
+        return (w * row[idx]).sum(axis=1)
+
+    def bs_disc(sj, k):  # discounted European value at date k (time (k+1)dt)
+        tau = (n_dates - 1 - k).astype(dtype) * dt
+        df = jnp.exp(-rate * dt * (k + 1).astype(dtype))
+        euro = jnp.where(tau > 0, bs_price(sj, strike, jnp.maximum(tau, 1e-12),
+                                           rate, vol, cp, dividend),
+                         jnp.maximum(cp * (sj - strike), 0.0))
+        return df * euro
+
+    bs0 = bs_price(jnp.asarray(spot, dtype), strike, t, rate, vol, cp, dividend)
+
+    def step(carry, k):
+        y_prev, m_mart, best = carry
+        z = jax.random.normal(jax.random.fold_in(key, k), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        y = y_prev + mu + s_step * z
+        sj = jnp.exp(y)
+        df = jnp.exp(-rate * dt * (k + 1).astype(dtype))
+        # residual-martingale increment: evaluation minus its exact
+        # conditional expectation seen from the previous state, both under
+        # the SAME date-k discount factor
+        m_mart = m_mart + df * (_interp_row(resid[k], y0, h, y)
+                                - e_resid(resid[k], y_prev))
+        # full martingale M_k = (df_k·BS_k − BS_0) + m_mart (BS telescopes:
+        # evaluated, never summed — no f.p. drift accumulation)
+        m_k = (bs_disc(sj, k) - bs0) + m_mart
+        h_k = df * jnp.maximum(cp * (sj - strike), 0.0)
+        best = jnp.maximum(best, h_k - m_k)
+        return (y, m_mart, best), None
+
+    h0 = jnp.maximum(cp * (spot - strike), 0.0)
+    init = (jnp.full(n_outer, jnp.log(spot), dtype),
+            jnp.zeros(n_outer, dtype), jnp.full(n_outer, h0, dtype))
+    (_, _, best), _ = lax.scan(step, init, jnp.arange(n_dates))
+    upper = best.mean()
+    se = best.std(ddof=1) / jnp.sqrt(n_outer * 1.0)
+    return upper, se
+
+
 def american_price_interval(spot, strike, maturity, rate, vol, cp=-1.0,
                             dividend=0.0, seed: int = 0,
                             n_fit: int = 200_000, n_lower: int = 200_000,
                             n_outer: int = 200_000, n_inner: int = 128,
                             n_dates: int = 50, basis: int = 3,
-                            method: str = "closed_form") -> dict:
-    """[lower, upper] bracket of the Bermudan/American price:
+                            method: str = "grid", n_grid: int = 1024) -> dict:
+    """[lower, upper] bracket of the Bermudan/American price.
 
-      * lower — out-of-sample LSM with the payoff-feature basis;
-      * upper — dual bound on the same policy: ``method="closed_form"``
-        (deterministic martingale from exact lognormal partial moments —
-        tight AND cheap) or ``method="nested"`` (classic Andersen–Broadie
-        nested simulation with a European control variate).
+    ``method``:
+      * "grid" (default) — transition-matrix value surface; lower = fresh
+        paths under the grid policy with a European control variate,
+        upper = telescoping-BS dual with exact Gaussian hat-moment
+        conditional expectations. Tightest (width ~1e-3 at production
+        sizes); also returns the grid-induction ``estimate``.
+      * "closed_form" — LSM payoff-feature policy + deterministic
+        polynomial-martingale dual (exact lognormal partial moments).
+      * "nested" — classic Andersen–Broadie nested simulation with a
+        European control variate.
 
-    Returns dict(lower, lower_se, upper, upper_se, width). The true price
-    lies in [lower − 3·lower_se, upper + 3·upper_se] with ~99.7% confidence.
+    Returns dict(lower, lower_se, upper, upper_se, width[, estimate]). The
+    true price lies in [lower − 3·lower_se, upper + 3·upper_se] with
+    ~99.7% confidence.
     """
     k_fit, k_low, k_up = jax.random.split(jax.random.PRNGKey(seed), 3)
+    if method == "grid":
+        import math
+
+        gv = grid_value_surface(spot, strike, maturity, rate, vol, cp,
+                                dividend, n_dates, n_grid)
+        s_step = float(vol) * math.sqrt(float(maturity) / n_dates)
+        window = min(int(math.ceil(8.0 * s_step / gv.h)) + 2, n_grid // 2 - 1)
+        lower, lower_se, upper, upper_se = _grid_bracket(
+            gv.resid, gv.cresid, gv.y0, gv.h, gv.spot, gv.strike, gv.maturity,
+            gv.rate, gv.vol, gv.cp, gv.dividend, k_up,
+            min(n_outer, 131072), n_dates, window)
+        upper = jnp.maximum(upper, lower)
+        return {
+            "lower": lower, "lower_se": lower_se,
+            "upper": upper, "upper_se": upper_se,
+            "width": upper - lower, "estimate": gv.price,
+        }
     policy = fit_lsm_policy(spot, strike, maturity, rate, vol, k_fit, cp,
                             dividend, n_fit, n_dates, basis)
     lower, lower_se = lsm_lower_bound(policy, k_low, n_lower)
@@ -459,3 +850,41 @@ def american_price_interval(spot, strike, maturity, rate, vol, cp=-1.0,
         "upper": upper, "upper_se": upper_se,
         "width": upper - lower,
     }
+
+
+def american_continuous_interval(spot, strike, maturity, rate, vol, cp=-1.0,
+                                 dividend=0.0, seed: int = 0,
+                                 n_outer: int = 16_384, n_dates: int = 4_000,
+                                 n_grid: int = 8_192) -> dict:
+    """Certified bracket of the CONTINUOUS-exercise American price.
+
+    lower: a Bermudan-n lower bound is automatically an American lower
+    bound. upper: the Bermudan-n dual upper bound PLUS the rigorous
+    discretization pad — delaying exercise to the next grid date forgoes
+    drift at most (rK − qS)⁺ ≤ rK per unit time inside a put's exercise
+    region, so American ≤ Bermudan_n + rK·Δt. (No-dividend calls never
+    exercise early: pad 0. Dividend-paying calls have no uniform drift
+    bound — use the Bermudan bracket directly at large n.)
+
+    At default sizes the interval has width ~2–4e-3 and contains the CRR
+    binomial price, whose own O(1/n) spatial bias (+7e-4 at 2001 steps for
+    the standard put test point) the bracket resolves.
+    """
+    out = american_price_interval(spot, strike, maturity, rate, vol, cp,
+                                  dividend, seed=seed, n_outer=n_outer,
+                                  n_dates=n_dates, n_grid=n_grid,
+                                  method="grid")
+    if cp < 0:
+        pad = float(rate) * float(strike) * float(maturity) / n_dates
+    elif float(dividend) == 0.0:
+        pad = 0.0
+    else:
+        raise ValidationError(
+            "continuous-exercise pad needs a uniform drift bound; for "
+            "dividend-paying calls use american_price_interval(method='grid') "
+            "at large n_dates instead")
+    out = dict(out)
+    out["upper"] = out["upper"] + pad
+    out["width"] = out["upper"] - out["lower"]
+    out["pad"] = pad
+    return out

@@ -107,6 +107,56 @@ class TestDualInternals:
         late = b[30:]
         assert np.all(np.diff(late) > -2.0)
 
+    def test_grid_bracket_pins_bermudan(self):
+        """The grid engine's certified bracket is machine-tight: width
+        ~2e-5 around the Bermudan-50 value (≈6.07864 by grid-Richardson),
+        with both bounds sharing the telescoping-BS martingale."""
+        out = am.american_price_interval(S, K, T, R, SIG, cp=-1.0, seed=0,
+                                         n_outer=8192, n_dates=50,
+                                         n_grid=1024, method="grid")
+        lo, hi = float(out["lower"]), float(out["upper"])
+        assert lo <= hi
+        assert float(out["width"]) < 2e-4
+        assert abs(lo - 6.07864) < 3e-4  # pins the true Bermudan-50
+        assert float(out["upper_se"]) < 2e-4
+        # induction estimate carries the convex-interp upward bias; the
+        # DUAL is what certifies
+        assert float(out["estimate"]) >= hi - 1e-6
+
+    def test_grid_single_date_is_european(self):
+        """n_dates=1 collapses to European: the telescoping-BS martingale
+        replicates the payoff exactly, so the bracket has zero width at
+        the BS price."""
+        euro = float(bs_price(S, K, T, R, SIG, -1.0, 0.0))
+        out = am.american_price_interval(S, K, T, R, SIG, cp=-1.0, seed=0,
+                                         n_outer=2048, n_dates=1,
+                                         n_grid=512, method="grid")
+        assert abs(float(out["lower"]) - euro) < 1e-6
+        assert abs(float(out["upper"]) - euro) < 1e-6
+
+    def test_continuous_interval_contains_crr(self):
+        """American-continuous certificate: Bermudan bracket + rigorous
+        rK·dt pad must contain the CRR@2001 binomial price (small sizes
+        here: wider but still correct)."""
+        crr = float(binomial_price(ContractBatch.make(S, K, T, R, SIG, "put"),
+                                   american=True, n_steps=2001))
+        out = am.american_continuous_interval(S, K, T, R, SIG, cp=-1.0, seed=0,
+                                              n_outer=4096, n_dates=200,
+                                              n_grid=2048)
+        lo = float(out["lower"]) - 3 * float(out["lower_se"])
+        hi = float(out["upper"]) + 3 * float(out["upper_se"])
+        assert lo <= crr <= hi, (lo, crr, hi)
+        assert float(out["pad"]) == pytest.approx(R * K * T / 200)
+
+    def test_continuous_interval_call_no_dividend(self):
+        euro = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        out = am.american_continuous_interval(S, K, T, R, SIG, cp=1.0, seed=0,
+                                              n_outer=2048, n_dates=50,
+                                              n_grid=1024)
+        assert float(out["pad"]) == 0.0
+        assert float(out["lower"]) - 3 * float(out["lower_se"]) <= euro
+        assert euro <= float(out["upper"]) + 3 * float(out["upper_se"]) + 1e-4
+
     def test_nested_ab_also_upper(self):
         pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
                                 n_paths=50_000, n_dates=20, basis=3)
