@@ -32,7 +32,7 @@ from ..surface.nn_core import apply_mlp, flatten_params, init_mlp, unflatten_par
 from ..utils.exceptions import ModelError
 from .black_scholes import bs_greeks
 
-PARAM_RANGES = {
+PARAM_RANGES = {  # the reference's training box (monte_carlo_ml.py:257)
     "spot": (50.0, 150.0),
     "strike": (50.0, 150.0),
     "maturity": (0.05, 2.0),
@@ -41,11 +41,22 @@ PARAM_RANGES = {
     "dividend": (0.0, 0.03),
 }
 
+WIDE_PARAM_RANGES = {  # production box: LEAPS maturities + crisis vols
+    "spot": (50.0, 150.0),
+    "strike": (50.0, 150.0),
+    "maturity": (0.02, 5.0),
+    "rate": (0.0, 0.12),
+    "vol": (0.05, 1.0),
+    "dividend": (0.0, 0.06),
+}
 
-def sample_contracts(n: int, seed: int = 0) -> dict:
-    """Random contract parameters over the reference's training box."""
+
+def sample_contracts(n: int, seed: int = 0, ranges: dict | None = None) -> dict:
+    """Random contract parameters over a training box (defaults to the
+    reference's)."""
     rng = np.random.default_rng(seed)
-    out = {k: rng.uniform(lo, hi, n).astype(np.float32) for k, (lo, hi) in PARAM_RANGES.items()}
+    ranges = ranges or PARAM_RANGES
+    out = {k: rng.uniform(lo, hi, n).astype(np.float32) for k, (lo, hi) in ranges.items()}
     out["cp"] = rng.choice(np.asarray([1.0, -1.0], np.float32), n)
     return out
 
@@ -72,10 +83,11 @@ PRICE_LOG_EPS = 1e-5  # price head is learned as log(price/K + eps):
 # relative price error drops ~5x for OTM contracts.
 
 
-def generate_training_data(n: int = 50_000, seed: int = 0):
+def generate_training_data(n: int = 50_000, seed: int = 0,
+                           ranges: dict | None = None):
     """(features, targets): targets from closed-form BS in one fused launch —
     (log(price/K + eps), delta, gamma·K)."""
-    p = sample_contracts(n, seed)
+    p = sample_contracts(n, seed, ranges)
     x = engineer_surrogate_features(p)
     g = bs_greeks(p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"],
                   p["cp"], p["dividend"])
@@ -93,22 +105,27 @@ class MonteCarloMLSurrogate:
     N_OUTPUTS = 3
 
     def __init__(self, hidden_layers=(128, 128), epochs: int = 300,
-                 batch_size: int = 1024, learning_rate: float = 1e-3, seed: int = 0):
+                 batch_size: int = 1024, learning_rate: float = 1e-3, seed: int = 0,
+                 param_ranges: dict | None = None,
+                 calibration_quantile: float = 0.9):
         self.hidden_layers = tuple(hidden_layers)
         self.epochs = epochs
         self.batch_size = batch_size
         self.learning_rate = learning_rate
         self.seed = seed
+        self.param_ranges = dict(param_ranges or PARAM_RANGES)
+        self.calibration_quantile = calibration_quantile
         self.params = None
         self._x_mean = None
         self._x_scale = None
         self._y_mean = np.zeros(self.N_OUTPUTS, np.float32)
         self._y_scale = np.ones(self.N_OUTPUTS, np.float32)
+        self._q_resid = np.zeros(self.N_OUTPUTS, np.float32)
         self.history = {}
 
     # -- training -----------------------------------------------------------
     def fit(self, n_samples: int = 50_000):
-        x, y, _ = generate_training_data(n_samples, self.seed)
+        x, y, _ = generate_training_data(n_samples, self.seed, self.param_ranges)
         return self._fit_xy(x, y)
 
     def fit_to_pricer(self, pricer_fn, n_samples: int = 20_000):
@@ -116,13 +133,20 @@ class MonteCarloMLSurrogate:
         ``monte_carlo_unified.py:692``): ``pricer_fn(params dict) ->
         (n, 3) [price/K, delta, gamma·K]`` (the price column is transformed
         to the log target internally)."""
-        p = sample_contracts(n_samples, self.seed)
+        p = sample_contracts(n_samples, self.seed, self.param_ranges)
         x = engineer_surrogate_features(p)
         y = np.asarray(pricer_fn(p), np.float32).copy()
         y[:, 0] = np.log(np.maximum(y[:, 0], 0.0) + PRICE_LOG_EPS)
         return self._fit_xy(x, y)
 
     def _fit_xy(self, x, y):
+        # split-conformal calibration: hold out 10% the net never trains on
+        n_cal = max(1, x.shape[0] // 10)
+        rng = np.random.default_rng(self.seed + 1)
+        perm = rng.permutation(x.shape[0])
+        cal_idx, fit_idx = perm[:n_cal], perm[n_cal:]
+        x_cal, y_cal = x[cal_idx], y[cal_idx]
+        x, y = x[fit_idx], y[fit_idx]
         self._x_mean = x.mean(axis=0)
         self._x_scale = np.where(x.std(axis=0) < 1e-12, 1.0, x.std(axis=0))
         xs = (x - self._x_mean) / self._x_scale
@@ -137,6 +161,12 @@ class MonteCarloMLSurrogate:
                                                  epochs=self.epochs,
                                                  batch_size=self.batch_size,
                                                  learning_rate=self.learning_rate)
+        # distribution-free uncertainty: per-head |residual| quantile on the
+        # held-out set — predict() bands then cover with >= the requested
+        # probability for exchangeable inputs (split conformal)
+        resid = np.abs(self._forward(x_cal) - y_cal)
+        self._q_resid = np.quantile(resid, self.calibration_quantile,
+                                    axis=0).astype(np.float32)
         return self.score_xy(x, y)
 
     # -- inference ----------------------------------------------------------
@@ -147,8 +177,14 @@ class MonteCarloMLSurrogate:
         raw = np.asarray(apply_mlp(self.params, jnp.asarray(xs)))
         return raw * self._y_scale + self._y_mean
 
-    def predict(self, S, K, T, r, sigma, option_type="call", q=0.0) -> dict:
-        """Batched (price, delta, gamma) in one forward."""
+    def predict(self, S, K, T, r, sigma, option_type="call", q=0.0,
+                return_uncertainty: bool = False) -> dict:
+        """Batched (price, delta, gamma) in one forward.
+
+        ``return_uncertainty=True`` adds conformal bands
+        (``price_lo/price_hi/delta_err/gamma_err``): per-head held-out
+        |residual| quantiles at ``calibration_quantile`` coverage —
+        distribution-free, no MC-dropout sampling cost."""
         S, K, T, r, sigma = map(lambda a: np.asarray(a, np.float32).ravel(), (S, K, T, r, sigma))
         n = max(map(len, (S, K, T, r, sigma)))
         broad = lambda a: np.broadcast_to(a, (n,)).astype(np.float32)
@@ -157,11 +193,19 @@ class MonteCarloMLSurrogate:
              "rate": broad(r), "vol": broad(sigma),
              "dividend": broad(np.asarray(q, np.float32)), "cp": cp}
         out = self._forward(engineer_surrogate_features(p))
-        return {
-            "price": np.maximum(np.exp(out[:, 0]) - PRICE_LOG_EPS, 0.0) * p["strike"],
+        to_price = lambda v: np.maximum(np.exp(v) - PRICE_LOG_EPS, 0.0) * p["strike"]
+        result = {
+            "price": to_price(out[:, 0]),
             "delta": out[:, 1],
             "gamma": out[:, 2] / p["strike"],
         }
+        if return_uncertainty:
+            q0, q1, q2 = self._q_resid
+            result["price_lo"] = to_price(out[:, 0] - q0)
+            result["price_hi"] = to_price(out[:, 0] + q0)
+            result["delta_err"] = np.full(n, float(q1), np.float32)
+            result["gamma_err"] = np.full(n, float(q2), np.float32) / p["strike"]
+        return result
 
     def predict_single(self, S, K, T, r, sigma, option_type="call", q=0.0) -> dict:
         out = self.predict([S], [K], [T], [r], [sigma], option_type, q)
@@ -192,9 +236,12 @@ class MonteCarloMLSurrogate:
         arrays["x_scale"] = self._x_scale
         arrays["y_mean"] = self._y_mean
         arrays["y_scale"] = self._y_scale
+        arrays["q_resid"] = self._q_resid
         np.savez(path / "arrays.npz", **arrays)
         (path / "meta.json").write_text(json.dumps({
-            "hidden_layers": list(self.hidden_layers), "seed": self.seed}))
+            "hidden_layers": list(self.hidden_layers), "seed": self.seed,
+            "param_ranges": {k: list(v) for k, v in self.param_ranges.items()},
+            "calibration_quantile": self.calibration_quantile}))
 
     def load(self, path):
         path = pathlib.Path(path)
@@ -204,7 +251,11 @@ class MonteCarloMLSurrogate:
         self._x_scale = arrays.pop("x_scale")
         self._y_mean = arrays.pop("y_mean", np.zeros(self.N_OUTPUTS, np.float32))
         self._y_scale = arrays.pop("y_scale", np.ones(self.N_OUTPUTS, np.float32))
+        self._q_resid = arrays.pop("q_resid", np.zeros(self.N_OUTPUTS, np.float32))
         self.hidden_layers = tuple(int(h) for h in meta["hidden_layers"])
+        self.param_ranges = {k: tuple(v) for k, v in meta.get(
+            "param_ranges", {k: list(v) for k, v in PARAM_RANGES.items()}).items()}
+        self.calibration_quantile = meta.get("calibration_quantile", 0.9)
         self.params = unflatten_params(arrays)
         return self
 

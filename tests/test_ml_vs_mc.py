@@ -13,8 +13,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.models.black_scholes import bs_price, bs_greeks
 from optionslab_tpu.models.surrogate import (
+    WIDE_PARAM_RANGES,
     MonteCarloMLSurrogate,
     engineer_surrogate_features,
     sample_contracts,
@@ -26,6 +27,44 @@ def surrogate():
     s = MonteCarloMLSurrogate(hidden_layers=(64, 64), epochs=60, seed=0)
     s.fit(n_samples=20_000)
     return s
+
+
+class TestWideBoxAndUncertainty:
+    def test_wide_box_fit_and_conformal_coverage(self):
+        """Production box (T to 5y, vol to 100%): the fit still scores, and
+        the split-conformal bands cover fresh samples at >= the requested
+        rate minus sampling slack (distribution-free guarantee)."""
+        s = MonteCarloMLSurrogate(hidden_layers=(64, 64), epochs=80, seed=1,
+                                  param_ranges=WIDE_PARAM_RANGES,
+                                  calibration_quantile=0.9)
+        scores = s.fit(n_samples=30_000)
+        assert scores["r2_price"] > 0.98
+        assert s.param_ranges["maturity"][1] == 5.0
+        p = sample_contracts(4_000, seed=77, ranges=WIDE_PARAM_RANGES)
+        out = s.predict(p["spot"], p["strike"], p["maturity"], p["rate"],
+                        p["vol"], "call", 0.0, return_uncertainty=True)
+        cp = np.ones_like(p["spot"])
+        truth = np.asarray(bs_price(p["spot"], p["strike"], p["maturity"],
+                                    p["rate"], p["vol"], cp, 0.0))
+        inside = (out["price_lo"] <= truth) & (truth <= out["price_hi"])
+        # calibration was on mixed call/put; coverage slack for the
+        # call-only eval + finite-sample noise
+        assert inside.mean() >= 0.85, inside.mean()
+        assert np.all(out["price_lo"] <= out["price"] + 1e-6)
+        assert np.all(out["price"] <= out["price_hi"] + 1e-6)
+        assert float(out["delta_err"][0]) > 0
+
+    def test_uncertainty_roundtrips_with_save_load(self, tmp_path, surrogate):
+        surrogate.save(tmp_path / "m")
+        s2 = MonteCarloMLSurrogate().load(tmp_path / "m")
+        np.testing.assert_allclose(s2._q_resid, surrogate._q_resid)
+        assert s2.param_ranges == {k: tuple(v) for k, v in
+                                   surrogate.param_ranges.items()}
+        a = surrogate.predict([100.0], [100.0], [1.0], [0.05], [0.2],
+                              return_uncertainty=True)
+        b = s2.predict([100.0], [100.0], [1.0], [0.05], [0.2],
+                       return_uncertainty=True)
+        np.testing.assert_allclose(a["price_hi"], b["price_hi"])
 
 
 class TestHonestClaim:
