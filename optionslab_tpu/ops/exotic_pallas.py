@@ -55,13 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
+from .kernel_rng import draw_normals as _draw_normals_impl
 
 ROWS = 128  # path-block sublanes
 LANES = 512  # path-block lanes (price kernel)
 LANES_G = 256  # Greeks kernel: ~18 carried tiles, keep VMEM pressure low
-_TWO_PI = 6.283185307179586
-_INV_2_24 = 1.0 / (1 << 24)
-_INV_2_25 = 1.0 / (1 << 25)
 
 PAYOFF_KINDS = (
     "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
@@ -76,43 +74,7 @@ _P_S0, _P_K, _P_DRIFT_DT, _P_VOLSQDT, _P_BARRIER, _P_INV_N, _P_GROWTH, \
 N_PARAMS = 14
 
 
-def _fmix(h):
-    """murmur3 finalizer with logical shifts emulated portably on int32
-    (arithmetic shift + mask == logical shift for the surviving bits)."""
-    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
-    h = h * jnp.int32(-2048144789)  # 0x85ebca6b
-    h = h ^ ((h >> 13) & jnp.int32(0x0007FFFF))
-    h = h * jnp.int32(-1028477387)  # 0xc2b2ae35
-    h = h ^ ((h >> 16) & jnp.int32(0x0000FFFF))
-    return h
-
-
-def _hash_uniform(counter, seed):
-    """Counter-based uniform in (0,1): double murmur3 mix, 24 mantissa bits."""
-    h = _fmix(counter ^ (seed * jnp.int32(-1640531535)))
-    h = _fmix(h + jnp.int32(0x632BE5AB))
-    bits = (h >> 8) & jnp.int32(0x00FFFFFF)
-    return bits.astype(jnp.float32) * _INV_2_24 + _INV_2_25
-
-
-def _draw_normals(sampler, seed, block, step, n_steps, shape):
-    """One antithetic Box–Muller draw pair (z_cos, z_sin) for this step."""
-    if sampler == "hash":
-        rows, lanes = shape
-        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        lane_id = rid * lanes + cid
-        base = ((block * n_steps + step) * 2) * (rows * lanes)
-        u1 = _hash_uniform(base + lane_id, seed)
-        u2 = _hash_uniform(base + rows * lanes + lane_id, seed)
-    else:
-        u1 = ((pltpu.prng_random_bits(shape) >> 8) & jnp.int32(0x00FFFFFF)
-              ).astype(jnp.float32) * _INV_2_24 + _INV_2_25
-        u2 = ((pltpu.prng_random_bits(shape) >> 8) & jnp.int32(0x00FFFFFF)
-              ).astype(jnp.float32) * _INV_2_24 + _INV_2_25
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    th = _TWO_PI * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
+_draw_normals = _draw_normals_impl  # shared with the other kernels (kernel_rng)
 
 
 # ---------------------------------------------------------------------------

@@ -2,13 +2,21 @@
 
 The stochastic-vol analog of ``exotic_pallas.py``: both state factors
 (log-spot, variance) live in VMEM for the whole path; per step the kernel
-draws two correlated normals from the hardware PRNG, advances (x, v) with
-full truncation, and at maturity reduces the discounted payoff moments on
-chip. Antithetic pairs (−z_v, −z_x) share each draw.
+draws two correlated normals, advances (x, v) with full truncation, and at
+maturity reduces the discounted payoff moments on chip. Antithetic pairs
+(−z_v, −z_x) share each draw.
 
 Replaces the per-step ``jax.random.fold_in`` scan of ``models.heston.
 heston_mc_price`` on the hot path (the scan engine remains the reference
 implementation and the vmapped/AD path; tests cross-check statistically).
+
+In-kernel Greeks (:func:`pallas_heston_greeks`): Heston terminal spots are
+LINEAR in S0 (∂S_T/∂S0 = S_T/S0) and the rate enters only the drift
+(∂x_T/∂r = T), so ONE extra moment Σ 1{exercise}·S_T yields both
+pathwise delta and rho exactly — no extra simulation state.
+
+Samplers: ``prng`` (hardware, default) or ``hash`` (counter-based murmur3
+— bit-identical on TPU and the CPU interpreter; used by off-TPU tests).
 """
 
 from __future__ import annotations
@@ -22,25 +30,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
+from .kernel_rng import draw_normals
 
 ROWS = 128
 LANES = 512
 PATHS_PER_BLOCK = 2 * ROWS * LANES  # antithetic pair per draw
-_TWO_PI = 6.283185307179586
-_INV_2_24 = 1.0 / (1 << 24)
-_INV_2_25 = 1.0 / (1 << 25)
 
 
-def _normals(shape):
-    mask24 = jnp.int32(0x00FFFFFF)
-    u1 = ((pltpu.prng_random_bits(shape) >> 8) & mask24).astype(jnp.float32) * _INV_2_24 + _INV_2_25
-    u2 = ((pltpu.prng_random_bits(shape) >> 8) & mask24).astype(jnp.float32) * _INV_2_24 + _INV_2_25
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    th = _TWO_PI * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
-
-
-def _heston_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int, cp: float):
+def _heston_kernel(seed_ref, p_ref, pay_ref, pay2_ref, m1_ref, *,
+                   n_steps: int, cp: float, sampler: str):
     """p_ref (SMEM f32[12]): S0, K, mu_dt=(r-q)dt, dt, sqrt_dt, kappa, theta,
     sigma_v, rho, srho, v0, unused."""
     block = pl.program_id(0)
@@ -49,8 +47,11 @@ def _heston_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int, cp: floa
     def _init():
         pay_ref[:, :] = jnp.zeros_like(pay_ref)
         pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+        m1_ref[:, :] = jnp.zeros_like(m1_ref)
 
-    pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
 
     s0, strike = p_ref[0], p_ref[1]
     mu_dt, dt, sqrt_dt = p_ref[2], p_ref[3], p_ref[4]
@@ -63,7 +64,7 @@ def _heston_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int, cp: floa
 
     def body(i, carry):
         xa, va, xb, vb = carry
-        zv, zo = _normals(shape)
+        zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
         zx = rho * zv + srho * zo
 
         def advance(x, v, sv, sx):
@@ -81,57 +82,104 @@ def _heston_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int, cp: floa
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
+    acc1 = jnp.zeros(shape, jnp.float32)
     for x in (xa, xb):
-        p = jnp.maximum(cp * (jnp.exp(x) - strike), 0.0)
+        st = jnp.exp(x)
+        d = cp * (st - strike)
+        p = jnp.maximum(d, 0.0)
         acc += p
         acc2 += p * p
+        acc1 += jnp.where(d > 0, st, 0.0)  # Σ 1{exercise}·S_T → delta & rho
     for off in range(0, LANES, 128):
         pay_ref[:, :] += acc[:, off:off + 128]
         pay2_ref[:, :] += acc2[:, off:off + 128]
+        m1_ref[:, :] += acc1[:, off:off + 128]
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp"))
-def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float):
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp", "sampler"))
+def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
+            sampler: str = "prng"):
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
-        functools.partial(_heston_kernel, n_steps=n_steps, cp=cp),
+        functools.partial(_heston_kernel, n_steps=n_steps, cp=cp, sampler=sampler),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[acc_spec, acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 2,
+        out_specs=[acc_spec, acc_spec, acc_spec],
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * n_steps * ROWS * LANES * 2 * 14,
-            bytes_accessed=2 * ROWS * 128 * 4,
+            bytes_accessed=3 * ROWS * 128 * 4,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 6,
         ),
         interpret=interpret,
     )(seed, params)
 
 
-def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
-                        dividend: float = 0.0, n_paths: int = 1_000_000,
-                        n_steps: int = 100, seed: int = 0):
-    """(price, stderr, actual_paths) under Heston via the fused kernel.
-
-    ``params``: a ``models.heston.HestonParams`` (or anything with
-    v0/kappa/theta/sigma/rho attributes).
-    """
+def _params_vec(spot, strike, maturity, rate, params, dividend, n_steps):
     t = max(float(maturity), EPS_TIME)
     dt = t / n_steps
     rho = float(params.rho)
-    p = jnp.asarray([
+    return t, jnp.asarray([
         float(spot), float(strike), (float(rate) - float(dividend)) * dt, dt,
         math.sqrt(dt), float(params.kappa), float(params.theta),
         float(params.sigma), rho, math.sqrt(max(1.0 - rho * rho, 0.0)),
         float(params.v0), 0.0,
     ], jnp.float32)
-    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), p, n_steps=n_steps,
-                        n_blocks=n_blocks, cp=float(cp))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "n_blocks", "cp", "sampler"))
+def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler):
+    """launch → moment combination in ONE traced program (single dispatch
+    over the tunnel — the ~25-30 ms eager-op overhead otherwise dominates
+    small workloads)."""
+    pay, pay2, m1 = _launch(seed, p, n_steps=n_steps, n_blocks=n_blocks,
+                            cp=cp, sampler=sampler)
     n = n_blocks * PATHS_PER_BLOCK
+    spot, t, df = scalars
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    df = math.exp(-float(rate) * t)
-    return df * mean, df * jnp.sqrt(var / n), n
+    mean1 = m1.sum() / n
+    price = df * mean
+    return {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        # ∂S_T/∂S0 = S_T/S0 (S0 enters x only through log S0)
+        "delta": df * cp * mean1 / spot,
+        # ∂x_T/∂r = T → dpay = cp·1{ex}·S_T·T; plus the discount term
+        "rho": t * (df * cp * mean1 - price),
+    }
+
+
+def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
+                         dividend: float = 0.0, n_paths: int = 1_000_000,
+                         n_steps: int = 100, seed: int = 0,
+                         sampler: str = "prng") -> dict:
+    """Heston price + stderr + pathwise delta/rho in one kernel pass.
+
+    ``params``: a ``models.heston.HestonParams`` (or anything with
+    v0/kappa/theta/sigma/rho attributes). The returned dict also carries
+    ``paths``. Validated against AD of the Lewis integral
+    (``models.heston.heston_price``) in the tests.
+    """
+    t, p = _params_vec(spot, strike, maturity, rate, params, dividend, n_steps)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t)],
+                          jnp.float32)
+    out = dict(_pipeline(jnp.asarray([seed], jnp.int32), p, scalars,
+                         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+                         sampler=sampler))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
+def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
+                        dividend: float = 0.0, n_paths: int = 1_000_000,
+                        n_steps: int = 100, seed: int = 0,
+                        sampler: str = "prng"):
+    """(price, stderr, actual_paths) under Heston via the fused kernel."""
+    out = pallas_heston_greeks(spot, strike, maturity, rate, params, cp,
+                               dividend, n_paths, n_steps, seed, sampler)
+    return out["price"], out["std_error"], out["paths"]
