@@ -92,6 +92,17 @@ from .monte_carlo import (
     mc_price_result,
 )
 from .sabr import SABRModel, SABRParams, calibrate_sabr, sabr_implied_vol, sabr_price
+from .multi_asset import (
+    basket_asian_price,
+    basket_price,
+    geometric_basket_closed_form,
+    kirk_spread_approx,
+    margrabe_price,
+    multi_asset_greeks,
+    multi_asset_terminal,
+    rainbow_price,
+    spread_price,
+)
 from .surrogate import (WIDE_PARAM_RANGES, MonteCarloMLSurrogate,
                         generate_training_data)
 # Reference-name aliases: OptionsLab users should find the symbols they know
@@ -111,6 +122,9 @@ __all__ = [
     "LSMPolicy", "fit_lsm_policy", "lsm_lower_bound", "ab_upper_bound",
     "dual_upper_bound", "american_price_interval",
     "GridValue", "grid_value_surface", "american_continuous_interval",
+    "basket_price", "basket_asian_price", "rainbow_price", "spread_price",
+    "margrabe_price", "geometric_basket_closed_form", "kirk_spread_approx",
+    "multi_asset_greeks", "multi_asset_terminal",
     # Black-Scholes
     "bs_price", "bs_vega", "bs_greeks", "bs_greeks_ad", "BlackScholesPricer",
     # Monte Carlo
