@@ -85,16 +85,18 @@ def main():
         from optionslab_tpu.models.heston import HestonParams
         from optionslab_tpu.ops.heston_pallas import pallas_heston_price
 
+        # large workload: amortizes the ~25-30 ms dispatch overhead that
+        # dominated the old 4Mx100 size (kernel rate is ~2.4e10 at scale)
         hp, _, n_h = pallas_heston_price(100.0, 100.0, 1.0, 0.05, HestonParams.make(),
-                                         n_paths=4_000_000, n_steps=100, seed=0)
+                                         n_paths=8_388_608, n_steps=252, seed=0)
         jax.block_until_ready(hp)
         t0 = time.perf_counter()
         for i in range(3):
             hp, _, _ = pallas_heston_price(100.0, 100.0, 1.0, 0.05, HestonParams.make(),
-                                           n_paths=4_000_000, n_steps=100, seed=1 + i)
+                                           n_paths=8_388_608, n_steps=252, seed=1 + i)
         jax.block_until_ready(hp)
         extras["heston_path_steps_per_sec"] = round(
-            n_h * 100 / ((time.perf_counter() - t0) / 3), 1)
+            n_h * 252 / ((time.perf_counter() - t0) / 3), 1)
 
         q = pallas_mc_price_greeks(batch, n_paths=16_000_000, seed=0, sampler="sobol")
         extras["qmc_16m_price_abs_err"] = round(abs(float(q["price"]) - exact), 8)

@@ -8,6 +8,8 @@ Usage:
     python -m optionslab_tpu.cli mc --n-paths 1000000 --method pallas
     python -m optionslab_tpu.cli iv --price 10.45
     python -m optionslab_tpu.cli exotic --kind asian
+    python -m optionslab_tpu.cli american --type put
+    python -m optionslab_tpu.cli basket --kind geometric --rho 0.4
     python -m optionslab_tpu.cli surface --model svi
     python -m optionslab_tpu.cli var --value 1e6
     python -m optionslab_tpu.cli backtest
@@ -151,6 +153,40 @@ def cmd_exotic(args) -> dict:
     return {"kind": args.kind, "price": float(price), "std_error": float(se)}
 
 
+def cmd_american(args) -> dict:
+    from .models import american_price_interval
+
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    out = american_price_interval(args.spot, args.strike, args.maturity,
+                                  args.rate, args.vol, cp=cp,
+                                  n_outer=args.n_paths,
+                                  n_dates=args.n_dates, method="grid")
+    return {k: float(v) for k, v in out.items()}
+
+
+def cmd_basket(args) -> dict:
+    import jax
+
+    from .models import basket_price, geometric_basket_closed_form
+
+    spots = np.asarray([float(x) for x in args.spots.split(",")], np.float32)
+    vols = np.asarray([float(x) for x in args.vols.split(",")], np.float32)
+    d = spots.shape[0]
+    w = np.full(d, 1.0 / d, np.float32)
+    corr = np.full((d, d), args.rho, np.float32)
+    np.fill_diagonal(corr, 1.0)
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    p, se = basket_price(spots, w, args.strike, args.maturity, args.rate, vols,
+                         corr, jax.random.PRNGKey(args.seed), cp,
+                         n_paths=args.n_paths, kind=args.kind,
+                         return_stderr=True)
+    out = {"price": float(p), "std_error": float(se), "kind": args.kind}
+    if args.kind == "geometric":
+        out["closed_form"] = float(geometric_basket_closed_form(
+            spots, w, args.strike, args.maturity, args.rate, vols, corr, cp))
+    return out
+
+
 def cmd_surface(args) -> dict:
     from .data.synthetic import generate_synthetic_smile
 
@@ -249,6 +285,24 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--barrier-type", default="up-and-out")
     pe.add_argument("--n-paths", type=int, default=100_000)
 
+    pa = sub.add_parser("american")
+    _common_contract_args(pa)
+    pa.add_argument("--n-paths", type=int, default=16_384)
+    pa.add_argument("--n-dates", type=int, default=200)
+
+    pk = sub.add_parser("basket")
+    pk.add_argument("--spots", default="100,95,105")
+    pk.add_argument("--vols", default="0.2,0.25,0.3")
+    pk.add_argument("--strike", type=float, default=100.0)
+    pk.add_argument("--maturity", type=float, default=1.0)
+    pk.add_argument("--rate", type=float, default=0.05)
+    pk.add_argument("--rho", type=float, default=0.4)
+    pk.add_argument("--option-type", default="call")
+    pk.add_argument("--kind", default="arithmetic",
+                    choices=["arithmetic", "geometric"])
+    pk.add_argument("--n-paths", type=int, default=200_000)
+    pk.add_argument("--seed", type=int, default=0)
+
     ps = sub.add_parser("surface")
     ps.add_argument("--model", default="svi")
 
@@ -280,6 +334,8 @@ COMMANDS = {
     "mc": cmd_mc,
     "iv": cmd_iv,
     "exotic": cmd_exotic,
+    "american": cmd_american,
+    "basket": cmd_basket,
     "surface": cmd_surface,
     "var": cmd_var,
     "backtest": cmd_backtest,

@@ -30,7 +30,7 @@ class TestShardedMC:
         """Fixed global RNG blocks + canonical-order reduction: the same
         (seed, n_paths) gives BIT-IDENTICAL prices on 1/4/8-device meshes
         (SURVEY §5's counter-based determinism requirement)."""
-        cfg = MCConfig(n_paths=160_000, dtype=jnp.float64)
+        cfg = MCConfig(n_paths=16_000, dtype=jnp.float64)
         p1 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(1))
         p4 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(4))
         p8 = sharded_mc_price(_batch(), KEY, cfg, make_mesh(8))
@@ -73,7 +73,7 @@ class TestShardedMC:
         from optionslab_tpu.parallel import sharded_book_greeks
 
         mesh = make_mesh(8, book=2)
-        cfg = MCConfig(n_paths=400_000, dtype=jnp.float64)
+        cfg = MCConfig(n_paths=104_000, dtype=jnp.float64)
         b = _batch(8)
         res = sharded_book_price(b, KEY, cfg, mesh, return_result=True)
         assert res.price.shape == res.std_error.shape == (8,)
@@ -83,8 +83,8 @@ class TestShardedMC:
         se = np.asarray(res.std_error)
         np.testing.assert_allclose(np.asarray(g["price"]), np.asarray(ex["price"]),
                                    atol=float(5 * se.max()))
-        for k, tol in [("delta", 0.01), ("gamma", 0.002), ("vega", 0.6),
-                       ("rho", 0.6), ("theta", 0.3), ("dual_delta", 0.01)]:
+        for k, tol in [("delta", 0.02), ("gamma", 0.004), ("vega", 1.2),
+                       ("rho", 1.2), ("theta", 0.6), ("dual_delta", 0.02)]:
             np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ex[k]),
                                        atol=tol, err_msg=k)
             np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ref[k]),
