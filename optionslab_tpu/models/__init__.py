@@ -14,6 +14,7 @@ from .american import (
     LSMPolicy,
     ab_upper_bound,
     american_continuous_interval,
+    american_grid_greeks,
     american_price_interval,
     dual_upper_bound,
     fit_lsm_policy,
@@ -122,6 +123,7 @@ __all__ = [
     "LSMPolicy", "fit_lsm_policy", "lsm_lower_bound", "ab_upper_bound",
     "dual_upper_bound", "american_price_interval",
     "GridValue", "grid_value_surface", "american_continuous_interval",
+    "american_grid_greeks",
     "basket_price", "basket_asian_price", "rainbow_price", "spread_price",
     "margrabe_price", "geometric_basket_closed_form", "kirk_spread_approx",
     "multi_asset_greeks", "multi_asset_terminal",

@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..utils.exceptions import ValidationError
@@ -115,14 +116,15 @@ def _fit_coefs(spot, strike, maturity, rate, vol, key, cp, dividend,
         feats = _features(s, strike, cp, basis)
         w = itm.astype(dtype)
         y = disc * cash
-        a_mat = (feats * w) @ feats.T * inv_n
-        b_vec = (feats * w) @ y * inv_n
+        hi = lax.Precision.HIGHEST  # TPU default matmul is bf16
+        a_mat = jnp.matmul(feats * w, feats.T, precision=hi) * inv_n
+        b_vec = jnp.matmul(feats * w, y, precision=hi) * inv_n
         coef = jnp.linalg.solve(a_mat + ridge, b_vec)
         # second, UNWEIGHTED regression: the continuation-value surface on
         # ALL paths — the ITM-weighted policy fit extrapolates garbage OTM,
         # which the dual bound's value approximation cannot afford
-        av = feats @ feats.T * inv_n
-        bv = feats @ y * inv_n
+        av = jnp.matmul(feats, feats.T, precision=hi) * inv_n
+        bv = jnp.matmul(feats, y, precision=hi) * inv_n
         vcoef = jnp.linalg.solve(av + ridge, bv)
         cont = coef @ feats
         exercise = itm & (ex > cont)
@@ -531,8 +533,11 @@ def _grid_induction(spot, strike, maturity, rate, vol, cp, dividend,
 
     def expect(v):  # E[V_lin(S')|y_i] for every node i
         vp = jnp.pad(v, (band, band), mode="edge")
-        # correlate: out[i] = Σ_d kern[d]·vp[i + band + d]
-        return jnp.convolve(vp, kern[::-1], mode="valid")
+        # correlate: out[i] = Σ_d kern[d]·vp[i + band + d]; HIGHEST: the
+        # TPU default contraction precision is bf16, which destroys the
+        # induction (~0.3 price error measured)
+        return jnp.convolve(vp, kern[::-1], mode="valid",
+                            precision=lax.Precision.HIGHEST)
 
     s_nodes = jnp.exp(y)
     psi = jnp.maximum(cp * (s_nodes - strike), 0.0)
@@ -569,7 +574,7 @@ def _grid_induction(spot, strike, maturity, rate, vol, cp, dividend,
     w0 = lw + rw
     w0 = w0.at[0].set(rw[0] + ncdf((y[0] - m0) / s))
     w0 = w0.at[-1].set(lw[-1] + 1.0 - ncdf((y[-1] - m0) / s))
-    price = disc1 * (w0 @ v0_nodes)
+    price = disc1 * jnp.dot(w0, v0_nodes, precision=lax.Precision.HIGHEST)
     return y[0], h, resid, cresid, price
 
 
@@ -862,6 +867,105 @@ def american_price_interval(spot, strike, maturity, rate, vol, cp=-1.0,
         "lower": lower, "lower_se": lower_se,
         "upper": upper, "upper_se": upper_se,
         "width": upper - lower,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_dates", "cp"))
+def _readout(spot, strike, maturity, rate, vol, cp, dividend, v0_nodes,
+             y0, h, n_dates: int):
+    """Differentiable t=0 readout: discounted hat-weight expectation of the
+    (stop-gradient) date-0 value surface from S0. Smooth in spot, so
+    jax.grad/hessian give exact Bermudan delta/gamma (the surface lives on
+    a strike-centered grid and does not move with S0)."""
+    f = v0_nodes.dtype
+    n_grid = v0_nodes.shape[0]
+    dt = jnp.asarray(maturity, f) / n_dates
+    mu = (rate - dividend - 0.5 * vol * vol) * dt
+    s = vol * jnp.sqrt(dt)
+    y = y0 + h * jnp.arange(n_grid, dtype=f)
+    m0 = jnp.log(spot) + mu
+    lw, rw, ncdf = _hat_pieces(y, m0, s, h)
+    w0 = lw + rw
+    w0 = w0.at[0].set(rw[0] + ncdf((y[0] - m0) / s))
+    w0 = w0.at[-1].set(lw[-1] + 1.0 - ncdf((y[-1] - m0) / s))
+    cont = jnp.exp(-rate * dt) * jnp.dot(w0, v0_nodes,
+                                         precision=lax.Precision.HIGHEST)
+    # t=0 exercise is allowed for the American reading of the surface
+    return jnp.maximum(cont, jnp.maximum(cp * (spot - strike), 0.0))
+
+
+def american_grid_greeks(spot, strike, maturity, rate, vol, cp=-1.0,
+                         dividend=0.0, n_dates: int = 500,
+                         n_grid: int = 2048, fd_eps: float = 1e-3,
+                         richardson: bool = True) -> dict:
+    """American price + full first-order ladder + gamma from the grid
+    engine — the capability the reference explicitly lacks
+    (``docs/development_notes.md``: "No American option Greeks").
+
+    delta/gamma: AD (grad + hessian) of the smooth closed-form readout —
+    the Bellman identity makes the readout EXACTLY the value function
+    given the surface, so the only error is the surface's own O(h²) grid
+    bias, which ``richardson=True`` removes by extrapolating every output
+    across (n_grid, n_grid/2). theta: one-period surface difference.
+    vega/rho: central differences of the DETERMINISTIC induction (no MC
+    noise; the only error is O(eps²)).
+    """
+    if richardson:
+        hi = american_grid_greeks(spot, strike, maturity, rate, vol, cp,
+                                  dividend, n_dates, n_grid, fd_eps,
+                                  richardson=False)
+        lo = american_grid_greeks(spot, strike, maturity, rate, vol, cp,
+                                  dividend, n_dates, n_grid // 2, fd_eps,
+                                  richardson=False)
+        return {k: hi[k] + (hi[k] - lo[k]) / 3.0 for k in hi}
+    def surf(r_, v_):
+        gv = grid_value_surface(spot, strike, maturity, r_, v_, cp, dividend,
+                                n_dates, n_grid)
+        return gv
+
+    gv = surf(float(rate), float(vol))
+    f = jax.dtypes.canonicalize_dtype(jnp.float64)
+    dt = float(maturity) / n_dates
+
+    def bs_row(gv_, r_, v_):
+        from .black_scholes import bs_price
+
+        y = gv_.y0 + gv_.h * np.arange(gv_.resid.shape[-1])
+        tau = float(maturity) - dt
+        return jnp.asarray(gv_.resid[0], f) + bs_price(
+            jnp.exp(jnp.asarray(y, f)), strike, max(tau, 1e-12), r_, v_, cp,
+            dividend)
+
+    v0_nodes = bs_row(gv, float(rate), float(vol))
+    price_of = lambda s_: _readout(s_, strike, maturity, rate, vol, cp,
+                                   dividend, v0_nodes, gv.y0, gv.h, n_dates)
+    s0 = jnp.asarray(float(spot), f)
+    price = price_of(s0)
+    delta = jax.grad(price_of)(s0)
+    gamma = jax.grad(jax.grad(price_of))(s0)
+
+    # theta: the date-0 surface IS the value one period ahead
+    v_next = float(_interp_row(v0_nodes, gv.y0, gv.h,
+                               jnp.asarray([np.log(float(spot))], f))[0])
+    theta = (v_next - float(price)) / dt
+
+    def reprice(r_, v_):
+        gv_ = surf(r_, v_)
+        row = bs_row(gv_, r_, v_)
+        return float(_readout(s0, strike, maturity, r_, v_, cp, dividend,
+                              row, gv_.y0, gv_.h, n_dates))
+
+    vega = (reprice(float(rate), float(vol) + fd_eps)
+            - reprice(float(rate), float(vol) - fd_eps)) / (2 * fd_eps)
+    rho = (reprice(float(rate) + fd_eps, float(vol))
+           - reprice(float(rate) - fd_eps, float(vol))) / (2 * fd_eps)
+    return {
+        "price": float(price),
+        "delta": float(delta),
+        "gamma": float(gamma),
+        "theta": theta,
+        "vega": vega,
+        "rho": rho,
     }
 
 

@@ -56,7 +56,7 @@ def multi_asset_terminal(spots, vols, corr, rate, dividends, maturity, key,
     z = jax.random.normal(key, (d, half), dtype=jnp.float32)
     if antithetic:
         z = jnp.concatenate([z, -z], axis=1)
-    zc = chol @ z  # correlated standard normals
+    zc = jnp.matmul(chol, z, precision=jax.lax.Precision.HIGHEST)  # bf16-default-safe
     t = jnp.asarray(maturity, jnp.float32)
     drift = (rate - dividends - 0.5 * vols**2) * t
     return spots[:, None] * jnp.exp(drift[:, None] + (vols * jnp.sqrt(t))[:, None] * zc)
@@ -207,7 +207,8 @@ def basket_asian_price(spots, weights, strike, maturity, rate, vols, corr,
         z = jax.random.normal(jax.random.fold_in(key, i), (d, half),
                               dtype=jnp.float32)
         z = jnp.concatenate([z, -z], axis=1)
-        log_s = log_s + drift + sig_dt * (chol @ z)
+        log_s = log_s + drift + sig_dt * jnp.matmul(
+            chol, z, precision=jax.lax.Precision.HIGHEST)
         basket = (w * spots[:, None] * jnp.exp(log_s)).sum(axis=0)
         return (log_s, acc + basket), None
 

@@ -159,6 +159,24 @@ class TestDualInternals:
         assert float(out["lower"]) - 3 * float(out["lower_se"]) <= euro
         assert euro <= float(out["upper"]) + 3 * float(out["upper_se"]) + 1e-4
 
+    def test_grid_greeks_match_binomial_oracle(self):
+        """American Greeks from the grid surface (the reference admits 'No
+        American option Greeks') vs the CRR@2001 node-capture lattice."""
+        from optionslab_tpu.models.american import american_grid_greeks
+        from optionslab_tpu.models.binomial import binomial_greeks
+
+        g = american_grid_greeks(S, K, T, R, SIG, cp=-1.0, n_dates=200,
+                                 n_grid=1024)
+        bg = binomial_greeks(ContractBatch.make(S, K, T, R, SIG, "put"),
+                             american=True, n_steps=2001)
+        assert abs(g["delta"] - float(bg["delta"])) < 2e-3
+        assert abs(g["gamma"] - float(bg["gamma"])) < 2e-4
+        assert abs(g["theta"] - float(bg["theta"])) < 2e-2
+        assert abs(g["vega"] - float(bg["vega"])) < 0.2
+        assert abs(g["rho"] - float(bg["rho"])) < 0.2
+        # price: Richardson-extrapolated Bermudan-200 ≈ Am − 0.59/200
+        assert abs(g["price"] - (6.09040 - 0.59 / 200)) < 2e-3
+
     def test_nested_ab_also_upper(self):
         pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
                                 n_paths=50_000, n_dates=20, basis=3)
