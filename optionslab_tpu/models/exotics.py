@@ -358,11 +358,12 @@ def american_lsm_price(spot, strike, maturity, rate, vol, key, cp=-1.0,
         feats = jnp.stack([x**p for p in range(basis + 1)], axis=0)  # (b+1, paths)
         w = itm.astype(dtype)
         y = disc * cash
-        a_mat = (feats * w) @ feats.T * inv_n
-        b_vec = (feats * w) @ y * inv_n
+        hi = lax.Precision.HIGHEST  # TPU default matmul is bf16
+        a_mat = jnp.matmul(feats * w, feats.T, precision=hi) * inv_n
+        b_vec = jnp.matmul(feats * w, y, precision=hi) * inv_n
         ridge = 1e-8 * jnp.eye(basis + 1, dtype=dtype)
         coef = jnp.linalg.solve(a_mat + ridge, b_vec)
-        cont = coef @ feats
+        cont = jnp.matmul(coef, feats, precision=hi)
         exercise = itm & (ex > cont)
         cash = jnp.where(exercise, ex, disc * cash)
         return cash, exercise
@@ -407,9 +408,12 @@ def lsm_exercise_boundary(spot, strike, maturity, rate, vol, key, cp=-1.0,
         w = itm.astype(dtype)
         y = disc * cash
         inv_n = 1.0 / n_paths
-        coef = jnp.linalg.solve((feats * w) @ feats.T * inv_n + 1e-8 * jnp.eye(4, dtype=dtype),
-                                (feats * w) @ y * inv_n)
-        cont = coef @ feats
+        hi = lax.Precision.HIGHEST
+        coef = jnp.linalg.solve(
+            jnp.matmul(feats * w, feats.T, precision=hi) * inv_n
+            + 1e-8 * jnp.eye(4, dtype=dtype),
+            jnp.matmul(feats * w, y, precision=hi) * inv_n)
+        cont = jnp.matmul(coef, feats, precision=hi)
         exercise = itm & (ex > cont)
         boundary = jnp.where(
             jnp.any(exercise),

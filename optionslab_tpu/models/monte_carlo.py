@@ -116,7 +116,11 @@ def gbm_terminal(batch: ContractBatch, z: jnp.ndarray) -> jnp.ndarray:
     drift = (batch.rate - batch.dividend - 0.5 * batch.vol**2)[..., None] * batch.maturity[..., None]
     vol_term = batch.vol[..., None] * jnp.sqrt(dt)
     # sum of per-step shocks — (paths,) after reducing the step axis
-    shock = jnp.einsum("pm,...m->...p", z, jnp.broadcast_to(vol_term, batch.shape + (n_steps,)))
+    # HIGHEST: TPU default contraction precision is bf16 — unacceptable
+    # for the core price path
+    shock = jnp.einsum("pm,...m->...p", z,
+                       jnp.broadcast_to(vol_term, batch.shape + (n_steps,)),
+                       precision=jax.lax.Precision.HIGHEST)
     return batch.spot[..., None] * jnp.exp(drift + shock)
 
 

@@ -156,7 +156,8 @@ def geometric_basket_closed_form(spots, weights, strike, maturity, rate,
     vols = jnp.asarray(vols, jnp.float32)
     dividends = jnp.broadcast_to(jnp.asarray(dividends, jnp.float32), spots.shape)
     cov = jnp.asarray(corr, jnp.float32) * vols[:, None] * vols[None, :]
-    var_b = w @ cov @ w * maturity
+    hi = jax.lax.Precision.HIGHEST
+    var_b = jnp.dot(w, jnp.matmul(cov, w, precision=hi), precision=hi) * maturity
     sd = jnp.sqrt(jnp.maximum(var_b, 1e-12))
     mu = jnp.sum(w * (jnp.log(spots) + (rate - dividends - 0.5 * vols**2) * maturity))
     fwd = jnp.exp(mu + 0.5 * var_b)

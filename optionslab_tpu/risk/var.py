@@ -109,7 +109,9 @@ def delta_normal_var(positions, cov, confidence: float = 0.95, horizon: float = 
     cov = jnp.asarray(cov)
     if cov.shape != (w.size, w.size):
         raise ValidationError(f"cov shape {cov.shape} incompatible with {w.size} positions")
-    port_sigma = jnp.sqrt(jnp.maximum(w @ cov @ w, 0.0))
+    hi = jax.lax.Precision.HIGHEST  # TPU default matmul is bf16
+    port_sigma = jnp.sqrt(jnp.maximum(
+        jnp.dot(w, jnp.matmul(cov, w, precision=hi), precision=hi), 0.0))
     z = norm_ppf(jnp.asarray(confidence))
     return z * port_sigma * jnp.sqrt(horizon)
 

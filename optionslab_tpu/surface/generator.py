@@ -27,7 +27,7 @@ from ..utils.exceptions import DataError, ValidationError
 @jax.jit
 def _pairwise_sq_dists(a, b):
     return (jnp.sum(a * a, axis=1)[:, None] + jnp.sum(b * b, axis=1)[None, :]
-            - 2.0 * a @ b.T)
+            - 2.0 * jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST))
 
 
 @jax.jit
@@ -43,14 +43,15 @@ def _rbf_fit(points, values, epsilon, reg):
 def _rbf_eval(points, coefs, queries, epsilon):
     d2 = jnp.maximum(_pairwise_sq_dists(queries, points), 0.0)
     k = jnp.exp(-d2 / (2.0 * epsilon * epsilon))
-    return k @ coefs
+    return jnp.matmul(k, coefs, precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _idw_eval(points, values, queries, power=2.0):
     d2 = jnp.maximum(_pairwise_sq_dists(queries, points), 1e-12)
     w = d2 ** (-power / 2.0)
-    return (w @ values) / w.sum(axis=1)
+    return jnp.matmul(w, values,
+                      precision=jax.lax.Precision.HIGHEST) / w.sum(axis=1)
 
 
 @jax.jit

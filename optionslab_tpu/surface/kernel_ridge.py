@@ -24,7 +24,7 @@ from .base import TARGET_COLUMN, VolatilityModelBase, regression_metrics
 @functools.partial(jax.jit, static_argnames=())
 def _rbf(x1, x2, gamma):
     d2 = jnp.sum(x1 * x1, axis=1)[:, None] + jnp.sum(x2 * x2, axis=1)[None, :] \
-        - 2.0 * x1 @ x2.T
+        - 2.0 * jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
 
 
@@ -40,7 +40,8 @@ def _fit(x, y, gamma, alpha_reg):
 
 @jax.jit
 def _predict(x_train, alpha, x_new, gamma):
-    return _rbf(x_new, x_train, gamma) @ alpha
+    return jnp.matmul(_rbf(x_new, x_train, gamma), alpha,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class KernelRidgeModel(VolatilityModelBase):

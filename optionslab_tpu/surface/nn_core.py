@@ -38,7 +38,10 @@ def apply_mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
     h = x
     n = len(params)
     for i, layer in enumerate(params):
-        h = h @ layer["w"] + layer["b"]
+        # HIGHEST: TPU default matmul is bf16; surface-accuracy claims are
+        # at the 1e-3 level, which bf16 forward passes would erode
+        h = jnp.matmul(h, layer["w"],
+                       precision=jax.lax.Precision.HIGHEST) + layer["b"]
         if i < n - 1:
             if layernorm:
                 mu = h.mean(axis=-1, keepdims=True)
