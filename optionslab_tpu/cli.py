@@ -206,6 +206,64 @@ def cmd_surface(args) -> dict:
     return json.loads(bench.to_dataframe().iloc[0].to_json())
 
 
+def _load_chain(args):
+    from .data.loader import load_option_data
+
+    kw = {}
+    if args.source == "synthetic":
+        kw = {"n_rows": args.n_rows, "seed": args.seed}
+    elif args.source in ("csv", "parquet"):
+        if not args.path:
+            raise SystemExit("--path is required for csv/parquet sources")
+        kw = {"path": args.path}
+    elif args.source == "yfinance":
+        kw = {"ticker": args.ticker}
+    return load_option_data(args.source, **kw)
+
+
+def cmd_calibrate(args) -> dict:
+    """Chain snapshot -> SVI slices + SSVI surface + arbitrage report."""
+    from .surface.chain_calibration import calibrate_chain
+
+    chain = _load_chain(args)
+    res = calibrate_chain(chain, n_expiry_bins=args.bins,
+                          from_prices=args.from_prices, n_steps=args.steps)
+    return res.to_dict()
+
+
+def cmd_plot(args) -> dict:
+    from .utils import plotting
+
+    if args.what in ("smiles", "ssvi-surface"):
+        from .surface.chain_calibration import calibrate_chain
+
+        chain = _load_chain(args)
+        res = calibrate_chain(chain, n_expiry_bins=args.bins,
+                              from_prices=args.from_prices, n_steps=args.steps)
+        if args.what == "smiles":
+            plotting.plot_smile_fits(chain, res, path=args.out)
+        else:
+            plotting.plot_ssvi_surface(res, path=args.out)
+    elif args.what == "boundary":
+        plotting.plot_exercise_boundary(
+            spot=args.spot, strike=args.strike, maturity=args.maturity,
+            rate=args.rate, vol=args.vol,
+            cp=-1.0 if args.option_type == "put" else 1.0,
+            seed=args.seed, path=args.out)
+    else:  # generator surface from scattered chain quotes
+        from .surface.generator import VolatilitySurfaceGenerator
+
+        chain = _load_chain(args)
+        df = chain.df
+        gen = VolatilitySurfaceGenerator(
+            np.log(np.asarray(df["strike_price"])
+                   / np.asarray(df["underlying_price"])),
+            np.asarray(df["time_to_maturity"]),
+            np.asarray(df["implied_volatility"]))
+        gen.plot_surface(path=args.out)
+    return {"written": args.out, "plot": args.what}
+
+
 def cmd_var(args) -> dict:
     from .risk import VaRAnalyzer
 
@@ -306,6 +364,33 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("surface")
     ps.add_argument("--model", default="svi")
 
+    def _chain_args(sp):
+        sp.add_argument("--source", default="synthetic",
+                        choices=["synthetic", "csv", "parquet", "yfinance"])
+        sp.add_argument("--path", default="")
+        sp.add_argument("--ticker", default="SPY")
+        sp.add_argument("--n-rows", type=int, default=600)
+        sp.add_argument("--bins", type=int, default=5)
+        sp.add_argument("--steps", type=int, default=600)
+        sp.add_argument("--from-prices", action="store_true")
+        sp.add_argument("--seed", type=int, default=0)
+
+    pc = sub.add_parser("calibrate")
+    _chain_args(pc)
+
+    pl = sub.add_parser("plot")
+    pl.add_argument("--what", default="smiles",
+                    choices=["smiles", "ssvi-surface", "rbf-surface",
+                             "boundary"])
+    pl.add_argument("--out", default="plot.png")
+    _chain_args(pl)
+    pl.add_argument("--spot", type=float, default=100.0)
+    pl.add_argument("--strike", type=float, default=100.0)
+    pl.add_argument("--maturity", type=float, default=1.0)
+    pl.add_argument("--rate", type=float, default=0.05)
+    pl.add_argument("--vol", type=float, default=0.2)
+    pl.add_argument("--option-type", default="put")
+
     pv = sub.add_parser("var")
     pv.add_argument("--value", type=float, default=1e6)
     pv.add_argument("--mu", type=float, default=0.05)
@@ -337,6 +422,8 @@ COMMANDS = {
     "american": cmd_american,
     "basket": cmd_basket,
     "surface": cmd_surface,
+    "calibrate": cmd_calibrate,
+    "plot": cmd_plot,
     "var": cmd_var,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,

@@ -56,15 +56,17 @@ def generate_synthetic_surface(n_strikes: int = 21, n_maturities: int = 6,
 
 def generate_synthetic_chain(n_rows: int = 500, spot: float = 100.0,
                              rate: float = 0.03, noise: float = 0.004,
-                             seed: int = 0):
+                             seed: int = 0,
+                             moneyness_range: tuple = (-0.35, 0.35),
+                             ttm_range: tuple = (0.05, 2.0)):
     """DataFrame with the 5 base columns + implied_volatility + option price
     (the shape ``OptionChainLoader.from_synthetic`` produces,
     ``data_loader.py:366``)."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    strikes = spot * np.exp(rng.uniform(-0.35, 0.35, n_rows))
-    ttm = rng.uniform(0.05, 2.0, n_rows)
+    strikes = spot * np.exp(rng.uniform(*moneyness_range, n_rows))
+    ttm = rng.uniform(*ttm_range, n_rows)
     k = np.log(spot / strikes)
     iv = synthetic_iv(-k, ttm) + rng.normal(0.0, noise, n_rows)
     iv = np.maximum(iv, 0.03)

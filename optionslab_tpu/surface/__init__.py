@@ -24,6 +24,8 @@ from .forest import (
     RandomForestVolatilityModel,
     XGBVolatilityModel,
 )
+from .chain_calibration import (ChainCalibrationResult, calibrate_chain,
+                                chain_smile_data)
 from .generator import VolatilitySurfaceGenerator
 from .kernel_ridge import KernelRidgeModel, SVRModel
 from .grid_search import nested_cross_validate, tune_model
@@ -51,6 +53,7 @@ __all__ = [
     "SVIModel", "SVIParams", "SSVIModel", "SSVIParams", "calibrate_svi",
     "calibrate_ssvi", "calibrate_svi_surface", "svi_total_variance", "svi_implied_vol", "svi_g",
     "svi_local_variance", "ssvi_total_variance",
+    "ChainCalibrationResult", "calibrate_chain", "chain_smile_data",
     "MLPModel", "PINNVolatilityModel", "KernelRidgeModel", "SVRModel",
     "RandomForestVolatilityModel", "GradientBoostingVolatilityModel",
     "XGBVolatilityModel", "VolatilitySurfaceGenerator",

@@ -139,12 +139,18 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
     x0 = _svi_pack(init)
     k_dense = jnp.linspace(float(k.min()) - 0.3, float(k.max()) + 0.3, 101)
 
+    # Normalize the fit term by the observed w scale: total variance spans
+    # orders of magnitude across maturities (w ~ sigma^2 T), and without
+    # this short-dated slices see tiny gradients and under-converge at the
+    # same step budget as long-dated ones.
+    w_scale = jnp.maximum(jnp.mean(w_obs) ** 2, 1e-12)
+
     def loss_fn(x):
         p = _svi_unpack(x)
         w = svi_total_variance(k, p)
-        fit = jnp.mean((w - w_obs) ** 2)
+        fit = jnp.mean((w - w_obs) ** 2) / w_scale
         min_w = p.a + p.b * p.sigma * jnp.sqrt(1.0 - p.rho**2)
-        pen_pos = jnp.maximum(-min_w, 0.0) ** 2
+        pen_pos = jnp.maximum(-min_w, 0.0) ** 2 / w_scale
         g = svi_g(k_dense, p)
         pen_bfly = jnp.mean(jnp.maximum(-g, 0.0) ** 2)
         return fit + butterfly_penalty * (pen_pos + pen_bfly)

@@ -1,0 +1,117 @@
+"""Chain snapshot -> SVI/SSVI surface calibration + plot artifacts.
+
+Reference flow: the dashboard vol-surface page
+(``streamlit_app/pages/13_Volatility_Surface.py``) — load chain, backfill
+IVs, fit per-expiry smiles, report arbitrage.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from optionslab_tpu.cli import main as cli_main
+from optionslab_tpu.data.loader import load_option_data
+from optionslab_tpu.surface.chain_calibration import (calibrate_chain,
+                                                      chain_smile_data)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return load_option_data("synthetic", n_rows=500, seed=3)
+
+
+@pytest.fixture(scope="module")
+def result(chain):
+    return calibrate_chain(chain, n_expiry_bins=4, n_steps=500)
+
+
+class TestCalibrateChain:
+    def test_slices_fit_to_noise_level(self, result):
+        # synthetic chain has 0.4 vol pts of noise; every slice should fit
+        # to within ~2x of it
+        assert len(result.svi_params) == 4
+        assert np.all(result.svi_rmse_vol < 0.009)
+
+    def test_ssvi_global_fit(self, result):
+        # one (rho, eta, gamma) across all expiries: coarser than slices
+        # but still close
+        assert result.ssvi_rmse_vol < 0.02
+        assert -1 < float(np.asarray(result.ssvi.rho)) < 1
+
+    def test_arbitrage_report(self, result):
+        rep = result.report
+        assert rep["arbitrage_free"]
+        assert all(rep["butterfly_free"])
+        assert rep["calendar_violation_rate"] == 0.0
+        assert rep["theta_monotone"]
+        assert rep["ssvi_butterfly_condition"] <= 2.0 + 1e-6
+
+    def test_thetas_increase_with_maturity(self, result):
+        assert np.all(np.diff(result.expiries) > 0)
+        assert np.all(np.diff(result.thetas) > 0)
+
+    def test_from_prices_backfill_matches_direct(self, chain):
+        # drop the IV column; calibration must recover it from prices
+        df = chain.df.drop(columns=["implied_volatility"])
+        res = calibrate_chain(df, n_expiry_bins=3, n_steps=400,
+                              from_prices=True)
+        assert np.all(res.svi_rmse_vol < 0.012)
+
+    def test_to_dict_is_json_serializable(self, result):
+        d = json.loads(json.dumps(result.to_dict()))
+        assert len(d["svi_params"]) == 4
+        assert set(d["svi_params"][0]) == {"a", "b", "rho", "m", "sigma"}
+
+    def test_smile_data_payload(self, chain, result):
+        d = chain_smile_data(chain, result, 0)
+        assert len(d["k_market"]) == result.n_quotes[0]
+        assert len(d["k_fit"]) == len(d["iv_fit"]) == 101
+        assert np.all(d["iv_fit"] > 0)
+
+    def test_too_few_quotes_raises(self, chain):
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            calibrate_chain(chain.df.iloc[:3], n_expiry_bins=2)
+
+
+class TestPlotting:
+    def test_smile_fits_png(self, chain, result, tmp_path):
+        from optionslab_tpu.utils.plotting import plot_smile_fits
+
+        out = tmp_path / "smiles.png"
+        fig = plot_smile_fits(chain, result, path=str(out))
+        assert out.stat().st_size > 10_000
+        assert len(fig.axes) >= 4
+
+    def test_ssvi_surface_png(self, result, tmp_path):
+        from optionslab_tpu.utils.plotting import plot_ssvi_surface
+
+        out = tmp_path / "ssvi.png"
+        plot_ssvi_surface(result, path=str(out))
+        assert out.stat().st_size > 10_000
+
+    def test_boundary_png(self, tmp_path):
+        from optionslab_tpu.utils.plotting import plot_exercise_boundary
+
+        out = tmp_path / "bdry.png"
+        plot_exercise_boundary(n_paths=8_192, n_dates=20, path=str(out))
+        assert out.stat().st_size > 10_000
+
+
+class TestCLI:
+    def test_calibrate_command(self, capsys):
+        cli_main(["calibrate", "--n-rows", "300", "--bins", "3",
+                  "--steps", "300"])
+        out = json.loads(capsys.readouterr().out)
+        assert len(out["svi_params"]) == 3
+        assert out["report"]["total_quotes_used"] == 300
+
+    def test_plot_command(self, capsys, tmp_path):
+        out_png = str(tmp_path / "s.png")
+        cli_main(["plot", "--what", "smiles", "--out", out_png,
+                  "--n-rows", "300", "--bins", "3", "--steps", "300"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["written"] == out_png
+        import os
+        assert os.path.getsize(out_png) > 10_000

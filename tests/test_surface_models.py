@@ -176,6 +176,20 @@ class TestPINN:
         with pytest.raises(ValidationError):
             PINNVolatilityModel(preset="ultra")
 
+    def test_wide_box_stays_arbitrage_free(self):
+        # production box: k in ±0.7, T in [0.02, 5y] — the penalty
+        # collocation and audit adapt to the observed domain
+        df = engineer_features(generate_synthetic_chain(
+            n_rows=500, seed=11, moneyness_range=(-0.7, 0.7),
+            ttm_range=(0.02, 5.0)))
+        m = PINNVolatilityModel(hidden_layers=(32, 32), epochs=800,
+                                preset="medium", seed=0)
+        metrics = m.train(df)
+        assert metrics["rmse"] < 0.025
+        assert m._t_range[1] > 5.0
+        report = m.check_arbitrage(n_k=41, n_t=11)
+        assert report["arbitrage_free"]
+
 
 class TestClassicalModels:
     @pytest.mark.parametrize("cls,kw", [
