@@ -264,6 +264,31 @@ def cmd_plot(args) -> dict:
     return {"written": args.out, "plot": args.what}
 
 
+def cmd_varswap(args) -> dict:
+    """Fair variance/vol swap strikes: model-free replication + Heston."""
+    from .models import (heston_expected_variance, heston_vol_swap_strike,
+                         heston_vol_swap_strike_brockhaus_long,
+                         variance_swap_strike_from_iv, vix_style_index)
+    from .models.heston import HestonParams
+
+    p = HestonParams.make(v0=args.v0, kappa=args.kappa, theta=args.theta,
+                          sigma=args.sigma_v, rho=args.rho)
+    kv = float(heston_expected_variance(p, args.maturity))
+    ks = np.exp(np.linspace(-2.0, 2.0, 800)) * args.spot
+    flat = float(variance_swap_strike_from_iv(
+        args.spot, ks, np.full_like(ks, args.vol), args.maturity, args.rate))
+    return {
+        "heston_variance_strike": kv,
+        "heston_vol_strike_exact": float(heston_vol_swap_strike(p, args.maturity)),
+        "heston_vol_strike_brockhaus_long": float(
+            heston_vol_swap_strike_brockhaus_long(p, args.maturity)),
+        "flat_smile_variance_strike": flat,
+        "flat_smile_vol_check": args.vol**2,
+        "vix_style_index_flat": float(vix_style_index(
+            args.spot, ks, np.full_like(ks, args.vol), 30 / 365, args.rate)),
+    }
+
+
 def cmd_var(args) -> dict:
     from .risk import VaRAnalyzer
 
@@ -391,6 +416,17 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--vol", type=float, default=0.2)
     pl.add_argument("--option-type", default="put")
 
+    pw = sub.add_parser("varswap")
+    pw.add_argument("--spot", type=float, default=100.0)
+    pw.add_argument("--vol", type=float, default=0.2)
+    pw.add_argument("--maturity", type=float, default=1.0)
+    pw.add_argument("--rate", type=float, default=0.03)
+    pw.add_argument("--v0", type=float, default=0.04)
+    pw.add_argument("--kappa", type=float, default=2.0)
+    pw.add_argument("--theta", type=float, default=0.05)
+    pw.add_argument("--sigma-v", type=float, default=0.3)
+    pw.add_argument("--rho", type=float, default=-0.7)
+
     pv = sub.add_parser("var")
     pv.add_argument("--value", type=float, default=1e6)
     pv.add_argument("--mu", type=float, default=0.05)
@@ -425,6 +461,7 @@ COMMANDS = {
     "calibrate": cmd_calibrate,
     "plot": cmd_plot,
     "var": cmd_var,
+    "varswap": cmd_varswap,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,
     "serve": cmd_serve,

@@ -49,6 +49,17 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .var_swap import (
+    heston_expected_variance,
+    heston_integrated_variance_laplace,
+    heston_variance_of_variance,
+    heston_variance_swap_strike,
+    heston_vol_swap_strike,
+    heston_vol_swap_strike_brockhaus_long,
+    variance_swap_strike_from_iv,
+    variance_swap_strike_replication,
+    vix_style_index,
+)
 from .heston import (
     HestonParams,
     HestonPricer,
@@ -143,6 +154,11 @@ __all__ = [
     # stochastic / jump models
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
     "heston_simulate_paths", "calibrate_heston",
+    "variance_swap_strike_replication", "variance_swap_strike_from_iv",
+    "vix_style_index", "heston_integrated_variance_laplace",
+    "heston_expected_variance", "heston_variance_of_variance",
+    "heston_variance_swap_strike", "heston_vol_swap_strike",
+    "heston_vol_swap_strike_brockhaus_long",
     "SABRModel", "SABRParams", "sabr_implied_vol", "sabr_price", "calibrate_sabr",
     "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",
     "merton_mc_price", "kou_mc_price",

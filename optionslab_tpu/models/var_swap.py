@@ -1,0 +1,210 @@
+"""Variance and volatility swaps: static replication + Heston closed forms.
+
+Capability beyond the reference (Diegotistical/OptionsLab has no volatility
+derivatives): fair strikes for variance swaps via the Carr–Madan
+log-contract replication (CBOE-style discrete strike sum), a VIX-style
+index, and — under Heston — *exact* fair strikes from the CIR integrated-
+variance Laplace transform:
+
+- ``E[I_T]`` and ``Var[I_T]`` are first/second cumulants of the transform,
+  taken by ``jax.grad`` instead of hand-derived formulas (AD replaces the
+  error-prone Broadie–Jain algebra; same closed form, zero transcription
+  risk).
+- The volatility swap strike ``E[sqrt(I_T/T)]`` uses the exact integral
+  identity ``E[sqrt(X)] = 1/(2 sqrt(pi)) * int_0^inf (1 - E[e^{-sX}])
+  s^{-3/2} ds`` on fixed Gauss–Legendre panels — no simulation, no
+  convexity-adjustment truncation error (Brockhaus–Long is also provided
+  for comparison).
+
+Everything is jit-compatible, fixed-shape, f32-safe (the transform is
+evaluated in f64 on CPU oracles via x64 tests, f32 on chip).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.exceptions import ValidationError
+from .black_scholes import bs_price
+from .heston import HestonParams
+
+__all__ = [
+    "variance_swap_strike_replication",
+    "variance_swap_strike_from_iv",
+    "vix_style_index",
+    "heston_integrated_variance_laplace",
+    "heston_expected_variance",
+    "heston_variance_of_variance",
+    "heston_variance_swap_strike",
+    "heston_vol_swap_strike",
+    "heston_vol_swap_strike_brockhaus_long",
+]
+
+
+# ---------------------------------------------------------------------------
+# Static replication (model-free)
+# ---------------------------------------------------------------------------
+def variance_swap_strike_replication(strikes, otm_prices, spot, maturity,
+                                     rate, dividend=0.0):
+    """Fair variance strike from OTM option prices (CBOE VIX methodology).
+
+    ``strikes`` ascending; ``otm_prices[i]`` is the OTM option at strike i
+    (put below the forward, call above).  Returns K_var (annualized
+    variance units):
+
+        K_var = (2 e^{rT} / T) * sum dK_i / K_i^2 * Q(K_i)
+                - (1/T) * (F/K0 - 1)^2
+    """
+    k = jnp.asarray(strikes)
+    q = jnp.asarray(otm_prices)
+    t = jnp.asarray(maturity)
+    fwd = jnp.asarray(spot) * jnp.exp((rate - dividend) * t)
+    # central strike K0: largest strike <= F
+    below = jnp.where(k <= fwd, k, -jnp.inf)
+    k0 = jnp.max(below)
+    # trapezoid strike spacing, one-sided at the edges
+    dk = jnp.concatenate([
+        (k[1:2] - k[0:1]),
+        0.5 * (k[2:] - k[:-2]),
+        (k[-1:] - k[-2:-1]),
+    ])
+    total = jnp.sum(dk / (k * k) * q)
+    return (2.0 * jnp.exp(rate * t) / t) * total - (fwd / k0 - 1.0) ** 2 / t
+
+
+def variance_swap_strike_from_iv(spot, strikes, ivs, maturity, rate,
+                                 dividend=0.0):
+    """Fair variance strike from an implied-vol smile: price the OTM strip
+    with Black–Scholes at each strike's IV, then replicate."""
+    k = jnp.asarray(strikes)
+    iv = jnp.asarray(ivs)
+    fwd = jnp.asarray(spot) * jnp.exp((rate - dividend) * jnp.asarray(maturity))
+    cp = jnp.where(k <= fwd, -1.0, 1.0)  # puts below forward, calls above
+    q = bs_price(spot, k, maturity, rate, iv, cp, dividend)
+    return variance_swap_strike_replication(k, q, spot, maturity, rate,
+                                            dividend)
+
+
+def vix_style_index(spot, strikes, ivs, maturity, rate, dividend=0.0):
+    """Single-expiry VIX-style index: 100 * sqrt(K_var)."""
+    kv = variance_swap_strike_from_iv(spot, strikes, ivs, maturity, rate,
+                                      dividend)
+    return 100.0 * jnp.sqrt(jnp.maximum(kv, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Heston closed forms via the CIR Laplace transform
+# ---------------------------------------------------------------------------
+def heston_integrated_variance_laplace(s, params: HestonParams, maturity):
+    """log E[exp(-s * I_T)], I_T = int_0^T v_t dt, v ~ CIR(kappa, theta,
+    sigma).  The CIR bond-price formula in its e^{-gamma T}-normalized
+    (overflow-safe) form; smooth at s = 0, so AD yields the cumulants."""
+    s = jnp.asarray(s)
+    t = jnp.asarray(maturity)
+    kap, th, sig, v0 = params.kappa, params.theta, params.sigma, params.v0
+    gam = jnp.sqrt(kap * kap + 2.0 * sig * sig * s)
+    emgt = jnp.exp(-gam * t)
+    denom = (gam + kap) * (1.0 - emgt) + 2.0 * gam * emgt
+    b = 2.0 * s * (1.0 - emgt) / denom
+    log_a = (2.0 * kap * th / (sig * sig)) * (
+        jnp.log(2.0 * gam) + 0.5 * (kap - gam) * t - jnp.log(denom))
+    return log_a - b * v0
+
+
+def heston_expected_variance(params: HestonParams, maturity):
+    """E[I_T/T]: the fair variance swap strike, as -K'(0) of the cumulant
+    transform (equals theta + (v0-theta)(1-e^{-kT})/(kT) analytically)."""
+    t = jnp.asarray(maturity, jnp.asarray(params.v0).dtype)
+    g = jax.grad(heston_integrated_variance_laplace)(
+        jnp.zeros((), t.dtype), params, t)
+    return -g / t
+
+
+def heston_variance_of_variance(params: HestonParams, maturity):
+    """Var[I_T/T] = K''(0)/T^2 via second-order AD."""
+    t = jnp.asarray(maturity, jnp.asarray(params.v0).dtype)
+    h = jax.grad(jax.grad(heston_integrated_variance_laplace))(
+        jnp.zeros((), t.dtype), params, t)
+    return h / (t * t)
+
+
+def heston_variance_swap_strike(params: HestonParams, maturity):
+    """Alias with the contract-language name."""
+    return heston_expected_variance(params, maturity)
+
+
+@functools.lru_cache(maxsize=8)
+def _gl_panel(n: int, a: float, b: float):
+    x, w = np.polynomial.legendre.leggauss(n)
+    # dtype follows jax's default (f32 on chip, f64 under x64 oracles)
+    return (jnp.asarray(0.5 * (b - a) * x + 0.5 * (a + b)),
+            jnp.asarray(0.5 * (b - a) * w))
+
+
+def heston_vol_swap_strike(params: HestonParams, maturity, n_nodes: int = 128,
+                           u_max: float = 2000.0):
+    """EXACT fair volatility swap strike E[sqrt(I_T/T)] under Heston.
+
+    Uses E[sqrt(X)] = 1/(2 sqrt(pi)) int_0^inf (1 - E[e^{-sX}]) s^{-3/2} ds
+    with s = u^2 (regularizes the s->0 endpoint: the integrand tends to
+    E[X]):  E[sqrt(X)] = (1/sqrt(pi)) int_0^inf (1 - L(u^2/T)) / u^2 du.
+    Fixed Gauss-Legendre panels + the analytic 1/u_max tail (where L ~ 0).
+    """
+    t = jnp.asarray(maturity)
+
+    def one_minus_l_over_u2(u):
+        logl = heston_integrated_variance_laplace(u * u / t, params, t)
+        return -jnp.expm1(logl) / (u * u)
+
+    total = jnp.zeros(())
+    for a, b in ((0.0, 2.0), (2.0, 20.0), (20.0, float(u_max))):
+        u, w = _gl_panel(n_nodes, a, b)
+        total = total + jnp.sum(w * jax.vmap(one_minus_l_over_u2)(u))
+    # u -> 0 limit handled by GL nodes (none at exactly 0); tail: L ~ 0
+    total = total + 1.0 / u_max
+    return total / jnp.sqrt(jnp.pi)
+
+
+def heston_vol_swap_strike_brockhaus_long(params: HestonParams, maturity):
+    """Second-order convexity adjustment K_vol ~ sqrt(K_var) -
+    Var[X]/(8 K_var^{3/2}) (Brockhaus-Long 2000) — provided as the industry
+    approximation; ``heston_vol_swap_strike`` is exact."""
+    kv = heston_expected_variance(params, maturity)
+    vv = heston_variance_of_variance(params, maturity)
+    return jnp.sqrt(kv) - vv / (8.0 * kv ** 1.5)
+
+
+def heston_integrated_variance_mc(params: HestonParams, maturity, key,
+                                  n_paths: int = 100_000, n_steps: int = 252):
+    """MC oracle: simulate the CIR variance (full truncation) and integrate.
+    Returns (mean I/T, stderr of mean, mean sqrt(I/T), its stderr)."""
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (antithetic pairs)")
+    dtype = jnp.asarray(params.v0).dtype
+    t = jnp.asarray(maturity, dtype)
+    dt = t / n_steps
+    sq_dt = jnp.sqrt(dt)
+    half = n_paths // 2
+
+    def step(carry, i):
+        v, acc = carry
+        z = jax.random.normal(jax.random.fold_in(key, i), (half,), dtype)
+        z = jnp.concatenate([z, -z])
+        vp = jnp.maximum(v, 0.0)
+        # trapezoid accumulation of the integrated variance
+        v_new = v + params.kappa * (params.theta - vp) * dt \
+            + params.sigma * jnp.sqrt(vp) * sq_dt * z
+        acc = acc + 0.5 * (vp + jnp.maximum(v_new, 0.0)) * dt
+        return (v_new, acc), None
+
+    v0 = jnp.full((n_paths,), params.v0, dtype)
+    (v, acc), _ = jax.lax.scan(step, (v0, jnp.zeros((n_paths,), dtype)),
+                               jnp.arange(n_steps))
+    x = acc / t
+    rx = jnp.sqrt(jnp.maximum(x, 0.0))
+    n = jnp.asarray(n_paths, dtype)
+    return (jnp.mean(x), jnp.std(x) / jnp.sqrt(n),
+            jnp.mean(rx), jnp.std(rx) / jnp.sqrt(n))
