@@ -74,6 +74,10 @@ def cmd_price(args) -> dict:
         from .models import HestonParams, heston_price
 
         out["price"] = float(heston_price(batch, HestonParams.make()))
+    elif args.model == "bates":
+        from .models import BatesParams, bates_price
+
+        out["price"] = float(bates_price(batch, BatesParams.make()))
     elif args.model == "merton":
         from .models import MertonJumpDiffusion
 
@@ -341,7 +345,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp = sub.add_parser("price")
     _common_contract_args(pp)
     pp.add_argument("--model", default="bs",
-                    choices=["bs", "binomial", "fdm", "heston", "merton"])
+                    choices=["bs", "binomial", "fdm", "heston", "bates",
+                             "merton"])
     pp.add_argument("--american", action="store_true")
     pp.add_argument("--steps", type=int, default=512)
 

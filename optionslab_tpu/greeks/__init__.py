@@ -11,6 +11,7 @@ from .unified import (
     greeks_heston,
     greeks_sabr,
     heston_price_fn,
+    bates_price_fn,
     merton_price_fn,
     sabr_price_fn,
 )
@@ -26,7 +27,7 @@ __all__ = [
     "heston_price_fn",
     "sabr_price_fn",
     "fdm_price_fn",
-    "merton_price_fn",
+    "merton_price_fn", "bates_price_fn",
     "greeks_heston",
     "greeks_sabr",
     "greeks_fdm",

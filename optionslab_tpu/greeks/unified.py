@@ -202,6 +202,19 @@ def merton_price_fn(lam, mu_j, sigma_j, cp=1.0) -> Callable:
     return fn
 
 
+def bates_price_fn(params, cp=1.0) -> Callable:
+    """σ maps to v0 = σ² (same convention as the Heston adapter)."""
+    import dataclasses
+
+    from ..models.bates import bates_price
+
+    def fn(s, k, t, r, sig, q):
+        p = dataclasses.replace(params, v0=jnp.asarray(sig, jnp.result_type(sig)) ** 2)
+        return bates_price(ContractBatch(s, k, t, r, sig, q, jnp.asarray(cp)), p)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Reference-signature entry point: works with object pricers too
 # ---------------------------------------------------------------------------

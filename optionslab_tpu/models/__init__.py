@@ -49,6 +49,14 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .bates import (
+    BatesParams,
+    BatesPricer,
+    bates_mc_price,
+    bates_price,
+    bates_price_cos,
+    calibrate_bates,
+)
 from .var_swap import (
     heston_expected_variance,
     heston_integrated_variance_laplace,
@@ -154,6 +162,8 @@ __all__ = [
     # stochastic / jump models
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
     "heston_simulate_paths", "calibrate_heston",
+    "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
+    "bates_mc_price", "calibrate_bates",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",

@@ -101,17 +101,18 @@ def _heston_cf(u, params: HestonParams, maturity):
     return jnp.exp(theta * C + v0 * D)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "u_max"))
-def heston_price(batch: ContractBatch, params: HestonParams,
-                 n_nodes: int = 128, u_max: float = 200.0) -> jnp.ndarray:
-    """European prices via the Lewis (2000) single integral:
+def lewis_price(batch: ContractBatch, cf_fn, n_nodes: int = 128,
+                u_max: float = 200.0) -> jnp.ndarray:
+    """Generic Lewis (2000) single-integral pricer:
 
         C = S e^{-qT} - (√(SK) e^{-(r+q)T/2} / π) ∫₀^∞ Re[e^{iuk} φ(u - i/2)]
             du / (u² + ¼),   k = ln(S/K) + (r-q)T
 
-    evaluated with a fixed Gauss–Legendre rule (nodes static → fully
-    jit/vmap; replaces the reference's adaptive quad at ``heston.py:170``).
-    Puts via put-call parity.
+    for ANY forward-normalized CF ``cf_fn(u, t) = E[exp(iu·ln(S_T/F))]``
+    (must satisfy φ(-i) = 1).  Fixed Gauss–Legendre rule (nodes static →
+    fully jit/vmap; replaces the reference's adaptive quad at
+    ``heston.py:170``).  Puts via put-call parity.  Shared by the Heston
+    and Bates engines.
     """
     b = batch.broadcast()
     dtype = b.dtype
@@ -123,7 +124,7 @@ def heston_price(batch: ContractBatch, params: HestonParams,
     t = jnp.maximum(flat.maturity, EPS_TIME)
     k = jnp.log(flat.spot / flat.strike) + (flat.rate - flat.dividend) * t
 
-    phi = _heston_cf(u - 0.5j, params, t[None, :])
+    phi = cf_fn(u - 0.5j, t[None, :])
     integrand = jnp.real(jnp.exp(1j * u * k[None, :]) * phi) / (u * u + 0.25)
     integral = jnp.sum(w * integrand, axis=0)
 
@@ -139,6 +140,15 @@ def heston_price(batch: ContractBatch, params: HestonParams,
     intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
     price = jnp.where(flat.maturity <= EPS_TIME, intrinsic, price)
     return price.reshape(b.shape).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "u_max"))
+def heston_price(batch: ContractBatch, params: HestonParams,
+                 n_nodes: int = 128, u_max: float = 200.0) -> jnp.ndarray:
+    """European prices via the Lewis single integral (see
+    :func:`lewis_price`) with the Heston CF."""
+    return lewis_price(batch, lambda u, t: _heston_cf(u, params, t),
+                       n_nodes=n_nodes, u_max=u_max)
 
 
 # ---------------------------------------------------------------------------
