@@ -49,6 +49,11 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .forward_start import (
+    forward_smile_iv,
+    forward_start_mc_price,
+    forward_start_price,
+)
 from .bates import (
     BatesParams,
     BatesPricer,
@@ -164,6 +169,7 @@ __all__ = [
     "heston_simulate_paths", "calibrate_heston",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
+    "forward_start_price", "forward_start_mc_price", "forward_smile_iv",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",

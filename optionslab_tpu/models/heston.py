@@ -78,15 +78,11 @@ def _gl_nodes(n: int, a: float, b: float):
     return 0.5 * (b - a) * x + 0.5 * (a + b), 0.5 * (b - a) * w
 
 
-def _heston_cf(u, params: HestonParams, maturity):
-    """CF of log(S_T/F) under Heston, little-trap branch (stable for large T).
-
-    Matches the Gatheral formulation the reference uses
-    (``heston.py:84-130``) but evaluated on complex arrays for all
-    quadrature nodes at once.
-    """
-    v0, kappa, theta, sigma, rho = (params.v0, params.kappa, params.theta,
-                                    params.sigma, params.rho)
+def _heston_cd(u, params: HestonParams, maturity):
+    """(C, D) of the Heston log-forward CF exp(theta*C + v0*D), little-trap
+    branch (stable for large T).  Exposed separately so forward-start
+    pricing can integrate D against the CIR transition law of v_{T1}."""
+    kappa, sigma, rho = params.kappa, params.sigma, params.rho
     iu = 1j * u
     alpha = -0.5 * u * (u + 1j)
     beta = kappa - rho * sigma * iu
@@ -98,7 +94,15 @@ def _heston_cf(u, params: HestonParams, maturity):
     ed = jnp.exp(-d * maturity)
     D = rm * (1.0 - ed) / (1.0 - g * ed)
     C = kappa * (rm * maturity - (2.0 / sigma**2) * jnp.log((1.0 - g * ed) / (1.0 - g)))
-    return jnp.exp(theta * C + v0 * D)
+    return C, D
+
+
+def _heston_cf(u, params: HestonParams, maturity):
+    """CF of log(S_T/F) under Heston (Gatheral formulation, as the
+    reference uses at ``heston.py:84-130``) evaluated on complex arrays
+    for all quadrature nodes at once."""
+    C, D = _heston_cd(u, params, maturity)
+    return jnp.exp(params.theta * C + params.v0 * D)
 
 
 def lewis_price(batch: ContractBatch, cf_fn, n_nodes: int = 128,

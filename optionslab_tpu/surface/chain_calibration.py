@@ -25,7 +25,8 @@ from ..utils.exceptions import CalibrationError, ValidationError
 from .svi import (SVIParams, SSVIParams, calibrate_svi, check_butterfly,
                   ssvi_total_variance, svi_total_variance)
 
-__all__ = ["ChainCalibrationResult", "calibrate_chain", "chain_smile_data"]
+__all__ = ["ChainCalibrationResult", "calibrate_chain", "chain_smile_data",
+           "svi_surface_iv_fn", "local_vol_from_chain"]
 
 
 @dataclasses.dataclass
@@ -277,6 +278,73 @@ def calibrate_chain(chain, *, n_expiry_bins: int = 6, from_prices: bool = False,
         svi_rmse_vol=rmse, thetas=thetas, ssvi=ssvi, ssvi_rmse_vol=ssvi_rmse,
         report=report, spot=spot, rate=rate,
         slice_quotes=[(q[0], q[1]) for q in slice_quotes])
+
+
+def svi_surface_iv_fn(result: ChainCalibrationResult):
+    """Smooth-in-(k,T) implied-vol function from the calibrated slices.
+
+    Total variance is linearly interpolated in T between slice fits
+    (calendar-monotone when the slices are); before the first expiry w
+    scales proportionally to T from zero (w = w_1 * T/T_1), after the last
+    it grows linearly (w = w_n * T/T_n) — both keep dw/dT > 0 so the
+    Dupire numerator stays positive.  Differentiable in k and (a.e.) in T:
+    the exact input :class:`~..models.local_vol.DupireLocalVol` needs.
+    """
+    expiries = jnp.asarray(result.expiries, jnp.float32)
+    params = list(result.svi_params)
+    t_lo, t_hi = expiries[0], expiries[-1]
+
+    def w_scalar(k, t):
+        w_sl = jnp.stack([svi_total_variance(k, p) for p in params])
+        t_c = jnp.clip(t, t_lo, t_hi)
+        w_in = jnp.interp(t_c, expiries, w_sl)
+        w = jnp.where(t < t_lo, w_sl[0] * t / t_lo,
+                      jnp.where(t > t_hi, w_sl[-1] * t / t_hi, w_in))
+        return jnp.maximum(w, 1e-10)
+
+    def w_fn(k, t):
+        k = jnp.asarray(k, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+        if k.ndim == 0 and t.ndim == 0:
+            return w_scalar(k, t)
+        kb, tb = jnp.broadcast_arrays(k, t)
+        return jax.vmap(w_scalar)(kb.ravel(), tb.ravel()).reshape(kb.shape)
+
+    def iv_fn(k, t):
+        return jnp.sqrt(w_fn(k, t) / jnp.maximum(jnp.asarray(t, jnp.float32),
+                                                 1e-8))
+
+    return iv_fn
+
+
+def local_vol_from_chain(chain, *, n_expiry_bins: int = 5,
+                         from_prices: bool = False, n_steps: int = 600,
+                         n_k: int = 121, n_t: int = 60,
+                         result: ChainCalibrationResult | None = None):
+    """Market chain -> Dupire local-volatility surface, one call.
+
+    The full pipeline the reference documents across separate modules
+    (``data_loader`` -> ``iv_solver`` -> surface fit -> ``local_vol.py``):
+    calibrate SVI slices, build the smooth surface function, extract
+    sigma_loc(k, T) by AD.  Returns (DupireLocalVol, ChainCalibrationResult);
+    exotics priced through it (``local_vol_mc_price``) are consistent with
+    the market smile by construction.
+    """
+    from ..models.local_vol import DupireLocalVol
+
+    if result is None:
+        result = calibrate_chain(chain, n_expiry_bins=n_expiry_bins,
+                                 from_prices=from_prices, n_steps=n_steps)
+    iv_fn = svi_surface_iv_fn(result)
+    k_all = np.concatenate([q[0] for q in result.slice_quotes])
+    k_pad = 0.1 + 0.15 * (k_all.max() - k_all.min())
+    dupire = DupireLocalVol(
+        iv_fn, spot=result.spot, rate=result.rate,
+        k_range=(float(k_all.min() - k_pad), float(k_all.max() + k_pad)),
+        t_range=(max(0.25 * float(result.expiries[0]), 0.01),
+                 float(result.expiries[-1])),
+        n_k=n_k, n_t=n_t)
+    return dupire, result
 
 
 def chain_smile_data(chain, result: ChainCalibrationResult,

@@ -75,6 +75,56 @@ class TestCalibrateChain:
             calibrate_chain(chain.df.iloc[:3], n_expiry_bins=2)
 
 
+class TestLocalVolPipeline:
+    """chain -> SVI surface -> Dupire local vol: must reprice vanillas."""
+
+    @pytest.fixture(scope="class")
+    def pipeline(self):
+        from optionslab_tpu.surface.chain_calibration import (
+            local_vol_from_chain, svi_surface_iv_fn)
+
+        ds = load_option_data("synthetic", n_rows=800, seed=5, noise=0.001)
+        lv, res = local_vol_from_chain(ds, n_expiry_bins=5, n_steps=600)
+        return lv, res, svi_surface_iv_fn(res)
+
+    def test_iv_fn_matches_slices_at_expiries(self, pipeline):
+        _, res, iv_fn = pipeline
+        for i in (0, len(res.expiries) - 1):
+            t = float(res.expiries[i])
+            got = float(iv_fn(0.05, t))
+            want = float(res.svi_vol(0.05, i))
+            assert abs(got - want) < 1e-6
+
+    def test_pde_reprices_vanillas(self, pipeline):
+        from optionslab_tpu.models.black_scholes import bs_price
+
+        lv, res, iv_fn = pipeline
+        for K, T in [(100.0, 1.0), (90.0, 0.5), (110.0, 1.5)]:
+            k = float(np.log(K / (res.spot * np.exp(res.rate * T))))
+            bs = float(bs_price(res.spot, K, T, res.rate,
+                                float(iv_fn(k, T)), 1.0))
+            pde = float(lv.price(res.spot, K, T))
+            assert abs(pde / bs - 1.0) < 4e-3
+
+    def test_mc_consistent_with_smile(self, pipeline):
+        from optionslab_tpu.models import local_vol_mc_price
+        from optionslab_tpu.models.black_scholes import bs_price
+
+        lv, res, iv_fn = pipeline
+        K, T = 100.0, 1.0
+        k = float(np.log(K / (res.spot * np.exp(res.rate * T))))
+        bs = float(bs_price(res.spot, K, T, res.rate, float(iv_fn(k, T)), 1.0))
+        p, se = local_vol_mc_price(lv, K, T, cp=1.0, n_paths=100_000,
+                                   n_steps=100)
+        assert abs(float(p) - bs) < 3 * float(se) + 0.02
+
+    def test_short_end_extrapolation_positive_dwdt(self, pipeline):
+        # before the first expiry w scales with T: local variance defined
+        _, res, iv_fn = pipeline
+        t0 = float(res.expiries[0])
+        assert float(iv_fn(0.0, 0.3 * t0)) > 0.05
+
+
 class TestPlotting:
     def test_smile_fits_png(self, chain, result, tmp_path):
         from optionslab_tpu.utils.plotting import plot_smile_fits
