@@ -49,6 +49,14 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .levy import (
+    NIGParams,
+    VGParams,
+    nig_mc_price,
+    nig_price,
+    vg_mc_price,
+    vg_price,
+)
 from .forward_start import (
     forward_smile_iv,
     forward_start_mc_price,
@@ -170,6 +178,8 @@ __all__ = [
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",
+    "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
+    "nig_mc_price",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",
