@@ -49,6 +49,11 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .rbergomi import (
+    RBergomiParams,
+    rbergomi_price,
+    rbergomi_smile_iv,
+)
 from .levy import (
     NIGParams,
     VGParams,
@@ -180,6 +185,7 @@ __all__ = [
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",
     "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
     "nig_mc_price",
+    "RBergomiParams", "rbergomi_price", "rbergomi_smile_iv",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",

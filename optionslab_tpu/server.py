@@ -61,6 +61,18 @@ def handle_price(body: dict) -> dict:
                              n_steps=int(body.get("n_steps", 512)))
     elif model == "heston":
         out = heston_price(batch, HestonParams.make(**body.get("heston_params", {})))
+    elif model == "bates":
+        from .models import BatesParams, bates_price
+
+        out = bates_price(batch, BatesParams.make(**body.get("bates_params", {})))
+    elif model == "vg":
+        from .models import VGParams, vg_price
+
+        out = vg_price(batch, VGParams.make(**body.get("vg_params", {})))
+    elif model == "nig":
+        from .models import NIGParams, nig_price
+
+        out = nig_price(batch, NIGParams.make(**body.get("nig_params", {})))
     elif model == "merton":
         jd = body.get("merton_params", {})
         out = MertonJumpDiffusion(**jd).price(p["spot"], p["strike"], p["maturity"],
@@ -150,12 +162,44 @@ def handle_iv(body: dict) -> dict:
     return {"implied_vol": _to_jsonable(iv)}
 
 
+def handle_varswap(body: dict) -> dict:
+    from .models import (heston_expected_variance, heston_vol_swap_strike)
+    from .models.heston import HestonParams
+
+    p = HestonParams.make(**body.get("heston_params", {}))
+    t = float(body.get("maturity", 1.0))
+    return {
+        "variance_strike": _to_jsonable(heston_expected_variance(p, t)),
+        "vol_strike": _to_jsonable(heston_vol_swap_strike(p, t)),
+    }
+
+
+def handle_calibrate(body: dict) -> dict:
+    """Calibrate SVI/SSVI to a quote snapshot passed inline as columns."""
+    import pandas as pd
+
+    from .surface.chain_calibration import calibrate_chain
+
+    df = pd.DataFrame({k: body[k] for k in
+                       ("underlying_price", "strike_price",
+                        "time_to_maturity", "implied_volatility")
+                       if k in body})
+    if "risk_free_rate" in body:
+        df["risk_free_rate"] = body["risk_free_rate"]
+    res = calibrate_chain(df,
+                          n_expiry_bins=int(body.get("n_expiry_bins", 4)),
+                          n_steps=int(body.get("n_steps", 400)))
+    return res.to_dict()
+
+
 ROUTES = {
     "/price": handle_price,
     "/greeks": handle_greeks,
     "/mc": handle_mc,
     "/iv": handle_iv,
     "/exotic": handle_exotic,
+    "/varswap": handle_varswap,
+    "/calibrate": handle_calibrate,
     "/batch/price": handle_price,  # same handler — fields may be lists
 }
 

@@ -1,0 +1,106 @@
+"""Rough Bergomi: exact Volterra law, BS limit, forward-variance
+martingale, and the rough ATM-skew power law. Beyond the reference."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.models.rbergomi import (RBergomiParams, _volterra_chol,
+                                            rbergomi_price,
+                                            rbergomi_smile_iv,
+                                            rbergomi_variance_grid)
+from optionslab_tpu.utils.exceptions import ValidationError
+
+
+class TestVolterraLaw:
+    def test_variance_of_volterra_is_t2h(self):
+        n, h = 128, 0.1
+        L = jnp.asarray(_volterra_chol(n, h, 1.0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (200_000, 2 * n),
+                              jnp.float32)
+        vw = z @ L.T
+        tg = np.linspace(1.0 / n, 1.0, n)
+        var = np.asarray(vw[:, :n].var(axis=0))
+        assert np.abs(var / tg ** (2 * h) - 1.0).max() < 0.03
+
+    def test_brownian_block_is_brownian(self):
+        n = 64
+        L = jnp.asarray(_volterra_chol(n, 0.2, 1.0))
+        z = jax.random.normal(jax.random.PRNGKey(2), (100_000, 2 * n),
+                              jnp.float32)
+        w = np.asarray((z @ L.T)[:, n:])
+        tg = np.linspace(1.0 / n, 1.0, n)
+        assert np.abs(w.var(axis=0) / tg - 1.0).max() < 0.05
+
+    def test_forward_variance_is_martingale(self):
+        # E[v_t] = xi0 for every t by lognormal construction
+        p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+        n = 128
+        L = jnp.asarray(_volterra_chol(n, p.hurst, 1.0))
+        z = jax.random.normal(jax.random.PRNGKey(3), (250_000, 2 * n),
+                              jnp.float32)
+        z = jnp.concatenate([z, -z], axis=0)
+        vt = (z @ L.T)[:, :n]
+        tg = jnp.linspace(1.0 / n, 1.0, n)
+        v = rbergomi_variance_grid(p, vt, tg[None, :])
+        assert np.abs(np.asarray(v.mean(axis=0)) / p.xi0 - 1.0).max() < 0.04
+
+
+class TestPricing:
+    def test_eta_zero_is_black_scholes(self):
+        p = RBergomiParams(hurst=0.1, eta=1e-6, rho=-0.9, xi0=0.04)
+        ks = np.array([90.0, 100.0, 110.0])
+        pr, se = rbergomi_price(100.0, ks, 1.0, 0.05, p,
+                                jax.random.PRNGKey(0), n_paths=100_000,
+                                n_steps=128)
+        bsv = np.asarray(bs_price(100.0, ks, 1.0, 0.05, 0.2, 1.0))
+        assert np.all(np.abs(np.asarray(pr) - bsv) < 3 * np.asarray(se) + 0.01)
+
+    def test_martingale_forward(self):
+        # deep-ITM call ~ forward parity: C - P = S - K e^{-rT}
+        p = RBergomiParams(hurst=0.15, eta=1.5, rho=-0.7, xi0=0.04)
+        c, _ = rbergomi_price(100.0, np.array([100.0]), 1.0, 0.05, p,
+                              jax.random.PRNGKey(4), n_paths=200_000,
+                              n_steps=128)
+        q, _ = rbergomi_price(100.0, np.array([100.0]), 1.0, 0.05, p,
+                              jax.random.PRNGKey(4), n_paths=200_000,
+                              n_steps=128, option_type="put")
+        lhs = float(c[0]) - float(q[0])
+        rhs = 100.0 - 100.0 * np.exp(-0.05)
+        assert abs(lhs - rhs) < 0.05
+
+    def test_rough_skew_power_law(self):
+        # psi(tau) ~ tau^{H - 1/2}: ratio of ATM skews at tau = 0.25 vs 1.0
+        # should be ~ 4^{1/2 - H}
+        p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.0552)
+        ks = np.array([-0.03, 0.03])
+        skew = {}
+        for t in (0.25, 1.0):
+            iv = rbergomi_smile_iv(ks, t, p, jax.random.PRNGKey(7),
+                                   n_paths=200_000, n_steps=128)
+            skew[t] = (iv[1] - iv[0]) / 0.06
+        assert skew[0.25] < skew[1.0] < 0  # negative, steeper short-dated
+        ratio = skew[0.25] / skew[1.0]
+        predicted = 4.0 ** (0.5 - p.hurst)
+        assert abs(ratio / predicted - 1.0) < 0.15
+
+    def test_smile_is_negatively_skewed(self):
+        p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+        iv = rbergomi_smile_iv(np.array([-0.1, 0.0, 0.1]), 0.5, p,
+                               jax.random.PRNGKey(8), n_paths=100_000,
+                               n_steps=128)
+        assert iv[0] > iv[1] > iv[2]
+
+
+class TestValidation:
+    def test_bad_hurst_raises(self):
+        with pytest.raises(ValidationError):
+            rbergomi_price(100.0, 100.0, 1.0, 0.05,
+                           RBergomiParams(hurst=0.8),
+                           jax.random.PRNGKey(0), n_paths=1000, n_steps=16)
+
+    def test_odd_paths_raise(self):
+        with pytest.raises(ValidationError):
+            rbergomi_price(100.0, 100.0, 1.0, 0.05, RBergomiParams(),
+                           jax.random.PRNGKey(0), n_paths=1001, n_steps=16)

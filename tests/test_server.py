@@ -68,6 +68,38 @@ class TestServer:
         prices = body["price"]
         assert len(prices) == 3 and prices[0] < prices[1] < prices[2]
 
+    def test_price_bates_and_levy(self, server):
+        for model in ("bates", "vg", "nig"):
+            status, body = _post(server, "/price", {"model": model})
+            assert status == 200
+            assert 5.0 < body["price"] < 30.0, model
+
+    def test_varswap_endpoint(self, server):
+        status, body = _post(server, "/varswap", {"maturity": 1.0})
+        assert status == 200
+        assert 0.01 < body["variance_strike"] < 0.2
+        assert body["vol_strike"] < body["variance_strike"] ** 0.5  # Jensen
+
+    def test_calibrate_endpoint(self, server):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        n = 120
+        k = rng.uniform(-0.3, 0.3, n)
+        t = rng.uniform(0.1, 1.5, n)
+        iv = 0.2 - 0.1 * k + 0.15 * k * k + 0.02 * np.sqrt(t)
+        status, body = _post(server, "/calibrate", {
+            "underlying_price": [100.0] * n,
+            "strike_price": (100.0 * np.exp(-k)).tolist(),
+            "time_to_maturity": t.tolist(),
+            "implied_volatility": iv.tolist(),
+            "risk_free_rate": 0.03,
+            "n_expiry_bins": 3, "n_steps": 300,
+        })
+        assert status == 200
+        assert len(body["svi_params"]) == 3
+        assert all(r < 0.02 for r in body["svi_rmse_vol"])
+
     def test_unknown_endpoint_404(self, server):
         status, body = _post(server, "/teleport", {})
         assert status == 404 and "endpoints" in body
