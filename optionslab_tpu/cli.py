@@ -71,13 +71,27 @@ def cmd_price(args) -> dict:
 
         out["price"] = float(fdm_price(batch, american=args.american))
     elif args.model == "heston":
-        from .models import HestonParams, heston_price
+        from .models import HestonParams, heston_fdm_price, heston_price
 
-        out["price"] = float(heston_price(batch, HestonParams.make()))
+        if args.american:
+            out["price"] = float(heston_fdm_price(
+                args.spot, args.strike, args.maturity, args.rate,
+                HestonParams.make(), dividend=args.dividend,
+                option_type=args.option_type, american=True))
+        else:
+            out["price"] = float(heston_price(batch, HestonParams.make()))
     elif args.model == "bates":
         from .models import BatesParams, bates_price
 
         out["price"] = float(bates_price(batch, BatesParams.make()))
+    elif args.model == "vg":
+        from .models import VGParams, vg_price
+
+        out["price"] = float(vg_price(batch, VGParams.make()))
+    elif args.model == "nig":
+        from .models import NIGParams, nig_price
+
+        out["price"] = float(nig_price(batch, NIGParams.make()))
     elif args.model == "merton":
         from .models import MertonJumpDiffusion
 
@@ -346,7 +360,7 @@ def build_parser() -> argparse.ArgumentParser:
     _common_contract_args(pp)
     pp.add_argument("--model", default="bs",
                     choices=["bs", "binomial", "fdm", "heston", "bates",
-                             "merton"])
+                             "vg", "nig", "merton"])
     pp.add_argument("--american", action="store_true")
     pp.add_argument("--steps", type=int, default=512)
 

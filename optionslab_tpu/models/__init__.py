@@ -86,6 +86,7 @@ from .var_swap import (
     variance_swap_strike_replication,
     vix_style_index,
 )
+from .heston_fdm import heston_fdm_price
 from .heston import (
     HestonParams,
     HestonPricer,
@@ -179,7 +180,7 @@ __all__ = [
     "iv_surface_from_prices",
     # stochastic / jump models
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
-    "heston_simulate_paths", "calibrate_heston",
+    "heston_simulate_paths", "calibrate_heston", "heston_fdm_price",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",

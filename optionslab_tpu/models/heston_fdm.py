@@ -1,0 +1,189 @@
+"""Heston PDE solver: Douglas ADI on a (log-spot, variance) grid.
+
+Beyond the reference (its FDM is 1-D Black–Scholes only,
+``fdm_solver.py``): European AND American options under stochastic
+volatility, priced on the full 2-D Heston PDE
+
+    V_t + (r-q-v/2) V_x + kappa(theta-v) V_v + v/2 V_xx
+        + rho*sigma*v V_xv + sigma^2 v/2 V_vv - r V = 0.
+
+TPU-first design: the Douglas ADI splitting needs one tridiagonal solve
+along x (batched over all variance rows) and one along v (batched over
+all spot columns) per step — both are the existing ``ops.tridiag``
+batched Thomas scan; the mixed term is applied explicitly as a stencil.
+Time stepping is one ``lax.scan``; everything is fixed-shape and
+AD-compatible.  American exercise uses obstacle projection each step
+(the 1-D engine's Howard iteration generalizes, but projection paired
+with Douglas is the standard Hout–Foulon treatment).
+
+Oracles (tests): European vs the Lewis CF engine; the frozen-variance
+limit (sigma -> 0, v0 = theta) vs the 1-D BS solver for BOTH European
+and American; American >= European >= intrinsic monotonicity.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.tridiag import tridiag_solve
+from ..utils.exceptions import ValidationError
+from .heston import HestonParams
+
+__all__ = ["heston_fdm_price"]
+
+
+def _apply_tridiag(lo, di, up, v):
+    """Matrix-free tridiagonal apply along the last axis."""
+    left = jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+    right = jnp.concatenate([v[..., 1:], jnp.zeros_like(v[..., :1])], axis=-1)
+    return lo * left + di * v + up * right
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "american"))
+def _heston_adi(spot, strike, maturity, rate, dividend, cp,
+                params: HestonParams, n_x: int, n_v: int, n_t: int,
+                american: bool):
+    f32 = jnp.float32
+    spot, strike, maturity, rate, dividend, cp = (
+        jnp.asarray(a, f32) for a in (spot, strike, maturity, rate,
+                                      dividend, cp))
+    kap, th, sig, rho, v0 = (jnp.asarray(a, f32) for a in
+                             (params.kappa, params.theta, params.sigma,
+                              params.rho, params.v0))
+
+    # ---- grids -----------------------------------------------------------
+    vbar = jnp.maximum(v0, th)
+    half_width = 5.0 * jnp.sqrt(vbar * maturity) + \
+        1.5 * jnp.abs(jnp.log(spot / strike)) + 0.5
+    x_lo = jnp.log(strike) - half_width
+    x_hi = jnp.log(strike) + half_width
+    x = jnp.linspace(x_lo, x_hi, n_x)
+    dx = (x_hi - x_lo) / (n_x - 1)
+    v_max = 5.0 * vbar
+    v = jnp.linspace(0.0, v_max, n_v)
+    dv = v_max / (n_v - 1)
+    dt = maturity / n_t
+
+    s_grid = jnp.exp(x)
+    intrinsic = jnp.maximum(cp * (s_grid[None, :] - strike), 0.0)  # (n_v,n_x)
+    intrinsic = jnp.broadcast_to(intrinsic, (n_v, n_x))
+
+    # ---- A1: x-direction stencil per variance row (n_v, n_x) -------------
+    vj = v[:, None]
+    conv_x = (rate - dividend - 0.5 * vj) / (2.0 * dx)
+    diff_x = 0.5 * vj / (dx * dx)
+    a1 = diff_x - conv_x
+    c1 = diff_x + conv_x
+    b1 = -2.0 * diff_x - 0.5 * rate
+    a1 = jnp.broadcast_to(a1, (n_v, n_x))
+    b1 = jnp.broadcast_to(b1, (n_v, n_x))
+    c1 = jnp.broadcast_to(c1, (n_v, n_x))
+    # Dirichlet x-boundaries: pin first/last columns to identity rows
+    edge = jnp.zeros((n_v, 1), f32)
+    a1 = jnp.concatenate([edge, a1[:, 1:-1], edge], axis=1)
+    c1 = jnp.concatenate([edge, c1[:, 1:-1], edge], axis=1)
+    b1 = jnp.concatenate([jnp.zeros((n_v, 1), f32), b1[:, 1:-1],
+                          jnp.zeros((n_v, 1), f32)], axis=1)
+
+    # ---- A2: v-direction stencil per spot column (n_x, n_v) --------------
+    vk = v[None, :]
+    conv_v = kap * (th - vk) / (2.0 * dv)
+    diff_v = 0.5 * sig * sig * vk / (dv * dv)
+    a2 = diff_v - conv_v
+    c2 = diff_v + conv_v
+    b2 = -2.0 * diff_v - 0.5 * rate
+    a2 = jnp.broadcast_to(a2, (n_x, n_v))
+    b2 = jnp.broadcast_to(b2, (n_x, n_v))
+    c2 = jnp.broadcast_to(c2, (n_x, n_v))
+    # v = 0 row: degenerate PDE, upwind drift kappa*theta > 0
+    up0 = kap * th / dv
+    a2 = a2.at[:, 0].set(0.0)
+    b2 = b2.at[:, 0].set(-up0 - 0.5 * rate)
+    c2 = c2.at[:, 0].set(up0)
+    # v = v_max row: dV/dv ~ 0 far field — drop v-derivatives
+    a2 = a2.at[:, -1].set(0.0)
+    b2 = b2.at[:, -1].set(-0.5 * rate)
+    c2 = c2.at[:, -1].set(0.0)
+
+    theta_s = jnp.float32(0.5)  # Douglas implicitness
+
+    i1_lo, i1_di, i1_up = -theta_s * dt * a1, 1.0 - theta_s * dt * b1, -theta_s * dt * c1
+    # identity on pinned x-boundary rows
+    i1_di = i1_di.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    i2_lo, i2_di, i2_up = -theta_s * dt * a2, 1.0 - theta_s * dt * b2, -theta_s * dt * c2
+
+    def mixed(vgrid):
+        """rho*sigma*v * V_xv by central differences (zero at edges)."""
+        core = (vgrid[2:, 2:] - vgrid[2:, :-2] - vgrid[:-2, 2:]
+                + vgrid[:-2, :-2]) / (4.0 * dx * dv)
+        out = jnp.zeros_like(vgrid)
+        return out.at[1:-1, 1:-1].set(rho * sig * v[1:-1, None] * core)
+
+    def x_boundary(tau):
+        """Dirichlet values at x_lo / x_hi for time-to-maturity tau."""
+        df_r = jnp.exp(-rate * tau)
+        df_q = jnp.exp(-dividend * tau)
+        lo_eu = jnp.maximum(cp * (s_grid[0] * df_q - strike * df_r), 0.0)
+        hi_eu = jnp.maximum(cp * (s_grid[-1] * df_q - strike * df_r), 0.0)
+        if american:
+            lo_eu = jnp.maximum(lo_eu, intrinsic[0, 0])
+            hi_eu = jnp.maximum(hi_eu, intrinsic[0, -1])
+        return lo_eu, hi_eu
+
+    def step(vg, i):
+        tau = (i + 1).astype(f32) * dt
+        a0v = mixed(vg)
+        a1v = _apply_tridiag(a1, b1, c1, vg)
+        a2v = _apply_tridiag(a2, b2, c2, vg.T).T
+        y0 = vg + dt * (a0v + a1v + a2v)
+        # x-sweep: (I - th dt A1) Y1 = Y0 - th dt A1 V
+        rhs1 = y0 - theta_s * dt * a1v
+        blo, bhi = x_boundary(tau)
+        rhs1 = rhs1.at[:, 0].set(blo).at[:, -1].set(bhi)
+        y1 = tridiag_solve(i1_lo, i1_di, i1_up, rhs1)
+        # v-sweep: (I - th dt A2) Y2 = Y1 - th dt A2 V
+        rhs2 = (y1 - theta_s * dt * a2v).T
+        y2 = tridiag_solve(i2_lo, i2_di, i2_up, rhs2).T
+        y2 = y2.at[:, 0].set(blo).at[:, -1].set(bhi)
+        if american:
+            y2 = jnp.maximum(y2, intrinsic)
+        return y2, None
+
+    vg, _ = lax.scan(step, intrinsic, jnp.arange(n_t))
+
+    # ---- bilinear read-out at (spot, v0) ----------------------------------
+    xq = jnp.log(spot)
+    fx = jnp.clip((xq - x_lo) / dx, 0.0, n_x - 1.001)
+    fv = jnp.clip(v0 / dv, 0.0, n_v - 1.001)
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iv = jnp.floor(fv).astype(jnp.int32)
+    wx = fx - ix
+    wv = fv - iv
+    p00 = vg[iv, ix]
+    p01 = vg[iv, ix + 1]
+    p10 = vg[iv + 1, ix]
+    p11 = vg[iv + 1, ix + 1]
+    return ((1 - wv) * ((1 - wx) * p00 + wx * p01)
+            + wv * ((1 - wx) * p10 + wx * p11))
+
+
+def heston_fdm_price(spot, strike, maturity, rate, params: HestonParams,
+                     dividend=0.0, option_type="call", american: bool = False,
+                     n_x: int = 201, n_v: int = 101, n_t: int = 200):
+    """Heston European/American price by Douglas ADI on the 2-D PDE.
+
+    Scalars in, scalar out (vmap for batches).  ``n_x/n_v/n_t`` trade
+    accuracy for time; the defaults put ATM European within ~0.1% of the
+    Lewis engine."""
+    params.validate()
+    if float(maturity) <= 0:
+        return float(np.maximum(
+            (1.0 if str(option_type).lower().startswith("c") else -1.0)
+            * (float(spot) - float(strike)), 0.0))
+    cp = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
+    return _heston_adi(spot, strike, float(maturity), rate, dividend, cp,
+                       params, n_x, n_v, n_t, bool(american))
