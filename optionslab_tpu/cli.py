@@ -240,10 +240,17 @@ def _load_chain(args):
 
 
 def cmd_calibrate(args) -> dict:
-    """Chain snapshot -> SVI slices + SSVI surface + arbitrage report."""
+    """Chain snapshot -> SVI/SSVI surface (default) or a CF dynamic model
+    (heston/bates) fitted to the quotes."""
+    chain = _load_chain(args)
+    if args.model in ("heston", "bates"):
+        from .surface.chain_calibration import calibrate_model_to_chain
+
+        return calibrate_model_to_chain(chain, args.model,
+                                        from_prices=args.from_prices,
+                                        n_steps=args.steps)
     from .surface.chain_calibration import calibrate_chain
 
-    chain = _load_chain(args)
     res = calibrate_chain(chain, n_expiry_bins=args.bins,
                           from_prices=args.from_prices, n_steps=args.steps)
     return res.to_dict()
@@ -421,6 +428,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pc = sub.add_parser("calibrate")
     _chain_args(pc)
+    pc.add_argument("--model", default="svi",
+                    choices=["svi", "heston", "bates"])
 
     pl = sub.add_parser("plot")
     pl.add_argument("--what", default="smiles",

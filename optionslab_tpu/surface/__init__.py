@@ -25,8 +25,8 @@ from .forest import (
     XGBVolatilityModel,
 )
 from .chain_calibration import (ChainCalibrationResult, calibrate_chain,
-                                chain_smile_data, local_vol_from_chain,
-                                svi_surface_iv_fn)
+                                calibrate_model_to_chain, chain_smile_data,
+                                local_vol_from_chain, svi_surface_iv_fn)
 from .generator import VolatilitySurfaceGenerator
 from .kernel_ridge import KernelRidgeModel, SVRModel
 from .grid_search import nested_cross_validate, tune_model
@@ -55,7 +55,7 @@ __all__ = [
     "calibrate_ssvi", "calibrate_svi_surface", "svi_total_variance", "svi_implied_vol", "svi_g",
     "svi_local_variance", "ssvi_total_variance",
     "ChainCalibrationResult", "calibrate_chain", "chain_smile_data",
-    "svi_surface_iv_fn", "local_vol_from_chain",
+    "svi_surface_iv_fn", "local_vol_from_chain", "calibrate_model_to_chain",
     "MLPModel", "PINNVolatilityModel", "KernelRidgeModel", "SVRModel",
     "RandomForestVolatilityModel", "GradientBoostingVolatilityModel",
     "XGBVolatilityModel", "VolatilitySurfaceGenerator",

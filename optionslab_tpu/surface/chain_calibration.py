@@ -26,7 +26,8 @@ from .svi import (SVIParams, SSVIParams, calibrate_svi, check_butterfly,
                   ssvi_total_variance, svi_total_variance)
 
 __all__ = ["ChainCalibrationResult", "calibrate_chain", "chain_smile_data",
-           "svi_surface_iv_fn", "local_vol_from_chain"]
+           "svi_surface_iv_fn", "local_vol_from_chain",
+           "calibrate_model_to_chain"]
 
 
 @dataclasses.dataclass
@@ -345,6 +346,85 @@ def local_vol_from_chain(chain, *, n_expiry_bins: int = 5,
                  float(result.expiries[-1])),
         n_k=n_k, n_t=n_t)
     return dupire, result
+
+
+def calibrate_model_to_chain(chain, model: str = "heston", *,
+                             from_prices: bool = False, n_steps: int = 800,
+                             max_quotes: int = 400, seed: int = 0) -> dict:
+    """Fit a CF model (Heston or Bates) directly to chain option prices.
+
+    The dynamic-model counterpart of :func:`calibrate_chain` (which fits
+    static smiles): one scanned-Adam program over the whole quote set via
+    ``calibrate_heston`` / ``calibrate_bates``.  Returns fitted params,
+    the relative-MSE loss, and price/IV RMSE diagnostics.
+    """
+    from ..models.black_scholes import bs_price
+    from ..models.iv import implied_vol
+    from ..types import ContractBatch
+
+    if from_prices or "implied_volatility" not in _as_dataframe(chain).columns:
+        if not hasattr(chain, "backfill_implied_vol"):
+            from ..data.loader import OptionChainDataset
+
+            chain = OptionChainDataset(chain)
+        chain = chain.backfill_implied_vol()
+    df = _as_dataframe(chain)
+    iv = np.asarray(df["implied_volatility"], np.float64)
+    ok = np.isfinite(iv) & (iv > 0.01) & (iv < 3.0)
+    df = df.loc[ok]
+    if len(df) > max_quotes:  # deterministic thinning for the Adam loop
+        df = df.iloc[np.linspace(0, len(df) - 1, max_quotes).astype(int)]
+
+    s = np.asarray(df["underlying_price"], np.float64)
+    strike = np.asarray(df["strike_price"], np.float64)
+    ttm = np.asarray(df["time_to_maturity"], np.float64)
+    iv = np.asarray(df["implied_volatility"], np.float64)
+    rate = (np.asarray(df["risk_free_rate"], np.float64)
+            if "risk_free_rate" in df.columns else np.zeros_like(s))
+    cp = (np.where(np.asarray(df["option_type"]).astype(str) == "put",
+                   -1.0, 1.0)
+          if "option_type" in df.columns else np.ones_like(s))
+
+    batch = ContractBatch.make(spot=s, strike=strike, maturity=ttm,
+                               rate=rate, vol=iv, option_type=cp)
+    target = (np.asarray(df["option_price"], np.float64)
+              if "option_price" in df.columns
+              else np.asarray(bs_price(s, strike, ttm, rate, iv, cp, 0.0)))
+
+    if model == "heston":
+        from ..models.heston import calibrate_heston
+
+        params, loss = calibrate_heston(target, batch, n_steps=n_steps)
+        names = ("v0", "kappa", "theta", "sigma", "rho")
+        from ..models.heston import heston_price as price_fn
+        fitted = np.asarray(price_fn(batch, params))
+    elif model == "bates":
+        from ..models.bates import calibrate_bates
+
+        params, loss = calibrate_bates(target, batch, n_steps=n_steps)
+        names = ("v0", "kappa", "theta", "sigma", "rho", "lam", "mu_j",
+                 "sigma_j")
+        from ..models.bates import bates_price as price_fn
+        fitted = np.asarray(price_fn(batch, params))
+    else:
+        raise ValidationError(f"model must be heston|bates, got {model!r}")
+
+    iv_fit = np.asarray(implied_vol(jnp.asarray(fitted, jnp.float32),
+                                    jnp.asarray(s, jnp.float32),
+                                    jnp.asarray(strike, jnp.float32),
+                                    jnp.asarray(ttm, jnp.float32),
+                                    jnp.asarray(rate, jnp.float32),
+                                    jnp.asarray(cp, jnp.float32)))
+    good = np.isfinite(iv_fit)
+    return {
+        "model": model,
+        "params": {n: float(np.asarray(getattr(params, n))) for n in names},
+        "loss": float(loss),
+        "price_rmse": float(np.sqrt(np.mean((fitted - target) ** 2))),
+        "iv_rmse": (float(np.sqrt(np.mean((iv_fit[good] - iv[good]) ** 2)))
+                    if good.any() else float("nan")),
+        "n_quotes": int(len(df)),
+    }
 
 
 def chain_smile_data(chain, result: ChainCalibrationResult,

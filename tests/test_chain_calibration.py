@@ -149,6 +149,40 @@ class TestPlotting:
         assert out.stat().st_size > 10_000
 
 
+class TestModelCalibration:
+    def test_heston_fits_the_synthetic_surface(self, chain):
+        from optionslab_tpu.surface.chain_calibration import (
+            calibrate_model_to_chain)
+
+        r = calibrate_model_to_chain(chain, "heston", n_steps=600)
+        assert r["iv_rmse"] < 0.012
+        assert 0 < r["params"]["v0"] < 0.5
+        assert -1 < r["params"]["rho"] < 1
+
+    def test_bates_fits(self, chain):
+        from optionslab_tpu.surface.chain_calibration import (
+            calibrate_model_to_chain)
+
+        r = calibrate_model_to_chain(chain, "bates", n_steps=600)
+        assert r["iv_rmse"] < 0.015
+        assert r["params"]["lam"] >= 0
+
+    def test_unknown_model_raises(self, chain):
+        from optionslab_tpu.surface.chain_calibration import (
+            calibrate_model_to_chain)
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            calibrate_model_to_chain(chain, "sabr2")
+
+    def test_cli_calibrate_heston(self, capsys):
+        cli_main(["calibrate", "--model", "heston", "--n-rows", "300",
+                  "--steps", "400"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["model"] == "heston"
+        assert out["iv_rmse"] < 0.02
+
+
 class TestCLI:
     def test_calibrate_command(self, capsys):
         cli_main(["calibrate", "--n-rows", "300", "--bins", "3",
