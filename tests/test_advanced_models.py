@@ -65,6 +65,49 @@ class TestHeston:
         p = float(heston_price(_batch(cp="put"), par))
         assert abs((c - p) - (100 - 100 * np.exp(-0.05))) < 1e-6
 
+    def test_qe_scheme_matches_analytic(self):
+        par = HestonParams.make(0.0175, 1.5768, 0.0398, 0.5751, -0.5711)
+        par64 = HestonParams.make(0.0175, 1.5768, 0.0398, 0.5751, -0.5711,
+                                  dtype=F)
+        pa = float(heston_price(_batch(r=0.0), par64, n_nodes=192,
+                                u_max=300.0))
+        pmc = float(heston_mc_price(_batch(r=0.0, dtype=jnp.float32), par,
+                                    KEY, n_paths=200_000, n_steps=32,
+                                    scheme="qe"))
+        assert abs(pa - pmc) < 0.06
+
+    def test_qe_crushes_euler_bias_when_feller_violated(self):
+        # 2*kappa*theta = 0.04 << sigma^2 = 1: full-truncation Euler at 8
+        # steps is ~+2.0 biased; Andersen QE samples the (near-exact)
+        # variance transition and stays within MC noise
+        import logging
+
+        logging.disable(logging.WARNING)  # intentional Feller violation
+        try:
+            par = HestonParams.make(v0=0.04, kappa=0.5, theta=0.04,
+                                    sigma=1.0, rho=-0.9)
+            par64 = HestonParams.make(v0=0.04, kappa=0.5, theta=0.04,
+                                      sigma=1.0, rho=-0.9, dtype=F)
+            b32 = _batch(r=0.02, dtype=jnp.float32)
+            exact = float(heston_price(_batch(r=0.02), par64))
+            eu = np.mean([float(heston_mc_price(
+                b32, par, jax.random.PRNGKey(s), n_paths=200_000, n_steps=8))
+                for s in range(3)])
+            qe = np.mean([float(heston_mc_price(
+                b32, par, jax.random.PRNGKey(s), n_paths=200_000, n_steps=8,
+                scheme="qe")) for s in range(3)])
+            assert abs(eu - exact) > 1.0      # Euler is badly biased here
+            assert abs(qe - exact) < 0.08     # QE is not
+        finally:
+            logging.disable(logging.NOTSET)
+
+    def test_unknown_scheme_raises(self):
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            heston_mc_price(_batch(dtype=jnp.float32), HestonParams.make(),
+                            KEY, n_paths=1000, n_steps=4, scheme="milstein")
+
     def test_paths_shape(self):
         par = HestonParams.make()
         spots, variances = heston_simulate_paths(100.0, par, 0.05, 0.0, 1.0, KEY,
