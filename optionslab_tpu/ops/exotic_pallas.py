@@ -82,9 +82,12 @@ _draw_normals = _draw_normals_impl  # shared with the other kernels (kernel_rng)
 # ---------------------------------------------------------------------------
 def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
                    n_steps: int, cp: float, period: int, sampler: str):
-    block = pl.program_id(0)
+    # seed_ref = [seed, block0]: RNG streams index by GLOBAL block id so a
+    # sharded launch owning blocks [block0, block0+n) reproduces exactly
+    # the single-device path set; init fires on the first LOCAL grid step
+    block = pl.program_id(0) + seed_ref[1]
 
-    @pl.when(block == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         pay_ref[:, :] = jnp.zeros_like(pay_ref)
         pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
@@ -288,7 +291,7 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
         raise ValidationError(f"use pallas_{kind}_price for structured params")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier, n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind=kind, n_steps=n_steps, n_blocks=n_blocks,
                         cp=float(cp), sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
@@ -317,7 +320,7 @@ def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_C], p[_P_D] = float(global_floor), float(global_cap)
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         period=n_steps // n_periods, sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
@@ -344,7 +347,7 @@ def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_D] = float(notional) * float(coupon_rate) / n_obs
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed], jnp.int32), jnp.asarray(p, jnp.float32),
+    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         period=n_steps // n_obs, sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0)
@@ -360,9 +363,9 @@ def _exotic_greeks_kernel(seed_ref, param_ref, pay_ref, pay2_ref, p0_ref,
     Brownian values w1/w2, the payoff statistic, and derivative
     accumulators. Reduces the P0/G1/G2 pathwise moments (module docstring).
     """
-    block = pl.program_id(0)
+    block = pl.program_id(0) + seed_ref[1]  # global block id (see price kernel)
 
-    @pl.when(block == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         for ref in (pay_ref, pay2_ref, p0_ref, g1_ref, g2_ref):
             ref[:, :] = jnp.zeros_like(ref)
@@ -504,14 +507,10 @@ def _launch_greeks(seed, params, *, kind: str, n_steps: int, n_blocks: int,
 PATHS_PER_BLOCK_G = 4 * ROWS * LANES_G
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
-                                             "sampler"))
-def _greeks_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp, sampler):
-    """launch → moment combination, traced as ONE program (single dispatch
-    over the tunnel)."""
-    outs = _launch_greeks(seed, params, kind=kind, n_steps=n_steps,
-                          n_blocks=n_blocks, cp=cp, sampler=sampler)
-    n = n_blocks * PATHS_PER_BLOCK_G
+def _combine_greeks(outs, n: int, scalars, kind: str, n_steps: int) -> dict:
+    """P0/G1/G2 moment tiles → the first-order Greek ladder (chain rules in
+    the module docstring). Shared by the single-device pipeline and the
+    sharded (psum-reduced) path."""
     spot, rate, vol, t, a_drift, df = scalars
     pay_m, pay2_m, p0_m, g1_m, g2_m = [o.sum() / n for o in outs]
     if kind == "asian_geo":
@@ -527,6 +526,17 @@ def _greeks_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp, samp
         "theta": rate * price - df * (a_drift * g2_m + vol / (2.0 * t) * g1_m),
         "dividend_rho": -df * t * g2_m,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
+                                             "sampler"))
+def _greeks_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp, sampler):
+    """launch → moment combination, traced as ONE program (single dispatch
+    over the tunnel)."""
+    outs = _launch_greeks(seed, params, kind=kind, n_steps=n_steps,
+                          n_blocks=n_blocks, cp=cp, sampler=sampler)
+    return _combine_greeks(outs, n_blocks * PATHS_PER_BLOCK_G, scalars,
+                           kind, n_steps)
 
 
 def pallas_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
@@ -559,7 +569,7 @@ def pallas_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
     a_drift = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
     scalars = jnp.asarray([float(spot), float(rate), float(vol), t, a_drift,
                            math.exp(-float(rate) * t)], jnp.float32)
-    out = _greeks_pipeline(jnp.asarray([seed], jnp.int32),
+    out = _greeks_pipeline(jnp.asarray([seed, 0], jnp.int32),
                            jnp.asarray(p, jnp.float32), scalars, kind=kind,
                            n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                            sampler=sampler)

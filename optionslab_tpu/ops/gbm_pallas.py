@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import ContractBatch
 from ..utils.config import EPS_TIME
+from .kernel_rng import hash_uniform
 
 SUBLANES = 8  # f32 sublane tile
 TARGET_ROWS = 256  # replicate small books up to this many rows: bigger tiles
@@ -103,10 +104,19 @@ def _mix32(h):
 def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
                 pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int,
                 sampler: str = "prng", reps: int = 1):
-    """One grid step = one path block of 4*lanes paths per row."""
-    block = pl.program_id(0)
+    """One grid step = one path block of 4*lanes paths per row.
 
-    @pl.when(block == 0)
+    ``seed_ref`` is ``[seed, block0]``: ``block0`` offsets the grid index
+    into a GLOBAL block id, so a device that owns blocks ``[block0,
+    block0+n)`` of a sharded launch reproduces exactly the blocks a
+    single-device launch would have computed — the path set is a function
+    of (seed, global block) only, independent of topology.
+    """
+    # RNG streams index by GLOBAL block id; accumulator init fires on the
+    # first LOCAL grid step of this launch (each device zeroes its own tiles)
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         pay_ref[:, :] = jnp.zeros_like(pay_ref)
         pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
@@ -128,6 +138,15 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
         s1 = h & mask30
         s2 = _mix32(h + jnp.int32(0x632BE5AB)) & mask30
         u1, u2 = _sobol_pair(idx, s1, s2)
+    elif sampler == "hash":
+        # counter-based murmur3 stream: pure int32 ops, bit-identical on
+        # Mosaic and the CPU interpreter (cross-platform determinism)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+        lane_id = rid * lanes + col
+        base = block * (2 * rows * lanes)
+        u1 = hash_uniform(base + lane_id, seed_ref[0])
+        u2 = hash_uniform(base + rows * lanes + lane_id, seed_ref[0])
     else:
         # independent, reproducible stream per (seed, block)
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))  # Knuth 2654435761 as i32
@@ -194,7 +213,7 @@ def _launch(seed, s0, k, cp, a, s, rep_id, cid, *, n_blocks: int, rows: int,
         functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler, reps=reps),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, block0] (2,) int32
             param_spec, param_spec, param_spec, param_spec, param_spec,
             param_spec, param_spec,  # replica index / contract id (int32)
         ],
@@ -300,7 +319,8 @@ def _full_pipeline(batch: ContractBatch, seed, n_paths: int,
     lanes = _lanes_for(rows)
     paths_per_row_block = 4 * lanes  # cos/sin × (±antithetic)
     n_blocks = max(1, math.ceil(n_paths / (paths_per_row_block * reps)))
-    seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.zeros((), jnp.int32)])
     # off-TPU (unit tests): run under the TPU-semantics interpreter, which
     # implements the pltpu PRNG primitives (plain interpret=True does not)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()

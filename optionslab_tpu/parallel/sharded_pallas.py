@@ -1,0 +1,279 @@
+"""Pod-scale Monte Carlo: the fused Pallas GBM kernel under ``shard_map``.
+
+This is the multi-chip face of ``ops/gbm_pallas.py`` — the TPU-native
+answer to the reference's single-node Numba ``prange`` hot loop
+(``src/simulation/gbm_numba.py:75``) at pod scale. Design:
+
+  * **Global block ownership.** A single-device launch computes path
+    blocks ``[0, n)``; the sharded launch assigns each device a contiguous
+    slice ``[d·bpd, (d+1)·bpd)`` and passes the offset into the kernel
+    (``seed_ref[1]``). Because every sampler stream is a pure function of
+    (seed, GLOBAL block id), the union of paths simulated is IDENTICAL for
+    every topology — 1, 4, 8, 256 chips all integrate the same sample set
+    (only the f32 summation association differs, ~1e-7 relative).
+  * **Moments over ICI, not payoffs.** Each device reduces its blocks to
+    four (rows, 128) accumulator tiles in VMEM; only those tiles cross the
+    interconnect (one ``psum``), so the collective payload is O(contracts),
+    independent of the path count.
+  * **One jitted program.** prepare -> kernel -> psum -> Greek combine is
+    traced as a single program per (mesh, n_paths, sampler) — one dispatch
+    over the tunnel/runtime regardless of topology.
+
+Off-TPU the kernel runs under the TPU-semantics interpreter inside
+``shard_map`` — with ``sampler="hash"`` (counter-based murmur3, pure int32
+ops) or ``sampler="sobol"`` the full multi-device pipeline is verified on
+the 8-device virtual CPU mesh in the unit tests, bit-comparable to what
+Mosaic executes on a real slice.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import exotic_pallas as _ep
+from ..ops import heston_pallas as _hp
+from ..ops.gbm_pallas import _combine, _lanes_for, _launch, _prepare
+from ..types import ContractBatch
+from ..utils.exceptions import ValidationError
+from .mesh import BOOK_AXIS, PATH_AXIS
+
+
+def _mesh_axes(mesh: Mesh):
+    """(axis names to reduce over, total device count) for this mesh."""
+    names = [n for n in (BOOK_AXIS, PATH_AXIS) if n in mesh.shape]
+    if not names:  # arbitrary user mesh: reduce over every axis
+        names = list(mesh.shape.keys())
+    n_dev = 1
+    for n in names:
+        n_dev *= mesh.shape[n]
+    return tuple(names), n_dev
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "sampler", "mesh"))
+def _sharded_pipeline(batch: ContractBatch, seed, *, n_paths: int,
+                      sampler: str, mesh: Mesh) -> dict:
+    b, flat, params, c, reps, rows, _pad = _prepare(batch)
+    lanes = _lanes_for(rows)
+    per_block = 4 * lanes  # cos/sin × (±antithetic) per row
+    names, n_dev = _mesh_axes(mesh)
+    # global block count, rounded up so every device owns the same number
+    n_blocks = max(1, math.ceil(n_paths / (per_block * reps)))
+    n_blocks = ((n_blocks + n_dev - 1) // n_dev) * n_dev
+    bpd = n_blocks // n_dev
+    interpret = (False if jax.default_backend() == "tpu"
+                 else pltpu.InterpretParams())
+
+    def local(seed_s, *params_rep):
+        # linear device id across every mesh axis we shard blocks over
+        d = jnp.zeros((), jnp.int32)
+        for n in names:
+            d = d * mesh.shape[n] + jax.lax.axis_index(n)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _launch(seed_vec, *params_rep, n_blocks=bpd, rows=rows,
+                       lanes=lanes, interpret=interpret, sampler=sampler,
+                       reps=reps)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata for its outputs; correctness is covered by the psum (outputs
+    # are reduced over every mesh axis before leaving the shard).
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(),) + (P(),) * len(params),
+                   out_specs=(P(),) * 4, check_vma=False)
+    outs = fn(jnp.asarray(seed, jnp.int32), *params)
+    out = _combine(b, flat, outs, c, reps, n_blocks * per_block, batch.dtype)
+    # actual per-contract path count (blocks round up to a full device grid)
+    out["n_paths"] = jnp.asarray(n_blocks * per_block * reps, jnp.int32)
+    return out
+
+
+def sharded_pallas_greeks(batch: ContractBatch, mesh: Mesh,
+                          n_paths: int = 1_000_000, seed: int = 0,
+                          sampler: str = "prng") -> dict:
+    """Price + stderr + the full first/second-order Greek ladder from the
+    fused Pallas kernel, with the path-block axis sharded over every device
+    of ``mesh`` (``book`` and ``paths`` axes both shard blocks; a contract
+    book rides the sublane axis inside each kernel instance).
+
+    ``n_paths`` is the per-contract GLOBAL path budget across the whole
+    mesh (rounded up to whole per-device blocks). The estimate is
+    topology-invariant by construction: every mesh size integrates the
+    same (seed, global-block) path set — see the module docstring.
+
+    Samplers: ``prng`` (hardware PRNG, fastest), ``sobol`` (in-kernel
+    scrambled net — each device owns a contiguous index range, so the
+    union is exactly the single-device net), ``hash`` (counter-based,
+    CPU-verifiable). Reference anchor: ``src/simulation/gbm_numba.py:75``
+    (threads), ``src/models_production/monte_carlo_unified.py:329``.
+    """
+    return _sharded_pipeline(batch, jnp.asarray(seed, jnp.int32),
+                             n_paths=n_paths, sampler=sampler, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# Path-dependent payoffs: the fused exotic kernels under shard_map
+# ---------------------------------------------------------------------------
+def _device_linear_index(mesh: Mesh, names):
+    d = jnp.zeros((), jnp.int32)
+    for n in names:
+        d = d * mesh.shape[n] + jax.lax.axis_index(n)
+    return d
+
+
+def _round_blocks(n_paths: int, per_block: int, n_dev: int) -> int:
+    n_blocks = max(1, math.ceil(n_paths / per_block))
+    return ((n_blocks + n_dev - 1) // n_dev) * n_dev
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler", "mesh"))
+def _sharded_exotic_launch(seed, params, *, kind, n_steps, n_blocks, cp,
+                           period, sampler, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+
+    def local(seed_s, params_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _ep._launch(seed_vec, params_rep, kind=kind, n_steps=n_steps,
+                           n_blocks=bpd, cp=cp, period=period, sampler=sampler)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(),) * 2, check_vma=False)
+    return fn(seed, params)
+
+
+def sharded_exotic_price(kind: str, spot, strike, maturity, rate, vol,
+                         mesh: Mesh, cp: float = 1.0, dividend: float = 0.0,
+                         barrier: float = 0.0, n_paths: int = 1_000_000,
+                         n_steps: int = 64, seed: int = 0,
+                         sampler: str = "prng"):
+    """``ops/exotic_pallas.pallas_exotic_price`` with path blocks sharded
+    over every device of ``mesh`` (global-block ownership — same
+    topology-invariant path set as :func:`sharded_pallas_greeks`).
+    Returns (price, stderr, actual_paths); ``n_paths`` is the global
+    budget, rounded up to a full device grid of blocks.
+    """
+    if kind not in _ep.PAYOFF_KINDS:
+        raise ValidationError(
+            f"unknown exotic kind {kind!r}; choose {_ep.PAYOFF_KINDS}")
+    if kind in ("cliquet", "autocall"):
+        raise ValidationError(f"use the pallas_{kind}_price wrapper (its "
+                              "structured params) on a mesh-local basis")
+    p, t = _ep._base_params(spot, strike, maturity, rate, vol, dividend,
+                            barrier, n_steps)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _ep.PATHS_PER_BLOCK, n_dev)
+    pay, pay2 = _sharded_exotic_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
+        sampler=sampler, mesh=mesh)
+    return _ep._mean_stderr(pay, pay2, n_blocks * _ep.PATHS_PER_BLOCK,
+                            math.exp(-float(rate) * t))
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "mesh"))
+def _sharded_exotic_greeks_pipeline(seed, params, scalars, *, kind, n_steps,
+                                    n_blocks, cp, sampler, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+
+    def local(seed_s, params_rep, _scalars_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _ep._launch_greeks(seed_vec, params_rep, kind=kind,
+                                  n_steps=n_steps, n_blocks=bpd, cp=cp,
+                                  sampler=sampler)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+                   out_specs=(P(),) * 5, check_vma=False)
+    outs = fn(seed, params, scalars)
+    return _ep._combine_greeks(outs, n_blocks * _ep.PATHS_PER_BLOCK_G,
+                               scalars, kind, n_steps)
+
+
+def sharded_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
+                          mesh: Mesh, cp: float = 1.0, dividend: float = 0.0,
+                          n_paths: int = 1_000_000, n_steps: int = 64,
+                          seed: int = 0, sampler: str = "prng") -> dict:
+    """``ops/exotic_pallas.pallas_exotic_greeks`` (price + pathwise
+    delta/vega/rho/theta/dividend_rho, ONE kernel pass) sharded over
+    ``mesh``: each device owns a contiguous global block range, the five
+    moment tiles psum over ICI, and the ladder is combined once host-side.
+    """
+    if kind not in _ep.GREEK_KINDS:
+        raise ValidationError(
+            f"in-kernel Greeks support {_ep.GREEK_KINDS}; for {kind!r} use "
+            "the scan engine's AD (models/exotics.exotic_greeks)")
+    p, t = _ep._base_params(spot, strike, maturity, rate, vol, dividend,
+                            0.0, n_steps)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _ep.PATHS_PER_BLOCK_G, n_dev)
+    a_drift = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    scalars = jnp.asarray([float(spot), float(rate), float(vol), t, a_drift,
+                           math.exp(-float(rate) * t)], jnp.float32)
+    out = _sharded_exotic_greeks_pipeline(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), scalars,
+        kind=kind, n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+        sampler=sampler, mesh=mesh)
+    out = dict(out)
+    out["paths"] = n_blocks * _ep.PATHS_PER_BLOCK_G
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stochastic vol: the fused Heston kernel under shard_map
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
+                                             "sampler", "vega", "mesh"))
+def _sharded_heston_pipeline(seed, params, scalars, *, n_steps, n_blocks,
+                             cp, sampler, vega, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+    n_out = 4 if vega else 3
+
+    def local(seed_s, params_rep, _scalars_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _hp._launch(seed_vec, params_rep, n_steps=n_steps,
+                           n_blocks=bpd, cp=cp, sampler=sampler, vega=vega)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+                   out_specs=(P(),) * n_out, check_vma=False)
+    outs = fn(seed, params, scalars)
+    return _hp._combine_moments(outs, n_blocks * _hp.PATHS_PER_BLOCK,
+                                scalars, cp, vega)
+
+
+def sharded_heston_greeks(spot, strike, maturity, rate, params, mesh: Mesh,
+                          cp: float = 1.0, dividend: float = 0.0,
+                          n_paths: int = 1_000_000, n_steps: int = 100,
+                          seed: int = 0, sampler: str = "prng",
+                          vega: bool = True) -> dict:
+    """``ops/heston_pallas.pallas_heston_greeks`` (price + pathwise
+    delta/rho + v0-vega, one kernel pass) with path blocks sharded over
+    ``mesh`` via global-block ownership — the same topology-invariant
+    construction as :func:`sharded_pallas_greeks`."""
+    t, p = _hp._params_vec(spot, strike, maturity, rate, params, dividend,
+                           n_steps)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
+    scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
+                           float(params.v0)], jnp.float32)
+    out = dict(_sharded_heston_pipeline(
+        jnp.asarray(seed, jnp.int32), p, scalars, n_steps=n_steps,
+        n_blocks=n_blocks, cp=float(cp), sampler=sampler, vega=vega,
+        mesh=mesh))
+    out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
+    return out

@@ -80,6 +80,37 @@ class TestKernel:
         assert float(p) == float(kernel_out["price"])
         assert n == kernel_out["paths"]
 
+    def test_vega_v0_matches_lewis_ad(self, kernel_out):
+        """In-kernel forward sensitivity (∂x/∂v0, ∂v/∂v0 carried through the
+        Euler recursion) vs AD of the Lewis integral w.r.t. v0."""
+        def price_of_v0(v0):
+            par = HestonParams.make(v0, 2.0, 0.04, 0.3, -0.7,
+                                    dtype=jnp.float64)
+            return jnp.sum(heston_price(
+                ContractBatch.make(S, K, T, R, 0.2, "call",
+                                   dtype=jnp.float64), par))
+
+        dv0 = float(jax.grad(price_of_v0)(jnp.float64(0.04)))
+        kv = float(kernel_out["vega_v0"])
+        assert abs(kv - dv0) < 0.06 * abs(dv0) + 1.0, (kv, dv0)
+        # chain rule to spot-vol vega
+        np.testing.assert_allclose(float(kernel_out["vega"]),
+                                   2.0 * np.sqrt(PAR.v0) * kv, rtol=1e-6)
+
+    def test_sharded_matches_unsharded(self):
+        from optionslab_tpu.parallel import make_mesh, sharded_heston_greeks
+
+        mesh = make_mesh(4)
+        out_s = sharded_heston_greeks(S, K, T, R, PAR, mesh, n_paths=1,
+                                      n_steps=5, seed=0, sampler="hash")
+        out_u = pallas_heston_greeks(S, K, T, R, PAR, 1.0,
+                                     n_paths=out_s["paths"], n_steps=5,
+                                     seed=0, sampler="hash")
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "delta", "rho", "vega_v0"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=3e-5, err_msg=k)
+
     def test_hash_deterministic_seed_sensitive(self):
         p0, _, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=5,
                                        seed=3, sampler="hash")
