@@ -98,6 +98,22 @@ def main():
         extras["heston_path_steps_per_sec"] = round(
             n_h * 252 / ((time.perf_counter() - t0) / 3), 1)
 
+        # Heston WITH the pathwise delta/rho/v0-vega ladder in the same pass
+        from optionslab_tpu.ops.heston_pallas import pallas_heston_greeks
+
+        hg = pallas_heston_greeks(100.0, 100.0, 1.0, 0.05, HestonParams.make(),
+                                  n_paths=8_388_608, n_steps=252, seed=0)
+        jax.block_until_ready(hg["price"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            hg = pallas_heston_greeks(100.0, 100.0, 1.0, 0.05,
+                                      HestonParams.make(),
+                                      n_paths=8_388_608, n_steps=252,
+                                      seed=1 + i)
+            jax.block_until_ready(hg["price"])
+        extras["heston_vega_ladder_path_steps_per_sec"] = round(
+            hg["paths"] * 252 / ((time.perf_counter() - t0) / 3), 1)
+
         q = pallas_mc_price_greeks(batch, n_paths=16_000_000, seed=0, sampler="sobol")
         extras["qmc_16m_price_abs_err"] = round(abs(float(q["price"]) - exact), 8)
         # per-contract scrambled nets: book QMC error stays at QMC scale

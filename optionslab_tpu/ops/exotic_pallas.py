@@ -80,17 +80,31 @@ _draw_normals = _draw_normals_impl  # shared with the other kernels (kernel_rng)
 # ---------------------------------------------------------------------------
 # Price kernel (all payoff kinds)
 # ---------------------------------------------------------------------------
-def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
-                   n_steps: int, cp: float, period: int, sampler: str):
+def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
+                   n_steps: int, cp: float, period: int, sampler: str,
+                   lr: bool = False):
     # seed_ref = [seed, block0]: RNG streams index by GLOBAL block id so a
     # sharded launch owning blocks [block0, block0+n) reproduces exactly
     # the single-device path set; init fires on the first LOCAL grid step
+    #
+    # lr=True additionally reduces likelihood-ratio score moments — the
+    # payoff-AGNOSTIC Greek method (scores differentiate the path DENSITY,
+    # so discontinuous payoffs like barriers/autocalls get unbiased
+    # delta/gamma/vega/rho from the same pass):
+    #   D1 = Σ pay·z₁            (first-step score → delta)
+    #   DG = Σ pay·(z₁²−1)       (→ gamma)
+    #   DZ = Σ pay·Σᵢzᵢ          (→ rho, vega drift term)
+    #   D2 = Σ pay·Σᵢ(zᵢ²−1)     (→ vega)
+    if lr:
+        pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref = refs
+    else:
+        pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        pay_ref[:, :] = jnp.zeros_like(pay_ref)
-        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
 
     if sampler != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
@@ -193,9 +207,13 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         state0 = jnp.full(shape, s0, jnp.float32)
     states = (state0, state0, state0, state0)
     stats = tuple(init_stat(state0) for _ in range(4))
+    zero = jnp.zeros(shape, jnp.float32)
+    # (z₁ at step 0, Σz, Σ(z²−1)) per draw stream (cos, sin); antithetic
+    # branches flip the SIGNED pieces, share the squared one
+    scores = (zero, zero, zero, zero, zero, zero)
 
     def body(i, carry):
-        (xa, xb, xc, xd), (sa, sb, sc, sd) = carry
+        (xa, xb, xc, xd), (sa, sb, sc, sd), sc6 = carry
         z1, z2 = _draw_normals(sampler, seed, block, i, n_steps, shape)
         if geo:
             xa = xa + drift_dt + vol_sqrt_dt * z1
@@ -214,40 +232,60 @@ def _exotic_kernel(seed_ref, param_ref, pay_ref, pay2_ref, *, kind: str,
         sb = update_stat(sb, xb, i)
         sc = update_stat(sc, xc, i)
         sd = update_stat(sd, xd, i)
-        return (xa, xb, xc, xd), (sa, sb, sc, sd)
+        if lr:
+            zf1, zf2, sz1, sz2, szz1, szz2 = sc6
+            first = i == 0
+            sc6 = (jnp.where(first, z1, zf1), jnp.where(first, z2, zf2),
+                   sz1 + z1, sz2 + z2,
+                   szz1 + z1 * z1 - 1.0, szz2 + z2 * z2 - 1.0)
+        return (xa, xb, xc, xd), (sa, sb, sc, sd), sc6
 
-    states, stats = jax.lax.fori_loop(0, n_steps, body, (states, stats))
+    states, stats, scores = jax.lax.fori_loop(
+        0, n_steps, body, (states, stats, scores))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
-    for x, st in zip(states, stats):
+    acc_lr = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
+    zf1, zf2, sz1, sz2, szz1, szz2 = scores
+    branch_scores = ((zf1, sz1, szz1), (-zf1, -sz1, szz1),
+                     (zf2, sz2, szz2), (-zf2, -sz2, szz2))
+    for (x, st), (zf, sz, szz) in zip(zip(states, stats), branch_scores):
         p = payoff(st, x)
         acc += p
         acc2 += p * p
+        if lr:
+            acc_lr[0] += p * zf
+            acc_lr[1] += p * (zf * zf - 1.0)
+            acc_lr[2] += p * sz
+            acc_lr[3] += p * szz
     for off in range(0, LANES, 128):
         pay_ref[:, :] += acc[:, off:off + 128]
         pay2_ref[:, :] += acc2[:, off:off + 128]
+        if lr:
+            for ref, a in zip((d1_ref, dg_ref, dz_ref, d2_ref), acc_lr):
+                ref[:, :] += a[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
-                                             "period", "sampler"))
+                                             "period", "sampler", "lr"))
 def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
-            period: int = 1, sampler: str = "prng"):
+            period: int = 1, sampler: str = "prng", lr: bool = False):
+    n_out = 6 if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
         functools.partial(_exotic_kernel, kind=kind, n_steps=n_steps, cp=cp,
-                          period=period, sampler=sampler),
+                          period=period, sampler=sampler, lr=lr),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[acc_spec, acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 2,
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=n_blocks * n_steps * ROWS * LANES * 4 * 8,
-            bytes_accessed=2 * ROWS * 128 * 4,
+            flops=n_blocks * n_steps * ROWS * LANES * 4 * (12 if lr else 8),
+            bytes_accessed=n_out * ROWS * 128 * 4,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 8,
         ),
         interpret=interpret,
@@ -351,6 +389,145 @@ def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
                         kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         period=n_steps // n_obs, sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Likelihood-ratio Greeks: payoff-agnostic — barriers/cliquets/autocalls too
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler",
+                                             "discounted"))
+def _lr_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp,
+                 period, sampler, discounted):
+    """launch(lr=True) → LR score combination, ONE traced program.
+
+    LR scores differentiate the Gaussian transition DENSITY, not the payoff
+    — so discontinuous payoffs (barrier indicators, autocall triggers) get
+    unbiased Greeks where pathwise derivatives are zero a.e.:
+
+      delta = df·E[pay·z₁]/(S0·σ√dt)         gamma via the 2nd-order score
+      vega  = df·E[pay·(Σ(zᵢ²−1)/σ − √dt·Σzᵢ)]
+      rho   = df·(√dt/σ)·E[pay·Σzᵢ] − T·price
+
+    ``discounted=True`` means the kernel already discounted the payoff
+    (autocall): df=1 host-side and rho is NOT returned (the explicit
+    ∂df_i/∂r term is not in the scores).
+    """
+    outs = _launch(seed, params, kind=kind, n_steps=n_steps,
+                   n_blocks=n_blocks, cp=cp, period=period, sampler=sampler,
+                   lr=True)
+    n = n_blocks * PATHS_PER_BLOCK
+    spot, sig, t, df = scalars
+    dt = t / n_steps
+    sqdt = jnp.sqrt(dt)
+    pay_m, pay2_m, d1_m, dg_m, dz_m, d2_m = [o.sum() / n for o in outs]
+    price = df * pay_m
+    var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
+    out = {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        "delta": df * d1_m / (spot * sig * sqdt),
+        "gamma": df * (dg_m / (sig * sig * dt) - d1_m / (sig * sqdt))
+                 / (spot * spot),
+        "vega": df * (d2_m / sig - sqdt * dz_m),
+    }
+    if not discounted:
+        out["rho"] = df * sqdt / sig * dz_m - t * price
+    return out
+
+
+def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
+                            cp: float = 1.0, dividend: float = 0.0,
+                            barrier: float = 0.0, n_paths: int = 1_000_000,
+                            n_steps: int = 64, seed: int = 0,
+                            sampler: str = "prng") -> dict:
+    """Exotic price + likelihood-ratio delta/gamma/vega/rho in ONE kernel
+    pass — for ANY payoff kind, including barriers whose pathwise
+    derivative is zero a.e. (the reference prices these Greeks by FD
+    re-simulation, ``src/greeks/unified_greeks.py:177,235``).
+
+    Trade-off vs :func:`pallas_exotic_greeks` (pathwise, asian/lookback
+    only): LR estimates have a higher variance constant (score variance
+    grows ~√n_steps for vega/rho), but they are unbiased for ALL payoffs
+    and come at full kernel speed — throw paths at them. Returned dict
+    carries ``paths``.
+    """
+    if kind not in PAYOFF_KINDS:
+        raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
+    if kind in ("cliquet", "autocall"):
+        raise ValidationError(f"use pallas_{kind}_lr_greeks for structured params")
+    p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier,
+                        n_steps)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    scalars = jnp.asarray([float(spot), float(vol), t,
+                           math.exp(-float(rate) * t)], jnp.float32)
+    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
+                            jnp.asarray(p, jnp.float32), scalars, kind=kind,
+                            n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+                            period=1, sampler=sampler, discounted=False))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
+def pallas_cliquet_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
+                             local_floor: float = -0.05, local_cap: float = 0.05,
+                             global_floor: float = 0.0, global_cap: float = 1e9,
+                             notional: float = 100.0, n_periods: int = 12,
+                             n_paths: int = 1_000_000, n_steps: int = 252,
+                             seed: int = 0, sampler: str = "prng") -> dict:
+    """Cliquet price + LR delta/gamma/vega/rho in one pass (delta/gamma are
+    w.r.t. the simulation start with the initial fixing frozen — the hedge
+    sensitivity)."""
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError("n_steps must be a positive multiple of n_periods")
+    p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0, n_steps)
+    p[_P_A], p[_P_B] = float(local_floor), float(local_cap)
+    p[_P_C], p[_P_D] = float(global_floor), float(global_cap)
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    scalars = jnp.asarray([float(spot), float(vol), t,
+                           math.exp(-float(rate) * t)], jnp.float32)
+    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
+                            jnp.asarray(p, jnp.float32), scalars,
+                            kind="cliquet", n_steps=n_steps,
+                            n_blocks=n_blocks, cp=1.0,
+                            period=n_steps // n_periods, sampler=sampler,
+                            discounted=False))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
+def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
+                              notional: float = 100.0,
+                              autocall_barrier: float = 1.0,
+                              coupon_barrier: float = 0.8,
+                              ki_barrier: float = 0.7,
+                              coupon_rate: float = 0.08, n_obs: int = 4,
+                              n_paths: int = 1_000_000, n_steps: int = 252,
+                              seed: int = 0, sampler: str = "prng") -> dict:
+    """Autocall price + LR delta/gamma/vega in one pass. Barriers are fixed
+    at inception (S0-relative constants), so delta/gamma are the hedge
+    sensitivities with fixings frozen. No rho: coupons are discounted
+    IN-KERNEL, and the explicit discount-factor derivative is not in the
+    scores."""
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0, n_steps)
+    p[_P_A] = float(autocall_barrier) * float(spot)
+    p[_P_B] = float(coupon_barrier) * float(spot)
+    p[_P_C] = float(ki_barrier) * float(spot)
+    p[_P_D] = float(notional) * float(coupon_rate) / n_obs
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    scalars = jnp.asarray([float(spot), float(vol), t, 1.0], jnp.float32)
+    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
+                            jnp.asarray(p, jnp.float32), scalars,
+                            kind="autocall", n_steps=n_steps,
+                            n_blocks=n_blocks, cp=1.0,
+                            period=n_steps // n_obs, sampler=sampler,
+                            discounted=True))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
 
 
 # ---------------------------------------------------------------------------

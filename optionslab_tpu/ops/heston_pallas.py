@@ -90,15 +90,23 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
         return x, v, dx, dv
 
     def body(i, carry):
-        xa, va, xb, vb, dxa, dva, dxb, dvb = carry
+        if vega:
+            xa, va, xb, vb, dxa, dva, dxb, dvb = carry
+        else:  # no dead sensitivity carries in the price-only variant
+            (xa, va, xb, vb), (dxa, dva, dxb, dvb) = carry, (0., 0., 0., 0.)
         zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
         zx = rho * zv + srho * zo
         xa, va, dxa, dva = advance(xa, va, dxa, dva, zv, zx)
         xb, vb, dxb, dvb = advance(xb, vb, dxb, dvb, -zv, -zx)
-        return xa, va, xb, vb, dxa, dva, dxb, dvb
+        if vega:
+            return xa, va, xb, vb, dxa, dva, dxb, dvb
+        return xa, va, xb, vb
 
-    xa, va, xb, vb, dxa, _dva, dxb, _dvb = jax.lax.fori_loop(
-        0, n_steps, body, (x0, vv0, x0, vv0, zero, one, zero, one))
+    carry0 = ((x0, vv0, x0, vv0, zero, one, zero, one) if vega
+              else (x0, vv0, x0, vv0))
+    out_carry = jax.lax.fori_loop(0, n_steps, body, carry0)
+    xa, va, xb, vb = out_carry[:4]
+    dxa, dxb = (out_carry[4], out_carry[6]) if vega else (None, None)
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)

@@ -166,6 +166,119 @@ class TestKernelGreeks:
             ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed"))
 
 
+class TestLRGreeks:
+    """Likelihood-ratio Greeks: payoff-agnostic, so barriers/cliquets/
+    autocalls get kernel-speed Greeks despite zero pathwise derivatives."""
+
+    def test_far_barrier_equals_vanilla_bs_greeks(self):
+        """An up-and-out with an unreachable barrier IS a European call —
+        LR delta/gamma/vega/rho must match Black-Scholes closed form."""
+        from optionslab_tpu.models.black_scholes import bs_greeks
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        out = pallas_exotic_lr_greeks("barrier_up-and-out", S, K, T, R, SIG,
+                                      barrier=1e6, n_paths=4,
+                                      n_steps=N_STEPS, sampler="hash")
+        exbs = bs_greeks(S, K, T, R, SIG, 1.0, 0.0)
+        assert abs(float(out["price"]) - float(exbs["price"])) < 0.08
+        assert abs(float(out["delta"]) - float(exbs["delta"])) < 0.02
+        assert abs(float(out["gamma"]) - float(exbs["gamma"])) < 0.01
+        assert abs(float(out["vega"]) - float(exbs["vega"])) < 2.0
+        assert abs(float(out["rho"]) - float(exbs["rho"])) < 2.0
+
+    def test_asian_lr_agrees_with_pathwise_kernel(self):
+        """Two independent Greek methods on the SAME kernel paths."""
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        lr = pallas_exotic_lr_greeks("asian_arith", S, K, T, R, SIG,
+                                     n_paths=4, n_steps=N_STEPS,
+                                     sampler="hash")
+        pw = pallas_exotic_greeks("asian_arith", S, K, T, R, SIG,
+                                  n_paths=4 * 512 // 256, n_steps=N_STEPS,
+                                  sampler="hash")
+        assert abs(float(lr["delta"]) - float(pw["delta"])) < 0.03
+        assert abs(float(lr["vega"]) - float(pw["vega"])) < 2.5
+        assert abs(float(lr["rho"]) - float(pw["rho"])) < 2.5
+
+    def test_live_barrier_delta_vs_crn_fd(self):
+        """Knocked up-and-out: LR delta vs central same-seed FD with a
+        bump wide enough to smooth the discontinuity."""
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        kw = dict(n_paths=4, n_steps=N_STEPS, sampler="hash", seed=0)
+        barrier = 120.0
+        out = pallas_exotic_lr_greeks("barrier_up-and-out", S, K, T, R, SIG,
+                                      barrier=barrier, **kw)
+        h = 1.0
+        pu, _, _ = pallas_exotic_price("barrier_up-and-out", S + h, K, T, R,
+                                       SIG, barrier=barrier, **kw)
+        pd, _, _ = pallas_exotic_price("barrier_up-and-out", S - h, K, T, R,
+                                       SIG, barrier=barrier, **kw)
+        fd = (float(pu) - float(pd)) / (2 * h)
+        assert abs(float(out["delta"]) - fd) < 0.05, (float(out["delta"]), fd)
+        # knocked-out calls near the barrier have NEGATIVE vega
+        assert float(out["vega"]) < 0.0
+
+    def test_cliquet_lr_greeks(self):
+        """The cliquet payoff references only RETURNS, so re-striking FD in
+        spot is ~0 (scale invariance) while LR delta is the frozen-fixing
+        hedge delta. Vol/rate never appear in the payoff explicitly, so
+        CRN FD in sigma/r IS a valid oracle for LR vega/rho."""
+        from optionslab_tpu.ops.exotic_pallas import (pallas_cliquet_lr_greeks,
+                                                      pallas_cliquet_price)
+
+        kw = dict(local_floor=-0.03, local_cap=0.03, n_periods=4, n_steps=8,
+                  n_paths=4, sampler="hash", seed=0)
+        out = pallas_cliquet_lr_greeks(S, T, R, SIG, **kw)
+        assert float(out["price"]) == pytest.approx(
+            float(pallas_cliquet_price(S, T, R, SIG, **kw)[0]))
+        # re-struck FD total derivative = 0 by scale invariance
+        pu, _, _ = pallas_cliquet_price(S + 1.0, T, R, SIG, **kw)
+        pd, _, _ = pallas_cliquet_price(S - 1.0, T, R, SIG, **kw)
+        assert abs(float(pu) - float(pd)) / 2.0 < 5e-3
+        # LR vega / rho vs same-seed central FD
+        h = 0.01
+        vu, _, _ = pallas_cliquet_price(S, T, R, SIG + h, **kw)
+        vd, _, _ = pallas_cliquet_price(S, T, R, SIG - h, **kw)
+        fd_vega = (float(vu) - float(vd)) / (2 * h)
+        assert abs(float(out["vega"]) - fd_vega) < 0.08 * abs(fd_vega) + 0.5
+        ru, _, _ = pallas_cliquet_price(S, T, R + h, SIG, **kw)
+        rd, _, _ = pallas_cliquet_price(S, T, R - h, SIG, **kw)
+        fd_rho = (float(ru) - float(rd)) / (2 * h)
+        assert abs(float(out["rho"]) - fd_rho) < 0.08 * abs(fd_rho) + 0.5
+
+    def test_autocall_lr_greeks(self):
+        """Autocall barriers/loss are spot-relative (frozen at inception):
+        LR delta is the hedge delta with those frozen. Vega has a valid
+        same-seed FD oracle (sigma enters only the path law)."""
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_autocall_lr_greeks, pallas_autocall_price)
+
+        kw = dict(n_obs=4, n_steps=8, n_paths=4, sampler="hash", seed=0)
+        out = pallas_autocall_lr_greeks(S, T, R, SIG, **kw)
+        assert "rho" not in out  # in-kernel discounting: rho not identified
+        h = 0.01
+        vu, _, _ = pallas_autocall_price(S, T, R, SIG + h, **kw)
+        vd, _, _ = pallas_autocall_price(S, T, R, SIG - h, **kw)
+        fd_vega = (float(vu) - float(vd)) / (2 * h)
+        assert abs(float(out["vega"]) - fd_vega) < 0.08 * abs(fd_vega) + 1.0
+        # long the note, short a down-and-in put => positive hedge delta
+        assert float(out["delta"]) > 0.0
+        # re-struck FD is ~0 (everything spot-relative): LR delta is NOT
+        # the re-struck derivative
+        pu, _, _ = pallas_autocall_price(S + 1.0, T, R, SIG, **kw)
+        pd, _, _ = pallas_autocall_price(S - 1.0, T, R, SIG, **kw)
+        assert abs(float(pu) - float(pd)) / 2.0 < 5e-3
+
+    def test_structured_kinds_rejected_by_generic_wrapper(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        with pytest.raises(ValidationError):
+            pallas_exotic_lr_greeks("cliquet", S, K, T, R, SIG)
+        with pytest.raises(ValidationError):
+            pallas_exotic_lr_greeks("nope", S, K, T, R, SIG)
+
+
 class TestDataclassEngines:
     def test_cliquet_engine_kwarg(self):
         o = ex.CliquetOption(S, T, R, SIG, n_periods=4, n_steps=8, n_paths=1,
