@@ -141,6 +141,8 @@ def cmd_iv(args) -> dict:
 
 
 def cmd_exotic(args) -> dict:
+    if getattr(args, "greeks", False):
+        return _exotic_kernel_greeks(args)
     from .models import (
         AmericanOptionLSM,
         AsianOption,
@@ -169,6 +171,58 @@ def cmd_exotic(args) -> dict:
                             n_paths=args.n_paths)
     price, se = opt.price(return_stderr=True)
     return {"kind": args.kind, "price": float(price), "std_error": float(se)}
+
+
+def _exotic_kernel_greeks(args) -> dict:
+    """--greeks: the fused-kernel Greek ladders — pathwise for
+    asian/lookback, likelihood-ratio for barrier/cliquet/autocall (whose
+    pathwise derivative is zero a.e.)."""
+    import jax
+
+    from .ops.exotic_pallas import (pallas_autocall_lr_greeks,
+                                    pallas_cliquet_lr_greeks,
+                                    pallas_exotic_greeks,
+                                    pallas_exotic_lr_greeks)
+
+    # hardware PRNG off-TPU is stubbed by the interpreter: fall back to the
+    # counter-based sampler so the CLI works on any backend
+    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    kw = dict(n_paths=args.n_paths, seed=args.seed, sampler=sampler,
+              n_steps=getattr(args, "n_steps", 64))
+    if args.kind == "asian":
+        out = pallas_exotic_greeks("asian_arith", args.spot, args.strike,
+                                   args.maturity, args.rate, args.vol, cp,
+                                   **kw)
+        method = "pathwise"
+    elif args.kind == "lookback":
+        out = pallas_exotic_greeks("lookback_float", args.spot, args.strike,
+                                   args.maturity, args.rate, args.vol, cp,
+                                   **kw)
+        method = "pathwise"
+    elif args.kind == "barrier":
+        out = pallas_exotic_lr_greeks(f"barrier_{args.barrier_type}",
+                                      args.spot, args.strike, args.maturity,
+                                      args.rate, args.vol, cp,
+                                      barrier=args.barrier, **kw)
+        method = "likelihood-ratio"
+    elif args.kind == "cliquet":
+        kwc = dict(kw)  # 12 monthly resets need n_steps % 12 == 0
+        if kwc["n_steps"] % 12:
+            kwc["n_steps"] = max(12, kwc["n_steps"] // 12 * 12)
+        out = pallas_cliquet_lr_greeks(args.spot, args.maturity, args.rate,
+                                       args.vol, **kwc)
+        method = "likelihood-ratio"
+    elif args.kind == "autocallable":
+        out = pallas_autocall_lr_greeks(args.spot, args.maturity, args.rate,
+                                        args.vol, **kw)
+        method = "likelihood-ratio"
+    else:
+        raise SystemExit(f"--greeks not supported for kind {args.kind!r} "
+                         "(american: use the `american` command)")
+    res = {k: float(v) for k, v in out.items() if k != "paths"}
+    res.update(kind=args.kind, greek_method=method, paths=int(out["paths"]))
+    return res
 
 
 def cmd_american(args) -> dict:
@@ -393,6 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--barrier", type=float, default=120.0)
     pe.add_argument("--barrier-type", default="up-and-out")
     pe.add_argument("--n-paths", type=int, default=100_000)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--n-steps", type=int, default=64)
+    pe.add_argument("--greeks", action="store_true",
+                    help="fused-kernel Greek ladder (pathwise for asian/"
+                         "lookback, likelihood-ratio for barrier/cliquet/"
+                         "autocallable)")
 
     pa = sub.add_parser("american")
     _common_contract_args(pa)

@@ -128,6 +128,22 @@ def handle_exotic(body: dict) -> dict:
     p, _ = _contract(body)
     kind = body.get("kind", "asian")
     n_paths = int(body.get("n_paths", 100_000))
+    if body.get("greeks"):
+        # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
+        # ratio (barrier/cliquet/autocall) — same routing as the CLI
+        import argparse
+
+        from .cli import _exotic_kernel_greeks
+
+        args = argparse.Namespace(
+            kind={"autocall": "autocallable"}.get(kind, kind),
+            spot=p["spot"], strike=p["strike"], maturity=p["maturity"],
+            rate=p["rate"], vol=p["vol"], option_type=p["option_type"],
+            barrier=float(body.get("barrier", 120.0)),
+            barrier_type=body.get("barrier_type", "up-and-out"),
+            n_paths=n_paths, seed=int(body.get("seed", 0)),
+            n_steps=int(body.get("n_steps", 64)), greeks=True)
+        return _exotic_kernel_greeks(args)
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
     if kind == "asian":
         opt = AsianOption(*common, option_type=p["option_type"], n_paths=n_paths,

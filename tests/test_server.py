@@ -140,3 +140,11 @@ class TestExoticEndpoint:
     def test_unknown_kind_400(self, server):
         status, body = _post(server, "/exotic", {"kind": "rainbow"})
         assert status == 400
+
+    def test_kernel_greeks_route(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "barrier", "barrier": 120.0, "greeks": True,
+            "n_paths": 1, "n_steps": 4})
+        assert status == 200
+        assert body["greek_method"] == "likelihood-ratio"
+        assert {"delta", "gamma", "vega", "rho"} <= body.keys()

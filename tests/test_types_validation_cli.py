@@ -124,3 +124,20 @@ class TestCLI:
     def test_unknown_command_exits(self):
         with pytest.raises(SystemExit):
             cli_main(["teleport"])
+
+    def test_exotic_greeks_barrier_lr(self, capsys):
+        """--greeks routes barriers to the in-kernel LR ladder (hash
+        sampler auto-selected off-TPU)."""
+        cli_main(["exotic", "--kind", "barrier", "--greeks", "--n-paths",
+                  "1", "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "likelihood-ratio"
+        assert {"price", "delta", "gamma", "vega", "rho"} <= out.keys()
+        assert out["paths"] >= 1
+
+    def test_exotic_greeks_asian_pathwise(self, capsys):
+        cli_main(["exotic", "--kind", "asian", "--greeks", "--n-paths", "1",
+                  "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "pathwise"
+        assert 0.0 < out["delta"] < 1.0
