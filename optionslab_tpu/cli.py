@@ -174,55 +174,22 @@ def cmd_exotic(args) -> dict:
 
 
 def _exotic_kernel_greeks(args) -> dict:
-    """--greeks: the fused-kernel Greek ladders — pathwise for
-    asian/lookback, likelihood-ratio for barrier/cliquet/autocall (whose
-    pathwise derivative is zero a.e.)."""
-    import jax
+    """--greeks: the fused-kernel Greek ladders (dispatch lives in
+    ``ops.exotic_pallas.exotic_kernel_ladder``; pathwise for asian/
+    lookback, likelihood-ratio for barrier/cliquet/autocall)."""
+    from .ops.exotic_pallas import exotic_kernel_ladder
+    from .utils.exceptions import ValidationError
 
-    from .ops.exotic_pallas import (pallas_autocall_lr_greeks,
-                                    pallas_cliquet_lr_greeks,
-                                    pallas_exotic_greeks,
-                                    pallas_exotic_lr_greeks)
-
-    # hardware PRNG off-TPU is stubbed by the interpreter: fall back to the
-    # counter-based sampler so the CLI works on any backend
-    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
-    kw = dict(n_paths=args.n_paths, seed=args.seed, sampler=sampler,
-              n_steps=getattr(args, "n_steps", 64))
-    if args.kind == "asian":
-        out = pallas_exotic_greeks("asian_arith", args.spot, args.strike,
-                                   args.maturity, args.rate, args.vol, cp,
-                                   **kw)
-        method = "pathwise"
-    elif args.kind == "lookback":
-        out = pallas_exotic_greeks("lookback_float", args.spot, args.strike,
-                                   args.maturity, args.rate, args.vol, cp,
-                                   **kw)
-        method = "pathwise"
-    elif args.kind == "barrier":
-        out = pallas_exotic_lr_greeks(f"barrier_{args.barrier_type}",
-                                      args.spot, args.strike, args.maturity,
-                                      args.rate, args.vol, cp,
-                                      barrier=args.barrier, **kw)
-        method = "likelihood-ratio"
-    elif args.kind == "cliquet":
-        kwc = dict(kw)  # 12 monthly resets need n_steps % 12 == 0
-        if kwc["n_steps"] % 12:
-            kwc["n_steps"] = max(12, kwc["n_steps"] // 12 * 12)
-        out = pallas_cliquet_lr_greeks(args.spot, args.maturity, args.rate,
-                                       args.vol, **kwc)
-        method = "likelihood-ratio"
-    elif args.kind == "autocallable":
-        out = pallas_autocall_lr_greeks(args.spot, args.maturity, args.rate,
-                                        args.vol, **kw)
-        method = "likelihood-ratio"
-    else:
-        raise SystemExit(f"--greeks not supported for kind {args.kind!r} "
-                         "(american: use the `american` command)")
-    res = {k: float(v) for k, v in out.items() if k != "paths"}
-    res.update(kind=args.kind, greek_method=method, paths=int(out["paths"]))
-    return res
+    try:
+        return exotic_kernel_ladder(
+            args.kind, args.spot, args.strike, args.maturity, args.rate,
+            args.vol, cp, getattr(args, "dividend", 0.0),
+            barrier=args.barrier, barrier_type=args.barrier_type,
+            n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
+            seed=args.seed)
+    except ValidationError as e:
+        raise SystemExit(str(e)) from e
 
 
 def cmd_american(args) -> dict:

@@ -209,8 +209,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     stats = tuple(init_stat(state0) for _ in range(4))
     zero = jnp.zeros(shape, jnp.float32)
     # (z₁ at step 0, Σz, Σ(z²−1)) per draw stream (cos, sin); antithetic
-    # branches flip the SIGNED pieces, share the squared one
-    scores = (zero, zero, zero, zero, zero, zero)
+    # branches flip the SIGNED pieces, share the squared one. No dead
+    # carries in the price-only variant (mirrors the heston kernel).
+    scores = (zero, zero, zero, zero, zero, zero) if lr else ()
 
     def body(i, carry):
         (xa, xb, xc, xd), (sa, sb, sc, sd), sc6 = carry
@@ -246,7 +247,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
     acc_lr = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
-    zf1, zf2, sz1, sz2, szz1, szz2 = scores
+    zf1, zf2, sz1, sz2, szz1, szz2 = scores if lr else (zero,) * 6
     branch_scores = ((zf1, sz1, szz1), (-zf1, -sz1, szz1),
                      (zf2, sz2, szz2), (-zf2, -sz2, szz2))
     for (x, st), (zf, sz, szz) in zip(zip(states, stats), branch_scores):
@@ -528,6 +529,62 @@ def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
                             discounted=True))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     return out
+
+
+def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
+                         rate=0.05, vol=0.2, cp: float = 1.0,
+                         dividend: float = 0.0, barrier: float = 0.0,
+                         barrier_type: str = "up-and-out",
+                         averaging: str = "arithmetic", floating: bool = True,
+                         n_paths: int = 1_000_000, n_steps: int = 64,
+                         seed: int = 0, sampler: str | None = None) -> dict:
+    """User-facing dispatch to the fused-kernel Greek ladders (used by the
+    CLI and the HTTP server): pathwise for asian/lookback, likelihood-ratio
+    for barrier/cliquet/autocallable. ``sampler=None`` auto-selects the
+    hardware PRNG on TPU and the counter-based hash generator elsewhere
+    (off-TPU the interpreter stubs the hardware PRNG). Raises
+    :class:`ValidationError` on unsupported kinds. The returned dict
+    reports ``greek_method`` and the actual ``n_steps`` used (cliquet/
+    autocall round up to a whole number of observation periods).
+    """
+    if sampler is None:
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    kw = dict(n_paths=n_paths, n_steps=n_steps, seed=seed, sampler=sampler)
+    if kind == "asian":
+        k = "asian_arith" if averaging.startswith("arith") else "asian_geo"
+        out = pallas_exotic_greeks(k, spot, strike, maturity, rate, vol, cp,
+                                   dividend, **kw)
+        method = "pathwise"
+    elif kind == "lookback":
+        k = "lookback_float" if floating else "lookback_fixed"
+        out = pallas_exotic_greeks(k, spot, strike, maturity, rate, vol, cp,
+                                   dividend, **kw)
+        method = "pathwise"
+    elif kind == "barrier":
+        out = pallas_exotic_lr_greeks(f"barrier_{barrier_type}", spot, strike,
+                                      maturity, rate, vol, cp, dividend,
+                                      barrier=barrier, **kw)
+        method = "likelihood-ratio"
+    elif kind == "cliquet":
+        if kw["n_steps"] % 12:  # 12 monthly resets need n_steps % 12 == 0
+            kw["n_steps"] = max(12, -(-kw["n_steps"] // 12) * 12)
+        out = pallas_cliquet_lr_greeks(spot, maturity, rate, vol, dividend,
+                                       **kw)
+        method = "likelihood-ratio"
+    elif kind in ("autocallable", "autocall"):
+        if kw["n_steps"] % 4:  # default n_obs = 4 observations
+            kw["n_steps"] = max(4, -(-kw["n_steps"] // 4) * 4)
+        out = pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend,
+                                        **kw)
+        method = "likelihood-ratio"
+    else:
+        raise ValidationError(
+            f"kernel Greek ladder not available for kind {kind!r}; choose "
+            "asian|lookback|barrier|cliquet|autocallable")
+    res = {k2: float(v) for k2, v in out.items() if k2 != "paths"}
+    res.update(kind=kind, greek_method=method, paths=int(out["paths"]),
+               n_steps=kw["n_steps"])
+    return res
 
 
 # ---------------------------------------------------------------------------

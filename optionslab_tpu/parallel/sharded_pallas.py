@@ -72,9 +72,7 @@ def _sharded_pipeline(batch: ContractBatch, seed, *, n_paths: int,
 
     def local(seed_s, *params_rep):
         # linear device id across every mesh axis we shard blocks over
-        d = jnp.zeros((), jnp.int32)
-        for n in names:
-            d = d * mesh.shape[n] + jax.lax.axis_index(n)
+        d = _device_linear_index(mesh, names)
         seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
         outs = _launch(seed_vec, *params_rep, n_blocks=bpd, rows=rows,
                        lanes=lanes, interpret=interpret, sampler=sampler,

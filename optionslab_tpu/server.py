@@ -130,20 +130,19 @@ def handle_exotic(body: dict) -> dict:
     n_paths = int(body.get("n_paths", 100_000))
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
-        # ratio (barrier/cliquet/autocall) — same routing as the CLI
-        import argparse
+        # ratio (barrier/cliquet/autocall); ValidationError → 400
+        from .ops.exotic_pallas import exotic_kernel_ladder
 
-        from .cli import _exotic_kernel_greeks
-
-        args = argparse.Namespace(
-            kind={"autocall": "autocallable"}.get(kind, kind),
-            spot=p["spot"], strike=p["strike"], maturity=p["maturity"],
-            rate=p["rate"], vol=p["vol"], option_type=p["option_type"],
+        cp = 1.0 if p["option_type"].startswith("c") else -1.0
+        return exotic_kernel_ladder(
+            kind, p["spot"], p["strike"], p["maturity"], p["rate"],
+            p["vol"], cp, p["dividend"],
             barrier=float(body.get("barrier", 120.0)),
             barrier_type=body.get("barrier_type", "up-and-out"),
-            n_paths=n_paths, seed=int(body.get("seed", 0)),
-            n_steps=int(body.get("n_steps", 64)), greeks=True)
-        return _exotic_kernel_greeks(args)
+            averaging=body.get("averaging", "arithmetic"),
+            floating=bool(body.get("floating", True)),
+            n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
+            seed=int(body.get("seed", 0)))
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
     if kind == "asian":
         opt = AsianOption(*common, option_type=p["option_type"], n_paths=n_paths,

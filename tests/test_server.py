@@ -148,3 +148,17 @@ class TestExoticEndpoint:
         assert status == 200
         assert body["greek_method"] == "likelihood-ratio"
         assert {"delta", "gamma", "vega", "rho"} <= body.keys()
+
+    def test_kernel_greeks_geometric_asian_routed(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "asian", "averaging": "geometric", "greeks": True,
+            "n_paths": 1, "n_steps": 4})
+        assert status == 200 and body["greek_method"] == "pathwise"
+
+    def test_kernel_greeks_unsupported_kind_is_400(self, server):
+        """Regression: used to raise SystemExit through the handler and
+        drop the connection without an HTTP response."""
+        status, body = _post(server, "/exotic", {
+            "kind": "american", "greeks": True, "n_paths": 1})
+        assert status == 400
+        assert "error" in body
