@@ -39,6 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import exotic_pallas as _ep
 from ..ops import heston_pallas as _hp
+from ..ops import multi_asset_pallas as _mp
 from ..ops.gbm_pallas import _combine, _lanes_for, _launch, _prepare
 from ..types import ContractBatch
 from ..utils.exceptions import ValidationError
@@ -227,6 +228,57 @@ def sharded_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
     out = dict(out)
     out["paths"] = n_blocks * _ep.PATHS_PER_BLOCK_G
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-asset: the fused correlated-GBM kernel under shard_map
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("d", "kind", "n_steps",
+                                             "n_blocks", "cp", "sampler",
+                                             "mesh"))
+def _sharded_ma_launch(seed, params, *, d, kind, n_steps, n_blocks, cp,
+                       sampler, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+
+    def local(seed_s, params_rep):
+        dev = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), dev * bpd])
+        outs = _mp._launch(seed_vec, params_rep, d=d, kind=kind,
+                           n_steps=n_steps, n_blocks=bpd, cp=cp,
+                           sampler=sampler)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(),) * 2, check_vma=False)
+    return fn(seed, params)
+
+
+def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
+                              corr, mesh: Mesh, weights=None, cp: float = 1.0,
+                              dividends=0.0, n_paths: int = 1_000_000,
+                              n_steps: int = 1, seed: int = 0,
+                              sampler: str = "prng"):
+    """``ops/multi_asset_pallas.pallas_multi_asset_price`` with path blocks
+    sharded over ``mesh`` (global-block ownership, topology-invariant path
+    set). Returns (price, stderr, actual_paths)."""
+    if kind not in _mp.KINDS:
+        raise ValidationError(f"unknown kind {kind!r}; choose {_mp.KINDS}")
+    d, t, p = _mp._params_vec(spots, weights, strike, maturity, rate, vols,
+                              corr, dividends, n_steps)
+    if kind == "spread" and d != 2:
+        raise ValidationError("spread requires exactly 2 assets")
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _mp.PATHS_PER_BLOCK, n_dev)
+    pay, pay2 = _sharded_ma_launch(jnp.asarray(seed, jnp.int32), p, d=d,
+                                   kind=kind, n_steps=n_steps,
+                                   n_blocks=n_blocks, cp=float(cp),
+                                   sampler=sampler, mesh=mesh)
+    n = n_blocks * _mp.PATHS_PER_BLOCK
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    df = math.exp(-float(rate) * t)
+    return df * mean, df * jnp.sqrt(var / n), n
 
 
 # ---------------------------------------------------------------------------

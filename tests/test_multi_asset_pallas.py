@@ -1,0 +1,129 @@
+"""Multi-asset Pallas kernel: CPU-verifiable (hash sampler) numerics.
+
+Oracles: the geometric-basket Black formula (EXACT — a product of
+lognormals is lognormal), Margrabe at K=0 (EXACT), and the XLA scan
+engine in ``models/multi_asset.py`` (independent sampler, statistical
+parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models.multi_asset import (basket_asian_price,
+                                               basket_price,
+                                               geometric_basket_closed_form,
+                                               margrabe_price, rainbow_price)
+from optionslab_tpu.ops.multi_asset_pallas import pallas_multi_asset_price
+from optionslab_tpu.utils.exceptions import ValidationError
+
+SPOTS = [100.0, 95.0, 105.0]
+VOLS = [0.2, 0.25, 0.3]
+CORR = [[1.0, 0.5, 0.3], [0.5, 1.0, 0.4], [0.3, 0.4, 1.0]]
+W = [0.4, 0.3, 0.3]
+K, T, R = 100.0, 1.0, 0.05
+KEY = jax.random.PRNGKey(11)
+KW = dict(n_paths=1, seed=0, sampler="hash")
+
+
+class TestExactOracles:
+    def test_geometric_basket_matches_closed_form(self):
+        p, se, n = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
+                                            VOLS, CORR, weights=W, **KW)
+        exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R, VOLS,
+                                                   CORR))
+        assert n >= 100_000
+        assert abs(float(p) - exact) < 5 * float(se) + 1e-3, (float(p), exact)
+
+    def test_spread_k0_matches_margrabe(self):
+        p, se, _ = pallas_multi_asset_price(
+            "spread", [100.0, 95.0], 0.0, T, R, [0.2, 0.25],
+            [[1.0, 0.6], [0.6, 1.0]], **KW)
+        exact = float(margrabe_price(100.0, 95.0, T, 0.2, 0.25, 0.6))
+        assert abs(float(p) - exact) < 5 * float(se) + 1e-3
+
+    def test_antithetic_consistency_two_steps(self):
+        """n_steps does not bias terminal payoffs (exact increments)."""
+        p1, se1, _ = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
+                                              VOLS, CORR, weights=W,
+                                              n_steps=1, **KW)
+        p4, se4, _ = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
+                                              VOLS, CORR, weights=W,
+                                              n_steps=4, **KW)
+        exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R, VOLS,
+                                                   CORR))
+        assert abs(float(p4) - exact) < 5 * float(se4) + 1e-3
+
+
+class TestScanEngineParity:
+    def test_arithmetic_basket(self):
+        p, se, _ = pallas_multi_asset_price("basket", SPOTS, K, T, R, VOLS,
+                                            CORR, weights=W, **KW)
+        ps, ses = basket_price(jnp.asarray(SPOTS), jnp.asarray(W), K, T, R,
+                               jnp.asarray(VOLS), jnp.asarray(CORR), KEY,
+                               n_paths=200_000, return_stderr=True)
+        assert abs(float(p) - float(ps)) < 5 * np.hypot(float(se), float(ses)) + 2e-3
+
+    @pytest.mark.parametrize("flavor", ["best_of", "worst_of"])
+    def test_rainbow(self, flavor):
+        kind = "rainbow_best" if flavor == "best_of" else "rainbow_worst"
+        p, se, _ = pallas_multi_asset_price(kind, SPOTS, K, T, R, VOLS, CORR,
+                                            **KW)
+        ps, ses = rainbow_price(jnp.asarray(SPOTS), K, T, R,
+                                jnp.asarray(VOLS), jnp.asarray(CORR), KEY,
+                                n_paths=200_000, flavor=flavor,
+                                return_stderr=True)
+        assert abs(float(p) - float(ps)) < 5 * np.hypot(float(se), float(ses)) + 2e-3
+
+    def test_basket_asian(self):
+        p, se, _ = pallas_multi_asset_price("basket_asian", SPOTS, K, T, R,
+                                            VOLS, CORR, weights=W, n_steps=4,
+                                            **KW)
+        ps, ses = basket_asian_price(jnp.asarray(SPOTS), jnp.asarray(W), K,
+                                     T, R, jnp.asarray(VOLS),
+                                     jnp.asarray(CORR), KEY,
+                                     n_paths=100_000, n_steps=4,
+                                     return_stderr=True)
+        assert abs(float(p) - float(ps)) < 5 * np.hypot(float(se), float(ses)) + 2e-3
+
+
+class TestSharded:
+    def test_sharded_matches_unsharded(self):
+        from optionslab_tpu.parallel import (make_mesh,
+                                             sharded_multi_asset_price)
+
+        mesh = make_mesh(4)
+        p_s, se_s, n_s = sharded_multi_asset_price(
+            "basket", SPOTS, K, T, R, VOLS, CORR, mesh, weights=W,
+            n_paths=1, sampler="hash")
+        p_u, se_u, n_u = pallas_multi_asset_price(
+            "basket", SPOTS, K, T, R, VOLS, CORR, weights=W, n_paths=n_s,
+            sampler="hash", seed=0)
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=3e-5)
+
+
+class TestValidation:
+    def test_bad_kind(self):
+        with pytest.raises(ValidationError):
+            pallas_multi_asset_price("nope", SPOTS, K, T, R, VOLS, CORR)
+
+    def test_spread_needs_two_assets(self):
+        with pytest.raises(ValidationError):
+            pallas_multi_asset_price("spread", SPOTS, K, T, R, VOLS, CORR)
+
+    def test_too_many_assets(self):
+        s5 = [100.0] * 5
+        with pytest.raises(ValidationError):
+            pallas_multi_asset_price("basket", s5, K, T, R, [0.2] * 5,
+                                     np.eye(5))
+
+    def test_seed_changes_estimate(self):
+        a, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T, R, VOLS,
+                                           CORR, n_paths=1, seed=0,
+                                           sampler="hash")
+        b, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T, R, VOLS,
+                                           CORR, n_paths=1, seed=5,
+                                           sampler="hash")
+        assert float(a) != float(b)
