@@ -1,0 +1,239 @@
+"""Fused Pallas kernel for local-volatility (Dupire) Monte Carlo.
+
+The scan engine (``models/local_vol._lv_mc``) does a bilinear σ(S, t)
+table lookup per step — gathers, which TPUs hate, and an HBM round-trip
+of the path state every step. The kernel replaces the lookup with a
+POLYNOMIAL evaluation: host-side, for every time step the surface slice
+σ(·, t_i) is least-squares-fitted with a degree-``DEGREE`` polynomial in
+x = log(S/S0) over that step's ±4-stddev REACHABLE band, weighted by the
+path density; in-kernel each step is then a 7-coefficient Horner
+evaluation (pure VPU fmas, no gathers, no HBM). x is clamped to the
+fitted band per step.
+
+Fit accuracy: the density-weighted rms residual of the worst step is
+returned (vols) — for smooth surfaces it is ~1e-3; bilinear-table kinks
+in the far wings carry negligible weight because no paths reach them.
+Reference anchor: ``src/models/local_vol.py`` prices vanillas on
+an explicit-FDM grid only — here the SAME calibrated surface prices
+path-dependent payoffs at kernel speed, consistently with the smile.
+
+``seed_ref = [seed, block0]`` global-block ownership as in the other
+kernels (topology-invariant path sets; shardable). Samplers: ``prng`` /
+``hash``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import EPS_TIME
+from ..utils.exceptions import ValidationError
+from .kernel_rng import draw_normals
+
+ROWS = 128
+LANES = 512
+PATHS_PER_BLOCK = 4 * ROWS * LANES
+DEGREE = 6  # polynomial degree of the per-step sigma(x) fit
+
+# scalar params before the per-step table; each step row is
+# [x_lo_i, x_hi_i, c_deg, ..., c_0]
+_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT = range(5)
+_N_SCALARS = 5
+_ROW = DEGREE + 3
+
+
+def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
+               cp: float, payoff: str, sampler: str):
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        pay_ref[:, :] = jnp.zeros_like(pay_ref)
+        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0 = p_ref[_P_S0]
+    strike = p_ref[_P_K]
+    mu_dt = p_ref[_P_MU_DT]  # (r - q)·dt
+    dt = p_ref[_P_DT]
+    sqdt = p_ref[_P_SQDT]
+
+    shape = (ROWS, LANES)
+    zero = jnp.zeros(shape, jnp.float32)
+    xs = (zero, zero, zero, zero)  # log(S/S0) per antithetic branch
+    asian = (zero, zero, zero, zero) if payoff == "asian" else ()
+
+    def sigma(x, i):
+        # Horner over the step-i coefficients (highest degree first);
+        # scalar SMEM loads at a traced step index — no vector gathers.
+        # Each step carries its own fit range [x_lo_i, x_hi_i] (the
+        # ±4-stddev reachable band — tight fits where the paths are).
+        base = _N_SCALARS + i * _ROW
+        xc = jnp.clip(x, p_ref[base], p_ref[base + 1])
+        acc = jnp.full(shape, 0.0, jnp.float32) + p_ref[base + 2]
+        for j in range(1, DEGREE + 1):
+            acc = acc * xc + p_ref[base + 2 + j]
+        return jnp.maximum(acc, 1e-4)  # vol floor: fit can dip near edges
+
+    def body(i, carry):
+        xs, asian = carry
+        z1, z2 = draw_normals(sampler, seed, block, i, n_steps, shape)
+        new_xs = []
+        for x, z in zip(xs, (z1, -z1, z2, -z2)):
+            sig = sigma(x, i)
+            new_xs.append(x + mu_dt - 0.5 * sig * sig * dt + sig * sqdt * z)
+        new_xs = tuple(new_xs)
+        if payoff == "asian":
+            asian = tuple(a + s0 * jnp.exp(x) for a, x in zip(asian, new_xs))
+        return new_xs, asian
+
+    xs, asian = jax.lax.fori_loop(0, n_steps, body, (xs, asian))
+
+    acc = jnp.zeros(shape, jnp.float32)
+    acc2 = jnp.zeros(shape, jnp.float32)
+    for b in range(4):
+        if payoff == "asian":
+            lvl = asian[b] * (1.0 / n_steps)
+        else:
+            lvl = s0 * jnp.exp(xs[b])
+        pay = jnp.maximum(cp * (lvl - strike), 0.0)
+        acc += pay
+        acc2 += pay * pay
+    for off in range(0, LANES, 128):
+        pay_ref[:, :] += acc[:, off:off + 128]
+        pay2_ref[:, :] += acc2[:, off:off + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
+                                             "payoff", "sampler"))
+def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
+            payoff: str, sampler: str = "prng"):
+    acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    interpret = (False if jax.default_backend() == "tpu"
+                 else pltpu.InterpretParams())
+    return pl.pallas_call(
+        functools.partial(_lv_kernel, n_steps=n_steps, cp=cp, payoff=payoff,
+                          sampler=sampler),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[acc_spec, acc_spec],
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=n_blocks * n_steps * ROWS * LANES * 4 * 20,
+            bytes_accessed=2 * ROWS * 128 * 4,
+            transcendentals=n_blocks * n_steps * ROWS * LANES * 4,
+        ),
+        interpret=interpret,
+    )(seed, params)
+
+
+def fit_sigma_polys(sigma_fn, spot, rate, dividend, maturity, n_steps: int,
+                    n_fit: int = 41):
+    """Per-step least-squares polynomial fits of σ(x = log(S/S0), t_i)
+    over that step's REACHABLE band (drift center ± 4 ATM stddevs — tight
+    fits exactly where the paths live, which is what makes degree-6
+    enough even for steep smiles).
+
+    ``sigma_fn(s, t) -> vol`` is any callable (e.g. a calibrated
+    :class:`models.local_vol.LocalVolSurface`). Returns (rows
+    (n_steps, DEGREE+3) of [x_lo, x_hi, c_deg..c_0], and the worst
+    per-step DENSITY-WEIGHTED rms fit residual (vols).
+    """
+    t_total = max(float(maturity), EPS_TIME)
+    dt = t_total / n_steps
+    rows = np.empty((n_steps, _ROW), np.float64)
+    resid = 0.0
+    for i in range(n_steps):
+        t_now = i * dt
+        atm = float(np.asarray(sigma_fn(jnp.float32(spot),
+                                        jnp.float32(t_now))))
+        center = (float(rate) - float(dividend) - 0.5 * atm * atm) * t_now
+        half = 4.0 * atm * math.sqrt(t_now) + 0.05
+        xg = np.linspace(center - half, center + half, n_fit)
+        sg = float(spot) * np.exp(xg)
+        vols = np.asarray(sigma_fn(jnp.asarray(sg, jnp.float32),
+                                   jnp.full(n_fit, t_now, jnp.float32)),
+                          np.float64).ravel()
+        # density-weighted fit: bilinear surfaces are piecewise linear
+        # (kinked), and a polynomial cannot chase wing kinks — weight by
+        # the path density so the fit is tight where the paths are
+        sd = max(atm * math.sqrt(t_now), 0.02)
+        dens = np.exp(-0.5 * ((xg - center) / sd) ** 2)
+        c = np.polyfit(xg, vols, DEGREE, w=np.sqrt(dens))
+        rows[i] = np.concatenate([[xg[0], xg[-1]], c])
+        err = np.polyval(c, xg) - vols
+        resid = max(resid, float(np.sqrt((dens * err**2).sum() / dens.sum())))
+    return rows, resid
+
+
+class LocalVolKernelPricer:
+    """Fit once, price many: precomputes the per-step σ-polynomial table
+    (the host-side cost — ~100 surface evals + polyfits) at construction,
+    then every ``price`` call is a single kernel launch. Use this for
+    repeated pricing; :func:`pallas_local_vol_price` is the one-shot
+    convenience that refits every call."""
+
+    def __init__(self, dupire, maturity, n_steps: int = 100):
+        self.spot = float(dupire.spot)
+        self.rate = float(dupire.rate)
+        self.dividend = float(dupire.dividend)
+        self.t_total = max(float(maturity), EPS_TIME)
+        self.n_steps = int(n_steps)
+        self.rows, self.fit_residual = fit_sigma_polys(
+            dupire.surface, self.spot, self.rate, self.dividend,
+            self.t_total, self.n_steps)
+        dt = self.t_total / self.n_steps
+        self._head = np.asarray(
+            [self.spot, 0.0, (self.rate - self.dividend) * dt, dt,
+             math.sqrt(dt)], np.float64)
+
+    def price(self, strike, cp: float = 1.0, payoff: str = "european",
+              n_paths: int = 1_000_000, seed: int = 0,
+              sampler: str = "prng"):
+        """(price, stderr, actual_paths) for one contract on the
+        precomputed surface table."""
+        if payoff not in ("european", "asian"):
+            raise ValidationError(
+                f"payoff must be european|asian, got {payoff!r}")
+        head = self._head.copy()
+        head[_P_K] = float(strike)
+        p = np.concatenate([head, self.rows.ravel()])
+        n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+        pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
+                            jnp.asarray(p, jnp.float32),
+                            n_steps=self.n_steps, n_blocks=n_blocks,
+                            cp=float(cp), payoff=payoff, sampler=sampler)
+        n = n_blocks * PATHS_PER_BLOCK
+        mean = pay.sum() / n
+        var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+        df = math.exp(-self.rate * self.t_total)
+        return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_local_vol_price(dupire, strike, maturity, cp: float = 1.0,
+                           payoff: str = "european",
+                           n_paths: int = 1_000_000, n_steps: int = 100,
+                           seed: int = 0, sampler: str = "prng"):
+    """European / arithmetic-Asian price under a calibrated Dupire surface
+    on the fused kernel. ``dupire`` is a ``models.local_vol.DupireLocalVol``
+    (or anything with ``.surface`` (callable), ``.spot``, ``.rate``,
+    ``.dividend``). Returns (price, stderr, actual_paths, fit_residual) —
+    ``fit_residual`` is the worst per-step density-weighted rms error of
+    the polynomial σ fits (vols) — check it before trusting the price.
+    """
+    pricer = LocalVolKernelPricer(dupire, maturity, n_steps)
+    price, se, n = pricer.price(strike, cp=cp, payoff=payoff,
+                                n_paths=n_paths, seed=seed, sampler=sampler)
+    return price, se, n, pricer.fit_residual

@@ -1,0 +1,91 @@
+"""Local-vol Pallas kernel: per-step polynomial sigma(x) vs the bilinear
+scan engine and Black-Scholes (flat surface is exact)."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.models.local_vol import (DupireLocalVol, LocalVolSurface,
+                                             local_vol_mc_price,
+                                             sample_smile_iv_fn)
+from optionslab_tpu.ops.local_vol_pallas import pallas_local_vol_price
+from optionslab_tpu.utils.exceptions import ValidationError
+
+S, R = 100.0, 0.05
+KW = dict(n_paths=1, n_steps=8, sampler="hash", seed=0)
+
+
+def _flat_dupire(vol=0.2):
+    kg = np.linspace(-1.0, 1.0, 21)
+    tg = np.linspace(0.01, 2.0, 9)
+    grid = np.full((9, 21), vol)
+    surf = LocalVolSurface(kg, tg, grid, S, R)
+    return SimpleNamespace(surface=surf, spot=S, rate=R, dividend=0.0)
+
+
+@pytest.fixture(scope="module")
+def smile_dupire():
+    return DupireLocalVol(sample_smile_iv_fn(), S, R)
+
+
+class TestFlatSurfaceIsBS:
+    def test_european_matches_bs(self):
+        p, se, n, resid = pallas_local_vol_price(_flat_dupire(), 100.0, 1.0,
+                                                 **KW)
+        assert resid < 1e-6  # constant sigma fits exactly
+        exact = float(bs_price(S, 100.0, 1.0, R, 0.2, 1.0, 0.0))
+        assert abs(float(p) - exact) < 5 * float(se) + 1e-3
+        assert n >= 100_000
+
+    def test_put_and_moneyness(self):
+        p, se, _, _ = pallas_local_vol_price(_flat_dupire(), 110.0, 0.5,
+                                             cp=-1.0, **KW)
+        exact = float(bs_price(S, 110.0, 0.5, R, 0.2, -1.0, 0.0))
+        assert abs(float(p) - exact) < 5 * float(se) + 1e-3
+
+
+class TestSmileSurfaceParity:
+    def test_european_matches_scan_engine(self, smile_dupire):
+        p, se, _, resid = pallas_local_vol_price(smile_dupire, 100.0, 1.0,
+                                                 **KW)
+        assert resid < 5e-3  # smooth surface: degree-6 fit is tight
+        ps, ses = local_vol_mc_price(smile_dupire, 100.0, 1.0,
+                                     n_paths=100_000, n_steps=8, seed=3)
+        assert abs(float(p) - float(ps)) < 5 * np.hypot(float(se), float(ses)) + 5e-3
+
+    def test_asian_matches_scan_engine(self, smile_dupire):
+        p, se, _, _ = pallas_local_vol_price(smile_dupire, 100.0, 1.0,
+                                             payoff="asian", **KW)
+        ps, ses = local_vol_mc_price(smile_dupire, 100.0, 1.0,
+                                     payoff="asian", n_paths=100_000,
+                                     n_steps=8, seed=3)
+        assert abs(float(p) - float(ps)) < 5 * np.hypot(float(se), float(ses)) + 5e-3
+
+    def test_skew_direction(self, smile_dupire):
+        """Negative skew: OTM puts richer than flat-ATM-vol BS."""
+        atm_vol = float(smile_dupire.surface(jnp.float32(S), jnp.float32(0.5)))
+        p_put, se, _, _ = pallas_local_vol_price(smile_dupire, 80.0, 1.0,
+                                                 cp=-1.0, **KW)
+        flat = float(bs_price(S, 80.0, 1.0, R, atm_vol, -1.0, 0.0))
+        assert float(p_put) > flat - 5 * float(se)
+
+
+class TestValidation:
+    def test_bad_payoff(self):
+        with pytest.raises(ValidationError):
+            pallas_local_vol_price(_flat_dupire(), 100.0, 1.0,
+                                   payoff="lookback")
+
+    def test_pricer_class_fits_once_prices_many(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        assert pr.fit_residual < 1e-6
+        for k in (90.0, 100.0, 110.0):
+            p, se, _ = pr.price(k, n_paths=1, sampler="hash")
+            exact = float(bs_price(S, k, 1.0, R, 0.2, 1.0, 0.0))
+            assert abs(float(p) - exact) < 5 * float(se) + 1e-3
