@@ -114,6 +114,62 @@ def main():
         extras["heston_vega_ladder_path_steps_per_sec"] = round(
             hg["paths"] * 252 / ((time.perf_counter() - t0) / 3), 1)
 
+        # LR Greeks on a discontinuous payoff (barrier): score moments in
+        # the same pass
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        g = pallas_exotic_lr_greeks("barrier_up-and-out", 100.0, 100.0, 1.0,
+                                    0.05, 0.2, barrier=120.0,
+                                    n_paths=16_000_000, n_steps=64, seed=0)
+        jax.block_until_ready(g["price"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            g = pallas_exotic_lr_greeks("barrier_up-and-out", 100.0, 100.0,
+                                        1.0, 0.05, 0.2, barrier=120.0,
+                                        n_paths=16_000_000, n_steps=64,
+                                        seed=30 + i)
+            jax.block_until_ready(g["price"])
+        extras["barrier_lr_greeks_path_steps_per_sec"] = round(
+            g["paths"] * 64 / ((time.perf_counter() - t0) / 3), 1)
+
+        # local-vol kernel under the calibrated sample smile
+        from optionslab_tpu.models.local_vol import (DupireLocalVol,
+                                                     sample_smile_iv_fn)
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(DupireLocalVol(sample_smile_iv_fn(),
+                                                 100.0, 0.05), 1.0,
+                                  n_steps=100)
+        lp, _, n_lv = pr.price(100.0, n_paths=8_000_000, seed=0)
+        jax.block_until_ready(lp)
+        t0 = time.perf_counter()
+        for i in range(3):
+            lp, _, _ = pr.price(100.0, n_paths=8_000_000, seed=40 + i)
+        jax.block_until_ready(lp)
+        extras["local_vol_path_steps_per_sec"] = round(
+            n_lv * 100 / ((time.perf_counter() - t0) / 3), 1)
+
+        # multi-asset kernel: 3 correlated assets, basket Asian
+        from optionslab_tpu.ops.multi_asset_pallas import pallas_multi_asset_price
+
+        ma_args = (["basket_asian", [100.0, 95.0, 105.0], 100.0, 1.0, 0.05,
+                    [0.2, 0.25, 0.3],
+                    [[1.0, 0.5, 0.3], [0.5, 1.0, 0.4], [0.3, 0.4, 1.0]]])
+        mp, _, n_ma = pallas_multi_asset_price(*ma_args,
+                                               weights=[0.4, 0.3, 0.3],
+                                               n_paths=4_000_000,
+                                               n_steps=252, seed=0)
+        jax.block_until_ready(mp)
+        t0 = time.perf_counter()
+        for i in range(3):
+            mp, _, _ = pallas_multi_asset_price(*ma_args,
+                                                weights=[0.4, 0.3, 0.3],
+                                                n_paths=4_000_000,
+                                                n_steps=252, seed=50 + i)
+        jax.block_until_ready(mp)
+        extras["basket_asian_3asset_asset_steps_per_sec"] = round(
+            n_ma * 252 * 3 / ((time.perf_counter() - t0) / 3), 1)
+
         q = pallas_mc_price_greeks(batch, n_paths=16_000_000, seed=0, sampler="sobol")
         extras["qmc_16m_price_abs_err"] = round(abs(float(q["price"]) - exact), 8)
         # per-contract scrambled nets: book QMC error stays at QMC scale

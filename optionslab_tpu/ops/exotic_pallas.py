@@ -55,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
-from .kernel_rng import draw_normals as _draw_normals_impl
+from .gbm_pallas import _QMC_BITS, _mix32, _sobol_pair
+from .kernel_rng import TWO_PI, draw_normals as _draw_normals_impl
 
 ROWS = 128  # path-block sublanes
 LANES = 512  # path-block lanes (price kernel)
@@ -106,7 +107,10 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         for ref in refs:
             ref[:, :] = jnp.zeros_like(ref)
 
-    if sampler != "hash":
+    qmc = sampler.startswith("sobol_bb")
+    residual = "hash" if (sampler == "hash" or sampler.endswith("hash")) \
+        else "prng"
+    if residual != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
 
@@ -208,6 +212,54 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     states = (state0, state0, state0, state0)
     stats = tuple(init_stat(state0) for _ in range(4))
     zero = jnp.zeros(shape, jnp.float32)
+
+    n1 = n_steps // 2
+    n2 = n_steps - n1
+    if qmc:
+        # Hybrid bridge QMC: a 2-D scrambled Sobol point per path drives
+        # the TERMINAL and MIDPOINT Brownian-bridge coordinates (the bulk
+        # of an Asian/European payoff's variance); counter-replayable
+        # residual normals fill in conditionally. All in z-units (sums of
+        # standard normals), so the existing vol·√dt scaling applies.
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        u1, u2 = _sobol_pair(idx, h & mask30,
+                             _mix32(h + jnp.int32(-1640531527)) & mask30)
+        rad = jnp.sqrt(-2.0 * jnp.log(u1))
+        g_t = rad * jnp.cos(TWO_PI * u2)
+        g_m = rad * jnp.sin(TWO_PI * u2)
+        s_t = math.sqrt(float(n_steps)) * g_t  # Σ of all n z's
+        # Σ of the first n1 z's | s_t ~ N(s_t·n1/n, n1·n2/n)
+        s_mid = s_t * (n1 / n_steps) + math.sqrt(n1 * n2 / n_steps) * g_m
+
+        # pass 1: the residual streams' half-sums (replayed in pass 2)
+        def pre(i, carry):
+            s1c, s2c, s1s, s2s = carry
+            z1, z2 = _draw_normals(residual, seed, block, i, n_steps, shape)
+            first = i < n1
+            s1c = s1c + jnp.where(first, z1, 0.0)
+            s2c = s2c + jnp.where(first, 0.0, z1)
+            s1s = s1s + jnp.where(first, z2, 0.0)
+            s2s = s2s + jnp.where(first, 0.0, z2)
+            return s1c, s2c, s1s, s2s
+
+        s1c, s2c, s1s, s2s = jax.lax.fori_loop(
+            0, n_steps, pre, (zero, zero, zero, zero))
+        if residual != "hash":  # replay the hardware PRNG stream in pass 2
+            pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+        inv1, inv2 = 1.0 / n1, 1.0 / n2
+
+        def bridge_z(i, z, s_half, sign):
+            """Effective increment normal: sign·z + per-half offset so each
+            half sums exactly to its bridge coordinate (conditional law)."""
+            first = i < n1
+            s1, s2 = s_half
+            off = jnp.where(first, (s_mid - sign * s1) * inv1,
+                            (s_t - s_mid - sign * s2) * inv2)
+            return sign * z + off
     # (z₁ at step 0, Σz, Σ(z²−1)) per draw stream (cos, sin); antithetic
     # branches flip the SIGNED pieces, share the squared one. No dead
     # carries in the price-only variant (mirrors the heston kernel).
@@ -215,8 +267,23 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
 
     def body(i, carry):
         (xa, xb, xc, xd), (sa, sb, sc, sd), sc6 = carry
-        z1, z2 = _draw_normals(sampler, seed, block, i, n_steps, shape)
-        if geo:
+        z1, z2 = _draw_normals(residual, seed, block, i, n_steps, shape)
+        if qmc:
+            za = bridge_z(i, z1, (s1c, s2c), 1.0)
+            zb = bridge_z(i, z1, (s1c, s2c), -1.0)
+            zc = bridge_z(i, z2, (s1s, s2s), 1.0)
+            zd = bridge_z(i, z2, (s1s, s2s), -1.0)
+            if geo:
+                xa = xa + drift_dt + vol_sqrt_dt * za
+                xb = xb + drift_dt + vol_sqrt_dt * zb
+                xc = xc + drift_dt + vol_sqrt_dt * zc
+                xd = xd + drift_dt + vol_sqrt_dt * zd
+            else:  # offsets break the ± shared exponential: 4 exps
+                xa = xa * (growth * jnp.exp(vol_sqrt_dt * za))
+                xb = xb * (growth * jnp.exp(vol_sqrt_dt * zb))
+                xc = xc * (growth * jnp.exp(vol_sqrt_dt * zc))
+                xd = xd * (growth * jnp.exp(vol_sqrt_dt * zd))
+        elif geo:
             xa = xa + drift_dt + vol_sqrt_dt * z1
             xb = xb + drift_dt - vol_sqrt_dt * z1
             xc = xc + drift_dt + vol_sqrt_dt * z2
@@ -323,6 +390,16 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     ``kind`` ∈ PAYOFF_KINDS (cliquet/autocall have dedicated wrappers with
     their structured parameters). Whole simulation is one kernel launch;
     path count rounds up to whole blocks of {PATHS_PER_BLOCK}.
+
+    Samplers: ``prng`` / ``hash`` (plain MC), ``sobol_bb`` /
+    ``sobol_bb_hash`` (hybrid bridge QMC: a per-path scrambled 2-D Sobol
+    point drives the terminal and midpoint Brownian-bridge coordinates
+    and replayed residual normals fill in conditionally). Measured gain:
+    ~1.7x error at one block, ~1.25x at 4M paths (the conditional
+    residual variance is untouched and dominates at scale) — for
+    maximum QMC accuracy use the full 64-dim bridge on the XLA engine
+    (``models/qmc_exotics``, 57x at 16k paths). The reported stderr is
+    the plain-MC formula and OVERSTATES the error under QMC.
     """
     if kind not in PAYOFF_KINDS:
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
@@ -414,6 +491,10 @@ def _lr_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp,
     (autocall): df=1 host-side and rho is NOT returned (the explicit
     ∂df_i/∂r term is not in the scores).
     """
+    if sampler.startswith("sobol"):
+        raise ValidationError(
+            "LR scores assume iid normals; the bridge-QMC samplers "
+            "correlate increments — use prng/hash for LR Greeks")
     outs = _launch(seed, params, kind=kind, n_steps=n_steps,
                    n_blocks=n_blocks, cp=cp, period=period, sampler=sampler,
                    lr=True)
@@ -798,6 +879,8 @@ def pallas_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
             f"in-kernel Greeks support {GREEK_KINDS}; for {kind!r} use the "
             "scan engine's AD (models/exotics.exotic_greeks) — barrier "
             "indicators have zero pathwise derivative")
+    if sampler.startswith("sobol"):
+        raise ValidationError("the Greeks kernel supports prng/hash only")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, 0.0, n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK_G))
     a_drift = float(rate) - float(dividend) - 0.5 * float(vol) ** 2

@@ -166,6 +166,61 @@ class TestKernelGreeks:
             ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed"))
 
 
+class TestBridgeQMC:
+    """Hybrid bridge QMC: Sobol terminal+midpoint coordinates, conditional
+    residual fill-in. Oracle: the exact discrete geometric-Asian closed
+    form (the QMC estimate must be much closer than plain MC at the same
+    path budget)."""
+
+    def test_geo_asian_error_beats_plain_mc(self):
+        cf = float(ex.geometric_asian_closed_form(S, K, T, R, SIG, 1.0, 0.0,
+                                                  N_STEPS))
+        errs_mc, errs_qmc = [], []
+        for seed in (0, 1, 2):
+            pm, _, _ = pallas_exotic_price("asian_geo", S, K, T, R, SIG,
+                                           n_paths=1, n_steps=N_STEPS,
+                                           seed=seed, sampler="hash")
+            pq, _, _ = pallas_exotic_price("asian_geo", S, K, T, R, SIG,
+                                           n_paths=1, n_steps=N_STEPS,
+                                           seed=seed, sampler="sobol_bb_hash")
+            errs_mc.append(abs(float(pm) - cf))
+            errs_qmc.append(abs(float(pq) - cf))
+        # bridge QMC on the two leading coordinates: several-x lower error
+        assert max(errs_qmc) < 0.6 * (sum(errs_mc) / 3) + 2e-4, \
+            (errs_qmc, errs_mc)
+        assert max(errs_qmc) < 5e-3
+
+    def test_terminal_marginal_exact_vanilla(self):
+        """A never-hit barrier is a European call: the bridge construction
+        must reproduce the exact terminal lognormal."""
+        from optionslab_tpu.models.black_scholes import bs_price
+
+        p, se, _ = pallas_exotic_price("barrier_up-and-out", S, K, T, R, SIG,
+                                       barrier=1e6, n_paths=1,
+                                       n_steps=N_STEPS,
+                                       sampler="sobol_bb_hash")
+        exact = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        assert abs(float(p) - exact) < 5e-3
+
+    def test_arith_asian_parity_with_scan(self):
+        p, se, _ = pallas_exotic_price("asian_arith", S, K, T, R, SIG,
+                                       n_paths=1, n_steps=N_STEPS,
+                                       sampler="sobol_bb_hash")
+        ps, ses = ex.asian_price(S, K, T, R, SIG, KEY, 1.0, 0.0, 200_000,
+                                 N_STEPS, "arithmetic", return_stderr=True)
+        assert abs(float(p) - float(ps)) < tol(se, ses)
+
+    def test_lr_greeks_reject_qmc(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        with pytest.raises(ValidationError):
+            pallas_exotic_lr_greeks("barrier_up-and-out", S, K, T, R, SIG,
+                                    sampler="sobol_bb")
+        with pytest.raises(ValidationError):
+            pallas_exotic_greeks("asian_arith", S, K, T, R, SIG,
+                                 sampler="sobol_bb")
+
+
 class TestLRGreeks:
     """Likelihood-ratio Greeks: payoff-agnostic, so barriers/cliquets/
     autocalls get kernel-speed Greeks despite zero pathwise derivatives."""
