@@ -50,17 +50,28 @@ KINDS = ("basket", "basket_geo", "rainbow_best", "rainbow_worst", "spread",
          "basket_asian")
 
 
-def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
-               n_steps: int, cp: float, sampler: str):
+def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
+               n_steps: int, cp: float, sampler: str, lr: bool = False):
     """p_ref layout (SMEM f32): per asset i<d: [s0_i, drift_dt_i,
-    sig_sqrt_dt_i, w_i], then the d·d row-major Cholesky factor, then
-    [strike]."""
+    sig_sqrt_dt_i, w_i], then the d·d row-major Cholesky factor L, then
+    [strike], then (lr only) the d·d row-major L⁻¹.
+
+    ``lr=True`` additionally reduces per-asset likelihood-ratio delta
+    moments Σ pay·score_i with score_i = Σ_j (L⁻¹)_{ji}·ζ₁_j (the
+    first-step iid normals back-rotated through the correlation) — the
+    payoff-agnostic per-asset hedge delta in the same pass.
+    """
+    if lr:
+        pay_ref, pay2_ref = refs[0], refs[1]
+        del_refs = refs[2:2 + d]
+    else:
+        pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        pay_ref[:, :] = jnp.zeros_like(pay_ref)
-        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
 
     if sampler != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
@@ -72,6 +83,10 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
     w = [p_ref[4 * i + 3] for i in range(d)]
     L = [[p_ref[4 * d + i * d + j] for j in range(d)] for i in range(d)]
     strike = p_ref[4 * d + d * d]
+    if lr:
+        base_inv = 4 * d + d * d + 1
+        Linv = [[p_ref[base_inv + i * d + j] for j in range(d)]
+                for i in range(d)]
 
     shape = (ROWS, LANES)
     # 4 antithetic branches × d assets of log-spot offsets (start at 0;
@@ -79,6 +94,8 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
     zero = jnp.zeros(shape, jnp.float32)
     xs = [[zero for _ in range(d)] for _ in range(4)]
     asian = [zero, zero, zero, zero] if kind == "basket_asian" else None
+    # first-step iid normals per stream (cos, sin), for the LR scores
+    z1st = ([zero] * d, [zero] * d) if lr else None
 
     def basket_level(x_b):
         lvl = w[0] * s0[0] * jnp.exp(x_b[0])
@@ -87,7 +104,7 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
         return lvl
 
     def body(step, carry):
-        xs, asian = carry
+        xs, asian, z1st = carry
         # one Box–Muller pair per asset: stream 1 (cos) feeds branches
         # A(+)/B(−), stream 2 (sin) feeds C(+)/D(−)
         zc, zs = [], []
@@ -96,6 +113,12 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
                                 n_steps * d, shape)
             zc.append(c)
             zs.append(s)
+        if lr:
+            first = step == 0
+            z1st = ([jnp.where(first, z, old)
+                     for z, old in zip(zc, z1st[0])],
+                    [jnp.where(first, z, old)
+                     for z, old in zip(zs, z1st[1])])
         new_xs = []
         for b, (zz, sgn) in enumerate(((zc, 1.0), (zc, -1.0),
                                        (zs, 1.0), (zs, -1.0))):
@@ -110,12 +133,13 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
             new_xs.append(nx)
         if kind == "basket_asian":
             asian = [a + basket_level(x_b) for a, x_b in zip(asian, new_xs)]
-        return new_xs, asian
+        return new_xs, asian, z1st
 
-    xs, asian = jax.lax.fori_loop(0, n_steps, body, (xs, asian))
+    xs, asian, z1st = jax.lax.fori_loop(0, n_steps, body, (xs, asian, z1st))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
+    acc_del = [jnp.zeros(shape, jnp.float32) for _ in range(d)] if lr else []
     for b in range(4):
         x_b = xs[b]
         if kind == "basket":
@@ -141,27 +165,41 @@ def _ma_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, d: int, kind: str,
             pay = jnp.maximum(cp * (avg - strike), 0.0)
         acc += pay
         acc2 += pay * pay
+        if lr:
+            # branch b's first-step iid normals: sign · stream
+            sgn = (1.0, -1.0, 1.0, -1.0)[b]
+            zeta = z1st[0] if b < 2 else z1st[1]
+            for i in range(d):
+                score = Linv[0][i] * zeta[0]  # score = L^{-T} ζ₁
+                for j in range(1, d):
+                    score = score + Linv[j][i] * zeta[j]
+                acc_del[i] += pay * (sgn * score)
     for off in range(0, LANES, 128):
         pay_ref[:, :] += acc[:, off:off + 128]
         pay2_ref[:, :] += acc2[:, off:off + 128]
+        if lr:
+            for ref, a in zip(del_refs, acc_del):
+                ref[:, :] += a[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("d", "kind", "n_steps",
-                                             "n_blocks", "cp", "sampler"))
+                                             "n_blocks", "cp", "sampler",
+                                             "lr"))
 def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
-            cp: float, sampler: str = "prng"):
+            cp: float, sampler: str = "prng", lr: bool = False):
+    n_out = 2 + (d if lr else 0)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
                  else pltpu.InterpretParams())
     return pl.pallas_call(
         functools.partial(_ma_kernel, d=d, kind=kind, n_steps=n_steps,
-                          cp=cp, sampler=sampler),
+                          cp=cp, sampler=sampler, lr=lr),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[acc_spec, acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 2,
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * n_steps * ROWS * LANES * 4 * d * 10,
             bytes_accessed=2 * ROWS * 128 * 4,
@@ -172,7 +210,7 @@ def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
 
 
 def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
-                dividends, n_steps):
+                dividends, n_steps, lr: bool = False):
     spots = np.asarray(spots, np.float64).ravel()
     vols = np.asarray(vols, np.float64).ravel()
     d = spots.size
@@ -195,6 +233,8 @@ def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
               vols[i] * math.sqrt(dt), weights[i]]
     p += list(L.ravel())
     p += [float(strike)]
+    if lr:
+        p += list(np.linalg.inv(L).ravel())
     return d, t, jnp.asarray(p, jnp.float32)
 
 
@@ -229,3 +269,43 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
     var = jnp.maximum(total2 / n - mean * mean, 0.0)
     df = math.exp(-float(rate) * t)
     return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
+                              corr, weights=None, cp: float = 1.0,
+                              dividends=0.0, n_paths: int = 1_000_000,
+                              n_steps: int = 1, seed: int = 0,
+                              sampler: str = "prng") -> dict:
+    """Price + stderr + the PER-ASSET likelihood-ratio delta vector in one
+    kernel pass (any kind — LR differentiates the correlated Gaussian
+    density, so rainbows' max/min kinks cost nothing):
+
+      delta_i = df·E[pay · (L⁻ᵀζ₁)_i] / (S0_i·σ_i·√dt)
+
+    where ζ₁ are the first-step pre-correlation iid normals. Oracle in the
+    tests: pathwise AD of the XLA engine (``models.multi_asset_greeks``).
+    Returns {price, std_error, delta (d,), paths}.
+    """
+    if kind not in KINDS:
+        raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
+    d, t, p = _params_vec(spots, weights, strike, maturity, rate, vols, corr,
+                          dividends, n_steps, lr=True)
+    if kind == "spread" and d != 2:
+        raise ValidationError("spread requires exactly 2 assets")
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    outs = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
+                   n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+                   sampler=sampler, lr=True)
+    n = n_blocks * PATHS_PER_BLOCK
+    pay_m = outs[0].sum() / n
+    var = jnp.maximum(outs[1].sum() / n - pay_m * pay_m, 0.0)
+    df = math.exp(-float(rate) * t)
+    spots_a = np.asarray(spots, np.float64).ravel()
+    vols_a = np.asarray(vols, np.float64).ravel()
+    sqdt = math.sqrt(t / n_steps)
+    delta = jnp.stack([
+        df * outs[2 + i].sum() / n / (spots_a[i] * vols_a[i] * sqdt)
+        for i in range(d)
+    ])
+    return {"price": df * pay_m, "std_error": df * jnp.sqrt(var / n),
+            "delta": delta, "paths": n}
