@@ -338,6 +338,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                                              "period", "sampler", "lr"))
 def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
             period: int = 1, sampler: str = "prng", lr: bool = False):
+    if sampler.startswith("sobol") and n_steps < 2:
+        raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
+                              "midpoint coordinates)")
     n_out = 6 if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
@@ -405,6 +408,9 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
     if kind in ("cliquet", "autocall"):
         raise ValidationError(f"use pallas_{kind}_price for structured params")
+    if sampler.startswith("sobol") and n_steps < 2:
+        raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
+                              "midpoint coordinates)")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier, n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),

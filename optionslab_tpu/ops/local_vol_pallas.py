@@ -153,27 +153,32 @@ def fit_sigma_polys(sigma_fn, spot, rate, dividend, maturity, n_steps: int,
     """
     t_total = max(float(maturity), EPS_TIME)
     dt = t_total / n_steps
+    times = np.arange(n_steps) * dt
+    # TWO batched surface evaluations total (per-dispatch RPC over the
+    # tunnel is 0.5-3 s — an eager call per step would dominate): first
+    # the ATM term structure, then every (s, t) fit point at once
+    atms = np.asarray(sigma_fn(jnp.full(n_steps, float(spot), jnp.float32),
+                               jnp.asarray(times, jnp.float32)),
+                      np.float64).ravel()
+    centers = (float(rate) - float(dividend) - 0.5 * atms**2) * times
+    halves = 4.0 * atms * np.sqrt(times) + 0.05
+    xg = centers[:, None] + np.linspace(-1.0, 1.0, n_fit) * halves[:, None]
+    sg = float(spot) * np.exp(xg)
+    tg = np.broadcast_to(times[:, None], xg.shape)
+    vols = np.asarray(sigma_fn(jnp.asarray(sg.ravel(), jnp.float32),
+                               jnp.asarray(tg.ravel(), jnp.float32)),
+                      np.float64).reshape(xg.shape)
     rows = np.empty((n_steps, _ROW), np.float64)
     resid = 0.0
     for i in range(n_steps):
-        t_now = i * dt
-        atm = float(np.asarray(sigma_fn(jnp.float32(spot),
-                                        jnp.float32(t_now))))
-        center = (float(rate) - float(dividend) - 0.5 * atm * atm) * t_now
-        half = 4.0 * atm * math.sqrt(t_now) + 0.05
-        xg = np.linspace(center - half, center + half, n_fit)
-        sg = float(spot) * np.exp(xg)
-        vols = np.asarray(sigma_fn(jnp.asarray(sg, jnp.float32),
-                                   jnp.full(n_fit, t_now, jnp.float32)),
-                          np.float64).ravel()
         # density-weighted fit: bilinear surfaces are piecewise linear
         # (kinked), and a polynomial cannot chase wing kinks — weight by
         # the path density so the fit is tight where the paths are
-        sd = max(atm * math.sqrt(t_now), 0.02)
-        dens = np.exp(-0.5 * ((xg - center) / sd) ** 2)
-        c = np.polyfit(xg, vols, DEGREE, w=np.sqrt(dens))
-        rows[i] = np.concatenate([[xg[0], xg[-1]], c])
-        err = np.polyval(c, xg) - vols
+        sd = max(atms[i] * math.sqrt(times[i]), 0.02)
+        dens = np.exp(-0.5 * ((xg[i] - centers[i]) / sd) ** 2)
+        c = np.polyfit(xg[i], vols[i], DEGREE, w=np.sqrt(dens))
+        rows[i] = np.concatenate([[xg[i, 0], xg[i, -1]], c])
+        err = np.polyval(c, xg[i]) - vols[i]
         resid = max(resid, float(np.sqrt((dens * err**2).sum() / dens.sum())))
     return rows, resid
 
@@ -215,11 +220,10 @@ class LocalVolKernelPricer:
                             jnp.asarray(p, jnp.float32),
                             n_steps=self.n_steps, n_blocks=n_blocks,
                             cp=float(cp), payoff=payoff, sampler=sampler)
-        n = n_blocks * PATHS_PER_BLOCK
-        mean = pay.sum() / n
-        var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-        df = math.exp(-self.rate * self.t_total)
-        return df * mean, df * jnp.sqrt(var / n), n
+        from .exotic_pallas import _mean_stderr
+
+        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                            math.exp(-self.rate * self.t_total))
 
 
 def pallas_local_vol_price(dupire, strike, maturity, cp: float = 1.0,

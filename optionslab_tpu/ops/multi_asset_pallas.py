@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
+from .exotic_pallas import _mean_stderr
 from .kernel_rng import draw_normals
 
 ROWS = 128
@@ -220,6 +221,9 @@ def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
         raise ValidationError("vols must match spots length")
     weights = (np.asarray(weights, np.float64).ravel() if weights is not None
                else np.full(d, 1.0 / d))
+    if weights.size != d:
+        raise ValidationError(f"weights must have {d} entries, got "
+                              f"{weights.size}")
     divs = np.broadcast_to(np.asarray(dividends, np.float64), (d,))
     c = np.asarray(corr, np.float64)
     if c.shape != (d, d):
@@ -263,12 +267,8 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
                         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                         sampler=sampler)
-    n = n_blocks * PATHS_PER_BLOCK
-    total, total2 = pay.sum(), pay2.sum()
-    mean = total / n
-    var = jnp.maximum(total2 / n - mean * mean, 0.0)
-    df = math.exp(-float(rate) * t)
-    return df * mean, df * jnp.sqrt(var / n), n
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                        math.exp(-float(rate) * t))
 
 
 def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
@@ -297,9 +297,8 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
                    n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                    sampler=sampler, lr=True)
     n = n_blocks * PATHS_PER_BLOCK
-    pay_m = outs[0].sum() / n
-    var = jnp.maximum(outs[1].sum() / n - pay_m * pay_m, 0.0)
     df = math.exp(-float(rate) * t)
+    price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
     spots_a = np.asarray(spots, np.float64).ravel()
     vols_a = np.asarray(vols, np.float64).ravel()
     sqdt = math.sqrt(t / n_steps)
@@ -307,5 +306,4 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
         df * outs[2 + i].sum() / n / (spots_a[i] * vols_a[i] * sqdt)
         for i in range(d)
     ])
-    return {"price": df * pay_m, "std_error": df * jnp.sqrt(var / n),
-            "delta": delta, "paths": n}
+    return {"price": price, "std_error": se, "delta": delta, "paths": n}

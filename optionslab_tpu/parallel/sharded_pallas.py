@@ -214,6 +214,8 @@ def sharded_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
         raise ValidationError(
             f"in-kernel Greeks support {_ep.GREEK_KINDS}; for {kind!r} use "
             "the scan engine's AD (models/exotics.exotic_greeks)")
+    if sampler.startswith("sobol"):
+        raise ValidationError("the Greeks kernel supports prng/hash only")
     p, t = _ep._base_params(spot, strike, maturity, rate, vol, dividend,
                             0.0, n_steps)
     _names, n_dev = _mesh_axes(mesh)
@@ -274,11 +276,8 @@ def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                                    kind=kind, n_steps=n_steps,
                                    n_blocks=n_blocks, cp=float(cp),
                                    sampler=sampler, mesh=mesh)
-    n = n_blocks * _mp.PATHS_PER_BLOCK
-    mean = pay.sum() / n
-    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    df = math.exp(-float(rate) * t)
-    return df * mean, df * jnp.sqrt(var / n), n
+    return _ep._mean_stderr(pay, pay2, n_blocks * _mp.PATHS_PER_BLOCK,
+                            math.exp(-float(rate) * t))
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,11 @@ class TestBridgeQMC:
                                  N_STEPS, "arithmetic", return_stderr=True)
         assert abs(float(p) - float(ps)) < tol(se, ses)
 
+    def test_qmc_needs_two_steps(self):
+        with pytest.raises(ValidationError):
+            pallas_exotic_price("asian_arith", S, K, T, R, SIG, n_paths=1,
+                                n_steps=1, sampler="sobol_bb_hash")
+
     def test_lr_greeks_reject_qmc(self):
         from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
 

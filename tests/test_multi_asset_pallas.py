@@ -45,15 +45,13 @@ class TestExactOracles:
 
     def test_antithetic_consistency_two_steps(self):
         """n_steps does not bias terminal payoffs (exact increments)."""
-        p1, se1, _ = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
-                                              VOLS, CORR, weights=W,
-                                              n_steps=1, **KW)
-        p4, se4, _ = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
-                                              VOLS, CORR, weights=W,
-                                              n_steps=4, **KW)
         exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R, VOLS,
                                                    CORR))
-        assert abs(float(p4) - exact) < 5 * float(se4) + 1e-3
+        for n_steps in (1, 4):
+            p, se, _ = pallas_multi_asset_price("basket_geo", SPOTS, K, T, R,
+                                                VOLS, CORR, weights=W,
+                                                n_steps=n_steps, **KW)
+            assert abs(float(p) - exact) < 5 * float(se) + 1e-3, n_steps
 
 
 class TestScanEngineParity:
@@ -114,8 +112,10 @@ class TestLRDeltaVector:
                                         sampler="hash")
         d = np.asarray(out["delta"])
         assert (d > 0.0).all(), d
-        assert d.sum() == pytest.approx(
-            float(out["price"]) / 85.0, abs=1.0) or True  # sanity only
+        # worst-of call at K=85: meaningfully in the money but the min of
+        # three vol-0.2..0.3 assets often finishes below — total delta
+        # well inside (0, 1)
+        assert 0.3 < d.sum() < 1.0, d
         # pathwise AD of the scan engine as the statistical oracle
         from optionslab_tpu.models.multi_asset import (multi_asset_greeks,
                                                        rainbow_price)
