@@ -44,8 +44,8 @@ DEGREE = 6  # polynomial degree of the per-step sigma(x) fit
 
 # scalar params before the per-step table; each step row is
 # [x_lo_i, x_hi_i, c_deg, ..., c_0]
-_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT = range(5)
-_N_SCALARS = 5
+_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT, _P_BARRIER = range(6)
+_N_SCALARS = 6
 _ROW = DEGREE + 3
 
 
@@ -71,7 +71,19 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
     xs = (zero, zero, zero, zero)  # log(S/S0) per antithetic branch
-    asian = (zero, zero, zero, zero) if payoff == "asian" else ()
+    barrier_kind = payoff.startswith("barrier")
+    up = "up" in payoff
+    if payoff == "asian":
+        aux = (zero, zero, zero, zero)  # running spot sums
+    elif barrier_kind:
+        # crossed-flag per branch; barrier passed in log(S/S0) space
+        b_log = p_ref[_P_BARRIER]
+        z0 = jnp.zeros(shape, jnp.float32)
+        h0 = jnp.where(z0 >= b_log, 1.0, 0.0) if up else \
+            jnp.where(z0 <= b_log, 1.0, 0.0)
+        aux = (h0, h0, h0, h0)
+    else:
+        aux = ()
 
     def sigma(x, i):
         # Horner over the step-i coefficients (highest degree first);
@@ -86,7 +98,7 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
         return jnp.maximum(acc, 1e-4)  # vol floor: fit can dip near edges
 
     def body(i, carry):
-        xs, asian = carry
+        xs, aux = carry
         z1, z2 = draw_normals(sampler, seed, block, i, n_steps, shape)
         new_xs = []
         for x, z in zip(xs, (z1, -z1, z2, -z2)):
@@ -94,19 +106,32 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
             new_xs.append(x + mu_dt - 0.5 * sig * sig * dt + sig * sqdt * z)
         new_xs = tuple(new_xs)
         if payoff == "asian":
-            asian = tuple(a + s0 * jnp.exp(x) for a, x in zip(asian, new_xs))
-        return new_xs, asian
+            aux = tuple(a + s0 * jnp.exp(x) for a, x in zip(aux, new_xs))
+        elif barrier_kind:  # discrete monitoring at every step
+            b_log = p_ref[_P_BARRIER]
+            if up:
+                aux = tuple(jnp.maximum(h, jnp.where(x >= b_log, 1.0, 0.0))
+                            for h, x in zip(aux, new_xs))
+            else:
+                aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
+                            for h, x in zip(aux, new_xs))
+        return new_xs, aux
 
-    xs, asian = jax.lax.fori_loop(0, n_steps, body, (xs, asian))
+    xs, aux = jax.lax.fori_loop(0, n_steps, body, (xs, aux))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
+    knock_in = payoff.endswith("in")
     for b in range(4):
         if payoff == "asian":
-            lvl = asian[b] * (1.0 / n_steps)
+            lvl = aux[b] * (1.0 / n_steps)
+            pay = jnp.maximum(cp * (lvl - strike), 0.0)
+        elif barrier_kind:
+            vanilla = jnp.maximum(cp * (s0 * jnp.exp(xs[b]) - strike), 0.0)
+            pay = vanilla * (aux[b] if knock_in else (1.0 - aux[b]))
         else:
             lvl = s0 * jnp.exp(xs[b])
-        pay = jnp.maximum(cp * (lvl - strike), 0.0)
+            pay = jnp.maximum(cp * (lvl - strike), 0.0)
         acc += pay
         acc2 += pay * pay
     for off in range(0, LANES, 128):
@@ -202,18 +227,28 @@ class LocalVolKernelPricer:
         dt = self.t_total / self.n_steps
         self._head = np.asarray(
             [self.spot, 0.0, (self.rate - self.dividend) * dt, dt,
-             math.sqrt(dt)], np.float64)
+             math.sqrt(dt), 0.0], np.float64)
+
+    PAYOFFS = ("european", "asian", "barrier_up-and-out", "barrier_up-and-in",
+               "barrier_down-and-out", "barrier_down-and-in")
 
     def price(self, strike, cp: float = 1.0, payoff: str = "european",
-              n_paths: int = 1_000_000, seed: int = 0,
+              barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
               sampler: str = "prng"):
         """(price, stderr, actual_paths) for one contract on the
-        precomputed surface table."""
-        if payoff not in ("european", "asian"):
+        precomputed surface table. Barrier kinds monitor discretely at
+        every step and price CONSISTENTLY with the vanilla smile — the
+        point of a local-vol model (the reference's local vol prices
+        vanillas only)."""
+        if payoff not in self.PAYOFFS:
             raise ValidationError(
-                f"payoff must be european|asian, got {payoff!r}")
+                f"payoff must be one of {self.PAYOFFS}, got {payoff!r}")
         head = self._head.copy()
         head[_P_K] = float(strike)
+        if payoff.startswith("barrier"):
+            if barrier <= 0.0:
+                raise ValidationError("barrier level must be positive")
+            head[_P_BARRIER] = math.log(barrier / self.spot)
         p = np.concatenate([head, self.rows.ravel()])
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),

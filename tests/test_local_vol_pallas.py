@@ -74,6 +74,53 @@ class TestSmileSurfaceParity:
         assert float(p_put) > flat - 5 * float(se)
 
 
+class TestBarrierUnderLV:
+    def test_in_out_parity_is_exact_per_path(self):
+        """up-in + up-out = european — an identity on the SAME paths."""
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        kw = dict(barrier=115.0, n_paths=1, seed=0, sampler="hash")
+        pin, _, _ = pr.price(100.0, payoff="barrier_up-and-in", **kw)
+        pout, _, _ = pr.price(100.0, payoff="barrier_up-and-out", **kw)
+        peur, _, _ = pr.price(100.0, n_paths=1, seed=0, sampler="hash")
+        np.testing.assert_allclose(float(pin) + float(pout), float(peur),
+                                   rtol=1e-5)
+
+    def test_flat_surface_matches_gbm_barrier_kernel(self):
+        """Flat local vol IS GBM: the exotic (GBM) barrier kernel is the
+        oracle at the same discrete monitoring."""
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_price
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        p, se, _ = pr.price(100.0, payoff="barrier_down-and-out",
+                            barrier=85.0, n_paths=1, sampler="hash")
+        pg, seg, _ = pallas_exotic_price("barrier_down-and-out", S, 100.0,
+                                         1.0, R, 0.2, barrier=85.0,
+                                         n_paths=1, n_steps=8,
+                                         sampler="hash")
+        assert abs(float(p) - float(pg)) < 5 * np.hypot(float(se), float(seg)) + 1e-3
+
+    def test_smile_barrier_differs_from_flat(self, smile_dupire):
+        """The knock-out price must SEE the smile (differ from flat-vol),
+        while staying below the european (optionality removed)."""
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(smile_dupire, 1.0, n_steps=8)
+        po, _, _ = pr.price(100.0, payoff="barrier_up-and-out",
+                            barrier=120.0, n_paths=1, sampler="hash")
+        pe, _, _ = pr.price(100.0, n_paths=1, sampler="hash")
+        assert 0.0 < float(po) < float(pe)
+
+    def test_bad_barrier_level(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=4)
+        with pytest.raises(ValidationError):
+            pr.price(100.0, payoff="barrier_up-and-out", barrier=0.0)
+
+
 class TestValidation:
     def test_bad_payoff(self):
         with pytest.raises(ValidationError):
