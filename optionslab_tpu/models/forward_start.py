@@ -53,10 +53,15 @@ def _cir_share_mgf(z, params: HestonParams, t1):
     # a tiny shift keeps the closed form stable without visible error)
     kap_s = jnp.where(jnp.abs(kap_s) < 1e-6, 1e-6, kap_s)
     theta_s = params.kappa * params.theta / kap_s
-    emkt = jnp.exp(-kap_s * t1)
-    c = params.sigma**2 * (1.0 - emkt) / (4.0 * kap_s)
+    # guard the t1 -> 0 singularity of lambda: use expm1 (f32-exact for
+    # tiny kappa*t1, unlike 1 - exp) and clamp away from 0.  In the clamped
+    # limit lam*c -> emkt*v0 and nu*c -> 0, so the MGF degrades gracefully
+    # to its exact t1=0 value exp(z*v0) (deterministic v_{T1} = v0).
+    one_memkt = jnp.maximum(-jnp.expm1(-kap_s * t1), 1e-12)
+    emkt = 1.0 - one_memkt
+    c = params.sigma**2 * one_memkt / (4.0 * kap_s)
     nu = 4.0 * kap_s * theta_s / params.sigma**2
-    lam = 4.0 * kap_s * emkt * params.v0 / (params.sigma**2 * (1.0 - emkt))
+    lam = 4.0 * kap_s * emkt * params.v0 / (params.sigma**2 * one_memkt)
     one_m = 1.0 - 2.0 * c * z
     return jnp.exp(-0.5 * nu * jnp.log(one_m) + lam * c * z / one_m)
 

@@ -62,9 +62,11 @@ def variance_swap_strike_replication(strikes, otm_prices, spot, maturity,
     q = jnp.asarray(otm_prices)
     t = jnp.asarray(maturity)
     fwd = jnp.asarray(spot) * jnp.exp((rate - dividend) * t)
-    # central strike K0: largest strike <= F
+    # central strike K0: largest strike <= F; if the whole grid sits above
+    # the forward (deep-ITM-put-only chain) fall back to the smallest
+    # strike so the adjustment term stays finite instead of NaN
     below = jnp.where(k <= fwd, k, -jnp.inf)
-    k0 = jnp.max(below)
+    k0 = jnp.where(jnp.any(k <= fwd), jnp.max(below), jnp.min(k))
     # trapezoid strike spacing, one-sided at the edges
     dk = jnp.concatenate([
         (k[1:2] - k[0:1]),
@@ -137,11 +139,17 @@ def heston_variance_swap_strike(params: HestonParams, maturity):
 
 
 @functools.lru_cache(maxsize=8)
-def _gl_panel(n: int, a: float, b: float):
+def _gl_panel_np(n: int, a: float, b: float):
     x, w = np.polynomial.legendre.leggauss(n)
-    # dtype follows jax's default (f32 on chip, f64 under x64 oracles)
-    return (jnp.asarray(0.5 * (b - a) * x + 0.5 * (a + b)),
-            jnp.asarray(0.5 * (b - a) * w))
+    return 0.5 * (b - a) * x + 0.5 * (a + b), 0.5 * (b - a) * w
+
+
+def _gl_panel(n: int, a: float, b: float):
+    # cache the numpy nodes; convert per call so the dtype tracks the
+    # CURRENT jax x64 setting (an lru-cached jnp array would freeze the
+    # precision of whichever call came first)
+    x, w = _gl_panel_np(n, a, b)
+    return jnp.asarray(x), jnp.asarray(w)
 
 
 def heston_vol_swap_strike(params: HestonParams, maturity, n_nodes: int = 128,

@@ -402,7 +402,14 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     residual variance is untouched and dominates at scale) — for
     maximum QMC accuracy use the full 64-dim bridge on the XLA engine
     (``models/qmc_exotics``, 57x at 16k paths). The reported stderr is
-    the plain-MC formula and OVERSTATES the error under QMC.
+    the plain-MC sqrt(Var/n) formula, which is UNRELIABLE under QMC:
+    stratification usually shrinks the true error below it, but the four
+    antithetic branches of a path share one Sobol bridge point (identical
+    terminal/midpoint sums), so for payoffs dominated by terminal
+    variance the effective sample count is lower than n and the formula
+    can also understate.  Treat it as indicative only; for a trustworthy
+    QMC error estimate use the randomized-replication stderr of
+    ``models/qmc_exotics``.
     """
     if kind not in PAYOFF_KINDS:
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")

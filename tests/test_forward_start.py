@@ -33,6 +33,17 @@ class TestForwardStart:
             hparams))
         assert abs(v_fs - v_van) < 1e-4
 
+    def test_t1_exactly_zero_is_finite_vanilla(self, hparams):
+        # t1 == 0.0 exactly used to hit the 0/0 in the share-measure CIR
+        # MGF (1 - e^{-kappa* t1} in a denominator) and return NaN
+        v_fs = float(forward_start_price(100.0, 1.0, 0.0, 1.0, 0.05,
+                                         hparams))
+        v_van = float(heston_price(
+            ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call", dtype=F),
+            hparams))
+        assert np.isfinite(v_fs)
+        assert abs(v_fs - v_van) < 1e-4
+
     @pytest.mark.parametrize("k", [0.9, 1.0, 1.1])
     def test_matches_mc_with_correlation(self, hparams, k):
         sa = float(forward_start_price(100.0, k, 0.5, 1.5, 0.05, hparams))

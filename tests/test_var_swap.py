@@ -53,6 +53,15 @@ class TestReplication:
                                        30 / 365, r))
         assert abs(vix - 20.0) < 0.05
 
+    def test_all_strikes_above_forward_is_finite(self):
+        # degenerate deep-ITM-put-only chain: every strike above the
+        # forward used to make K0 = -inf -> NaN; now falls back to min(K)
+        S, r, T, sig = 100.0, 0.0, 1.0, 0.2
+        ks = np.linspace(150.0, 300.0, 50)
+        kv = float(vs.variance_swap_strike_from_iv(
+            S, ks, np.full_like(ks, sig), T, r))
+        assert np.isfinite(kv)
+
     def test_dividends_shift_the_forward(self):
         # with q = r the forward equals spot; the flat-smile strike is
         # unchanged (log-contract value is forward-measure invariant)
