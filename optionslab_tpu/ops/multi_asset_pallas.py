@@ -55,16 +55,34 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
                n_steps: int, cp: float, sampler: str, lr: bool = False):
     """p_ref layout (SMEM f32): per asset i<d: [s0_i, drift_dt_i,
     sig_sqrt_dt_i, w_i], then the d·d row-major Cholesky factor L, then
-    [strike], then (lr only) the d·d row-major L⁻¹.
+    [strike], then (lr only) the d·d row-major L⁻¹, the d per-asset
+    1/σ_i (annualized), [√dt, 1/(2T)], and the d theta weights
+    c1_i = drift_dt_i/(σ_i·√dt·T).
 
-    ``lr=True`` additionally reduces per-asset likelihood-ratio delta
-    moments Σ pay·score_i with score_i = Σ_j (L⁻¹)_{ji}·ζ₁_j (the
-    first-step iid normals back-rotated through the correlation) — the
-    payoff-agnostic per-asset hedge delta in the same pass.
+    ``lr=True`` reduces the FULL likelihood-ratio Greek ladder in the
+    same pass — every moment is a functional of the iid pre-correlation
+    normals z_k (step k), their back-rotation g_k = L⁻ᵀz_k and the
+    correlated pre-σ shocks (Lz_k):
+
+      delta_i  score: g_{1,i}/(S0_i σ_i √dt)              (first step)
+      gamma_ij moment: pay·g_{1,i}·g_{1,j}                (first step;
+                host combines with C⁻¹ and the delta moment)
+      vega_i   score: Σ_k g_{k,i}[(Lz_k)_i/σ_i − √dt] − n/σ_i
+      theta    score: [Σ_k|z_k|² − nd]/(2T) + Σ_i c1_i Σ_k g_{k,i}
+      rho      score: √dt Σ_i Σ_k g_{k,i}/σ_i   (host adds −T·price)
+
+    Carried per stream (cos/sin): a_i = Σ_k g_{k,i}(Lz_k)_i,
+    b_i = Σ_k g_{k,i}, q = Σ_k|z_k|², plus the first-step normals.
+    Antithetic signs: a and q are even in the branch sign, b and g₁ odd.
     """
+    ntri = d * (d + 1) // 2
     if lr:
         pay_ref, pay2_ref = refs[0], refs[1]
         del_refs = refs[2:2 + d]
+        veg_refs = refs[2 + d:2 + 2 * d]
+        gam_refs = refs[2 + 2 * d:2 + 2 * d + ntri]
+        th_ref = refs[2 + 2 * d + ntri]
+        rho_ref = refs[3 + 2 * d + ntri]
     else:
         pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
@@ -88,6 +106,11 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         base_inv = 4 * d + d * d + 1
         Linv = [[p_ref[base_inv + i * d + j] for j in range(d)]
                 for i in range(d)]
+        base_x = base_inv + d * d
+        inv_sig = [p_ref[base_x + i] for i in range(d)]
+        sqdt = p_ref[base_x + d]
+        c0 = p_ref[base_x + d + 1]
+        c1 = [p_ref[base_x + d + 2 + i] for i in range(d)]
 
     shape = (ROWS, LANES)
     # 4 antithetic branches × d assets of log-spot offsets (start at 0;
@@ -95,8 +118,11 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
     zero = jnp.zeros(shape, jnp.float32)
     xs = [[zero for _ in range(d)] for _ in range(4)]
     asian = [zero, zero, zero, zero] if kind == "basket_asian" else None
-    # first-step iid normals per stream (cos, sin), for the LR scores
-    z1st = ([zero] * d, [zero] * d) if lr else None
+    # per-stream (cos, sin) LR carries: first-step normals, a_i, b_i, q
+    z1st = [[zero] * d, [zero] * d] if lr else None
+    va = [[zero] * d, [zero] * d] if lr else None
+    vb = [[zero] * d, [zero] * d] if lr else None
+    vq = [zero, zero] if lr else None
 
     def basket_level(x_b):
         lvl = w[0] * s0[0] * jnp.exp(x_b[0])
@@ -105,42 +131,68 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         return lvl
 
     def body(step, carry):
-        xs, asian, z1st = carry
-        # one Box–Muller pair per asset: stream 1 (cos) feeds branches
-        # A(+)/B(−), stream 2 (sin) feeds C(+)/D(−)
+        xs, asian, z1st, va, vb, vq = carry
+        # one Box–Muller pair per asset: stream 0 (cos) feeds branches
+        # A(+)/B(−), stream 1 (sin) feeds C(+)/D(−)
         zc, zs = [], []
         for i in range(d):
             c, s = draw_normals(sampler, seed, block, step * d + i,
                                 n_steps * d, shape)
             zc.append(c)
             zs.append(s)
+        streams = (zc, zs)
+        # correlated pre-σ shocks, once per stream (branches differ only
+        # by sign): shock_i = Σ_j L[i][j]·z_j
+        shocks = []
+        for zz in streams:
+            sh = []
+            for i in range(d):
+                acc_s = L[i][0] * zz[0]
+                for j in range(1, i + 1):
+                    acc_s = acc_s + L[i][j] * zz[j]
+                sh.append(acc_s)
+            shocks.append(sh)
         if lr:
             first = step == 0
-            z1st = ([jnp.where(first, z, old)
-                     for z, old in zip(zc, z1st[0])],
-                    [jnp.where(first, z, old)
-                     for z, old in zip(zs, z1st[1])])
+            z1st = [[jnp.where(first, z, old)
+                     for z, old in zip(streams[t], z1st[t])]
+                    for t in range(2)]
+            for t in range(2):
+                zz = streams[t]
+                for i in range(d):
+                    # g_i = (L⁻ᵀ z)_i = Σ_j L⁻¹[j][i]·z_j
+                    g = Linv[0][i] * zz[0]
+                    for j in range(1, d):
+                        g = g + Linv[j][i] * zz[j]
+                    va[t][i] = va[t][i] + g * shocks[t][i]
+                    vb[t][i] = vb[t][i] + g
+                qsum = zz[0] * zz[0]
+                for i in range(1, d):
+                    qsum = qsum + zz[i] * zz[i]
+                vq[t] = vq[t] + qsum
         new_xs = []
-        for b, (zz, sgn) in enumerate(((zc, 1.0), (zc, -1.0),
-                                       (zs, 1.0), (zs, -1.0))):
+        for b in range(4):
+            t, sgn = b // 2, (1.0, -1.0)[b % 2]
             x_b = xs[b]
             nx = []
             for i in range(d):
-                # unrolled Cholesky row: wᵢ = Σ_j L[i][j]·z_j
-                shock = L[i][0] * zz[0]
-                for j in range(1, i + 1):
-                    shock = shock + L[i][j] * zz[j]
-                nx.append(x_b[i] + drift[i] + sig[i] * sgn * shock)
+                nx.append(x_b[i] + drift[i] + sig[i] * sgn * shocks[t][i])
             new_xs.append(nx)
         if kind == "basket_asian":
             asian = [a + basket_level(x_b) for a, x_b in zip(asian, new_xs)]
-        return new_xs, asian, z1st
+        return new_xs, asian, z1st, va, vb, vq
 
-    xs, asian, z1st = jax.lax.fori_loop(0, n_steps, body, (xs, asian, z1st))
+    xs, asian, z1st, va, vb, vq = jax.lax.fori_loop(
+        0, n_steps, body, (xs, asian, z1st, va, vb, vq))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
     acc_del = [jnp.zeros(shape, jnp.float32) for _ in range(d)] if lr else []
+    acc_veg = [jnp.zeros(shape, jnp.float32) for _ in range(d)] if lr else []
+    acc_gam = [jnp.zeros(shape, jnp.float32)
+               for _ in range(ntri)] if lr else []
+    acc_th = jnp.zeros(shape, jnp.float32)
+    acc_rho = jnp.zeros(shape, jnp.float32)
     for b in range(4):
         x_b = xs[b]
         if kind == "basket":
@@ -167,20 +219,37 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         acc += pay
         acc2 += pay * pay
         if lr:
-            # branch b's first-step iid normals: sign · stream
-            sgn = (1.0, -1.0, 1.0, -1.0)[b]
-            zeta = z1st[0] if b < 2 else z1st[1]
+            t, sgn = b // 2, (1.0, -1.0)[b % 2]
+            zeta = z1st[t]
+            g1 = []
             for i in range(d):
-                score = Linv[0][i] * zeta[0]  # score = L^{-T} ζ₁
+                g = Linv[0][i] * zeta[0]  # g₁ = L⁻ᵀ ζ₁
                 for j in range(1, d):
-                    score = score + Linv[j][i] * zeta[j]
-                acc_del[i] += pay * (sgn * score)
+                    g = g + Linv[j][i] * zeta[j]
+                g1.append(g)
+            for i in range(d):
+                acc_del[i] += pay * (sgn * g1[i])
+                score_v = (inv_sig[i] * (va[t][i] - float(n_steps))
+                           - sqdt * sgn * vb[t][i])
+                acc_veg[i] += pay * score_v
+            k = 0
+            for i in range(d):
+                for j in range(i, d):
+                    acc_gam[k] += pay * (g1[i] * g1[j])
+                    k += 1
+            sb_r = sgn * vb[t][0] * inv_sig[0]
+            sb_th = c1[0] * sgn * vb[t][0]
+            for i in range(1, d):
+                sb_r = sb_r + sgn * vb[t][i] * inv_sig[i]
+                sb_th = sb_th + c1[i] * sgn * vb[t][i]
+            acc_th += pay * (c0 * (vq[t] - float(n_steps * d)) + sb_th)
+            acc_rho += pay * (sqdt * sb_r)
+    accs = [acc, acc2]
+    if lr:
+        accs += acc_del + acc_veg + acc_gam + [acc_th, acc_rho]
     for off in range(0, LANES, 128):
-        pay_ref[:, :] += acc[:, off:off + 128]
-        pay2_ref[:, :] += acc2[:, off:off + 128]
-        if lr:
-            for ref, a in zip(del_refs, acc_del):
-                ref[:, :] += a[:, off:off + 128]
+        for ref, a in zip(refs, accs):
+            ref[:, :] += a[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("d", "kind", "n_steps",
@@ -188,7 +257,7 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
                                              "lr"))
 def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
             cp: float, sampler: str = "prng", lr: bool = False):
-    n_out = 2 + (d if lr else 0)
+    n_out = 2 + (2 * d + d * (d + 1) // 2 + 2 if lr else 0)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
@@ -239,6 +308,11 @@ def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
     p += [float(strike)]
     if lr:
         p += list(np.linalg.inv(L).ravel())
+        sqdt = math.sqrt(dt)
+        p += list(1.0 / vols)                      # inv_sig
+        p += [sqdt, 1.0 / (2.0 * t)]               # sqdt, c0
+        p += [((float(rate) - divs[i] - 0.5 * vols[i] ** 2) * dt)
+              / (vols[i] * sqdt * t) for i in range(d)]  # c1 (theta wts)
     return d, t, jnp.asarray(p, jnp.float32)
 
 
@@ -276,15 +350,29 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
                               dividends=0.0, n_paths: int = 1_000_000,
                               n_steps: int = 1, seed: int = 0,
                               sampler: str = "prng") -> dict:
-    """Price + stderr + the PER-ASSET likelihood-ratio delta vector in one
-    kernel pass (any kind — LR differentiates the correlated Gaussian
-    density, so rainbows' max/min kinks cost nothing):
+    """Price + stderr + the FULL per-asset likelihood-ratio Greek ladder
+    in one kernel pass (any kind — LR differentiates the correlated
+    Gaussian density, so rainbows' max/min kinks cost nothing):
 
-      delta_i = df·E[pay · (L⁻ᵀζ₁)_i] / (S0_i·σ_i·√dt)
+      delta_i  = df·E[pay·g₁ᵢ] / (S0_i·σ_i·√dt),  g₁ = L⁻ᵀζ₁
+      gamma_ij = (Hˣ_ij − δ_ij·S0_i·delta_i) / (S0_i·S0_j),
+                 Hˣ_ij = df·(E[pay·g₁ᵢg₁ⱼ] − C⁻¹_ij·E[pay])/(σ_iσ_j·dt)
+      vega_i   = df·E[pay·(Σ_k gₖᵢ[(Lzₖ)ᵢ/σᵢ − √dt] − n/σᵢ)]
+      theta    = r·price − df·E[pay·score_T]  (−∂V/∂T, discrete contract:
+                 monitoring dates rescale with T at fixed n_steps)
+      rho      = df·E[pay·√dt·Σ_kᵢ gₖᵢ/σᵢ] − T·price
 
-    where ζ₁ are the first-step pre-correlation iid normals. Oracle in the
-    tests: pathwise AD of the XLA engine (``models.multi_asset_greeks``).
-    Returns {price, std_error, delta (d,), paths}.
+    where ζ₁/zₖ are the per-step pre-correlation iid normals. LR variance
+    grows like 1/dt for gamma and like n_steps for vega/theta/rho —
+    at terminal kinds (n_steps=1) all entries are tight; for basket_asian
+    raise n_paths accordingly. Oracles in the tests: AD of the exact
+    geometric-basket Black formula (delta/vega/theta/rho and the full
+    Hessian), pathwise AD of the XLA engine, Margrabe gradients.
+    Capability anchor: the reference's FD engine covers every parameter
+    for every pricer (``src/greeks/unified_greeks.py:235``) — this ladder
+    does the same at kernel speed.
+    Returns {price, std_error, delta (d,), vega (d,), gamma (d,d),
+    theta, rho, paths}.
     """
     if kind not in KINDS:
         raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
@@ -298,12 +386,44 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
                    sampler=sampler, lr=True)
     n = n_blocks * PATHS_PER_BLOCK
     df = math.exp(-float(rate) * t)
+    rate_f = float(rate)
     price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
     spots_a = np.asarray(spots, np.float64).ravel()
     vols_a = np.asarray(vols, np.float64).ravel()
-    sqdt = math.sqrt(t / n_steps)
+    dt = t / n_steps
+    sqdt = math.sqrt(dt)
+    m_pay = outs[0].sum() / n
+    m_del = [outs[2 + i].sum() / n for i in range(d)]
+    m_veg = [outs[2 + d + i].sum() / n for i in range(d)]
+    ntri = d * (d + 1) // 2
+    m_gam = [outs[2 + 2 * d + k].sum() / n for k in range(ntri)]
+    m_th = outs[2 + 2 * d + ntri].sum() / n
+    m_rho = outs[3 + 2 * d + ntri].sum() / n
+
     delta = jnp.stack([
-        df * outs[2 + i].sum() / n / (spots_a[i] * vols_a[i] * sqdt)
-        for i in range(d)
-    ])
-    return {"price": price, "std_error": se, "delta": delta, "paths": n}
+        df * m_del[i] / (spots_a[i] * vols_a[i] * sqdt) for i in range(d)])
+    vega = jnp.stack([df * m_veg[i] for i in range(d)])
+    cinv = np.linalg.inv(np.asarray(corr, np.float64)
+                         + 1e-9 * np.eye(d))
+    rows = []
+    k = 0
+    tri = {}
+    for i in range(d):
+        for j in range(i, d):
+            tri[(i, j)] = m_gam[k]
+            k += 1
+    for i in range(d):
+        row = []
+        for j in range(d):
+            mg = tri[(i, j) if i <= j else (j, i)]
+            hx = df * (mg - cinv[i, j] * m_pay) / (vols_a[i] * vols_a[j] * dt)
+            g = hx / (spots_a[i] * spots_a[j])
+            if i == j:
+                g = g - delta[i] / spots_a[i]
+            row.append(g)
+        rows.append(jnp.stack(row))
+    gamma = jnp.stack(rows)
+    theta = rate_f * price - df * m_th
+    rho = df * m_rho - t * price
+    return {"price": price, "std_error": se, "delta": delta, "vega": vega,
+            "gamma": gamma, "theta": theta, "rho": rho, "paths": n}

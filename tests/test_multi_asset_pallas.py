@@ -129,6 +129,114 @@ class TestLRDeltaVector:
         np.testing.assert_allclose(d, np.asarray(ad["delta"]), atol=0.03)
 
 
+class TestFullLadder:
+    """Round-3: the kernel emits the FULL LR ladder (delta vector, vega
+    vector, gamma matrix, theta, rho) in one pass. Oracles: AD of the
+    exact geometric-basket Black formula (value, gradient, Hessian),
+    Margrabe gradients (rho must vanish at K=0), and CRN finite
+    differences of the price kernel itself (hash sampler => same paths).
+    Tolerances are ~1.5x the measured deterministic (seed-0) errors at
+    one block; LR vega/gamma noise dominates them."""
+
+    def test_geo_basket_full_ladder_matches_closed_form_ad(self):
+        from optionslab_tpu.ops.multi_asset_pallas import \
+            pallas_multi_asset_greeks
+
+        out = pallas_multi_asset_greeks("basket_geo", SPOTS, K, T, R, VOLS,
+                                        CORR, weights=W, n_paths=4,
+                                        sampler="hash")
+        f = lambda s, v, t, r: geometric_basket_closed_form(
+            s, W, K, t, r, v, CORR)
+        s0 = jnp.asarray(SPOTS, jnp.float32)
+        v0 = jnp.asarray(VOLS, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out["delta"]),
+                                   np.asarray(jax.grad(f, 0)(s0, v0, T, R)),
+                                   atol=0.02)
+        np.testing.assert_allclose(np.asarray(out["vega"]),
+                                   np.asarray(jax.grad(f, 1)(s0, v0, T, R)),
+                                   atol=1.6)
+        np.testing.assert_allclose(np.asarray(out["gamma"]),
+                                   np.asarray(jax.hessian(f, 0)(s0, v0, T, R)),
+                                   atol=1e-3)
+        # gamma must come back symmetric by construction
+        gm = np.asarray(out["gamma"])
+        np.testing.assert_allclose(gm, gm.T, atol=0.0)
+        th_exact = -float(jax.grad(f, 2)(s0, v0, jnp.float32(T), R))
+        assert abs(float(out["theta"]) - th_exact) < 0.15
+        rho_exact = float(jax.grad(f, 3)(s0, v0, T, jnp.float32(R)))
+        assert abs(float(out["rho"]) - rho_exact) < 0.4
+
+    def test_spread_ladder_matches_margrabe_gradients(self):
+        from optionslab_tpu.ops.multi_asset_pallas import \
+            pallas_multi_asset_greeks
+
+        out = pallas_multi_asset_greeks("spread", [100.0, 95.0], 0.0, T, R,
+                                        [0.2, 0.25],
+                                        [[1.0, 0.6], [0.6, 1.0]], n_paths=4,
+                                        sampler="hash")
+        g = lambda s1, s2, v1, v2: margrabe_price(s1, s2, T, v1, v2, 0.6)
+        exact_d = [float(jax.grad(g, i)(100.0, 95.0, 0.2, 0.25))
+                   for i in (0, 1)]
+        exact_v = [float(jax.grad(g, i)(100.0, 95.0, 0.2, 0.25))
+                   for i in (2, 3)]
+        np.testing.assert_allclose(np.asarray(out["delta"]), exact_d,
+                                   atol=0.02)
+        np.testing.assert_allclose(np.asarray(out["vega"]), exact_v, atol=2.0)
+        # Margrabe is rate-independent: rho must vanish (LR noise only)
+        assert abs(float(out["rho"])) < 1.0
+        th_exact = -float(jax.grad(
+            lambda t: margrabe_price(100.0, 95.0, t, 0.2, 0.25, 0.6))(
+                jnp.float32(T)))
+        assert abs(float(out["theta"]) - th_exact) < 0.2
+
+    def test_basket_theta_rho_match_crn_fd(self):
+        """CRN finite differences of the price kernel itself (same hash
+        seed => identical paths; LR vs FD agree to LR noise)."""
+        from optionslab_tpu.ops.multi_asset_pallas import \
+            pallas_multi_asset_greeks
+
+        h = 1e-2
+        out = pallas_multi_asset_greeks("basket", SPOTS, K, T, R, VOLS, CORR,
+                                        weights=W, n_paths=4, sampler="hash")
+        kw = dict(weights=W, n_paths=4, sampler="hash")
+        pu, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T + h, R,
+                                            VOLS, CORR, **kw)
+        pd, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T - h, R,
+                                            VOLS, CORR, **kw)
+        assert abs(float(out["theta"]) + (float(pu) - float(pd)) / (2 * h)) \
+            < 0.15
+        ru, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T, R + h,
+                                            VOLS, CORR, **kw)
+        rd, _, _ = pallas_multi_asset_price("basket", SPOTS, K, T, R - h,
+                                            VOLS, CORR, **kw)
+        assert abs(float(out["rho"]) - (float(ru) - float(rd)) / (2 * h)) \
+            < 0.5
+
+    def test_basket_asian_ladder_multistep(self):
+        """Path-dependent kind with n_steps>1 exercises the per-step score
+        carries; oracle = CRN-FD of the kernel in sigma (bumping all vols
+        equally => sum of per-asset vegas)."""
+        from optionslab_tpu.ops.multi_asset_pallas import \
+            pallas_multi_asset_greeks
+
+        out = pallas_multi_asset_greeks("basket_asian", SPOTS, K, T, R, VOLS,
+                                        CORR, weights=W, n_paths=4,
+                                        n_steps=4, sampler="hash")
+        h = 1e-3
+        kw = dict(weights=W, n_paths=4, n_steps=4, sampler="hash")
+        vu = [v * (1 + h) for v in VOLS]
+        vd = [v * (1 - h) for v in VOLS]
+        pu, _, _ = pallas_multi_asset_price("basket_asian", SPOTS, K, T, R,
+                                            vu, CORR, **kw)
+        pd, _, _ = pallas_multi_asset_price("basket_asian", SPOTS, K, T, R,
+                                            vd, CORR, **kw)
+        fd_sigma_sum = (float(pu) - float(pd)) / (2 * h)  # d/dlog-bump
+        lr_sigma_sum = float(sum(v * g for v, g in
+                                 zip(VOLS, np.asarray(out["vega"]))))
+        # LR vega noise grows with n_steps; 4 steps at one block
+        assert abs(lr_sigma_sum - fd_sigma_sum) < 0.12 * abs(fd_sigma_sum) + 1.0
+
+
 class TestSharded:
     def test_sharded_matches_unsharded(self):
         from optionslab_tpu.parallel import (make_mesh,
