@@ -49,14 +49,41 @@ _N_SCALARS = 6
 _ROW = DEGREE + 3
 
 
-def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
-               cp: float, payoff: str, sampler: str):
+def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
+               cp: float, payoff: str, sampler: str, greeks: bool = False):
+    """``greeks=True`` additionally reduces the likelihood-ratio moments
+    for the STICKY-STRIKE (Dupire-model) delta/gamma and the
+    parallel-surface-shift vega:
+
+    - a spot bump with the physical surface σ(S,t) FIXED is an initial
+      log-state shift; only the first transition density depends on the
+      start state, so the first-step LR scores z₁/(S0σ₀√dt) and
+      (z₁²−1)/(S0σ₀√dt)² are exact for ANY payoff kind
+      (σ₀ = σ(0, t₀) is deterministic — all paths start at x=0);
+    - vega is ∂price/∂ε for σ(x,t) → σ(x,t)+ε, via the per-step
+      state-dependent LR score Σ_k[(z_k²−1)/σ_k − z_k√dt] carried per
+      branch (exact; same scalar form as the GBM LR vega);
+    - lookback payoffs' extremum INCLUDES the start S0, so the payoff has
+      a DIRECT start-state dependence the density scores cannot see: the
+      boundary moments b₀ = Σ(∂pay/∂x₀)/S0 (±1{extremum at t=0}, cp/ITM
+      signed) and b₁ = Σ b₀-term·z₁ complete delta and gamma exactly.
+
+    Extra outputs: Σpay·z₁, Σpay·(z₁²−1), Σpay·vscore
+    (+ b₀, b₁ for lookback kinds).
+    """
+    lb_greeks = greeks and payoff.startswith("lookback")
+    if lb_greeks:
+        pay_ref, pay2_ref, mdel_ref, mgam_ref, mveg_ref, b0_ref, b1_ref = refs
+    elif greeks:
+        pay_ref, pay2_ref, mdel_ref, mgam_ref, mveg_ref = refs
+    else:
+        pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        pay_ref[:, :] = jnp.zeros_like(pay_ref)
-        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
 
     if sampler != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
@@ -72,9 +99,14 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
     zero = jnp.zeros(shape, jnp.float32)
     xs = (zero, zero, zero, zero)  # log(S/S0) per antithetic branch
     barrier_kind = payoff.startswith("barrier")
+    lookback_kind = payoff.startswith("lookback")
     up = "up" in payoff
+    # float call / fixed put track the running MINIMUM (cf. exotic kernel)
+    lb_min = (payoff == "lookback_float") == (cp > 0)
     if payoff == "asian":
         aux = (zero, zero, zero, zero)  # running spot sums
+    elif lookback_kind:
+        aux = (zero, zero, zero, zero)  # running extremum of x (x0 = 0)
     elif barrier_kind:
         # crossed-flag per branch; barrier passed in log(S/S0) space
         b_log = p_ref[_P_BARRIER]
@@ -84,6 +116,9 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
         aux = (h0, h0, h0, h0)
     else:
         aux = ()
+    # greek carries: first-step normals per stream + per-branch vega score
+    gz1 = [zero, zero] if greeks else []
+    gvs = [zero, zero, zero, zero] if greeks else []
 
     def sigma(x, i):
         # Horner over the step-i coefficients (highest degree first);
@@ -98,15 +133,25 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
         return jnp.maximum(acc, 1e-4)  # vol floor: fit can dip near edges
 
     def body(i, carry):
-        xs, aux = carry
+        xs, aux, gz1, gvs = carry
         z1, z2 = draw_normals(sampler, seed, block, i, n_steps, shape)
-        new_xs = []
-        for x, z in zip(xs, (z1, -z1, z2, -z2)):
+        if greeks:
+            first = i == 0
+            gz1 = [jnp.where(first, z1, gz1[0]),
+                   jnp.where(first, z2, gz1[1])]
+        new_xs, new_gvs = [], []
+        for b, (x, z) in enumerate(zip(xs, (z1, -z1, z2, -z2))):
             sig = sigma(x, i)
             new_xs.append(x + mu_dt - 0.5 * sig * sig * dt + sig * sqdt * z)
+            if greeks:
+                new_gvs.append(gvs[b] + (z * z - 1.0) / sig - z * sqdt)
         new_xs = tuple(new_xs)
+        gvs = new_gvs if greeks else gvs
         if payoff == "asian":
             aux = tuple(a + s0 * jnp.exp(x) for a, x in zip(aux, new_xs))
+        elif lookback_kind:
+            ext = jnp.minimum if lb_min else jnp.maximum
+            aux = tuple(ext(a, x) for a, x in zip(aux, new_xs))
         elif barrier_kind:  # discrete monitoring at every step
             b_log = p_ref[_P_BARRIER]
             if up:
@@ -115,17 +160,30 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
             else:
                 aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
                             for h, x in zip(aux, new_xs))
-        return new_xs, aux
+        return new_xs, aux, gz1, gvs
 
-    xs, aux = jax.lax.fori_loop(0, n_steps, body, (xs, aux))
+    xs, aux, gz1, gvs = jax.lax.fori_loop(0, n_steps, body,
+                                          (xs, aux, gz1, gvs))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
+    acc_d = jnp.zeros(shape, jnp.float32)
+    acc_g = jnp.zeros(shape, jnp.float32)
+    acc_v = jnp.zeros(shape, jnp.float32)
+    acc_b0 = jnp.zeros(shape, jnp.float32)
+    acc_b1 = jnp.zeros(shape, jnp.float32)
     knock_in = payoff.endswith("in")
     for b in range(4):
         if payoff == "asian":
             lvl = aux[b] * (1.0 / n_steps)
             pay = jnp.maximum(cp * (lvl - strike), 0.0)
+        elif payoff == "lookback_float":
+            ext_s = s0 * jnp.exp(aux[b])
+            s_t = s0 * jnp.exp(xs[b])
+            pay = (s_t - ext_s) if cp > 0 else (ext_s - s_t)
+        elif payoff == "lookback_fixed":
+            ext_s = s0 * jnp.exp(aux[b])
+            pay = jnp.maximum(cp * (ext_s - strike), 0.0)
         elif barrier_kind:
             vanilla = jnp.maximum(cp * (s0 * jnp.exp(xs[b]) - strike), 0.0)
             pay = vanilla * (aux[b] if knock_in else (1.0 - aux[b]))
@@ -134,30 +192,51 @@ def _lv_kernel(seed_ref, p_ref, pay_ref, pay2_ref, *, n_steps: int,
             pay = jnp.maximum(cp * (lvl - strike), 0.0)
         acc += pay
         acc2 += pay * pay
+        if greeks:
+            sgn = (1.0, -1.0, 1.0, -1.0)[b]
+            z1b = gz1[b // 2]  # branch's first-step normal is sgn·stream
+            acc_d += pay * (sgn * z1b)
+            acc_g += pay * (z1b * z1b - 1.0)
+            acc_v += pay * gvs[b]
+            if lb_greeks:
+                at0 = jnp.where(aux[b] == 0.0, 1.0, 0.0)
+                if payoff == "lookback_fixed":
+                    itm = jnp.where(cp * (s0 - strike) > 0.0, 1.0, 0.0)
+                    f0 = cp * at0 * itm
+                else:  # float: call pays S_T − min (−), put max − S_T (+)
+                    f0 = (-at0) if cp > 0 else at0
+                acc_b0 += f0
+                acc_b1 += f0 * (sgn * z1b)
+    accs = [acc, acc2]
+    if greeks:
+        accs += [acc_d, acc_g, acc_v]
+    if lb_greeks:
+        accs += [acc_b0, acc_b1]
     for off in range(0, LANES, 128):
-        pay_ref[:, :] += acc[:, off:off + 128]
-        pay2_ref[:, :] += acc2[:, off:off + 128]
+        for ref, a in zip(refs, accs):
+            ref[:, :] += a[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
-                                             "payoff", "sampler"))
+                                             "payoff", "sampler", "greeks"))
 def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
-            payoff: str, sampler: str = "prng"):
+            payoff: str, sampler: str = "prng", greeks: bool = False):
+    n_out = ((7 if payoff.startswith("lookback") else 5) if greeks else 2)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
                  else pltpu.InterpretParams())
     return pl.pallas_call(
         functools.partial(_lv_kernel, n_steps=n_steps, cp=cp, payoff=payoff,
-                          sampler=sampler),
+                          sampler=sampler, greeks=greeks),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[acc_spec, acc_spec],
-        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * 2,
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=n_blocks * n_steps * ROWS * LANES * 4 * 20,
-            bytes_accessed=2 * ROWS * 128 * 4,
+            flops=n_blocks * n_steps * ROWS * LANES * 4 * (28 if greeks else 20),
+            bytes_accessed=n_out * ROWS * 128 * 4,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 4,
         ),
         interpret=interpret,
@@ -230,16 +309,10 @@ class LocalVolKernelPricer:
              math.sqrt(dt), 0.0], np.float64)
 
     PAYOFFS = ("european", "asian", "barrier_up-and-out", "barrier_up-and-in",
-               "barrier_down-and-out", "barrier_down-and-in")
+               "barrier_down-and-out", "barrier_down-and-in",
+               "lookback_float", "lookback_fixed")
 
-    def price(self, strike, cp: float = 1.0, payoff: str = "european",
-              barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
-              sampler: str = "prng"):
-        """(price, stderr, actual_paths) for one contract on the
-        precomputed surface table. Barrier kinds monitor discretely at
-        every step and price CONSISTENTLY with the vanilla smile — the
-        point of a local-vol model (the reference's local vol prices
-        vanillas only)."""
+    def _params(self, strike, payoff, barrier):
         if payoff not in self.PAYOFFS:
             raise ValidationError(
                 f"payoff must be one of {self.PAYOFFS}, got {payoff!r}")
@@ -249,7 +322,17 @@ class LocalVolKernelPricer:
             if barrier <= 0.0:
                 raise ValidationError("barrier level must be positive")
             head[_P_BARRIER] = math.log(barrier / self.spot)
-        p = np.concatenate([head, self.rows.ravel()])
+        return np.concatenate([head, self.rows.ravel()])
+
+    def price(self, strike, cp: float = 1.0, payoff: str = "european",
+              barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
+              sampler: str = "prng"):
+        """(price, stderr, actual_paths) for one contract on the
+        precomputed surface table. Barrier kinds monitor discretely at
+        every step and price CONSISTENTLY with the vanilla smile — the
+        point of a local-vol model (the reference's local vol prices
+        vanillas only); lookback kinds track the discrete extremum."""
+        p = self._params(strike, payoff, barrier)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32),
@@ -259,6 +342,61 @@ class LocalVolKernelPricer:
 
         return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
                             math.exp(-self.rate * self.t_total))
+
+    def greeks(self, strike, cp: float = 1.0, payoff: str = "european",
+               barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
+               sampler: str = "prng") -> dict:
+        """Price + stderr + likelihood-ratio delta/gamma/vega in the same
+        kernel pass, for ANY payoff kind (LR differentiates the transition
+        densities, so barrier/lookback discontinuities cost nothing).
+
+        CONVENTION: delta/gamma are the STICKY-STRIKE (Dupire-model)
+        hedge ratios — the local-vol surface σ(S, t) stays fixed in
+        PHYSICAL spot when S0 bumps (the model's own dynamics). The
+        first-step LR score is exact for this: a spot bump is an initial
+        log-state shift, and only the first transition density depends on
+        the start state (the later transitions are functions of the
+        CURRENT state, which the σ(x)-table indexes physically).
+        ``vega`` is the parallel surface shift ∂price/∂ε for σ(·,·)+ε.
+        Oracles in the tests: CRN finite differences with the table
+        RE-FITTED from the same physical surface at the bumped spot
+        (= sticky-strike) and with every step's c₀ bumped (= parallel
+        shift).
+        """
+        p = self._params(strike, payoff, barrier)
+        n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+        outs = _launch(jnp.asarray([seed, 0], jnp.int32),
+                       jnp.asarray(p, jnp.float32),
+                       n_steps=self.n_steps, n_blocks=n_blocks,
+                       cp=float(cp), payoff=payoff, sampler=sampler,
+                       greeks=True)
+        from .exotic_pallas import _mean_stderr
+
+        n = n_blocks * PATHS_PER_BLOCK
+        df = math.exp(-self.rate * self.t_total)
+        price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
+        # sigma at the common start state x=0, step 0 (deterministic)
+        c0 = self.rows[0]
+        sig0 = max(float(np.polyval(c0[2:], np.clip(0.0, c0[0], c0[1]))),
+                   1e-4)
+        sqdt = math.sqrt(self.t_total / self.n_steps)
+        m_d = float(outs[2].sum()) / n
+        m_g = float(outs[3].sum()) / n
+        m_v = float(outs[4].sum()) / n
+        delta = df * m_d / (self.spot * sig0 * sqdt)
+        gamma = (df * m_g / (self.spot * sig0 * sqdt) ** 2
+                 - delta / self.spot)
+        if payoff.startswith("lookback"):
+            # boundary terms: the extremum includes S0, so the payoff has
+            # a direct start-state dependence (∂f/∂x₀ = S0·b₀ when the
+            # extremum is attained at t=0); completes the density scores
+            m_b0 = float(outs[5].sum()) / n
+            m_b1 = float(outs[6].sum()) / n
+            delta = delta + df * m_b0
+            gamma = gamma + 2.0 * df * m_b1 / (self.spot * sig0 * sqdt)
+        return {"price": price, "std_error": se, "delta": delta,
+                "gamma": gamma, "vega": df * m_v, "paths": n,
+                "fit_residual": self.fit_residual}
 
 
 def pallas_local_vol_price(dupire, strike, maturity, cp: float = 1.0,
