@@ -102,8 +102,8 @@ def _mix32(h):
 
 
 def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
-                pay_ref, pay2_ref, m1_ref, mz_ref, *, lanes: int,
-                sampler: str = "prng", reps: int = 1):
+                *refs, lanes: int, sampler: str = "prng", reps: int = 1,
+                greeks: bool = True):
     """One grid step = one path block of 4*lanes paths per row.
 
     ``seed_ref`` is ``[seed, block0]``: ``block0`` offsets the grid index
@@ -111,17 +111,23 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
     block0+n)`` of a sharded launch reproduces exactly the blocks a
     single-device launch would have computed — the path set is a function
     of (seed, global block) only, independent of topology.
+
+    ``greeks=False`` compiles the Greek moment accumulators (m1, mz) out
+    entirely — the literal price-only kernel used by the benchmark to
+    prove the ladder is free (same hot loop, two fewer tile reductions).
     """
+    if greeks:
+        pay_ref, pay2_ref, m1_ref, mz_ref = refs
+    else:
+        pay_ref, pay2_ref = refs
     # RNG streams index by GLOBAL block id; accumulator init fires on the
     # first LOCAL grid step of this launch (each device zeroes its own tiles)
     block = pl.program_id(0) + seed_ref[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        pay_ref[:, :] = jnp.zeros_like(pay_ref)
-        pay2_ref[:, :] = jnp.zeros_like(pay2_ref)
-        m1_ref[:, :] = jnp.zeros_like(m1_ref)
-        mz_ref[:, :] = jnp.zeros_like(mz_ref)
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
 
     rows = s0_ref.shape[0]
     if sampler == "sobol":
@@ -187,37 +193,41 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
     for z, st in branches:
         x = cp * (st - k)
         pay = jnp.maximum(x, 0.0)
-        ind_st = jnp.where(x > 0, st, 0.0)
         acc_pay += pay
         acc_pay2 += pay * pay
-        acc_m1 += ind_st
-        acc_mz += ind_st * z
+        if greeks:
+            ind_st = jnp.where(x > 0, st, 0.0)
+            acc_m1 += ind_st
+            acc_mz += ind_st * z
 
     # lane-chunk reduction into the (rows, 128) accumulators
     for off in range(0, lanes, 128):
         pay_ref[:, :] += acc_pay[:, off:off + 128]
         pay2_ref[:, :] += acc_pay2[:, off:off + 128]
-        m1_ref[:, :] += acc_m1[:, off:off + 128]
-        mz_ref[:, :] += acc_mz[:, off:off + 128]
+        if greeks:
+            m1_ref[:, :] += acc_m1[:, off:off + 128]
+            mz_ref[:, :] += acc_mz[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "rows", "lanes", "interpret",
-                                              "sampler", "reps"))
+                                              "sampler", "reps", "greeks"))
 def _launch(seed, s0, k, cp, a, s, rep_id, cid, *, n_blocks: int, rows: int,
             lanes: int, interpret: bool = False, sampler: str = "prng",
-            reps: int = 1):
-    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 4
+            reps: int = 1, greeks: bool = True):
+    n_out = 4 if greeks else 2
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * n_out
     acc_spec = pl.BlockSpec((rows, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     param_spec = pl.BlockSpec((rows, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler, reps=reps),
+        functools.partial(_gbm_kernel, lanes=lanes, sampler=sampler, reps=reps,
+                          greeks=greeks),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, block0] (2,) int32
             param_spec, param_spec, param_spec, param_spec, param_spec,
             param_spec, param_spec,  # replica index / contract id (int32)
         ],
-        out_specs=[acc_spec] * 4,
+        out_specs=[acc_spec] * n_out,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * rows * lanes * 4 * 12,
@@ -327,6 +337,52 @@ def _full_pipeline(batch: ContractBatch, seed, n_paths: int,
     outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, lanes=lanes,
                    interpret=interpret, sampler=sampler, reps=reps)
     return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block, batch.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "sampler"))
+def _price_only_pipeline(batch: ContractBatch, seed, n_paths: int,
+                         sampler: str = "prng"):
+    """Same hot loop as ``_full_pipeline`` with the Greek moment
+    accumulators compiled OUT (``greeks=False``) — the benchmark's
+    price-only sibling that makes the vs-CPU-baseline multiple an
+    apples-to-apples (price vs price) comparison."""
+    b, flat, params, c, reps, rows, _pad = _prepare(batch)
+    lanes = _lanes_for(rows)
+    paths_per_row_block = 4 * lanes
+    n_blocks = max(1, math.ceil(n_paths / (paths_per_row_block * reps)))
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.zeros((), jnp.int32)])
+    interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
+    pay, pay2 = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows,
+                        lanes=lanes, interpret=interpret, sampler=sampler,
+                        reps=reps, greeks=False)
+
+    def merge(v):
+        return v[: c * reps].reshape(reps, c).sum(axis=0)
+
+    n = jnp.asarray(n_blocks * paths_per_row_block * reps, jnp.float32)
+    pay_c, pay2_c = merge(pay.sum(axis=1)), merge(pay2.sum(axis=1))
+    df = jnp.exp(-flat.rate * flat.maturity)
+    mean = pay_c / n
+    var = jnp.maximum(pay2_c / n - mean * mean, 0.0)
+    price = df * mean
+    stderr = df * jnp.sqrt(var / n)
+    expired = flat.maturity <= EPS_TIME
+    intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
+    price = jnp.where(expired, intrinsic, price)
+    stderr = jnp.where(expired, 0.0, stderr)
+    return (price.reshape(b.shape).astype(batch.dtype),
+            stderr.reshape(b.shape).astype(batch.dtype))
+
+
+def pallas_mc_price_only(batch: ContractBatch, n_paths: int = 1_000_000,
+                         seed: int = 0, sampler: str = "prng"):
+    """(price, stderr) with the Greek accumulators compiled out — the
+    literal price-only rate for roofline/baseline comparisons. Same path
+    set as :func:`pallas_mc_price_greeks` (identical RNG streams), so
+    prices agree to f32 reduction order."""
+    return _price_only_pipeline(batch, jnp.asarray(seed, jnp.int32), n_paths,
+                                sampler)
 
 
 def pallas_mc_price_greeks(batch: ContractBatch, n_paths: int = 1_000_000, seed: int = 0,
