@@ -159,6 +159,7 @@ class TestDualInternals:
         assert float(out["lower"]) - 3 * float(out["lower_se"]) <= euro
         assert euro <= float(out["upper"]) + 3 * float(out["upper_se"]) + 1e-4
 
+    @pytest.mark.slow
     def test_grid_greeks_match_binomial_oracle(self):
         """American Greeks from the grid surface (the reference admits 'No
         American option Greeks') vs the CRR@2001 node-capture lattice."""

@@ -68,6 +68,7 @@ class TestEngines:
         rhs = 100.0 - 100.0 * np.exp(-0.05)
         assert abs(lhs - rhs) < 1e-10
 
+    @pytest.mark.slow
     def test_mc_matches_semianalytic(self, batch):
         p = BatesParams.make(dtype=F)
         mc = np.asarray(bates_mc_price(batch, p, jax.random.PRNGKey(0),

@@ -159,6 +159,7 @@ class TestModelCalibration:
         assert 0 < r["params"]["v0"] < 0.5
         assert -1 < r["params"]["rho"] < 1
 
+    @pytest.mark.slow
     def test_bates_fits(self, chain):
         from optionslab_tpu.surface.chain_calibration import (
             calibrate_model_to_chain)

@@ -10,6 +10,7 @@ import pytest
     "examples/quickstart.py",
     "examples/risk_workflow.py",
 ])
+@pytest.mark.slow
 def test_example_runs(script, capsys):
     runpy.run_path(script, run_name="__main__")
     out = capsys.readouterr().out

@@ -52,6 +52,7 @@ class TestForwardStart:
                                         n_paths=200_000, n_steps=300)
         assert abs(sa - float(mc)) < 3.5 * float(se) + 0.01
 
+    @pytest.mark.slow
     def test_bates_jumps_match_mc(self):
         pb = BatesParams.make(v0=0.04, kappa=2.0, theta=0.05, sigma=0.3,
                               rho=-0.7, lam=0.5, mu_j=-0.1, sigma_j=0.15,

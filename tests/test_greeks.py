@@ -28,6 +28,7 @@ class TestADEngine:
         for k in ("price", "delta", "gamma", "vega", "theta", "rho", "vanna", "vomma", "charm"):
             np.testing.assert_allclose(float(g[k]), float(ex[k]), rtol=1e-6, err_msg=k)
 
+    @pytest.mark.slow
     def test_batched_second_order_diagonal(self):
         S = jnp.asarray([90.0, 100.0, 110.0], F)
         g = greeks_from_fn(bs_price_fn(1.0), S, *ARGS[1:], second_order=True)
@@ -65,6 +66,7 @@ class TestModelAdapters:
         assert abs(float(g["delta"]) - float(ex["delta"])) < 5e-3
         assert abs(float(g["vega"]) - float(ex["vega"])) < 0.5
 
+    @pytest.mark.slow
     def test_merton_greeks(self):
         fn = merton_price_fn(0.5, -0.1, 0.15, 1.0)
         g = greeks_from_fn(fn, *ARGS, second_order=True)

@@ -30,6 +30,7 @@ def surrogate():
 
 
 class TestWideBoxAndUncertainty:
+    @pytest.mark.slow
     def test_wide_box_fit_and_conformal_coverage(self):
         """Production box (T to 5y, vol to 100%): the fit still scores, and
         the split-conformal bands cover fresh samples at >= the requested
@@ -54,6 +55,7 @@ class TestWideBoxAndUncertainty:
         assert np.all(out["price"] <= out["price_hi"] + 1e-6)
         assert float(out["delta_err"][0]) > 0
 
+    @pytest.mark.slow
     def test_uncertainty_roundtrips_with_save_load(self, tmp_path, surrogate):
         surrogate.save(tmp_path / "m")
         s2 = MonteCarloMLSurrogate().load(tmp_path / "m")
@@ -101,6 +103,7 @@ class TestHonestClaim:
         # ...and the exact closed form is not meaningfully slower
         assert t_bs < 20 * t_ml + 0.05
 
+    @pytest.mark.slow
     def test_surrogate_wins_when_truth_is_expensive(self, surrogate):
         """When the true pricer is genuinely expensive (Heston Monte Carlo
         here), the surrogate's single fused forward wins per warm call —

@@ -42,6 +42,7 @@ class TestTrialSeeds:
         assert compute_data_hash(a) == compute_data_hash(a.copy())
         assert compute_data_hash(a) != compute_data_hash(a + 1)
 
+    @pytest.mark.slow
     def test_set_global_seed_reproducible(self):
         set_global_seed(7)
         a = np.random.rand(3)
@@ -206,6 +207,7 @@ class TestExport:
         with pytest.raises(ValidationError):
             engine.predict(np.ones((2, 3), np.float64))
 
+    @pytest.mark.slow
     def test_surface_model_export(self, tmp_path):
         from optionslab_tpu.data.synthetic import generate_synthetic_chain
         from optionslab_tpu.surface import MLPModel, engineer_features

@@ -20,12 +20,14 @@ def _batch(n=None):
 
 
 class TestShardedMC:
+    @pytest.mark.slow
     def test_8way_path_sharding_accuracy(self, eight_devices):
         mesh = make_mesh(8)
         cfg = MCConfig(n_paths=160_000, dtype=jnp.float64)
         res = sharded_mc_price(_batch(), KEY, cfg, mesh)
         assert abs(float(res.price) - 10.450583572185565) < 3 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_topology_invariance_bit_identical(self, eight_devices):
         """Fixed global RNG blocks + canonical-order reduction: the same
         (seed, n_paths) gives BIT-IDENTICAL prices on 1/4/8-device meshes
@@ -65,6 +67,7 @@ class TestShardedMC:
         p = fn(_batch(), KEY)
         assert abs(float(p) - 10.45) < 1.0
 
+    @pytest.mark.slow
     def test_book_result_and_greeks_parity_with_unsharded(self, eight_devices):
         """sharded_book_greeks vs the unsharded AD ladder (mc_greeks):
         different streams, so statistical parity at matched path counts."""

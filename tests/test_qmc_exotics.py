@@ -60,6 +60,7 @@ class TestQMCExotics:
                              200_000, 64, "arithmetic", True)
         assert abs(pq - float(ps)) < 3 * float(se) + 0.01
 
+    @pytest.mark.slow
     def test_lookback_and_barrier_sane(self):
         key = jax.random.PRNGKey(1)
         lb = float(qmc_lookback_price(100.0, 100.0, 1.0, 0.05, 0.2, key, 1.0,

@@ -33,6 +33,7 @@ class TestVolterraLaw:
         tg = np.linspace(1.0 / n, 1.0, n)
         assert np.abs(w.var(axis=0) / tg - 1.0).max() < 0.05
 
+    @pytest.mark.slow
     def test_forward_variance_is_martingale(self):
         # E[v_t] = xi0 for every t by lognormal construction
         p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
@@ -70,6 +71,7 @@ class TestPricing:
         rhs = 100.0 - 100.0 * np.exp(-0.05)
         assert abs(lhs - rhs) < 0.05
 
+    @pytest.mark.slow
     def test_rough_skew_power_law(self):
         # psi(tau) ~ tau^{H - 1/2}: ratio of ATM skews at tau = 0.25 vs 1.0
         # should be ~ 4^{1/2 - H}
@@ -85,6 +87,7 @@ class TestPricing:
         predicted = 4.0 ** (0.5 - p.hurst)
         assert abs(ratio / predicted - 1.0) < 0.15
 
+    @pytest.mark.slow
     def test_smile_is_negatively_skewed(self):
         p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
         iv = rbergomi_smile_iv(np.array([-0.1, 0.0, 0.1]), 0.5, p,

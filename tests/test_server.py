@@ -80,6 +80,7 @@ class TestServer:
         assert 0.01 < body["variance_strike"] < 0.2
         assert body["vol_strike"] < body["variance_strike"] ** 0.5  # Jensen
 
+    @pytest.mark.slow
     def test_calibrate_endpoint(self, server):
         import numpy as np
 

@@ -50,6 +50,7 @@ def tiny_tiles(monkeypatch):
 
 class TestShardedPallas:
     @pytest.mark.parametrize("sampler", ["hash", "sobol"])
+    @pytest.mark.slow
     def test_matches_unsharded(self, tiny_tiles, sampler):
         """Same (seed, global-block) path set => sharded == unsharded up to
         f32 summation association."""
@@ -69,6 +70,7 @@ class TestShardedPallas:
         np.testing.assert_allclose(float(out_s["vega"]), float(out_u["vega"]),
                                    rtol=2e-3)
 
+    @pytest.mark.slow
     def test_topology_invariant(self, tiny_tiles):
         """1-, 2-, 4- and 8-device meshes integrate the SAME path set.
 

@@ -176,6 +176,7 @@ class TestPINN:
         with pytest.raises(ValidationError):
             PINNVolatilityModel(preset="ultra")
 
+    @pytest.mark.slow
     def test_wide_box_stays_arbitrage_free(self):
         # production box: k in ±0.7, T in [0.02, 5y] — the penalty
         # collocation and audit adapt to the observed domain
