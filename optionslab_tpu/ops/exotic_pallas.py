@@ -94,10 +94,16 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     # delta/gamma/vega/rho from the same pass):
     #   D1 = Σ pay·z₁            (first-step score → delta)
     #   DG = Σ pay·(z₁²−1)       (→ gamma)
-    #   DZ = Σ pay·Σᵢzᵢ          (→ rho, vega drift term)
-    #   D2 = Σ pay·Σᵢ(zᵢ²−1)     (→ vega)
+    #   DZ = Σ pay·Σᵢzᵢ          (→ rho, vega drift term, theta drift term)
+    #   D2 = Σ pay·Σᵢ(zᵢ²−1)     (→ vega, theta)
+    #   DR = Σ ∂pv/∂r|explicit   (autocall only: the in-kernel coupon
+    #        discount derivative −Σ tᵢ·dfᵢ·cashᵢ → rho and theta)
     if lr:
-        pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref = refs
+        if kind == "autocall":
+            (pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref,
+             dr_ref) = refs
+        else:
+            pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref = refs
     else:
         pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
@@ -141,9 +147,13 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             # (period-start spot, capped-return accumulator)
             return (s_like, jnp.zeros(shape, jnp.float32))
         if kind == "autocall":
-            # (alive, knocked-in, pv of coupons/redemptions, all float 0/1)
-            return (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-                    jnp.zeros(shape, jnp.float32))
+            # (alive, knocked-in, pv of coupons/redemptions, all float 0/1;
+            # +∂pv/∂r explicit when the LR ladder is on)
+            base_stat = (jnp.ones(shape, jnp.float32),
+                         jnp.zeros(shape, jnp.float32),
+                         jnp.zeros(shape, jnp.float32))
+            return base_stat + ((jnp.zeros(shape, jnp.float32),)
+                                if lr else ())
         hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
         return (hit0.astype(jnp.float32),)
 
@@ -169,14 +179,20 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             s_start = s_start + is_end * (s_or_log - s_start)
             return (s_start, acc)
         if kind == "autocall":
-            alive, ki, pv = stat
+            alive, ki, pv = stat[:3]
             ki = jnp.maximum(ki, jnp.where(s_or_log <= param_ref[_P_C], 1.0, 0.0))
             is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
             df_i = jnp.exp(-rdt * (i + 1).astype(jnp.float32))
             called = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_A], 1.0, 0.0)
             couponed = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_B], 1.0, 0.0)
-            pv = pv + df_i * (param_ref[_P_D] * couponed + param_ref[_P_E] * called)
+            cash = param_ref[_P_D] * couponed + param_ref[_P_E] * called
+            pv = pv + df_i * cash
             alive = alive * (1.0 - called)
+            if lr:
+                # ∂(dfᵢ·cash)/∂r = −tᵢ·dfᵢ·cash, tᵢ = (i+1)·dt
+                dt = param_ref[_P_SQDT] * param_ref[_P_SQDT]
+                t_i = dt * (i + 1).astype(jnp.float32)
+                return (alive, ki, pv, stat[3] - t_i * df_i * cash)
             return (alive, ki, pv)
         hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -197,7 +213,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             # notional · clip(Σ capped period returns, global floor, cap)
             return param_ref[_P_E] * jnp.clip(stat[1], param_ref[_P_C], param_ref[_P_D])
         if kind == "autocall":
-            alive, ki, pv = stat
+            alive, ki, pv = stat[:3]
             df_t = jnp.exp(-rdt * float(n_steps))
             loss = jnp.maximum(1.0 - s_t / s0, 0.0)
             final = param_ref[_P_E] * (1.0 - ki * loss)
@@ -314,6 +330,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
     acc_lr = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
+    acc_dr = jnp.zeros(shape, jnp.float32)
     zf1, zf2, sz1, sz2, szz1, szz2 = scores if lr else (zero,) * 6
     branch_scores = ((zf1, sz1, szz1), (-zf1, -sz1, szz1),
                      (zf2, sz2, szz2), (-zf2, -sz2, szz2))
@@ -326,12 +343,23 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             acc_lr[1] += p * (zf * zf - 1.0)
             acc_lr[2] += p * sz
             acc_lr[3] += p * szz
+            if kind == "autocall":
+                # explicit ∂pv/∂r: coupon part carried in the stat, plus
+                # the −T·df_T·(final redemption) term for surviving paths
+                alive, ki = st[0], st[1]
+                dt = param_ref[_P_SQDT] * param_ref[_P_SQDT]
+                df_t = jnp.exp(-rdt * float(n_steps))
+                loss = jnp.maximum(1.0 - x / s0, 0.0)
+                final = param_ref[_P_E] * (1.0 - ki * loss)
+                acc_dr += st[3] - (dt * float(n_steps)) * df_t * alive * final
     for off in range(0, LANES, 128):
         pay_ref[:, :] += acc[:, off:off + 128]
         pay2_ref[:, :] += acc2[:, off:off + 128]
         if lr:
             for ref, a in zip((d1_ref, dg_ref, dz_ref, d2_ref), acc_lr):
                 ref[:, :] += a[:, off:off + 128]
+            if kind == "autocall":
+                dr_ref[:, :] += acc_dr[:, off:off + 128]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
@@ -341,7 +369,7 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
     if sampler.startswith("sobol") and n_steps < 2:
         raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
                               "midpoint coordinates)")
-    n_out = 6 if lr else 2
+    n_out = (7 if kind == "autocall" else 6) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
@@ -499,10 +527,15 @@ def _lr_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp,
       delta = df·E[pay·z₁]/(S0·σ√dt)         gamma via the 2nd-order score
       vega  = df·E[pay·(Σ(zᵢ²−1)/σ − √dt·Σzᵢ)]
       rho   = df·(√dt/σ)·E[pay·Σzᵢ] − T·price
+      theta = r·price − df·E[pay·score_T],
+              score_T = Σ(zᵢ²−1)/(2T) + μ√dt/(σT)·Σzᵢ  (μ = r−q−σ²/2;
+              the dt = T/n fixed-count rescaling — same identity as the
+              pathwise kernel's theta)
 
     ``discounted=True`` means the kernel already discounted the payoff
-    (autocall): df=1 host-side and rho is NOT returned (the explicit
-    ∂df_i/∂r term is not in the scores).
+    (autocall): df=1 host-side, and the explicit coupon-discount
+    derivative moment DR = Σ(−tᵢ·dfᵢ·cashᵢ) carried in-kernel completes
+    rho (= score part + E[DR]) and theta (= −E[pay·score_T] − (r/T)·E[DR]).
     """
     if sampler.startswith("sobol"):
         raise ValidationError(
@@ -512,12 +545,13 @@ def _lr_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp,
                    n_blocks=n_blocks, cp=cp, period=period, sampler=sampler,
                    lr=True)
     n = n_blocks * PATHS_PER_BLOCK
-    spot, sig, t, df = scalars
+    spot, sig, t, df, mu, rate = scalars
     dt = t / n_steps
     sqdt = jnp.sqrt(dt)
-    pay_m, pay2_m, d1_m, dg_m, dz_m, d2_m = [o.sum() / n for o in outs]
+    pay_m, pay2_m, d1_m, dg_m, dz_m, d2_m = [o.sum() / n for o in outs[:6]]
     price = df * pay_m
     var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
+    score_t_m = d2_m / (2.0 * t) + mu * sqdt / (sig * t) * dz_m
     out = {
         "price": price,
         "std_error": df * jnp.sqrt(var / n),
@@ -526,8 +560,13 @@ def _lr_pipeline(seed, params, scalars, *, kind, n_steps, n_blocks, cp,
                  / (spot * spot),
         "vega": df * (d2_m / sig - sqdt * dz_m),
     }
-    if not discounted:
+    if discounted:
+        dr_m = outs[6].sum() / n
+        out["rho"] = sqdt / sig * dz_m + dr_m
+        out["theta"] = -score_t_m - rate / t * dr_m
+    else:
         out["rho"] = df * sqdt / sig * dz_m - t * price
+        out["theta"] = rate * price - df * score_t_m
     return out
 
 
@@ -554,8 +593,10 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier,
                         n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
     scalars = jnp.asarray([float(spot), float(vol), t,
-                           math.exp(-float(rate) * t)], jnp.float32)
+                           math.exp(-float(rate) * t), mu, float(rate)],
+                          jnp.float32)
     out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32), scalars, kind=kind,
                             n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
@@ -580,8 +621,10 @@ def pallas_cliquet_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_C], p[_P_D] = float(global_floor), float(global_cap)
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
     scalars = jnp.asarray([float(spot), float(vol), t,
-                           math.exp(-float(rate) * t)], jnp.float32)
+                           math.exp(-float(rate) * t), mu, float(rate)],
+                          jnp.float32)
     out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32), scalars,
                             kind="cliquet", n_steps=n_steps,
@@ -600,11 +643,11 @@ def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
                               coupon_rate: float = 0.08, n_obs: int = 4,
                               n_paths: int = 1_000_000, n_steps: int = 252,
                               seed: int = 0, sampler: str = "prng") -> dict:
-    """Autocall price + LR delta/gamma/vega in one pass. Barriers are fixed
-    at inception (S0-relative constants), so delta/gamma are the hedge
-    sensitivities with fixings frozen. No rho: coupons are discounted
-    IN-KERNEL, and the explicit discount-factor derivative is not in the
-    scores."""
+    """Autocall price + LR delta/gamma/vega/rho/theta in one pass. Barriers
+    are fixed at inception (S0-relative constants), so delta/gamma are the
+    hedge sensitivities with fixings frozen. Coupons are discounted
+    IN-KERNEL; the explicit discount-factor derivative rides a dedicated
+    moment (DR = −Σtᵢ·dfᵢ·cashᵢ) that completes both rho and theta."""
     if n_obs <= 0 or n_steps % n_obs:
         raise ValidationError("n_steps must be a positive multiple of n_obs")
     p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0, n_steps)
@@ -614,7 +657,9 @@ def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_D] = float(notional) * float(coupon_rate) / n_obs
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    scalars = jnp.asarray([float(spot), float(vol), t, 1.0], jnp.float32)
+    mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    scalars = jnp.asarray([float(spot), float(vol), t, 1.0, mu,
+                           float(rate)], jnp.float32)
     out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32), scalars,
                             kind="autocall", n_steps=n_steps,
@@ -678,6 +723,14 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
     res = {k2: float(v) for k2, v in out.items() if k2 != "paths"}
     res.update(kind=kind, greek_method=method, paths=int(out["paths"]),
                n_steps=kw["n_steps"])
+    if kind in ("cliquet", "autocallable", "autocall"):
+        # surface the frozen-fixings semantics to CLI/server consumers:
+        # these payoffs are scale-invariant (spot-relative references), so
+        # a re-striking spot bump has ~zero FD delta while the LR delta is
+        # the hedge delta with the initial fixing/barriers frozen
+        res["delta_convention"] = ("frozen-fixings hedge delta: initial "
+                                   "fixing and barriers fixed at inception; "
+                                   "a re-striking spot bump would show ~0")
     return res
 
 

@@ -245,6 +245,7 @@ class TestLRGreeks:
         assert abs(float(out["gamma"]) - float(exbs["gamma"])) < 0.01
         assert abs(float(out["vega"]) - float(exbs["vega"])) < 2.0
         assert abs(float(out["rho"]) - float(exbs["rho"])) < 2.0
+        assert abs(float(out["theta"]) - float(exbs["theta"])) < 1.0
 
     def test_asian_lr_agrees_with_pathwise_kernel(self):
         """Two independent Greek methods on the SAME kernel paths."""
@@ -278,6 +279,16 @@ class TestLRGreeks:
         assert abs(float(out["delta"]) - fd) < 0.05, (float(out["delta"]), fd)
         # knocked-out calls near the barrier have NEGATIVE vega
         assert float(out["vega"]) < 0.0
+        # LR theta vs same-seed FD in maturity (fixed n_steps = the
+        # discrete contract; the score_T identity realizes exactly that)
+        ht = 0.02
+        tu, _, _ = pallas_exotic_price("barrier_up-and-out", S, K, T + ht, R,
+                                       SIG, barrier=barrier, **kw)
+        td, _, _ = pallas_exotic_price("barrier_up-and-out", S, K, T - ht, R,
+                                       SIG, barrier=barrier, **kw)
+        fd_theta = -(float(tu) - float(td)) / (2 * ht)
+        assert abs(float(out["theta"]) - fd_theta) < \
+            0.1 * abs(fd_theta) + 0.3, (float(out["theta"]), fd_theta)
 
     def test_cliquet_lr_greeks(self):
         """The cliquet payoff references only RETURNS, so re-striking FD in
@@ -306,6 +317,13 @@ class TestLRGreeks:
         rd, _, _ = pallas_cliquet_price(S, T, R - h, SIG, **kw)
         fd_rho = (float(ru) - float(rd)) / (2 * h)
         assert abs(float(out["rho"]) - fd_rho) < 0.08 * abs(fd_rho) + 0.5
+        # theta vs same-seed FD in maturity (fixed period count)
+        ht = 0.02
+        tu, _, _ = pallas_cliquet_price(S, T + ht, R, SIG, **kw)
+        td, _, _ = pallas_cliquet_price(S, T - ht, R, SIG, **kw)
+        fd_theta = -(float(tu) - float(td)) / (2 * ht)
+        assert abs(float(out["theta"]) - fd_theta) < \
+            0.1 * abs(fd_theta) + 0.5, (float(out["theta"]), fd_theta)
 
     def test_autocall_lr_greeks(self):
         """Autocall barriers/loss are spot-relative (frozen at inception):
@@ -316,12 +334,25 @@ class TestLRGreeks:
 
         kw = dict(n_obs=4, n_steps=8, n_paths=4, sampler="hash", seed=0)
         out = pallas_autocall_lr_greeks(S, T, R, SIG, **kw)
-        assert "rho" not in out  # in-kernel discounting: rho not identified
         h = 0.01
         vu, _, _ = pallas_autocall_price(S, T, R, SIG + h, **kw)
         vd, _, _ = pallas_autocall_price(S, T, R, SIG - h, **kw)
         fd_vega = (float(vu) - float(vd)) / (2 * h)
         assert abs(float(out["vega"]) - fd_vega) < 0.08 * abs(fd_vega) + 1.0
+        # round-3: rho IS returned now — the in-kernel DR moment carries
+        # the explicit coupon-discount derivative; oracle = same-seed FD
+        ru, _, _ = pallas_autocall_price(S, T, R + h, SIG, **kw)
+        rd, _, _ = pallas_autocall_price(S, T, R - h, SIG, **kw)
+        fd_rho = (float(ru) - float(rd)) / (2 * h)
+        assert abs(float(out["rho"]) - fd_rho) < 0.08 * abs(fd_rho) + 1.0, \
+            (float(out["rho"]), fd_rho)
+        # theta: DR moment also completes the discount T-dependence
+        ht = 0.02
+        tu, _, _ = pallas_autocall_price(S, T + ht, R, SIG, **kw)
+        td, _, _ = pallas_autocall_price(S, T - ht, R, SIG, **kw)
+        fd_theta = -(float(tu) - float(td)) / (2 * ht)
+        assert abs(float(out["theta"]) - fd_theta) < \
+            0.1 * abs(fd_theta) + 0.6, (float(out["theta"]), fd_theta)
         # long the note, short a down-and-in put => positive hedge delta
         assert float(out["delta"]) > 0.0
         # re-struck FD is ~0 (everything spot-relative): LR delta is NOT
