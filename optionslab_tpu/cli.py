@@ -251,10 +251,14 @@ def _load_chain(args):
     kw = {}
     if args.source == "synthetic":
         kw = {"n_rows": args.n_rows, "seed": args.seed}
-    elif args.source in ("csv", "parquet"):
+    elif args.source in ("csv", "parquet", "cboe", "optionmetrics"):
         if not args.path:
-            raise SystemExit("--path is required for csv/parquet sources")
+            raise SystemExit(f"--path is required for {args.source} sources")
         kw = {"path": args.path}
+        if args.source in ("cboe", "optionmetrics"):
+            kw["rate"] = getattr(args, "chain_rate", 0.0)
+        if args.source == "optionmetrics":
+            kw["spot"] = getattr(args, "chain_spot", 0.0) or None
     elif args.source == "yfinance":
         kw = {"ticker": args.ticker}
     return load_option_data(args.source, **kw)
@@ -444,7 +448,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     def _chain_args(sp):
         sp.add_argument("--source", default="synthetic",
-                        choices=["synthetic", "csv", "parquet", "yfinance"])
+                        choices=["synthetic", "csv", "parquet", "yfinance",
+                                 "cboe", "optionmetrics"])
         sp.add_argument("--path", default="")
         sp.add_argument("--ticker", default="SPY")
         sp.add_argument("--n-rows", type=int, default=600)
@@ -452,6 +457,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--steps", type=int, default=600)
         sp.add_argument("--from-prices", action="store_true")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--chain-rate", type=float, default=0.0,
+                        help="risk-free rate for cboe/optionmetrics files "
+                             "(they carry none)")
+        sp.add_argument("--chain-spot", type=float, default=0.0,
+                        help="underlying price for optionmetrics files "
+                             "(lives in the separate security file)")
 
     pc = sub.add_parser("calibrate")
     _chain_args(pc)

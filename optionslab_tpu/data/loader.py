@@ -152,12 +152,129 @@ class OptionChainDataset:
         return engineer_features(df)
 
 
+def _ttm_years(dates, exdates):
+    """Calendar-day year fractions between two date-like columns (accepts
+    YYYYMMDD ints/strings and ISO strings — both real-vendor conventions)."""
+    import pandas as pd
+
+    def parse(col):
+        s = col.astype(str).str.strip()
+        # YYYYMMDD integers (OptionMetrics) vs ISO/US strings (CBOE)
+        if s.str.fullmatch(r"\d{8}").all():
+            return pd.to_datetime(s, format="%Y%m%d")
+        return pd.to_datetime(s, format="mixed")
+
+    d0, d1 = parse(dates), parse(exdates)
+    return (d1 - d0).dt.days.to_numpy(np.float64) / 365.0
+
+
+def parse_optionmetrics(df, spot=None, rate: float = 0.0):
+    """Standardize an OptionMetrics ``opprcd``-style frame (real
+    conventions: ``strike_price`` ×1000, ``cp_flag`` C/P, ``best_bid``/
+    ``best_offer``, ``date``/``exdate`` as YYYYMMDD,
+    ``impl_volatility``). ``spot`` comes from the security file in the
+    real product, so it is a parameter here (scalar or per-row array);
+    likewise ``rate``. Reference anchor: ``src/data/data_loader.py:509``
+    (vendor-format standardization map).
+    Returns a canonical-columns DataFrame for :class:`OptionChainDataset`.
+    """
+    import pandas as pd
+
+    out = pd.DataFrame()
+    strike = np.asarray(df["strike_price"], np.float64)
+    # OptionMetrics stores strikes in thousandths of a dollar
+    out["strike_price"] = strike / 1000.0 if np.nanmedian(strike) > 2000 \
+        else strike
+    out["option_type"] = (df["cp_flag"].astype(str).str.upper().str[0]
+                          .map({"C": "call", "P": "put"}))
+    bid = np.asarray(df["best_bid"], np.float64)
+    ask = np.asarray(df["best_offer"], np.float64)
+    out["bid"], out["ask"] = bid, ask
+    out["option_price"] = 0.5 * (bid + ask)
+    out["time_to_maturity"] = _ttm_years(df["date"], df["exdate"])
+    if "impl_volatility" in df.columns:
+        out["implied_volatility"] = np.asarray(df["impl_volatility"],
+                                               np.float64)
+    for c in ("volume", "open_interest"):
+        if c in df.columns:
+            out[c] = df[c]
+    if spot is None:
+        raise DataError("OptionMetrics option files carry no underlying "
+                        "price; pass spot= (from the security file)")
+    out["underlying_price"] = np.asarray(spot, np.float64)
+    out["risk_free_rate"] = float(rate)
+    return out
+
+
+def parse_cboe_quotedata(path, rate: float = 0.0):
+    """Parse a CBOE ``quotedata``-style CSV: two header lines (underlying
+    description + last price, then the retrieval timestamp) followed by
+    side-by-side calls/puts rows sharing an expiration and strike. Real
+    layout: ``Expiration Date,Calls,Last Sale,Net,Bid,Ask,Volume,IV,
+    Delta,Gamma,Open Interest,Strike,Puts,...(same 10 for puts)``.
+    Returns a LONG-format canonical DataFrame (one row per option).
+    """
+    import pandas as pd
+
+    with open(path) as f:
+        header1 = f.readline()
+        header2 = f.readline()  # retrieval timestamp, e.g. "Apr 17 2026 @ 15:45 ET"
+        body = pd.read_csv(f)
+    # "SPX (S&P 500 INDEX),5123.41,+12.3" — last price is field 2
+    try:
+        spot = float(header1.split(",")[1])
+    except (IndexError, ValueError) as e:
+        raise DataError(f"cannot parse underlying price from CBOE header "
+                        f"{header1!r}") from e
+    try:
+        as_of = pd.to_datetime(header2.split("@")[0].strip(), format="mixed")
+    except (ValueError, IndexError):
+        as_of = pd.Timestamp.now().normalize()
+    # pandas suffixes the duplicated put-side columns with ".1" on read
+    body.columns = [str(c).strip().lower().replace(" ", "_")
+                    for c in body.columns]
+    ttm = _ttm_years(pd.Series([as_of] * len(body)).astype(str),
+                     body["expiration_date"])
+    col_map = {"last_sale": "last", "bid": "bid", "ask": "ask",
+               "volume": "volume", "iv": "implied_volatility",
+               "open_interest": "open_interest"}
+    rows = []
+    for side, suffix in (("call", ""), ("put", ".1")):
+        part = pd.DataFrame({
+            "strike_price": pd.to_numeric(body["strike"], errors="coerce"),
+            "time_to_maturity": ttm,
+            "option_type": side,
+        })
+        for src, dst in col_map.items():
+            key = src + suffix
+            if key in body.columns:
+                part[dst] = pd.to_numeric(body[key], errors="coerce")
+        part["option_price"] = 0.5 * (part["bid"] + part["ask"])
+        rows.append(part)
+    out = pd.concat(rows, ignore_index=True)
+    out["underlying_price"] = spot
+    out["risk_free_rate"] = float(rate)
+    return out
+
+
 class OptionChainLoader:
     @staticmethod
     def from_csv(path, **read_kwargs) -> OptionChainDataset:
         import pandas as pd
 
         return OptionChainDataset(pd.read_csv(path, **read_kwargs))
+
+    @staticmethod
+    def from_optionmetrics(path, spot=None, rate: float = 0.0,
+                           **read_kwargs) -> OptionChainDataset:
+        import pandas as pd
+
+        return OptionChainDataset(parse_optionmetrics(
+            pd.read_csv(path, **read_kwargs), spot=spot, rate=rate))
+
+    @staticmethod
+    def from_cboe(path, rate: float = 0.0) -> OptionChainDataset:
+        return OptionChainDataset(parse_cboe_quotedata(path, rate=rate))
 
     @staticmethod
     def from_parquet(path, **read_kwargs) -> OptionChainDataset:
@@ -190,6 +307,8 @@ def load_option_data(source="synthetic", **kwargs) -> OptionChainDataset:
         "parquet": OptionChainLoader.from_parquet,
         "synthetic": OptionChainLoader.from_synthetic,
         "yfinance": OptionChainLoader.from_yfinance,
+        "cboe": OptionChainLoader.from_cboe,
+        "optionmetrics": OptionChainLoader.from_optionmetrics,
     }
     if source not in loaders:
         raise DataError(f"unknown source {source!r}; choose {list(loaders)}")
