@@ -87,10 +87,17 @@ from .var_swap import (
     vix_style_index,
 )
 from .heston_fdm import heston_fdm_price
+from .heston_american import (
+    fit_heston_lsm,
+    heston_ab_upper,
+    heston_american_bracket,
+    heston_lsm_lower,
+)
 from .heston import (
     HestonParams,
     HestonPricer,
     calibrate_heston,
+    calibrate_heston_mc,
     heston_mc_price,
     heston_price,
     heston_price_cos,
@@ -180,7 +187,9 @@ __all__ = [
     "iv_surface_from_prices",
     # stochastic / jump models
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
-    "heston_simulate_paths", "calibrate_heston", "heston_fdm_price",
+    "heston_simulate_paths", "calibrate_heston", "calibrate_heston_mc",
+    "heston_fdm_price", "heston_american_bracket", "fit_heston_lsm",
+    "heston_lsm_lower", "heston_ab_upper",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",
