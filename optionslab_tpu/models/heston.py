@@ -451,6 +451,60 @@ def calibrate_heston(market_prices, batch: ContractBatch,
     return params, float(best_loss)
 
 
+def calibrate_heston_mc(market_prices, strikes, maturities, cps, spot, rate,
+                        dividend: float = 0.0,
+                        init: HestonParams | None = None,
+                        n_steps: int = 200, learning_rate: float = 0.05,
+                        n_paths: int = 1_000_000, max_dt: float = 0.02,
+                        seed: int = 0, sampler: str = "prng",
+                        weights=None) -> tuple[HestonParams, float]:
+    """Kernel-speed MC calibration: every Adam step prices the WHOLE chain
+    and gets the full (v0, kappa, theta, sigma, rho) gradient from ONE
+    Pallas launch (``ops.heston_pallas.make_chain_pricer`` — in-kernel
+    pathwise sensitivity moments via custom_vjp, no AD through the
+    simulation). The fixed seed makes the MC loss surface deterministic,
+    so the scanned Adam loop converges like a deterministic objective;
+    the optimum differs from :func:`calibrate_heston` (Lewis-AD) only by
+    MC + Euler-discretization error at the chosen n_paths/max_dt.
+
+    Use this when the pricing model has no affine CF (the same kernel
+    pattern extends to local-vol/SVJ variants) or to cross-check the
+    semi-analytic calibration end-to-end through the simulation engine.
+    Reference anchor: ``src/pricing_models/heston.py:312`` (calibrate) —
+    there each L-BFGS objective evaluation re-prices the chain serially
+    on the host.
+
+    Returns (params, final_loss); raises CalibrationError on divergence.
+    """
+    from ..ops.heston_pallas import make_chain_pricer
+    from ..ops.optim import scan_adam
+
+    market = jnp.asarray(market_prices, jnp.float32).ravel()
+    w = (jnp.ones_like(market) if weights is None
+         else jnp.asarray(weights, jnp.float32).ravel())
+    init = init or HestonParams.make()
+    x0 = _to_unconstrained(jax.tree.map(lambda v: jnp.asarray(v, jnp.float32),
+                                        init))
+    pricer = make_chain_pricer(strikes, maturities, cps, spot, rate,
+                               dividend=dividend, n_paths=n_paths,
+                               max_dt=max_dt, seed=seed, sampler=sampler)
+
+    def loss_fn(x):
+        p = _from_unconstrained(x)
+        pvec = jnp.stack([p.v0, p.kappa, p.theta, p.sigma, p.rho])
+        model = pricer(pvec)
+        rel = (model - market) / jnp.maximum(market, 1e-3)
+        return jnp.mean(w * rel * rel)
+
+    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("Heston MC calibration diverged "
+                               "(non-finite loss)")
+    params = _from_unconstrained(best_x)
+    params.validate()
+    return params, float(best_loss)
+
+
 class HestonPricer:
     """Object adapter (reference: ``heston.py:42``). Maps the unified
     protocol's sigma to v0=σ² like the reference's HestonAdapter

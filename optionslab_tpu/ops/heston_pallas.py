@@ -1,10 +1,15 @@
-"""Fused Pallas kernel for Heston Monte Carlo (full-truncation Euler).
+"""Fused Pallas kernels for Heston Monte Carlo.
 
 The stochastic-vol analog of ``exotic_pallas.py``: both state factors
 (log-spot, variance) live in VMEM for the whole path; per step the kernel
-draws two correlated normals, advances (x, v) with full truncation, and at
-maturity reduces the discounted payoff moments on chip. Antithetic pairs
-(−z_v, −z_x) share each draw.
+draws two correlated normals, advances (x, v), and at maturity reduces
+the discounted payoff moments on chip. Antithetic pairs (−z_v, −z_x)
+share each draw.
+
+Schemes: full-truncation Euler (``_heston_kernel``) and Andersen (2008)
+quadratic-exponential (``_heston_qe_kernel``, ``scheme="qe"`` — the
+moment-matched variance law keeps coarse step counts near-unbiased where
+Euler drifts; mirrors ``models/heston.py``'s XLA QE engine).
 
 Replaces the per-step ``jax.random.fold_in`` scan of ``models.heston.
 heston_mc_price`` on the hot path (the scan engine remains the reference
@@ -13,7 +18,10 @@ implementation and the vmapped/AD path; tests cross-check statistically).
 In-kernel Greeks (:func:`pallas_heston_greeks`): Heston terminal spots are
 LINEAR in S0 (∂S_T/∂S0 = S_T/S0) and the rate enters only the drift
 (∂x_T/∂r = T), so ONE extra moment Σ 1{exercise}·S_T yields both
-pathwise delta and rho exactly — no extra simulation state.
+pathwise delta and rho exactly — no extra simulation state. With
+``ladder=True`` the kernel carries forward sensitivities for EVERY model
+parameter (v0/kappa/theta/sigma/rho) plus maturity — the complete
+calibration gradient and calendar theta in one pass.
 
 Samplers: ``prng`` (hardware, default) or ``hash`` (counter-based murmur3
 — bit-identical on TPU and the CPU interpreter; used by off-TPU tests).
@@ -26,21 +34,31 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
-from .kernel_rng import draw_normals
+from ..utils.exceptions import ValidationError
+from .kernel_rng import draw_normals, draw_uniform
 
 ROWS = 128
 LANES = 512
 PATHS_PER_BLOCK = 2 * ROWS * LANES  # antithetic pair per draw
+LADDER_LANES = 256  # narrower tiles for the 26-carry full-ladder kernel
+LADDER_PATHS_PER_BLOCK = 2 * ROWS * LADDER_LANES
+
+
+# sensitivity slots carried by the full-ladder Euler kernel, per branch:
+# (dx, dv) pairs for v0/kappa/theta/sigma + dx-only rho + (dx, dv) for T
+_LADDER_PARAMS = ("v0", "kappa", "theta", "sigma", "rho", "T")
 
 
 def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
-                   sampler: str, vega: bool):
+                   sampler: str, vega: bool, ladder: bool = False,
+                   lanes: int = LANES):
     """p_ref (SMEM f32[12]): S0, K, mu_dt=(r-q)dt, dt, sqrt_dt, kappa, theta,
-    sigma_v, rho, srho, v0, unused.
+    sigma_v, rho, srho, v0, T.
 
     ``seed_ref = [seed, block0]``: streams index by GLOBAL block id (sharded
     launches own contiguous ranges — topology-invariant path sets).
@@ -49,8 +67,22 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     (∂x/∂v0, ∂v/∂v0) through the full-truncation Euler recursion — the
     exact pathwise derivative of the SCHEME, so v0-vega comes out of the
     same pass (moment Σ 1{exercise}·S_T·∂x_T/∂v0).
+
+    ``ladder=True`` (supersedes ``vega``) carries forward sensitivities
+    for EVERY Heston parameter — v0, kappa, theta, sigma_v, rho — plus
+    the maturity T (with dt = T/n fixed-count rescaling), giving the full
+    calibration gradient and theta in the same pass.  Each is the exact
+    pathwise derivative of the Euler recursion:
+
+      d(sqrt v⁺) = 1{v>0}·dv/(2√v⁺);  explicit terms enter dv for
+      kappa ((θ−v⁺)dt), theta (κ·dt), sigma (√v⁺·√dt·z_v); rho enters
+      only the spot shock (∂z_x/∂ρ = z_v − (ρ/√(1−ρ²))·z_⊥); T scales
+      every dt and √dt (d(dt)/dT = dt/T, d(√dt)/dT = √dt/(2T)).
     """
-    if vega:
+    if ladder:
+        (pay_ref, pay2_ref, m1_ref, mv0_ref, mkap_ref, mth_ref, msig_ref,
+         mrho_ref, mt_ref) = refs
+    elif vega:
         pay_ref, pay2_ref, m1_ref, mv_ref = refs
     else:
         pay_ref, pay2_ref, m1_ref = refs
@@ -69,84 +101,483 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     mu_dt, dt, sqrt_dt = p_ref[2], p_ref[3], p_ref[4]
     kappa, theta_lr, sigma_v = p_ref[5], p_ref[6], p_ref[7]
     rho, srho, v0 = p_ref[8], p_ref[9], p_ref[10]
+    t_mat = p_ref[11]
+    inv_t = 1.0 / t_mat
+    crho = rho / jnp.maximum(srho, 1e-4)
+
+    shape = (ROWS, lanes)
+    x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    vv0 = jnp.full(shape, v0, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    nsens = 11 if ladder else (2 if vega else 0)
+
+    def advance(x, v, sens, sv, so, sx):
+        ind = jnp.where(v > 0.0, 1.0, 0.0)  # full truncation: v⁺ = max(v,0)
+        vp = v * ind
+        sq = jnp.sqrt(vp)
+        x_new = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * sx
+        v_new = v + kappa * (theta_lr - vp) * dt + sigma_v * sq * sqrt_dt * sv
+        if nsens == 0:
+            return x_new, v_new, sens
+        # d(sqrt(v⁺))/dp = ind·dv_p/(2√v⁺) (guarded at the origin)
+        inv2sq = ind / (2.0 * jnp.maximum(sq, 1e-6))
+
+        def prop(dx, dv, ex_dv=None):
+            dsq = inv2sq * dv
+            dx_n = dx - 0.5 * ind * dv * dt + dsq * sqrt_dt * sx
+            dv_n = dv - kappa * ind * dv * dt + sigma_v * dsq * sqrt_dt * sv
+            if ex_dv is not None:
+                dv_n = dv_n + ex_dv
+            return dx_n, dv_n
+
+        if not ladder:  # vega-only: (dx, dv) for v0
+            dx, dv = prop(sens[0], sens[1])
+            return x_new, v_new, [dx, dv]
+        (dxv, dvv, dxk, dvk, dxt, dvt, dxs, dvs, dxr, dxm, dvm) = sens
+        dxv, dvv = prop(dxv, dvv)
+        dxk, dvk = prop(dxk, dvk, ex_dv=(theta_lr - vp) * dt)
+        dxt, dvt = prop(dxt, dvt, ex_dv=kappa * dt)
+        dxs, dvs = prop(dxs, dvs, ex_dv=sq * sqrt_dt * sv)
+        # rho: enters only the spot shock; v path is rho-independent
+        dxr = dxr + sq * sqrt_dt * (sv - crho * so)
+        # T: every dt and sqrt_dt rescales (fixed step count)
+        dsqm = inv2sq * dvm * sqrt_dt + sq * sqrt_dt * (0.5 * inv_t)
+        dxm = dxm + mu_dt * inv_t - 0.5 * (ind * dvm * dt + vp * dt * inv_t) \
+            + dsqm * sx
+        dvm = dvm + kappa * (theta_lr - vp) * dt * inv_t \
+            - kappa * ind * dvm * dt + sigma_v * dsqm * sv
+        return x_new, v_new, [dxv, dvv, dxk, dvk, dxt, dvt, dxs, dvs,
+                              dxr, dxm, dvm]
+
+    def body(i, carry):
+        xa, va, xb, vb = carry[:4]
+        sa = list(carry[4:4 + nsens])
+        sb = list(carry[4 + nsens:4 + 2 * nsens])
+        zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
+        zx = rho * zv + srho * zo
+        xa, va, sa = advance(xa, va, sa, zv, zo, zx)
+        xb, vb, sb = advance(xb, vb, sb, -zv, -zo, -zx)
+        return tuple([xa, va, xb, vb] + sa + sb)
+
+    if ladder:
+        sens0 = [zero, one] + [zero] * 9
+    elif vega:
+        sens0 = [zero, one]
+    else:
+        sens0 = []
+    carry0 = tuple([x0, vv0, x0, vv0] + sens0 + list(sens0))
+    out_carry = jax.lax.fori_loop(0, n_steps, body, carry0)
+    xa, va, xb, vb = out_carry[:4]
+    sa = out_carry[4:4 + nsens]
+    sb = out_carry[4 + nsens:4 + 2 * nsens]
+
+    accs = [jnp.zeros(shape, jnp.float32) for _ in range(len(refs))]
+    # per-branch dx slots aligned with the moment refs beyond pay/pay2/m1
+    if ladder:
+        dx_slots = ((sa[0], sa[2], sa[4], sa[6], sa[8], sa[9]),
+                    (sb[0], sb[2], sb[4], sb[6], sb[8], sb[9]))
+    elif vega:
+        dx_slots = ((sa[0],), (sb[0],))
+    else:
+        dx_slots = ((), ())
+    for x, dxs_b in ((xa, dx_slots[0]), (xb, dx_slots[1])):
+        st = jnp.exp(x)
+        d = cp * (st - strike)
+        p = jnp.maximum(d, 0.0)
+        ind_st = jnp.where(d > 0, st, 0.0)
+        accs[0] += p
+        accs[1] += p * p
+        accs[2] += ind_st  # Σ 1{exercise}·S_T → delta & rho
+        for k, dx in enumerate(dxs_b):
+            accs[3 + k] += ind_st * dx  # Σ 1{ex}·S_T·∂x_T/∂p
+    for off in range(0, lanes, 128):
+        for ref, a in zip(refs, accs):
+            ref[:, :] += a[:, off:off + 128]
+
+
+def _heston_qe_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
+                      sampler: str):
+    """Andersen (2008) quadratic-exponential scheme, branch-free in-kernel.
+
+    p_ref (SMEM f32[14]): S0, K, mu_dt, emkd, c1, s2_v, s2_0, k0, k1, k2,
+    k3, k4, v0, psi_clip. The variance transition draws from its
+    moment-matched law (quadratic branch psi<=1.5, exponential branch
+    otherwise, both evaluated and selected with jnp.where), so coarse
+    step counts stay unbiased where Euler drifts (~30x at 16-24 steps —
+    mirrors the XLA engine ``models/heston.py:297``). Antithetic branch B
+    uses (−z_v, −z_x, 1−u).
+
+    Outputs pay/pay2/m1: delta and rate-rho remain EXACT pathwise
+    (S_T linear in S0; r enters only via mu_dt ⇒ ∂x_T/∂r = T).
+    """
+    pay_ref, pay2_ref, m1_ref = refs
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0, strike, mu_dt = p_ref[0], p_ref[1], p_ref[2]
+    emkd, c1, s2_v, s2_0 = p_ref[3], p_ref[4], p_ref[5], p_ref[6]
+    k0, k1, k2, k3, k4 = p_ref[7], p_ref[8], p_ref[9], p_ref[10], p_ref[11]
+    v0 = p_ref[12]
+
+    shape = (ROWS, LANES)
+    x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    vv0 = jnp.full(shape, v0, jnp.float32)
+
+    def advance(x, v, zv, zx, u):
+        m = c1 + emkd * v
+        s2 = s2_v * v + s2_0
+        psi = s2 / jnp.maximum(m * m, 1e-30)
+        # quadratic branch (psi <= 1.5)
+        inv_psi = 2.0 / jnp.maximum(psi, 1e-10)
+        b2 = jnp.maximum(inv_psi - 1.0 + jnp.sqrt(
+            jnp.maximum(inv_psi * (inv_psi - 1.0), 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        v_quad = a * (jnp.sqrt(b2) + zv) ** 2
+        # exponential branch (psi > 1.5)
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-7)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-30)
+        v_exp = jnp.where(
+            u <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u, 1e-30))
+            / jnp.maximum(beta, 1e-30))
+        v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
+        x_new = x + mu_dt + k0 + k1 * v + k2 * v_new \
+            + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zx
+        return x_new, v_new
+
+    def body(i, carry):
+        xa, va, xb, vb = carry
+        zv, zx = draw_normals(sampler, seed, block, i, n_steps, shape)
+        u = draw_uniform(sampler, seed, block, i, n_steps, shape)
+        xa, va = advance(xa, va, zv, zx, u)
+        xb, vb = advance(xb, vb, -zv, -zx, 1.0 - u)
+        return xa, va, xb, vb
+
+    xa, va, xb, vb = jax.lax.fori_loop(0, n_steps, body, (x0, vv0, x0, vv0))
+
+    acc = jnp.zeros(shape, jnp.float32)
+    acc2 = jnp.zeros(shape, jnp.float32)
+    acc1 = jnp.zeros(shape, jnp.float32)
+    for x in (xa, xb):
+        st = jnp.exp(x)
+        d = cp * (st - strike)
+        p = jnp.maximum(d, 0.0)
+        acc += p
+        acc2 += p * p
+        acc1 += jnp.where(d > 0, st, 0.0)
+    for off in range(0, LANES, 128):
+        pay_ref[:, :] += acc[:, off:off + 128]
+        pay2_ref[:, :] += acc2[:, off:off + 128]
+        m1_ref[:, :] += acc1[:, off:off + 128]
+
+
+def _fold8(a):
+    """(ROWS, LANES) → (8, 128) partial-sum tile (canonical fold order)."""
+    t = a[:, 0:128]
+    for off in range(128, LANES, 128):
+        t = t + a[:, off:off + 128]
+    r = t[0:8, :]
+    for rr in range(8, ROWS, 8):
+        r = r + t[rr:rr + 8, :]
+    return r
+
+
+def _heston_chain_kernel(seed_ref, p_ref, *refs, n_steps: int,
+                         quote_steps: tuple, cps: tuple, sampler: str):
+    """Whole-chain Heston pricing + the full calibration gradient in ONE
+    kernel launch — the engine under kernel-speed calibration.
+
+    p_ref (SMEM f32): [s0, mu=(r−q), kappa, theta, sigma_v, rho, srho, v0,
+    crho=ρ/√(1−ρ²)] + per-step dt[n_steps] (variable grid: expiries land
+    exactly on step boundaries) + per-quote strikes[Q].
+
+    Quote q expires at the END of step ``quote_steps[q]``; there the
+    kernel folds the quote's payoff moments — pay, pay², and the five
+    pathwise-gradient moments Σ1{ex}·S_t·∂x_t/∂p for p ∈ (v0, κ, θ, σ_v,
+    ρ) — to (8,128) tiles (7 output refs per quote). Sensitivities are
+    the exact pathwise derivatives of the full-truncation Euler scheme,
+    carried per antithetic branch exactly as in ``_heston_kernel``'s
+    ladder mode. Reference capability anchor: ``src/pricing_models/
+    heston.py:312`` (calibrate) — there each objective evaluation
+    re-prices the chain serially; here one launch returns every quote's
+    price AND ∂price/∂(all 5 params).
+    """
+    q_count = len(quote_steps)
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0, mu = p_ref[0], p_ref[1]
+    kappa, theta_lr, sigma_v = p_ref[2], p_ref[3], p_ref[4]
+    rho, srho, v0, crho = p_ref[5], p_ref[6], p_ref[7], p_ref[8]
+    DT0 = 9
+    KS0 = DT0 + n_steps
 
     shape = (ROWS, LANES)
     x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
     vv0 = jnp.full(shape, v0, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
+    NS = 9  # sens slots/branch: (dx,dv)·(v0,κ,θ,σ) + dx_ρ
 
-    def advance(x, v, dx, dv, sv, sx):
-        ind = jnp.where(v > 0.0, 1.0, 0.0)  # full truncation: v⁺ = max(v,0)
+    def advance(x, v, sens, dt, sqrt_dt, sv, so, sx):
+        ind = jnp.where(v > 0.0, 1.0, 0.0)
         vp = v * ind
         sq = jnp.sqrt(vp)
-        x = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * sx
-        v = v + kappa * (theta_lr - vp) * dt + sigma_v * sq * sqrt_dt * sv
-        if vega:
-            # d(sqrt(v⁺))/dv0 = ind/(2√v⁺)·dv (guarded at the origin)
-            dsq = ind / (2.0 * jnp.maximum(sq, 1e-6)) * dv
-            dx = dx - 0.5 * ind * dv * dt + dsq * sqrt_dt * sx
-            dv = dv - kappa * ind * dv * dt + sigma_v * dsq * sqrt_dt * sv
-        return x, v, dx, dv
+        x_new = x + mu * dt - 0.5 * vp * dt + sq * sqrt_dt * sx
+        v_new = v + kappa * (theta_lr - vp) * dt + sigma_v * sq * sqrt_dt * sv
+        inv2sq = ind / (2.0 * jnp.maximum(sq, 1e-6))
+
+        def prop(dx, dv, ex_dv=None):
+            dsq = inv2sq * dv
+            dx_n = dx - 0.5 * ind * dv * dt + dsq * sqrt_dt * sx
+            dv_n = dv - kappa * ind * dv * dt + sigma_v * dsq * sqrt_dt * sv
+            if ex_dv is not None:
+                dv_n = dv_n + ex_dv
+            return dx_n, dv_n
+
+        dxv, dvv = prop(sens[0], sens[1])
+        dxk, dvk = prop(sens[2], sens[3], ex_dv=(theta_lr - vp) * dt)
+        dxt, dvt = prop(sens[4], sens[5], ex_dv=kappa * dt)
+        dxs, dvs = prop(sens[6], sens[7], ex_dv=sq * sqrt_dt * sv)
+        dxr = sens[8] + sq * sqrt_dt * (sv - crho * so)
+        return x_new, v_new, [dxv, dvv, dxk, dvk, dxt, dvt, dxs, dvs, dxr]
 
     def body(i, carry):
-        if vega:
-            xa, va, xb, vb, dxa, dva, dxb, dvb = carry
-        else:  # no dead sensitivity carries in the price-only variant
-            (xa, va, xb, vb), (dxa, dva, dxb, dvb) = carry, (0., 0., 0., 0.)
+        xa, va, xb, vb = carry[:4]
+        sa = list(carry[4:4 + NS])
+        sb = list(carry[4 + NS:4 + 2 * NS])
+        dt = p_ref[DT0 + i]
+        sqrt_dt = jnp.sqrt(dt)
         zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
         zx = rho * zv + srho * zo
-        xa, va, dxa, dva = advance(xa, va, dxa, dva, zv, zx)
-        xb, vb, dxb, dvb = advance(xb, vb, dxb, dvb, -zv, -zx)
-        if vega:
-            return xa, va, xb, vb, dxa, dva, dxb, dvb
-        return xa, va, xb, vb
+        xa, va, sa = advance(xa, va, sa, dt, sqrt_dt, zv, zo, zx)
+        xb, vb, sb = advance(xb, vb, sb, dt, sqrt_dt, -zv, -zo, -zx)
 
-    carry0 = ((x0, vv0, x0, vv0, zero, one, zero, one) if vega
-              else (x0, vv0, x0, vv0))
-    out_carry = jax.lax.fori_loop(0, n_steps, body, carry0)
-    xa, va, xb, vb = out_carry[:4]
-    dxa, dxb = (out_carry[4], out_carry[6]) if vega else (None, None)
+        for q in range(q_count):
+            @pl.when(i == quote_steps[q])
+            def _(q=q, xa=xa, xb=xb, sa=sa, sb=sb):
+                strike = p_ref[KS0 + q]
+                cpq = cps[q]
+                accs = [zero] * 7
+                for x, sens in ((xa, sa), (xb, sb)):
+                    st = jnp.exp(x)
+                    dd = cpq * (st - strike)
+                    pay = jnp.maximum(dd, 0.0)
+                    ind_st = jnp.where(dd > 0, st, 0.0)
+                    accs[0] = accs[0] + pay
+                    accs[1] = accs[1] + pay * pay
+                    for k, sl in enumerate((0, 2, 4, 6, 8)):
+                        accs[2 + k] = accs[2 + k] + ind_st * sens[sl]
+                for k in range(7):
+                    refs[q * 7 + k][:, :] += _fold8(accs[k])
 
-    acc = jnp.zeros(shape, jnp.float32)
-    acc2 = jnp.zeros(shape, jnp.float32)
-    acc1 = jnp.zeros(shape, jnp.float32)
-    accv = jnp.zeros(shape, jnp.float32)
-    for x, dx in ((xa, dxa), (xb, dxb)):
-        st = jnp.exp(x)
-        d = cp * (st - strike)
-        p = jnp.maximum(d, 0.0)
-        ind_st = jnp.where(d > 0, st, 0.0)
-        acc += p
-        acc2 += p * p
-        acc1 += ind_st  # Σ 1{exercise}·S_T → delta & rho
-        if vega:
-            accv += ind_st * dx  # Σ 1{ex}·S_T·∂x_T/∂v0 → v0-vega
-    for off in range(0, LANES, 128):
-        pay_ref[:, :] += acc[:, off:off + 128]
-        pay2_ref[:, :] += acc2[:, off:off + 128]
-        m1_ref[:, :] += acc1[:, off:off + 128]
-        if vega:
-            mv_ref[:, :] += accv[:, off:off + 128]
+        return tuple([xa, va, xb, vb] + sa + sb)
+
+    sens0 = [zero, one] + [zero] * 7
+    carry0 = tuple([x0, vv0, x0, vv0] + sens0 + list(sens0))
+    jax.lax.fori_loop(0, n_steps, body, carry0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks",
+                                             "quote_steps", "cps",
+                                             "sampler"))
+def _launch_chain(seed, params, *, n_steps: int, n_blocks: int,
+                  quote_steps: tuple, cps: tuple, sampler: str = "prng"):
+    n_out = 7 * len(quote_steps)
+    acc_spec = pl.BlockSpec((8, 128), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    interpret = (False if jax.default_backend() == "tpu"
+                 else pltpu.InterpretParams())
+    return pl.pallas_call(
+        functools.partial(_heston_chain_kernel, n_steps=n_steps,
+                          quote_steps=quote_steps, cps=cps, sampler=sampler),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((8, 128), jnp.float32)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=n_blocks * n_steps * ROWS * LANES * 2 * 70,
+            bytes_accessed=n_out * 8 * 128 * 4,
+            transcendentals=n_blocks * n_steps * ROWS * LANES * 6,
+        ),
+        interpret=interpret,
+    )(seed, params)
+
+
+def _chain_grid(maturities, max_dt: float):
+    """Variable step grid whose boundaries hit every expiry exactly.
+    Returns (dts ndarray, quote_steps tuple: END-of-step index/quote)."""
+    mats = np.asarray(maturities, np.float64).ravel()
+    uniq = np.unique(np.maximum(mats, EPS_TIME))
+    dts, q_step_of_expiry = [], {}
+    t_prev = 0.0
+    for te in uniq:
+        n_sub = max(1, int(math.ceil((te - t_prev) / max_dt - 1e-9)))
+        dts += [(te - t_prev) / n_sub] * n_sub
+        q_step_of_expiry[float(te)] = len(dts) - 1
+        t_prev = te
+    steps = tuple(q_step_of_expiry[float(max(t, EPS_TIME))] for t in mats)
+    return np.asarray(dts, np.float64), steps
+
+
+def pallas_heston_chain_ladder(strikes, maturities, cps, spot, rate, params,
+                               dividend: float = 0.0,
+                               n_paths: int = 1_000_000,
+                               max_dt: float = 0.01, seed: int = 0,
+                               sampler: str = "prng"):
+    """Price a whole option chain under Heston AND return every quote's
+    gradient w.r.t. (v0, kappa, theta, sigma, rho) — one kernel launch.
+
+    ``cps``: +1/−1 per quote. Returns (prices (Q,), stderrs (Q,),
+    grads (Q, 5)). The time grid is variable-step so every expiry lands
+    exactly on a step boundary (max step ``max_dt`` years).
+    Differentiable calibration rides :func:`make_chain_pricer`.
+    """
+    strikes = np.asarray(strikes, np.float64).ravel()
+    mats = np.asarray(maturities, np.float64).ravel()
+    cps_arr = np.asarray(cps, np.float64).ravel()
+    if not (strikes.size == mats.size == cps_arr.size):
+        raise ValidationError("strikes/maturities/cps must have equal length")
+    dts, quote_steps = _chain_grid(mats, max_dt)
+    pvec = jnp.asarray([float(params.v0), float(params.kappa),
+                        float(params.theta), float(params.sigma),
+                        float(params.rho)], jnp.float32)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    outs = _chain_launch_from_pvec(
+        pvec, jnp.asarray(dts, jnp.float32), float(spot), float(rate),
+        float(dividend), n_blocks=n_blocks, quote_steps=quote_steps,
+        cps=tuple(float(c) for c in cps_arr), sampler=sampler, seed=seed,
+        strikes=jnp.asarray(strikes, jnp.float32))
+    return _chain_post(outs, strikes, mats, cps_arr, float(rate),
+                       n_blocks * PATHS_PER_BLOCK)
+
+
+def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
+                            quote_steps, cps, sampler, seed, strikes):
+    """Assemble the SMEM param vector from a TRACED pvec (jit-friendly —
+    the calibration loop differentiates through this assembly)."""
+    v0, kap, th, sig, rho = pvec[0], pvec[1], pvec[2], pvec[3], pvec[4]
+    srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-8))
+    crho = rho / jnp.maximum(srho, 1e-4)
+    head = jnp.stack([jnp.float32(spot), jnp.float32(rate - dividend),
+                      kap, th, sig, rho, srho, v0, crho])
+    p = jnp.concatenate([head.astype(jnp.float32), dts.astype(jnp.float32),
+                         jnp.asarray(strikes, jnp.float32)])
+    return _launch_chain(jnp.asarray([seed, 0], jnp.int32), p,
+                         n_steps=int(dts.shape[0]), n_blocks=n_blocks,
+                         quote_steps=quote_steps, cps=cps, sampler=sampler)
+
+
+def _chain_post(outs, strikes, mats, cps_arr, rate, n):
+    q_n = strikes.size
+    # f32 throughout regardless of the x64 flag: the kernel moments are
+    # f32 and the custom_vjp cotangents must match the primal dtype
+    dfs = np.exp(-rate * np.maximum(mats, EPS_TIME)).astype(np.float32)
+    cps32 = np.asarray(cps_arr, np.float32)
+    n32 = np.float32(n)
+    prices, ses, grads = [], [], []
+    for q in range(q_n):
+        pay = outs[q * 7 + 0].sum() / n32
+        pay2 = outs[q * 7 + 1].sum() / n32
+        var = jnp.maximum(pay2 - pay * pay, jnp.float32(0.0))
+        prices.append(dfs[q] * pay)
+        ses.append(dfs[q] * jnp.sqrt(var / n32))
+        grads.append(jnp.stack([
+            dfs[q] * cps32[q] * outs[q * 7 + 2 + k].sum() / n32
+            for k in range(5)]))
+    return jnp.stack(prices), jnp.stack(ses), jnp.stack(grads)
+
+
+def make_chain_pricer(strikes, maturities, cps, spot, rate,
+                      dividend: float = 0.0, n_paths: int = 1_000_000,
+                      max_dt: float = 0.01, seed: int = 0,
+                      sampler: str = "prng"):
+    """Build a DIFFERENTIABLE chain pricer pvec(5,) → prices (Q,) whose
+    VJP comes from the in-kernel pathwise gradient moments (custom_vjp —
+    no AD through the simulation). Fixed seed ⇒ deterministic loss
+    surface; drop it into ``ops/optim.scan_adam`` for kernel-speed
+    calibration (see ``models.heston.calibrate_heston_mc``)."""
+    strikes_a = np.asarray(strikes, np.float64).ravel()
+    mats = np.asarray(maturities, np.float64).ravel()
+    cps_arr = np.asarray(cps, np.float64).ravel()
+    dts, quote_steps = _chain_grid(mats, max_dt)
+    dts_j = jnp.asarray(dts, jnp.float32)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    n = n_blocks * PATHS_PER_BLOCK
+    cps_t = tuple(float(c) for c in cps_arr)
+    strikes_j = jnp.asarray(strikes_a, jnp.float32)
+
+    def _run(pvec):
+        outs = _chain_launch_from_pvec(
+            pvec, dts_j, float(spot), float(rate), float(dividend),
+            n_blocks=n_blocks, quote_steps=quote_steps, cps=cps_t,
+            sampler=sampler, seed=seed, strikes=strikes_j)
+        return _chain_post(outs, strikes_a, mats, cps_arr, float(rate), n)
+
+    @jax.custom_vjp
+    def prices(pvec):
+        p, _, _ = _run(pvec)
+        return p
+
+    def fwd(pvec):
+        p, _, g = _run(pvec)
+        return p, g
+
+    def bwd(g, ct):
+        return (g.T @ ct.astype(g.dtype),)
+
+    prices.defvjp(fwd, bwd)
+    return prices
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
-                                             "sampler", "vega"))
+                                             "sampler", "vega", "ladder",
+                                             "scheme"))
 def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
-            sampler: str = "prng", vega: bool = False):
-    n_out = 4 if vega else 3
+            sampler: str = "prng", vega: bool = False, ladder: bool = False,
+            scheme: str = "euler"):
+    if scheme == "qe":
+        n_out = 3
+        kern = functools.partial(_heston_qe_kernel, n_steps=n_steps, cp=cp,
+                                 sampler=sampler)
+    else:
+        n_out = 9 if ladder else (4 if vega else 3)
+        # the 26-tile ladder carry at full lane width sits past a Mosaic
+        # compile cliff (>25 min over the tunnel); half-width lanes keep
+        # the identical math and compile normally
+        kern = functools.partial(_heston_kernel, n_steps=n_steps, cp=cp,
+                                 sampler=sampler, vega=vega, ladder=ladder,
+                                 lanes=LADDER_LANES if ladder else LANES)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
-        functools.partial(_heston_kernel, n_steps=n_steps, cp=cp,
-                          sampler=sampler, vega=vega),
+        kern,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[acc_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
-            flops=n_blocks * n_steps * ROWS * LANES * 2 * (22 if vega else 14),
+            flops=n_blocks * n_steps * ROWS * LANES * 2
+            * (80 if ladder else (22 if vega else 14)),
             bytes_accessed=n_out * ROWS * 128 * 4,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 6,
         ),
@@ -162,13 +593,38 @@ def _params_vec(spot, strike, maturity, rate, params, dividend, n_steps):
         float(spot), float(strike), (float(rate) - float(dividend)) * dt, dt,
         math.sqrt(dt), float(params.kappa), float(params.theta),
         float(params.sigma), rho, math.sqrt(max(1.0 - rho * rho, 0.0)),
-        float(params.v0), 0.0,
+        float(params.v0), t,
     ], jnp.float32)
 
 
-def _combine_moments(outs, n: int, scalars, cp: float, vega: bool) -> dict:
-    """Moment tiles → price/stderr/delta/rho (+ v0-vega). Shared by the
-    single-device pipeline and the sharded (psum-reduced) path."""
+def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
+                   n_steps):
+    """Host-side QE constants (Andersen eq. 33, gamma1=gamma2=1/2) —
+    mirrors ``models/heston.py:_heston_mc_qe``."""
+    t = max(float(maturity), EPS_TIME)
+    dt = t / n_steps
+    kap, th = float(params.kappa), float(params.theta)
+    sig, rho = float(params.sigma), float(params.rho)
+    emkd = math.exp(-kap * dt)
+    c1 = th * (1.0 - emkd)
+    s2_v = sig * sig * emkd * (1.0 - emkd) / kap
+    s2_0 = th * sig * sig * (1.0 - emkd) ** 2 / (2.0 * kap)
+    g1 = g2 = 0.5
+    k0 = -rho * kap * th * dt / sig
+    k1 = g1 * dt * (kap * rho / sig - 0.5) - rho / sig
+    k2 = g2 * dt * (kap * rho / sig - 0.5) + rho / sig
+    k3 = g1 * dt * (1.0 - rho * rho)
+    k4 = g2 * dt * (1.0 - rho * rho)
+    return t, jnp.asarray([
+        float(spot), float(strike), (float(rate) - float(dividend)) * dt,
+        emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, float(params.v0), 0.0,
+    ], jnp.float32)
+
+
+def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
+                     ladder: bool = False, rate: float = 0.0) -> dict:
+    """Moment tiles → price/stderr/delta/rho (+ v0-vega / full ladder).
+    Shared by the single-device pipeline and the sharded (psum) path."""
     spot, t, df, v0 = scalars
     pay, pay2, m1 = outs[:3]
     mean = pay.sum() / n
@@ -183,7 +639,18 @@ def _combine_moments(outs, n: int, scalars, cp: float, vega: bool) -> dict:
         # ∂x_T/∂r = T → dpay = cp·1{ex}·S_T·T; plus the discount term
         "rho": t * (df * cp * mean1 - price),
     }
-    if vega:
+    if ladder:
+        dv0, dkap, dth, dsig, drho, dt_m = [
+            df * cp * outs[3 + k].sum() / n for k in range(6)]
+        out["vega_v0"] = dv0
+        out["vega"] = 2.0 * jnp.sqrt(v0) * dv0
+        out["d_kappa"] = dkap
+        out["d_theta"] = dth
+        out["d_sigma"] = dsig
+        out["d_rho"] = drho
+        # theta (calendar) = −∂V/∂T = r·V − df·E[∂pay/∂T]
+        out["theta"] = rate * price - dt_m
+    elif vega:
         meanv = outs[3].sum() / n
         out["vega_v0"] = df * cp * meanv  # ∂price/∂v0 (pathwise, exact in-scheme)
         # chain rule to spot-vol vega: σ0 = √v0 ⇒ ∂/∂σ0 = 2σ0·∂/∂v0
@@ -193,47 +660,74 @@ def _combine_moments(outs, n: int, scalars, cp: float, vega: bool) -> dict:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "n_blocks", "cp", "sampler",
-                                    "vega"))
+                                    "vega", "ladder", "scheme", "rate"))
 def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler,
-              vega=False):
+              vega=False, ladder=False, scheme="euler", rate=0.0):
     """launch → moment combination in ONE traced program (single dispatch
     over the tunnel — the ~25-30 ms eager-op overhead otherwise dominates
     small workloads)."""
     outs = _launch(seed, p, n_steps=n_steps, n_blocks=n_blocks,
-                   cp=cp, sampler=sampler, vega=vega)
-    return _combine_moments(outs, n_blocks * PATHS_PER_BLOCK, scalars, cp,
-                            vega)
+                   cp=cp, sampler=sampler, vega=vega, ladder=ladder,
+                   scheme=scheme)
+    ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
+    return _combine_moments(outs, n_blocks * ppb, scalars, cp,
+                            vega, ladder=ladder, rate=rate)
 
 
 def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
                          dividend: float = 0.0, n_paths: int = 1_000_000,
                          n_steps: int = 100, seed: int = 0,
-                         sampler: str = "prng", vega: bool = True) -> dict:
+                         sampler: str = "prng", vega: bool = True,
+                         ladder: bool = False) -> dict:
     """Heston price + stderr + pathwise delta/rho (+ v0-vega) in one pass.
 
     ``params``: a ``models.heston.HestonParams`` (or anything with
     v0/kappa/theta/sigma/rho attributes). With ``vega=True`` (default) the
     kernel carries the forward sensitivities (∂x/∂v0, ∂v/∂v0) through the
     Euler recursion and returns ``vega_v0`` (∂price/∂v0) plus ``vega``
-    (∂price/∂√v0). The returned dict also carries ``paths``. Validated
-    against AD of the Lewis integral (``models.heston.heston_price``).
+    (∂price/∂√v0).
+
+    ``ladder=True`` returns the FULL parameter ladder in the same pass:
+    ``d_kappa``, ``d_theta``, ``d_sigma``, ``d_rho`` (∂price/∂param — the
+    complete calibration gradient) and ``theta`` (calendar, −∂V/∂T), each
+    the exact pathwise derivative of the Euler scheme. Validated against
+    AD of the Lewis integral (``models.heston.heston_price``); capability
+    anchor ``src/greeks/unified_greeks.py:235`` (the reference FD engine
+    covers every parameter — this does it at kernel speed, unbiased).
+    The returned dict also carries ``paths``.
     """
     t, p = _params_vec(spot, strike, maturity, rate, params, dividend, n_steps)
-    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
+    n_blocks = max(1, math.ceil(n_paths / ppb))
     scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
                            float(params.v0)], jnp.float32)
     out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
                          n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
-                         sampler=sampler, vega=vega))
-    out["paths"] = n_blocks * PATHS_PER_BLOCK
+                         sampler=sampler, vega=vega and not ladder,
+                         ladder=ladder, rate=float(rate)))
+    out["paths"] = n_blocks * ppb
     return out
 
 
 def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
                         dividend: float = 0.0, n_paths: int = 1_000_000,
                         n_steps: int = 100, seed: int = 0,
-                        sampler: str = "prng"):
-    """(price, stderr, actual_paths) under Heston via the fused kernel."""
+                        sampler: str = "prng", scheme: str = "euler"):
+    """(price, stderr, actual_paths) under Heston via the fused kernel.
+
+    ``scheme``: ``euler`` (full truncation) or ``qe`` (Andersen
+    quadratic-exponential — near-unbiased at coarse steps; mirrors the
+    XLA engine's ``heston_mc_price(..., scheme='qe')``)."""
+    if scheme == "qe":
+        t, p = _params_vec_qe(spot, strike, maturity, rate, params, dividend,
+                              n_steps)
+        n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+        scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
+                               float(params.v0)], jnp.float32)
+        out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
+                             n_steps=n_steps, n_blocks=n_blocks,
+                             cp=float(cp), sampler=sampler, scheme="qe"))
+        return out["price"], out["std_error"], n_blocks * PATHS_PER_BLOCK
     out = pallas_heston_greeks(spot, strike, maturity, rate, params, cp,
                                dividend, n_paths, n_steps, seed, sampler,
                                vega=False)

@@ -48,6 +48,21 @@ def prng_uniform(shape):
     return bits.astype(jnp.float32) * INV_2_24 + INV_2_25
 
 
+def draw_uniform(sampler: str, seed, block, step, n_steps: int, shape):
+    """One (0,1) uniform tile for this step, on a stream DISJOINT from
+    ``draw_normals`` (hash counters are salted with a distinct constant so
+    the same (block, step) never collides with the Box–Muller draws).
+    Used by the Andersen-QE variance transition's exponential branch."""
+    if sampler == "hash":
+        rows, lanes = shape
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane_id = rid * lanes + cid
+        base = (block * n_steps + step) * (rows * lanes)
+        return hash_uniform(base + lane_id, seed ^ jnp.int32(0x27220A95))
+    return prng_uniform(shape)
+
+
 def draw_normals(sampler: str, seed, block, step, n_steps: int, shape):
     """One antithetic Box–Muller draw pair (z_cos, z_sin) for this step.
 

@@ -111,6 +111,122 @@ class TestKernel:
             np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
                                        rtol=3e-5, err_msg=k)
 
+    def test_full_ladder_matches_lewis_ad(self):
+        """Round-3: ladder=True carries forward sensitivities for EVERY
+        Heston parameter + maturity. Oracle: AD of the Lewis integral in
+        f64 (continuous truth; Euler bias at 64 steps ~ cents)."""
+        out = pallas_heston_greeks(S, K, T, R, PAR, n_paths=2 * 131072,
+                                   n_steps=64, seed=0, sampler="hash",
+                                   ladder=True)
+
+        def lewis(v0, kap, th, sig, rho, t, r):
+            p = HestonParams(v0=jnp.float64(v0), kappa=jnp.float64(kap),
+                             theta=jnp.float64(th), sigma=jnp.float64(sig),
+                             rho=jnp.float64(rho))
+            return jnp.sum(heston_price(
+                ContractBatch.make(S, K, t, r, 0.2, "call",
+                                   dtype=jnp.float64), p))
+
+        args = tuple(jnp.float64(v) for v in (0.04, 2.0, 0.04, 0.3, -0.7,
+                                              T, R))
+        g = [float(jax.grad(lewis, i)(*args)) for i in range(7)]
+        # (kernel key, lewis grad, absolute tolerance ~ LR/pathwise noise
+        # at 262k paths + Euler-64 bias, from deterministic seed-0 runs)
+        checks = [("vega_v0", g[0], 0.8), ("d_kappa", g[1], 0.03),
+                  ("d_theta", g[2], 1.2), ("d_sigma", g[3], 0.12),
+                  ("d_rho", g[4], 0.08), ("theta", -g[5], 0.15),
+                  ("rho", g[6], 0.6)]
+        for key, exact, atol in checks:
+            assert abs(float(out[key]) - exact) < atol, \
+                (key, float(out[key]), exact)
+
+    def test_qe_kernel_unbiased_at_coarse_steps(self):
+        """The QE kernel at 16 steps must sit within MC noise of the
+        semi-analytic price where Euler at 16 steps is visibly biased
+        (mirrors the XLA engine's qe-vs-euler bias test)."""
+        par64 = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7,
+                                  dtype=jnp.float64)
+        exact = float(heston_price(
+            ContractBatch.make(S, K, T, R, 0.2, "call", dtype=jnp.float64),
+            par64))
+        pq, seq, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=131072,
+                                         n_steps=16, seed=0, sampler="hash",
+                                         scheme="qe")
+        assert abs(float(pq) - exact) < 4 * float(seq) + 0.01, \
+            (float(pq), exact, float(seq))
+
+    def test_qe_matches_xla_qe_engine(self):
+        from optionslab_tpu.models.heston import heston_mc_price
+
+        pq, seq, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=131072,
+                                         n_steps=16, seed=0, sampler="hash",
+                                         scheme="qe")
+        px = float(heston_mc_price(
+            ContractBatch.make(S, K, T, R, 0.2, "call"), PAR,
+            jax.random.PRNGKey(3), n_paths=200_000, n_steps=16,
+            scheme="qe"))
+        assert abs(float(pq) - px) < 5 * float(seq) + 0.05
+
+    def test_chain_ladder_prices_and_grads_match_lewis(self):
+        """One launch prices a multi-expiry chain AND returns each quote's
+        full (v0,kappa,theta,sigma,rho) gradient; oracle = per-quote Lewis
+        price + AD gradient."""
+        from optionslab_tpu.ops.heston_pallas import pallas_heston_chain_ladder
+
+        strikes = [95.0, 105.0, 100.0]
+        mats = [0.5, 0.5, 1.0]
+        cps = [-1.0, 1.0, 1.0]
+        prices, ses, grads = pallas_heston_chain_ladder(
+            strikes, mats, cps, S, R, PAR, n_paths=131072, max_dt=1.0 / 16,
+            sampler="hash")
+
+        def lewis_q(pv, k, t, cp):
+            p = HestonParams(v0=pv[0], kappa=pv[1], theta=pv[2],
+                             sigma=pv[3], rho=pv[4])
+            return heston_price(ContractBatch.make(
+                S, k, t, R, 0.2, "call" if cp > 0 else "put"), p)
+
+        pv0 = jnp.asarray([0.04, 2.0, 0.04, 0.3, -0.7], jnp.float32)
+        for q in range(3):
+            ex = float(lewis_q(pv0, strikes[q], mats[q], cps[q]))
+            gex = np.asarray(jax.grad(lewis_q)(pv0, strikes[q], mats[q],
+                                               cps[q]))
+            # price: MC noise + Euler bias at dt=1/16
+            assert abs(float(prices[q]) - ex) < 5 * float(ses[q]) + 0.06, q
+            gk = np.asarray(grads[q])
+            # per-param: relative where the grad is large, absolute floor
+            # sized to pathwise noise at 131k paths (deterministic seed 0);
+            # (manual check: assert_allclose rejects array-valued atol)
+            tol = np.maximum(0.12, 0.03 * np.abs(gex)) + 0.12 * np.abs(gex)
+            assert np.all(np.abs(gk - gex) <= tol), (q, gk, gex, tol)
+
+    @pytest.mark.slow
+    def test_kernel_calibration_recovers_params(self):
+        """calibrate_heston_mc: kernel-ladder gradients inside scan_adam
+        recover the generating v0/kappa/theta from Lewis prices (sigma/rho
+        are weakly identified at CPU-sized path counts — checked loosely).
+        """
+        from optionslab_tpu.models.heston import calibrate_heston_mc
+
+        strikes = [90.0, 100.0, 110.0, 95.0, 105.0]
+        mats = [0.5, 0.5, 0.5, 1.0, 1.0]
+        cps = [-1.0, 1.0, 1.0, -1.0, 1.0]
+        gen = HestonParams.make(0.04, 2.0, 0.05, 0.3, -0.7)
+        market = [float(heston_price(ContractBatch.make(
+            S, k, t, R, 0.2, "call" if c > 0 else "put"), gen))
+            for k, t, c in zip(strikes, mats, cps)]
+        fit, loss = calibrate_heston_mc(
+            market, strikes, mats, cps, S, R,
+            init=HestonParams.make(0.05, 1.5, 0.04, 0.4, -0.5),
+            n_steps=50, learning_rate=0.06, n_paths=131072,
+            max_dt=1.0 / 32, sampler="hash")
+        assert loss < 5e-5, loss
+        assert abs(float(fit.v0) - 0.04) < 0.004
+        assert abs(float(fit.kappa) - 2.0) < 0.25
+        assert abs(float(fit.theta) - 0.05) < 0.004
+        assert abs(float(fit.rho) + 0.7) < 0.15
+        assert abs(float(fit.sigma) - 0.3) < 0.1
+
     def test_hash_deterministic_seed_sensitive(self):
         p0, _, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=5,
                                        seed=3, sampler="hash")
