@@ -57,6 +57,50 @@ from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 from .gbm_pallas import _QMC_BITS, _mix32, _sobol_pair
 from .kernel_rng import TWO_PI, draw_normals as _draw_normals_impl
+from .rng import _direction_matrix
+
+# static 30-bit direction-number table for the first 8 Sobol dimensions
+# (Joe–Kuo D6 via ops/rng; baked as Python ints → unrolled XORs in-kernel)
+_V8 = tuple(tuple(int(x) for x in row) for row in _direction_matrix()[:8])
+
+
+def _sobol_nd(idx, scrambles, n_dim: int):
+    """n_dim ≤ 8 scrambled-Sobol uniforms for integer point indices
+    ``idx`` — the n-D generalization of ``gbm_pallas._sobol_pair``
+    (Gray-code XOR of static direction numbers, unrolled int32 ops;
+    per-dimension digital-shift scrambles preserve the net)."""
+    gray = idx ^ (idx >> 1)
+    xs = [jnp.zeros_like(idx) for _ in range(n_dim)]
+    for k in range(_QMC_BITS):
+        bit = (gray >> k) & 1
+        for d in range(n_dim):
+            xs[d] = xs[d] ^ (bit * _V8[d][k])
+    inv = 1.0 / (1 << _QMC_BITS)
+    return [((x ^ s).astype(jnp.float32) * inv + 0.5 * inv)
+            for x, s in zip(xs, scrambles)]
+
+
+def _bridge_plan(n_steps: int, max_levels: int):
+    """Static dyadic-bisection plan for the bridge coordinates.
+
+    Returns (sorted boundary list including 0 and n_steps, constructs:
+    [(mid, lo, hi)] in conditional-sampling order — BFS bisection, so
+    coordinate importance matches Sobol dimension quality)."""
+    from collections import deque
+
+    bounds = [0, n_steps]
+    constructs = []
+    q = deque([(0, n_steps)])
+    while len(constructs) < max_levels - 1 and q:
+        a, b = q.popleft()
+        if b - a < 2:
+            continue
+        m = (a + b) // 2
+        constructs.append((m, a, b))
+        bounds.append(m)
+        q.append((a, m))
+        q.append((m, b))
+    return sorted(bounds), constructs
 
 ROWS = 128  # path-block sublanes
 LANES = 512  # path-block lanes (price kernel)
@@ -114,8 +158,12 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             ref[:, :] = jnp.zeros_like(ref)
 
     qmc = sampler.startswith("sobol_bb")
-    residual = "hash" if (sampler == "hash" or sampler.endswith("hash")) \
-        else "prng"
+    # QMC residuals ALWAYS ride the counter-based hash stream: replay of
+    # pass 1 in pass 2 is exact by construction (no PRNG reseed trick),
+    # and the hardware-PRNG variant of the segmented two-pass structure
+    # trips a pathological Mosaic compile (>25 min vs 26 s)
+    residual = "hash" if (qmc or sampler == "hash"
+                          or sampler.endswith("hash")) else "prng"
     if residual != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
@@ -198,12 +246,15 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
     def payoff(stat, s_or_log):
-        s_t = jnp.exp(s_or_log) if geo else s_or_log
+        # geo carries RELATIVE log-spots (x - log S0): the final exp sees
+        # a small argument, where the TPU fast-exp error is benign (at
+        # |arg| ~ log(100) its relative error alone is a ~2e-3 price bias)
+        s_t = s0 * jnp.exp(s_or_log) if geo else s_or_log
         if kind.startswith("asian"):
             if kind.startswith("asian_arith"):
                 avg = (stat[0] - s0) * inv_n
             else:
-                avg = jnp.exp(stat[0] * inv_n)
+                avg = s0 * jnp.exp(stat[0] * inv_n)
             return jnp.maximum(cp * (avg - strike), 0.0)
         if kind == "lookback_float":
             return (s_t - stat[0]) if cp > 0 else (stat[0] - s_t)
@@ -221,111 +272,136 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
-    if geo:
-        state0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    # geo always, and EVERY kind under QMC, carries relative log-spots
+    # (additive f32-exact updates — see make_body); stats always seed from
+    # the PRICE-space start (init_stat ignores it for geo)
+    if geo or qmc:
+        state0 = jnp.zeros(shape, jnp.float32)  # RELATIVE log-spot x−lnS0
     else:
         state0 = jnp.full(shape, s0, jnp.float32)
+    price0 = jnp.full(shape, s0, jnp.float32)
     states = (state0, state0, state0, state0)
-    stats = tuple(init_stat(state0) for _ in range(4))
+    stats = tuple(init_stat(price0) for _ in range(4))
     zero = jnp.zeros(shape, jnp.float32)
 
-    n1 = n_steps // 2
-    n2 = n_steps - n1
     if qmc:
-        # Hybrid bridge QMC: a 2-D scrambled Sobol point per path drives
-        # the TERMINAL and MIDPOINT Brownian-bridge coordinates (the bulk
-        # of an Asian/European payoff's variance); counter-replayable
-        # residual normals fill in conditionally. All in z-units (sums of
-        # standard normals), so the existing vol·√dt scaling applies.
+        # Hybrid bridge QMC, up to EIGHT dyadic bridge coordinates: a
+        # scrambled Sobol point per path drives the terminal sum and up
+        # to 7 recursive-bisection midpoint sums (the dominant principal
+        # components of an Asian/European payoff's variance);
+        # counter-replayable residual normals fill in conditionally
+        # within each segment. All in z-units (sums of standard normals),
+        # so the existing vol·√dt scaling applies.
+        bounds, constructs = _bridge_plan(n_steps, 8)
+        n_dim = 1 + len(constructs)
+        n_pairs = (n_dim + 1) // 2
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         idx = block * (ROWS * LANES) + rid * LANES + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
-        u1, u2 = _sobol_pair(idx, h & mask30,
-                             _mix32(h + jnp.int32(-1640531527)) & mask30)
-        rad = jnp.sqrt(-2.0 * jnp.log(u1))
-        g_t = rad * jnp.cos(TWO_PI * u2)
-        g_m = rad * jnp.sin(TWO_PI * u2)
-        s_t = math.sqrt(float(n_steps)) * g_t  # Σ of all n z's
-        # Σ of the first n1 z's | s_t ~ N(s_t·n1/n, n1·n2/n)
-        s_mid = s_t * (n1 / n_steps) + math.sqrt(n1 * n2 / n_steps) * g_m
+        h0 = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        scrambles = []
+        h = h0
+        for _ in range(2 * n_pairs):
+            scrambles.append(h & mask30)
+            h = _mix32(h + jnp.int32(-1640531527))
+        us = _sobol_nd(idx, scrambles, 2 * n_pairs)
+        g = []
+        for i2 in range(n_pairs):
+            rad = jnp.sqrt(-2.0 * jnp.log(us[2 * i2]))
+            th = TWO_PI * us[2 * i2 + 1]
+            g.append(rad * jnp.cos(th))
+            g.append(rad * jnp.sin(th))
+        # pinned cumulative z-sums at the bridge boundaries
+        csum = {0: zero, n_steps: math.sqrt(float(n_steps)) * g[0]}
+        for (m, a, b), gd in zip(constructs, g[1:]):
+            frac = (m - a) / (b - a)
+            sd = math.sqrt((m - a) * (b - m) / (b - a))
+            csum[m] = csum[a] + (csum[b] - csum[a]) * frac + sd * gd
+        segs = list(zip(bounds[:-1], bounds[1:]))
+        targets = [csum[b] - csum[a] for a, b in segs]
 
-        # pass 1: the residual streams' half-sums (replayed in pass 2)
+        # pass 1: per-SEGMENT residual sums of both draw streams
+        # (sequential segment loops preserve the counter order for the
+        # pass-2 replay)
         def pre(i, carry):
-            s1c, s2c, s1s, s2s = carry
+            sc, ss = carry
             z1, z2 = _draw_normals(residual, seed, block, i, n_steps, shape)
-            first = i < n1
-            s1c = s1c + jnp.where(first, z1, 0.0)
-            s2c = s2c + jnp.where(first, 0.0, z1)
-            s1s = s1s + jnp.where(first, z2, 0.0)
-            s2s = s2s + jnp.where(first, 0.0, z2)
-            return s1c, s2c, s1s, s2s
+            return sc + z1, ss + z2
 
-        s1c, s2c, s1s, s2s = jax.lax.fori_loop(
-            0, n_steps, pre, (zero, zero, zero, zero))
+        seg_sums = []
+        for a, b in segs:
+            seg_sums.append(jax.lax.fori_loop(a, b, pre, (zero, zero)))
         if residual != "hash":  # replay the hardware PRNG stream in pass 2
             pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
-        inv1, inv2 = 1.0 / n1, 1.0 / n2
-
-        def bridge_z(i, z, s_half, sign):
-            """Effective increment normal: sign·z + per-half offset so each
-            half sums exactly to its bridge coordinate (conditional law)."""
-            first = i < n1
-            s1, s2 = s_half
-            off = jnp.where(first, (s_mid - sign * s1) * inv1,
-                            (s_t - s_mid - sign * s2) * inv2)
-            return sign * z + off
     # (z₁ at step 0, Σz, Σ(z²−1)) per draw stream (cos, sin); antithetic
     # branches flip the SIGNED pieces, share the squared one. No dead
     # carries in the price-only variant (mirrors the heston kernel).
     scores = (zero, zero, zero, zero, zero, zero) if lr else ()
 
-    def body(i, carry):
-        (xa, xb, xc, xd), (sa, sb, sc, sd), sc6 = carry
-        z1, z2 = _draw_normals(residual, seed, block, i, n_steps, shape)
-        if qmc:
-            za = bridge_z(i, z1, (s1c, s2c), 1.0)
-            zb = bridge_z(i, z1, (s1c, s2c), -1.0)
-            zc = bridge_z(i, z2, (s1s, s2s), 1.0)
-            zd = bridge_z(i, z2, (s1s, s2s), -1.0)
-            if geo:
-                xa = xa + drift_dt + vol_sqrt_dt * za
-                xb = xb + drift_dt + vol_sqrt_dt * zb
-                xc = xc + drift_dt + vol_sqrt_dt * zc
-                xd = xd + drift_dt + vol_sqrt_dt * zd
-            else:  # offsets break the ± shared exponential: 4 exps
-                xa = xa * (growth * jnp.exp(vol_sqrt_dt * za))
-                xb = xb * (growth * jnp.exp(vol_sqrt_dt * zb))
-                xc = xc * (growth * jnp.exp(vol_sqrt_dt * zc))
-                xd = xd * (growth * jnp.exp(vol_sqrt_dt * zd))
-        elif geo:
-            xa = xa + drift_dt + vol_sqrt_dt * z1
-            xb = xb + drift_dt - vol_sqrt_dt * z1
-            xc = xc + drift_dt + vol_sqrt_dt * z2
-            xd = xd + drift_dt - vol_sqrt_dt * z2
-        else:
-            # antithetic shares the exponential: e^{-s·z} = 1/e^{s·z}
-            w1 = jnp.exp(vol_sqrt_dt * z1)
-            w2 = jnp.exp(vol_sqrt_dt * z2)
-            xa = xa * (growth * w1)
-            xb = xb * growth / w1
-            xc = xc * (growth * w2)
-            xd = xd * growth / w2
-        sa = update_stat(sa, xa, i)
-        sb = update_stat(sb, xb, i)
-        sc = update_stat(sc, xc, i)
-        sd = update_stat(sd, xd, i)
-        if lr:
-            zf1, zf2, sz1, sz2, szz1, szz2 = sc6
-            first = i == 0
-            sc6 = (jnp.where(first, z1, zf1), jnp.where(first, z2, zf2),
-                   sz1 + z1, sz2 + z2,
-                   szz1 + z1 * z1 - 1.0, szz2 + z2 * z2 - 1.0)
-        return (xa, xb, xc, xd), (sa, sb, sc, sd), sc6
+    def make_body(offs):
+        def body(i, carry):
+            (xa, xb, xc, xd), (sa, sb, sc, sd), sc6 = carry
+            z1, z2 = _draw_normals(residual, seed, block, i, n_steps, shape)
+            if offs is not None:
+                # conditional-law residuals: each branch's segment sum is
+                # pinned to its bridge target by a constant offset. ALL
+                # kinds carry RELATIVE log-spots under QMC: the additive
+                # update is exact in f32 while any per-step multiplicative
+                # offset factor would compound the TPU fast-exp relative
+                # error into a ~1e-3 systematic price bias; prices are
+                # exponentiated only where consumed (one small-argument
+                # exp per branch per stat update).
+                oc_p, oc_m, os_p, os_m = offs
+                xa = xa + drift_dt + vol_sqrt_dt * (z1 + oc_p)
+                xb = xb + drift_dt + vol_sqrt_dt * (-z1 + oc_m)
+                xc = xc + drift_dt + vol_sqrt_dt * (z2 + os_p)
+                xd = xd + drift_dt + vol_sqrt_dt * (-z2 + os_m)
+            elif geo:
+                xa = xa + drift_dt + vol_sqrt_dt * z1
+                xb = xb + drift_dt - vol_sqrt_dt * z1
+                xc = xc + drift_dt + vol_sqrt_dt * z2
+                xd = xd + drift_dt - vol_sqrt_dt * z2
+            else:
+                # antithetic shares the exponential: e^{-s·z} = 1/e^{s·z}
+                w1 = jnp.exp(vol_sqrt_dt * z1)
+                w2 = jnp.exp(vol_sqrt_dt * z2)
+                xa = xa * (growth * w1)
+                xb = xb * growth / w1
+                xc = xc * (growth * w2)
+                xd = xd * growth / w2
+            if offs is not None and not geo:
+                sa = update_stat(sa, s0 * jnp.exp(xa), i)
+                sb = update_stat(sb, s0 * jnp.exp(xb), i)
+                sc = update_stat(sc, s0 * jnp.exp(xc), i)
+                sd = update_stat(sd, s0 * jnp.exp(xd), i)
+            else:
+                sa = update_stat(sa, xa, i)
+                sb = update_stat(sb, xb, i)
+                sc = update_stat(sc, xc, i)
+                sd = update_stat(sd, xd, i)
+            if lr:
+                zf1, zf2, sz1, sz2, szz1, szz2 = sc6
+                first = i == 0
+                sc6 = (jnp.where(first, z1, zf1), jnp.where(first, z2, zf2),
+                       sz1 + z1, sz2 + z2,
+                       szz1 + z1 * z1 - 1.0, szz2 + z2 * z2 - 1.0)
+            return (xa, xb, xc, xd), (sa, sb, sc, sd), sc6
 
-    states, stats, scores = jax.lax.fori_loop(
-        0, n_steps, body, (states, stats, scores))
+        return body
+
+    if qmc:
+        carry = (states, stats, scores)
+        for j, (a, b) in enumerate(segs):
+            sc_j, ss_j = seg_sums[j]
+            inv = 1.0 / (b - a)
+            offs = ((targets[j] - sc_j) * inv, (targets[j] + sc_j) * inv,
+                    (targets[j] - ss_j) * inv, (targets[j] + ss_j) * inv)
+            carry = jax.lax.fori_loop(a, b, make_body(offs), carry)
+        states, stats, scores = carry
+    else:
+        states, stats, scores = jax.lax.fori_loop(
+            0, n_steps, make_body(None), (states, stats, scores))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
@@ -335,7 +411,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     branch_scores = ((zf1, sz1, szz1), (-zf1, -sz1, szz1),
                      (zf2, sz2, szz2), (-zf2, -sz2, szz2))
     for (x, st), (zf, sz, szz) in zip(zip(states, stats), branch_scores):
-        p = payoff(st, x)
+        p = payoff(st, s0 * jnp.exp(x) if (qmc and not geo) else x)
         acc += p
         acc2 += p * p
         if lr:
@@ -423,13 +499,13 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     path count rounds up to whole blocks of {PATHS_PER_BLOCK}.
 
     Samplers: ``prng`` / ``hash`` (plain MC), ``sobol_bb`` /
-    ``sobol_bb_hash`` (hybrid bridge QMC: a per-path scrambled 2-D Sobol
-    point drives the terminal and midpoint Brownian-bridge coordinates
-    and replayed residual normals fill in conditionally). Measured gain:
-    ~1.7x error at one block, ~1.25x at 4M paths (the conditional
-    residual variance is untouched and dominates at scale) — for
-    maximum QMC accuracy use the full 64-dim bridge on the XLA engine
-    (``models/qmc_exotics``, 57x at 16k paths). The reported stderr is
+    ``sobol_bb_hash`` (hybrid bridge QMC: a per-path scrambled Sobol
+    point drives up to EIGHT dyadic Brownian-bridge coordinates —
+    terminal + 7 recursive midpoints — and replayed residual normals
+    fill in conditionally within each segment). Measured gain on a
+    16-step geometric Asian: ~24x rms error at one block; the
+    full 64-dim bridge on the XLA engine (``models/qmc_exotics``)
+    remains the maximum-accuracy path. The reported stderr is
     the plain-MC sqrt(Var/n) formula, which is UNRELIABLE under QMC:
     stratification usually shrinks the true error below it, but the four
     antithetic branches of a path share one Sobol bridge point (identical
@@ -769,7 +845,7 @@ def _exotic_greeks_kernel(seed_ref, param_ref, pay_ref, pay2_ref, p0_ref,
 
     zero = jnp.zeros(shape, jnp.float32)
     if geo:
-        state0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+        state0 = jnp.zeros(shape, jnp.float32)  # RELATIVE log-spot x−lnS0
     else:
         state0 = jnp.full(shape, s0, jnp.float32)
     xs = (state0, state0, state0, state0)
@@ -833,7 +909,9 @@ def _exotic_greeks_kernel(seed_ref, param_ref, pay_ref, pay2_ref, p0_ref,
             g2 = cp * ind * ai * inv_n
         elif kind == "asian_geo":
             lsum, cw, _ = aux
-            avg = jnp.exp(lsum * inv_n)
+            # relative log carry: exp sees a SMALL argument (fast-exp at
+            # |ln S0| ≈ 4.6 alone is a ~2e-3 price bias on TPU)
+            avg = s0 * jnp.exp(lsum * inv_n)
             pay = jnp.maximum(cp * (avg - strike), 0.0)
             ind = jnp.where(pay > 0, 1.0, 0.0)
             p0 = cp * ind * avg
