@@ -181,10 +181,10 @@ def parse_optionmetrics(df, spot=None, rate: float = 0.0):
     import pandas as pd
 
     out = pd.DataFrame()
-    strike = np.asarray(df["strike_price"], np.float64)
-    # OptionMetrics stores strikes in thousandths of a dollar
-    out["strike_price"] = strike / 1000.0 if np.nanmedian(strike) > 2000 \
-        else strike
+    # OptionMetrics opprcd ALWAYS stores strikes in thousandths of a
+    # dollar — unconditional (a magnitude heuristic would silently leave
+    # low-priced underlyings' strikes 1000x too large)
+    out["strike_price"] = np.asarray(df["strike_price"], np.float64) / 1000.0
     out["option_type"] = (df["cp_flag"].astype(str).str.upper().str[0]
                           .map({"C": "call", "P": "put"}))
     bid = np.asarray(df["best_bid"], np.float64)
@@ -206,7 +206,7 @@ def parse_optionmetrics(df, spot=None, rate: float = 0.0):
     return out
 
 
-def parse_cboe_quotedata(path, rate: float = 0.0):
+def parse_cboe_quotedata(path, rate: float = 0.0, as_of=None):
     """Parse a CBOE ``quotedata``-style CSV: two header lines (underlying
     description + last price, then the retrieval timestamp) followed by
     side-by-side calls/puts rows sharing an expiration and strike. Real
@@ -226,10 +226,18 @@ def parse_cboe_quotedata(path, rate: float = 0.0):
     except (IndexError, ValueError) as e:
         raise DataError(f"cannot parse underlying price from CBOE header "
                         f"{header1!r}") from e
-    try:
-        as_of = pd.to_datetime(header2.split("@")[0].strip(), format="mixed")
-    except (ValueError, IndexError):
-        as_of = pd.Timestamp.now().normalize()
+    if as_of is None:
+        try:
+            as_of = pd.to_datetime(header2.split("@")[0].strip(),
+                                   format="mixed")
+        except (ValueError, IndexError) as e:
+            # refusing to silently fall back to "now": a stale file would
+            # get every TTM computed from the parse-time clock
+            raise DataError(
+                f"cannot parse the as-of date from CBOE header line 2 "
+                f"{header2!r}; pass as_of= explicitly") from e
+    else:
+        as_of = pd.to_datetime(as_of)
     # pandas suffixes the duplicated put-side columns with ".1" on read
     body.columns = [str(c).strip().lower().replace(" ", "_")
                     for c in body.columns]
@@ -273,8 +281,9 @@ class OptionChainLoader:
             pd.read_csv(path, **read_kwargs), spot=spot, rate=rate))
 
     @staticmethod
-    def from_cboe(path, rate: float = 0.0) -> OptionChainDataset:
-        return OptionChainDataset(parse_cboe_quotedata(path, rate=rate))
+    def from_cboe(path, rate: float = 0.0, as_of=None) -> OptionChainDataset:
+        return OptionChainDataset(parse_cboe_quotedata(path, rate=rate,
+                                                       as_of=as_of))
 
     @staticmethod
     def from_parquet(path, **read_kwargs) -> OptionChainDataset:

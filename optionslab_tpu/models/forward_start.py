@@ -54,10 +54,15 @@ def _cir_share_mgf(z, params: HestonParams, t1):
     kap_s = jnp.where(jnp.abs(kap_s) < 1e-6, 1e-6, kap_s)
     theta_s = params.kappa * params.theta / kap_s
     # guard the t1 -> 0 singularity of lambda: use expm1 (f32-exact for
-    # tiny kappa*t1, unlike 1 - exp) and clamp away from 0.  In the clamped
-    # limit lam*c -> emkt*v0 and nu*c -> 0, so the MGF degrades gracefully
-    # to its exact t1=0 value exp(z*v0) (deterministic v_{T1} = v0).
-    one_memkt = jnp.maximum(-jnp.expm1(-kap_s * t1), 1e-12)
+    # tiny kappa*t1, unlike 1 - exp) and clamp away from 0 PRESERVING THE
+    # SIGN — kappa* = kappa - rho*sigma is legitimately negative for
+    # rho*sigma > kappa, where 1 - e^{-kappa* t1} < 0 is correct (a
+    # one-sided max here silently replaced the MGF with its degenerate
+    # form and mispriced by ~30 sigma).  In the clamped limit
+    # lam*c -> emkt*v0 and nu*c -> 0, so the MGF degrades gracefully to
+    # its exact t1=0 value exp(z*v0) (deterministic v_{T1} = v0).
+    one_memkt = -jnp.expm1(-kap_s * t1)
+    one_memkt = jnp.where(jnp.abs(one_memkt) < 1e-12, 1e-12, one_memkt)
     emkt = 1.0 - one_memkt
     c = params.sigma**2 * one_memkt / (4.0 * kap_s)
     nu = 4.0 * kap_s * theta_s / params.sigma**2

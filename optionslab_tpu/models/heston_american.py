@@ -84,27 +84,13 @@ def _qe_consts(params, dt):
 
 
 def _qe_substep(x, v, key, consts, mu_dt, dtype):
-    emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4 = consts
+    """Draw (z_v, z_x, u) and delegate to the single transition-law
+    implementation (:func:`_qe_apply`) — lower/upper-bound dynamics must
+    share one copy of the psi-switched law by construction."""
     kz, ku = jax.random.split(key)
     z = jax.random.normal(kz, (2,) + x.shape, dtype)
     u = jax.random.uniform(ku, x.shape, dtype, 1e-7, 1.0 - 1e-7)
-    m = c1 + emkd * v
-    s2 = s2_v * v + s2_0
-    psi = s2 / jnp.maximum(m * m, 1e-30)
-    inv_psi = 2.0 / jnp.maximum(psi, 1e-10)
-    b2 = jnp.maximum(inv_psi - 1.0 + jnp.sqrt(
-        jnp.maximum(inv_psi * (inv_psi - 1.0), 0.0)), 0.0)
-    a = m / (1.0 + b2)
-    v_quad = a * (jnp.sqrt(b2) + z[0]) ** 2
-    p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-7)
-    beta = (1.0 - p) / jnp.maximum(m, 1e-30)
-    v_exp = jnp.where(u <= p, 0.0,
-                      jnp.log((1.0 - p) / jnp.maximum(1.0 - u, 1e-30))
-                      / jnp.maximum(beta, 1e-30))
-    v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
-    x_new = x + mu_dt + k0 + k1 * v + k2 * v_new \
-        + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * z[1]
-    return x_new, v_new
+    return _qe_apply(x, v, z[0], z[1], u, consts, mu_dt)
 
 
 def _date_step(x, v, key, consts, mu_dt, n_sub: int, dtype):
@@ -160,11 +146,11 @@ def fit_heston_lsm(spot, strike, maturity, rate, params: HestonParams, key,
       well-conditioned everywhere (OTM rows break the collinearity), the
       basis of the dual's value-surface martingale.
     """
-    if cp > 0 and float(rate) >= 0:
-        # American call on a non-dividend payer never exercises early;
-        # the regression would fit noise in a region with no exercises
-        raise ValidationError("bracket supports puts (cp=-1) — calls "
-                              "without dividends have no early exercise")
+    if cp > 0:
+        # the machinery is put-specific throughout (value-surface clip to
+        # [0, K], interest-on-strike pad); a no-dividend call also has no
+        # early exercise at r >= 0
+        raise ValidationError("bracket supports puts (cp=-1) only")
     s_paths, v_paths = _simulate_dates(key, float(spot), params, float(rate),
                                        float(maturity), n_dates, n_sub,
                                        n_paths)
@@ -389,8 +375,12 @@ def heston_american_bracket(spot, strike, maturity, rate,
                                  params, cp, n_dates, n_sub, n_lower)
     up, up_se = heston_ab_upper(sur_coefs, ku, spot, strike, maturity, rate,
                                 params, cp, n_dates, n_sub, n_outer, n_inner)
-    pad = float(strike) * (1.0 - math.exp(-float(rate) * float(maturity)
-                                          / n_dates))
+    # interest-on-strike bound; for r <= 0 a put gains nothing by
+    # exercising between dates, so the pad floors at 0 (a negative pad
+    # would shrink continuous_upper BELOW the Bermudan upper bound and
+    # void the certificate)
+    pad = max(float(strike) * (1.0 - math.exp(-float(rate) * float(maturity)
+                                              / n_dates)), 0.0)
     return {"lower": lo, "lower_se": lo_se, "upper": up, "upper_se": up_se,
             "width": up - lo, "pad": pad, "continuous_upper": up + pad,
             "n_dates": n_dates}

@@ -622,10 +622,14 @@ def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
 
 
 def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
-                     ladder: bool = False, rate: float = 0.0) -> dict:
+                     ladder: bool = False) -> dict:
     """Moment tiles → price/stderr/delta/rho (+ v0-vega / full ladder).
-    Shared by the single-device pipeline and the sharded (psum) path."""
-    spot, t, df, v0 = scalars
+    Shared by the single-device pipeline and the sharded (psum) path.
+    ``scalars``: [spot, t, df, v0] (+ rate when ladder — traced, NOT a
+    static jit arg: a static float rate would retrace per distinct
+    value)."""
+    spot, t, df, v0 = scalars[:4]
+    rate = scalars[4] if ladder else 0.0
     pay, pay2, m1 = outs[:3]
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
@@ -660,9 +664,9 @@ def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "n_blocks", "cp", "sampler",
-                                    "vega", "ladder", "scheme", "rate"))
+                                    "vega", "ladder", "scheme"))
 def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler,
-              vega=False, ladder=False, scheme="euler", rate=0.0):
+              vega=False, ladder=False, scheme="euler"):
     """launch → moment combination in ONE traced program (single dispatch
     over the tunnel — the ~25-30 ms eager-op overhead otherwise dominates
     small workloads)."""
@@ -671,7 +675,7 @@ def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler,
                    scheme=scheme)
     ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
     return _combine_moments(outs, n_blocks * ppb, scalars, cp,
-                            vega, ladder=ladder, rate=rate)
+                            vega, ladder=ladder)
 
 
 def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
@@ -700,11 +704,11 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
     ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
     n_blocks = max(1, math.ceil(n_paths / ppb))
     scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
-                           float(params.v0)], jnp.float32)
+                           float(params.v0), float(rate)], jnp.float32)
     out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
                          n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                          sampler=sampler, vega=vega and not ladder,
-                         ladder=ladder, rate=float(rate)))
+                         ladder=ladder))
     out["paths"] = n_blocks * ppb
     return out
 

@@ -352,11 +352,13 @@ class LocalVolKernelPricer:
 
         CONVENTION: delta/gamma are the STICKY-STRIKE (Dupire-model)
         hedge ratios — the local-vol surface σ(S, t) stays fixed in
-        PHYSICAL spot when S0 bumps (the model's own dynamics). The
-        first-step LR score is exact for this: a spot bump is an initial
-        log-state shift, and only the first transition density depends on
-        the start state (the later transitions are functions of the
-        CURRENT state, which the σ(x)-table indexes physically).
+        PHYSICAL spot when S0 bumps (the model's own dynamics). A spot
+        bump is an initial log-state shift, and only the first transition
+        density depends on the start state; its score includes the
+        σ'(x₀) slope terms, which ride the same reduced moments — delta
+        is exact for ANY payoff kind. Gamma omits the second-order
+        σ'/σ'' score terms (exact up to O(dt·skew); the CRN-FD oracle
+        bounds the residual at test settings).
         ``vega`` is the parallel surface shift ∂price/∂ε for σ(·,·)+ε.
         Oracles in the tests: CRN finite differences with the table
         RE-FITTED from the same physical surface at the bumped spot
@@ -375,15 +377,24 @@ class LocalVolKernelPricer:
         n = n_blocks * PATHS_PER_BLOCK
         df = math.exp(-self.rate * self.t_total)
         price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
-        # sigma at the common start state x=0, step 0 (deterministic)
+        # sigma and its x-slope at the common start state x=0, step 0
+        # (deterministic — all paths share it)
         c0 = self.rows[0]
-        sig0 = max(float(np.polyval(c0[2:], np.clip(0.0, c0[0], c0[1]))),
-                   1e-4)
+        x0c = float(np.clip(0.0, c0[0], c0[1]))
+        sig0 = max(float(np.polyval(c0[2:], x0c)), 1e-4)
+        dsig0 = float(np.polyval(np.polyder(c0[2:]), x0c))
         sqdt = math.sqrt(self.t_total / self.n_steps)
         m_d = float(outs[2].sum()) / n
         m_g = float(outs[3].sum()) / n
         m_v = float(outs[4].sum()) / n
-        delta = df * m_d / (self.spot * sig0 * sqdt)
+        # first-step score incl. the sigma'(x0) state-dependence of the
+        # transition density: z1/(sig0*sqdt) + (sig0'/sig0)(z1^2-1)
+        # - sig0'*sqdt*z1 — the correction terms ride the SAME reduced
+        # moments (m_d, m_g), so the sticky-strike delta is exact even on
+        # steeply skewed surfaces at coarse step counts
+        delta = (df / self.spot) * (m_d / (sig0 * sqdt)
+                                    + dsig0 / sig0 * m_g
+                                    - dsig0 * sqdt * m_d)
         gamma = (df * m_g / (self.spot * sig0 * sqdt) ** 2
                  - delta / self.spot)
         if payoff.startswith("lookback"):

@@ -52,6 +52,20 @@ class TestForwardStart:
                                         n_paths=200_000, n_steps=300)
         assert abs(sa - float(mc)) < 3.5 * float(se) + 0.01
 
+    def test_negative_share_measure_kappa_matches_mc(self):
+        """kappa* = kappa − rho·sigma < 0 (rho·sigma > kappa) is a valid
+        regime where 1 − e^{−kappa* t1} is legitimately NEGATIVE; a
+        one-sided clamp here once silently degenerated the MGF and
+        mispriced by ~30 sigma (round-3 review catch)."""
+        hp = HestonParams.make(v0=0.04, kappa=0.5, theta=0.8, sigma=0.8,
+                               rho=0.8, dtype=F)
+        sa = float(forward_start_price(100.0, 1.0, 1.0, 2.0, 0.05, hp))
+        mc, se = forward_start_mc_price(100.0, 1.0, 1.0, 2.0, 0.05, hp,
+                                        jax.random.PRNGKey(2),
+                                        n_paths=200_000, n_steps=300)
+        assert abs(sa - float(mc)) < 3.5 * float(se) + 0.05, \
+            (sa, float(mc), float(se))
+
     @pytest.mark.slow
     def test_bates_jumps_match_mc(self):
         pb = BatesParams.make(v0=0.04, kappa=2.0, theta=0.05, sigma=0.3,

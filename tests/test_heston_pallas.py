@@ -200,6 +200,28 @@ class TestKernel:
             tol = np.maximum(0.12, 0.03 * np.abs(gex)) + 0.12 * np.abs(gex)
             assert np.all(np.abs(gk - gex) <= tol), (q, gk, gex, tol)
 
+    def test_chain_and_single_ladders_agree(self):
+        """The chain kernel and the single-contract ladder kernel carry
+        the SAME Euler pathwise-sensitivity recursions in two code paths
+        — pin them against each other directly (statistical CRN-free
+        comparison; guards the hand-synced duplication)."""
+        from optionslab_tpu.ops.heston_pallas import pallas_heston_chain_ladder
+
+        prices, ses, grads = pallas_heston_chain_ladder(
+            [100.0], [1.0], [1.0], S, R, PAR, n_paths=131072,
+            max_dt=1.0 / 32, sampler="hash")
+        single = pallas_heston_greeks(S, 100.0, 1.0, R, PAR,
+                                      n_paths=131072, n_steps=32, seed=7,
+                                      sampler="hash", ladder=True)
+        assert abs(float(prices[0]) - float(single["price"])) \
+            < 5 * float(ses[0]) + 0.05
+        pairs = [(0, "vega_v0", 1.5), (1, "d_kappa", 0.05),
+                 (2, "d_theta", 2.0), (3, "d_sigma", 0.25),
+                 (4, "d_rho", 0.15)]
+        for idx, key, atol in pairs:
+            assert abs(float(grads[0][idx]) - float(single[key])) < atol, \
+                (key, float(grads[0][idx]), float(single[key]))
+
     @pytest.mark.slow
     def test_kernel_calibration_recovers_params(self):
         """calibrate_heston_mc: kernel-ladder gradients inside scan_adam
