@@ -185,27 +185,55 @@ def fit_heston_lsm(spot, strike, maturity, rate, params: HestonParams, key,
     return jnp.asarray(coefs, jnp.float32), jnp.asarray(scoefs, jnp.float32)
 
 
-def _exercise_now(coefs, d, s, v, strike, cp, n_dates):
-    """Policy rule at date d (traced): exercise if ITM and payoff beats
-    the fitted continuation; always exercise (if ITM) at the last date."""
-    ex = jnp.maximum(cp * (s - strike), 0.0)
+def _grid_cont(surf, d, s, v, strike):
+    """Continuation value at date d from the Bermudan-ADI slices: bilinear
+    read of ``cont_all[d]`` at (log s, v), clipped to the put's hard value
+    bounds [0, K] (queries outside the PDE grid clamp to the edge — any
+    adapted surface stays a VALID dual input; only tightness could
+    suffer, and the grid spans 5 sigma)."""
+    from .heston_fdm import _bilinear_at
+
+    cont_all, x_lo, dx, dv = surf
+    sl = cont_all[d]
+    cont = _bilinear_at(sl, jnp.log(jnp.maximum(s, 1e-12)), v, x_lo, dx, dv)
+    return jnp.clip(cont, 0.0, strike)
+
+
+def _continuation(surf, d, s, v, strike, ex, kind):
+    """Fitted/PDE continuation value at date d — the single dispatch point
+    for the two surface families (``kind`` is jit-static):
+
+    - ``poly``: LSM regression coefficients (n_dates+1, F);
+    - ``grid``: Bermudan-ADI continuation slices + grid geometry.
+    """
+    if kind == "grid":
+        return _grid_cont(surf, d, s, v, strike)
     phi = _features(s / strike, v, ex / strike)
-    cont = (phi @ coefs[d]) * strike
+    return (phi @ surf[d]) * strike
+
+
+def _exercise_now(surf, d, s, v, strike, cp, n_dates, kind="poly"):
+    """Policy rule at date d (traced): exercise if ITM and payoff beats
+    the continuation; always exercise (if ITM) at the last date."""
+    ex = jnp.maximum(cp * (s - strike), 0.0)
+    cont = _continuation(surf, d, s, v, strike, ex, kind)
     last = d >= n_dates
     return ex, (ex > 0.0) & (last | (ex > cont))
 
 
-@functools.partial(jax.jit, static_argnames=("n_dates", "n_sub", "n_paths"))
-def _lower_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
-                    n_dates, n_sub, n_paths):
+@functools.partial(jax.jit, static_argnames=("n_dates", "n_sub", "n_paths",
+                                             "kind", "use_cv"))
+def _lower_pipeline(surf, key, spot, strike, maturity, rate, params, cp,
+                    n_dates, n_sub, n_paths, kind="poly", use_cv=False,
+                    c_euro=0.0):
     s_paths, v_paths = _simulate_dates(key, spot, params, rate, maturity,
                                        n_dates, n_sub, n_paths)
     dt = maturity / n_dates
 
     def body(carry, d):
         alive, cash = carry
-        ex, take = _exercise_now(coefs, d, s_paths[d], v_paths[d], strike,
-                                 cp, n_dates)
+        ex, take = _exercise_now(surf, d, s_paths[d], v_paths[d], strike,
+                                 cp, n_dates, kind)
         pay_now = alive & take
         cash = jnp.where(pay_now, jnp.exp(-rate * dt * d) * ex, cash)
         return (alive & ~take, cash), None
@@ -213,39 +241,63 @@ def _lower_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
     alive0 = jnp.ones(s_paths.shape[1], bool)
     (_, cash), _ = lax.scan(body, (alive0, jnp.zeros(s_paths.shape[1])),
                             jnp.arange(1, n_dates + 1))
+    if use_cv:
+        # European control variate on the SAME paths: the discounted
+        # terminal payoff is strongly correlated with the early-exercise
+        # cashflow; centering at the Lewis CF price removes most of the
+        # path-sampling noise. Centering error = the QE scheme's European
+        # bias, negligible at n_dates*n_sub substeps (measured ~1e-5 at
+        # 100 substeps) and far below the quoted stderr.
+        euro = jnp.exp(-rate * maturity) * jnp.maximum(
+            cp * (s_paths[-1] - strike), 0.0)
+        em = euro.mean()
+        beta = jnp.sum((cash - cash.mean()) * (euro - em)) \
+            / jnp.maximum(jnp.sum((euro - em) ** 2), 1e-12)
+        cash = cash - beta * (euro - c_euro)
     return cash.mean(), cash.std(ddof=1) / jnp.sqrt(1.0 * cash.shape[0])
 
 
 def heston_lsm_lower(coefs, key, spot, strike, maturity, rate,
                      params: HestonParams, cp: float = -1.0,
                      n_dates: int = 50, n_sub: int = 2,
-                     n_paths: int = 200_000):
-    """Out-of-sample policy value: (lower bound, stderr)."""
+                     n_paths: int = 200_000, kind: str = "poly",
+                     c_euro=None):
+    """Out-of-sample policy value: (lower bound, stderr). ``coefs`` is the
+    policy surface (LSM coefficients, or ADI slices with ``kind='grid'``);
+    pass the Lewis European price as ``c_euro`` to turn on the
+    control-variate estimator."""
     m, se = _lower_pipeline(coefs, key, float(spot), float(strike),
                             float(maturity), float(rate),
                             jax.tree.map(jnp.float32, params), float(cp),
-                            n_dates, n_sub, n_paths)
+                            n_dates, n_sub, n_paths, kind=kind,
+                            use_cv=c_euro is not None,
+                            c_euro=0.0 if c_euro is None else float(c_euro))
     return float(m), float(se)
 
 
-def _surface_value(coefs, d, s, v, strike, cp, n_dates):
-    """Ṽ_d(s, v) = max(payoff, fitted continuation) — the deterministic
-    regression value surface the dual martingale is built from. At the
-    last date the continuation is zero."""
+def _surface_value(surf, d, s, v, strike, cp, n_dates, kind="poly"):
+    """Ṽ_d(s, v) = max(payoff, continuation) — the deterministic value
+    surface the dual martingale is built from (regression fit for
+    ``poly``, Bermudan-ADI slices for ``grid``). At the last date the
+    continuation is zero (grid: cont_all[n_dates] is the zero slice)."""
     ex = jnp.maximum(cp * (s - strike), 0.0)
+    if kind == "grid":
+        return jnp.maximum(ex, _grid_cont(surf, d, s, v, strike))
     phi = _sfeatures(s / strike, v, ex / strike)
     # clip to the put's hard value bounds [0, K]: polynomial wings must
     # not leak into the martingale
-    cont = jnp.clip((phi @ coefs[d]) * strike, 0.0, strike)
+    cont = jnp.clip((phi @ surf[d]) * strike, 0.0, strike)
     cont = jnp.where(d >= n_dates, 0.0, cont)
     return jnp.maximum(ex, cont)
 
 
 @functools.partial(jax.jit, static_argnames=("n_dates", "n_sub", "n_outer",
-                                             "n_inner"))
+                                             "n_inner", "kind",
+                                             "with_lower"))
 def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
-                    n_dates, n_sub, n_outer, n_inner):
-    """Dual upper bound from the REGRESSION VALUE SURFACE martingale:
+                    n_dates, n_sub, n_outer, n_inner, kind="poly",
+                    with_lower=False):
+    """Dual upper bound from the VALUE SURFACE martingale:
 
       M_k = Σ_{j≤k} [ df_j·Ṽ_j(X_j) − Ê[df_j·Ṽ_j(X_j) | X_{j−1}] ]
 
@@ -257,6 +309,16 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
     the remaining variance. The gap now measures how well Ṽ approximates
     the Bermudan value surface, not policy-run MC noise (Glasserman ch. 8
     duality-from-approximate-value-function construction).
+
+    ``with_lower=True`` additionally returns the MARTINGALE-CONTROLLED
+    lower bound on the same paths (Rasmussen / Henderson–Glynn): the
+    policy value estimator df_τ·ex_τ − M̂_τ. The inner estimates are
+    conditionally unbiased given X_{j−1}, so M̂ is a TRUE martingale of
+    the joint (outer, inner) filtration and optional stopping keeps the
+    estimator's mean exactly the policy value (a genuine lower bound up
+    to stderr); its variance collapses to dual-gap scale when Ṽ is
+    accurate — both bounds then come out of ONE pipeline with stderr at
+    the 1e-3 level from a few thousand outer paths.
     """
     dt = maturity / n_dates
     dtype = jnp.float32
@@ -290,10 +352,10 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
                 jnp.concatenate([v_a, v_b], axis=1))
 
     def dual_body(carry, k):
-        m_prev, best = carry
+        m_prev, best, alive, low = carry
         # term1: EXACT — the surface evaluated at the outer state
         vk = jnp.exp(-rate * dt * k) * _surface_value(
-            coefs, k, s_out[k], v_out[k], strike, cp, n_dates)
+            coefs, k, s_out[k], v_out[k], strike, cp, n_dates, kind)
         # term2: Ê[df_k·Ṽ_k | X_{k-1}] by antithetic one-date transitions
         x_prev = jnp.broadcast_to(
             jnp.log(s_out[k - 1] / spot)[:, None], (n_outer, half))
@@ -301,18 +363,35 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
         x_tr, v_tr = _date_step_anti(x_prev, v_prev,
                                      jax.random.fold_in(k_dual, k))
         v_in = _surface_value(coefs, k, spot * jnp.exp(x_tr), v_tr, strike,
-                              cp, n_dates)
+                              cp, n_dates, kind)
         t2 = jnp.exp(-rate * dt * k) * v_in.mean(axis=1)
         m_k = m_prev + vk - t2
         ex_k = jnp.maximum(cp * (s_out[k] - strike), 0.0)
         cand = jnp.exp(-rate * dt * k) * ex_k - m_k
-        return (m_k, jnp.maximum(best, cand)), None
+        best = jnp.maximum(best, cand)
+        if with_lower:
+            # the policy's stopping time depends only on the OUTER state,
+            # so cand = df·ex − M̂ at the stop is the controlled estimator
+            _, take = _exercise_now(coefs, k, s_out[k], v_out[k], strike,
+                                    cp, n_dates, kind)
+            pay_now = alive & take
+            low = jnp.where(pay_now, cand, low)
+            alive = alive & ~take
+        return (m_k, best, alive, low), None
 
     ex0 = jnp.full((n_outer,),
                    jnp.maximum(cp * (spot - strike), 0.0).astype(dtype))
-    (_, best), _ = lax.scan(dual_body, (jnp.zeros((n_outer,), dtype), ex0),
-                            jnp.arange(1, n_dates + 1))
-    return best.mean(), best.std(ddof=1) / jnp.sqrt(1.0 * n_outer)
+    zeros = jnp.zeros((n_outer,), dtype)
+    (m_n, best, alive, low), _ = lax.scan(
+        dual_body, (zeros, ex0, jnp.ones((n_outer,), bool), zeros),
+        jnp.arange(1, n_dates + 1))
+    up = (best.mean(), best.std(ddof=1) / jnp.sqrt(1.0 * n_outer))
+    if not with_lower:
+        return up
+    # never-exercised paths: zero payoff at expiry, stop at n — estimator
+    # is 0 − M̂_n (optional stopping still centers it)
+    low = jnp.where(alive, -m_n, low)
+    return up + (low.mean(), low.std(ddof=1) / jnp.sqrt(1.0 * n_outer))
 
 
 def _qe_apply(x, v, zv, zx, u, consts, mu_dt):
@@ -341,14 +420,14 @@ def _qe_apply(x, v, zv, zx, u, consts, mu_dt):
 def heston_ab_upper(coefs, key, spot, strike, maturity, rate,
                     params: HestonParams, cp: float = -1.0,
                     n_dates: int = 50, n_sub: int = 2, n_outer: int = 500,
-                    n_inner: int = 400):
+                    n_inner: int = 400, kind: str = "poly"):
     """Value-surface dual upper bound: (upper, stderr). Inner noise only
     biases the pathwise max UP (safe direction); with one-step inner sims
     n_inner can be in the thousands, making that bias negligible."""
     m, se = _upper_pipeline(coefs, key, float(spot), float(strike),
                             float(maturity), float(rate),
                             jax.tree.map(jnp.float32, params), float(cp),
-                            n_dates, n_sub, n_outer, n_inner)
+                            n_dates, n_sub, n_outer, n_inner, kind=kind)
     return float(m), float(se)
 
 
@@ -357,7 +436,10 @@ def heston_american_bracket(spot, strike, maturity, rate,
                             n_dates: int = 50, n_sub: int = 2,
                             n_fit: int = 100_000, n_lower: int = 200_000,
                             n_outer: int = 512, n_inner: int = 2048,
-                            seed: int = 0) -> dict:
+                            seed: int = 0, method: str = "lsm",
+                            n_x: int = 201, n_v: int = 101,
+                            steps_per_date: int = 8,
+                            use_cv: bool | None = None) -> dict:
     """Certified Bermudan bracket + rigorous continuous-exercise pad.
 
     Returns {lower, lower_se, upper, upper_se, width, continuous_upper,
@@ -365,16 +447,70 @@ def heston_american_bracket(spot, strike, maturity, rate,
     quoted MC stderrs; the CONTINUOUS American lies in
     [lower, continuous_upper] with continuous_upper = upper + pad,
     pad = K·(1 − e^{−r·T/n}) (interest-on-strike bound, no dividends).
+
+    ``method``:
+
+    - ``"lsm"``: regression surfaces (policy: ITM-only LSM fit; dual:
+      all-path ridge value surface). Self-contained, width a few cents.
+    - ``"adi"``: the Bermudan-ADI continuation slices
+      (:func:`~.heston_fdm._heston_adi_bermudan`, exercise projected only
+      at the ``n_dates`` grid) drive BOTH the exercise policy and the
+      dual martingale, and the dual martingale doubles as a control
+      variate for the lower bound (one joint pipeline — see
+      ``_upper_pipeline(with_lower=True)``). The surfaces are near-exact,
+      so BOTH stderrs collapse to dual-gap scale — certified widths of
+      ~1e-3 from a few thousand outer paths — and the bracket
+      independently certifies the PDE value itself (returned as
+      ``adi_bermudan``). ``n_fit``/``n_lower`` are unused here.
+
+    ``use_cv=True`` (lsm method) centers the lower bound on a European
+    control variate at the Lewis CF price — a several-fold stderr cut
+    without the dual machinery.
     """
     key = jax.random.PRNGKey(seed)
     kf, kl, ku = jax.random.split(key, 3)
-    pol_coefs, sur_coefs = fit_heston_lsm(spot, strike, maturity, rate,
-                                          params, kf, cp, n_dates, n_sub,
-                                          n_fit)
-    lo, lo_se = heston_lsm_lower(pol_coefs, kl, spot, strike, maturity, rate,
-                                 params, cp, n_dates, n_sub, n_lower)
-    up, up_se = heston_ab_upper(sur_coefs, ku, spot, strike, maturity, rate,
-                                params, cp, n_dates, n_sub, n_outer, n_inner)
+    if method not in ("lsm", "adi"):
+        raise ValidationError(f"method must be 'lsm' or 'adi', got {method!r}")
+    if use_cv is None:
+        use_cv = False
+    c_euro = None
+    if use_cv:
+        from ..types import ContractBatch
+        from .heston import heston_price
+
+        c_euro = float(heston_price(
+            ContractBatch.make(float(spot), float(strike), float(maturity),
+                               float(rate), 0.2,
+                               "put" if cp < 0 else "call"), params))
+    extra = {}
+    if method == "adi":
+        from .heston_fdm import _heston_adi_bermudan
+
+        if cp > 0:
+            raise ValidationError("bracket supports puts (cp=-1) only")
+        price0, cont_all, x_lo, dx, dv = _heston_adi_bermudan(
+            float(spot), float(strike), float(maturity), float(rate), 0.0,
+            float(cp), jax.tree.map(jnp.float32, params), n_x, n_v,
+            n_dates, steps_per_date)
+        surf = (cont_all, x_lo, dx, dv)
+        extra["adi_bermudan"] = float(price0)
+        # one joint pipeline: dual upper + martingale-controlled lower on
+        # the same outer paths — both stderrs at dual-gap scale
+        up, up_se, lo, lo_se = (float(a) for a in _upper_pipeline(
+            surf, ku, float(spot), float(strike), float(maturity),
+            float(rate), jax.tree.map(jnp.float32, params), float(cp),
+            n_dates, n_sub, n_outer, n_inner, kind="grid",
+            with_lower=True))
+    else:
+        pol_coefs, sur_coefs = fit_heston_lsm(spot, strike, maturity, rate,
+                                              params, kf, cp, n_dates, n_sub,
+                                              n_fit)
+        lo, lo_se = heston_lsm_lower(pol_coefs, kl, spot, strike, maturity,
+                                     rate, params, cp, n_dates, n_sub,
+                                     n_lower, c_euro=c_euro)
+        up, up_se = heston_ab_upper(sur_coefs, ku, spot, strike, maturity,
+                                    rate, params, cp, n_dates, n_sub,
+                                    n_outer, n_inner)
     # interest-on-strike bound; for r <= 0 a put gains nothing by
     # exercising between dates, so the pad floors at 0 (a negative pad
     # would shrink continuous_upper BELOW the Bermudan upper bound and
@@ -383,4 +519,4 @@ def heston_american_bracket(spot, strike, maturity, rate,
                                               / n_dates)), 0.0)
     return {"lower": lo, "lower_se": lo_se, "upper": up, "upper_se": up_se,
             "width": up - lo, "pad": pad, "continuous_upper": up + pad,
-            "n_dates": n_dates}
+            "n_dates": n_dates, "method": method, **extra}

@@ -43,10 +43,13 @@ def _apply_tridiag(lo, di, up, v):
     return lo * left + di * v + up * right
 
 
-@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "american"))
-def _heston_adi(spot, strike, maturity, rate, dividend, cp,
-                params: HestonParams, n_x: int, n_v: int, n_t: int,
-                american: bool):
+def _adi_setup(spot, strike, maturity, rate, dividend, cp,
+               params: HestonParams, n_x: int, n_v: int, n_t: int,
+               american: bool):
+    """Build grids, Douglas stencils and the (projection-free) step
+    closure shared by the European/American solver and the Bermudan
+    slice recorder. Returns ``(step, intrinsic, meta)`` with
+    ``meta = (x_lo, dx, dv)`` (grid geometry for bilinear readers)."""
     f32 = jnp.float32
     spot, strike, maturity, rate, dividend, cp = (
         jnp.asarray(a, f32) for a in (spot, strike, maturity, rate,
@@ -149,26 +152,96 @@ def _heston_adi(spot, strike, maturity, rate, dividend, cp,
         rhs2 = (y1 - theta_s * dt * a2v).T
         y2 = tridiag_solve(i2_lo, i2_di, i2_up, rhs2).T
         y2 = y2.at[:, 0].set(blo).at[:, -1].set(bhi)
-        if american:
-            y2 = jnp.maximum(y2, intrinsic)
-        return y2, None
+        return y2
 
-    vg, _ = lax.scan(step, intrinsic, jnp.arange(n_t))
+    return step, intrinsic, (x_lo, dx, dv)
 
-    # ---- bilinear read-out at (spot, v0) ----------------------------------
-    xq = jnp.log(spot)
+
+def _bilinear_at(grid, xq, vq, x_lo, dx, dv):
+    """Bilinear read of a (n_v, n_x) grid at (log-spot xq, variance vq);
+    queries clamp to the grid edges. Any query shape."""
+    n_v, n_x = grid.shape
     fx = jnp.clip((xq - x_lo) / dx, 0.0, n_x - 1.001)
-    fv = jnp.clip(v0 / dv, 0.0, n_v - 1.001)
+    fv = jnp.clip(vq / dv, 0.0, n_v - 1.001)
     ix = jnp.floor(fx).astype(jnp.int32)
     iv = jnp.floor(fv).astype(jnp.int32)
     wx = fx - ix
     wv = fv - iv
-    p00 = vg[iv, ix]
-    p01 = vg[iv, ix + 1]
-    p10 = vg[iv + 1, ix]
-    p11 = vg[iv + 1, ix + 1]
+    p00 = grid[iv, ix]
+    p01 = grid[iv, ix + 1]
+    p10 = grid[iv + 1, ix]
+    p11 = grid[iv + 1, ix + 1]
     return ((1 - wv) * ((1 - wx) * p00 + wx * p01)
             + wv * ((1 - wx) * p10 + wx * p11))
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "american"))
+def _heston_adi(spot, strike, maturity, rate, dividend, cp,
+                params: HestonParams, n_x: int, n_v: int, n_t: int,
+                american: bool):
+    step, intrinsic, (x_lo, dx, dv) = _adi_setup(
+        spot, strike, maturity, rate, dividend, cp, params, n_x, n_v, n_t,
+        american)
+
+    def body(vg, i):
+        y2 = step(vg, i)
+        if american:
+            y2 = jnp.maximum(y2, intrinsic)
+        return y2, None
+
+    vg, _ = lax.scan(body, intrinsic, jnp.arange(n_t))
+    return _bilinear_at(vg, jnp.log(jnp.asarray(spot, jnp.float32)),
+                        jnp.asarray(params.v0, jnp.float32), x_lo, dx, dv)
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_dates",
+                                             "steps_per_date"))
+def _heston_adi_bermudan(spot, strike, maturity, rate, dividend, cp,
+                         params: HestonParams, n_x: int, n_v: int,
+                         n_dates: int, steps_per_date: int):
+    """Bermudan ADI: obstacle projection ONLY at the ``n_dates`` exercise
+    dates (uniform grid, dates 1..n_dates·T/n_dates), recording the
+    CONTINUATION slice at each date just before projection.
+
+    Returns ``(price0, cont_all, x_lo, dx, dv)``:
+
+    - ``price0``: the Bermudan value at (spot, v0) — the PDE answer for
+      the same date grid the MC bracket certifies;
+    - ``cont_all``: (n_dates+1, n_v, n_x) continuation-value slices in
+      FORWARD date index (entry 0 unused; entry n_dates all-zero so that
+      max(exercise, cont) degrades to the terminal payoff).
+
+    These near-exact surfaces drive both sides of the tightened
+    American-under-Heston bracket: the exercise policy (lower bound) and
+    the dual martingale surface (upper bound) in ``heston_american``.
+    """
+    spd = steps_per_date
+    step, intrinsic, (x_lo, dx, dv) = _adi_setup(
+        spot, strike, maturity, rate, dividend, cp, params, n_x, n_v,
+        n_dates * spd, american=True)
+
+    def run_block(vg, b):
+        def inner(vg2, j):
+            return step(vg2, b * spd + j), None
+
+        vg, _ = lax.scan(inner, vg, jnp.arange(spd))
+        return vg
+
+    def block(vg, b):
+        vg = run_block(vg, b)
+        cont = vg
+        return jnp.maximum(vg, intrinsic), cont
+
+    # blocks b = 0..n_dates-2 end at forward dates n_dates-1 .. 1 (tau =
+    # (b+1)T/n_dates), each followed by exercise; the final block reaches
+    # t = 0 with no projection (no date-0 exercise, matching the MC grid)
+    vg, conts = lax.scan(block, intrinsic, jnp.arange(n_dates - 1))
+    vg = run_block(vg, n_dates - 1)
+    price0 = _bilinear_at(vg, jnp.log(jnp.asarray(spot, jnp.float32)),
+                          jnp.asarray(params.v0, jnp.float32), x_lo, dx, dv)
+    zero = jnp.zeros((1,) + intrinsic.shape, intrinsic.dtype)
+    cont_all = jnp.concatenate([zero, conts[::-1], zero], axis=0)
+    return price0, cont_all, x_lo, dx, dv
 
 
 def heston_fdm_price(spot, strike, maturity, rate, params: HestonParams,

@@ -94,6 +94,65 @@ class TestFrozenVarianceIsBS:
         assert b["continuous_upper"] + 3 * b["upper_se"] > bs_am, (b, bs_am)
 
 
+class TestAdiSurfaceBracket:
+    """method='adi': Bermudan-ADI continuation slices drive the policy,
+    the dual martingale AND the lower bound's control variate — certified
+    width collapses to ~1e-3 from 2048 outer paths (round-3 tightening
+    of the round-2 'within 0.08' check)."""
+
+    @pytest.fixture(scope="class")
+    def adi(self):
+        return heston_american_bracket(S, K, T, R, PAR, n_dates=16, n_sub=2,
+                                       n_outer=2048, n_inner=1024,
+                                       method="adi", n_x=161, n_v=81,
+                                       steps_per_date=6, seed=4)
+
+    def test_width_below_a_cent(self, adi):
+        assert adi["width"] < 0.01, adi
+        # noise can make the realized width slightly negative, but never
+        # beyond the quoted stderrs
+        assert adi["width"] > -3 * (adi["lower_se"] + adi["upper_se"]), adi
+        assert adi["lower_se"] < 0.005 and adi["upper_se"] < 0.005, adi
+
+    def test_overlaps_lsm_bracket(self, adi):
+        lsm = heston_american_bracket(S, K, T, R, PAR, n_dates=16, n_sub=2,
+                                      n_fit=30_000, n_lower=60_000,
+                                      n_outer=256, n_inner=256, seed=5)
+        assert lsm["lower"] - 3 * lsm["lower_se"] \
+            < adi["upper"] + 3 * adi["upper_se"]
+        assert adi["lower"] - 3 * adi["lower_se"] \
+            < lsm["upper"] + 3 * lsm["upper_se"], (adi, lsm)
+
+    def test_certifies_the_pde_itself(self, adi):
+        """The bracket is an INDEPENDENT MC certificate: the coarse
+        161x81 Bermudan-ADI readout must sit within its own grid error
+        (~0.02) of the certified interval — and the interval, not the
+        PDE, is the truth."""
+        assert abs(adi["adi_bermudan"] - adi["lower"]) < 0.03, adi
+
+    def test_calls_rejected(self):
+        with pytest.raises(ValidationError):
+            heston_american_bracket(S, K, T, R, PAR, cp=1.0, method="adi")
+
+    def test_bad_method_rejected(self):
+        with pytest.raises(ValidationError):
+            heston_american_bracket(S, K, T, R, PAR, method="nope")
+
+    def test_euro_cv_cuts_lsm_stderr(self):
+        """use_cv=True (Lewis-centered European control variate) must
+        agree with the plain estimator and reduce its stderr."""
+        plain = heston_american_bracket(S, K, T, R, PAR, n_dates=8, n_sub=2,
+                                        n_fit=20_000, n_lower=100_000,
+                                        n_outer=64, n_inner=64, seed=6)
+        cv = heston_american_bracket(S, K, T, R, PAR, n_dates=8, n_sub=2,
+                                     n_fit=20_000, n_lower=100_000,
+                                     n_outer=64, n_inner=64, seed=6,
+                                     use_cv=True)
+        assert abs(cv["lower"] - plain["lower"]) \
+            < 3 * (cv["lower_se"] + plain["lower_se"])
+        assert cv["lower_se"] < plain["lower_se"], (cv, plain)
+
+
 @pytest.mark.slow
 class TestBracketCertification:
     """Production-size bracket: must pin the ADI Heston-American inside a
