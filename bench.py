@@ -229,6 +229,19 @@ def main():
         extras["heston_chain5_price_plus_grad25_ms"] = round(
             (time.perf_counter() - t0) / 3 * 1e3, 1)
 
+        # round-3: certified American-under-Heston bracket (ADI-surface
+        # dual + martingale control variate) — sub-cent width
+        from optionslab_tpu.models.heston_american import heston_american_bracket
+
+        hb = heston_american_bracket(100.0, 100.0, 1.0, 0.05,
+                                     HestonParams.make(), n_dates=16,
+                                     n_sub=2, n_outer=2048, n_inner=1024,
+                                     method="adi", n_x=161, n_v=81,
+                                     steps_per_date=6, seed=0)
+        extras["heston_american_certified_width"] = round(hb["width"], 6)
+        extras["heston_american_bracket_se"] = round(
+            max(hb["lower_se"], hb["upper_se"]), 6)
+
         q = pallas_mc_price_greeks(batch, n_paths=16_000_000, seed=0, sampler="sobol")
         extras["qmc_16m_price_abs_err"] = round(abs(float(q["price"]) - exact), 8)
 

@@ -193,9 +193,22 @@ def _exotic_kernel_greeks(args) -> dict:
 
 
 def cmd_american(args) -> dict:
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    if args.model == "heston":
+        from .models import HestonParams
+        from .models.heston_american import heston_american_bracket
+
+        out = heston_american_bracket(
+            args.spot, args.strike, args.maturity, args.rate,
+            HestonParams.make(v0=args.v0, kappa=args.kappa,
+                              theta=args.theta, sigma=args.sigma_v,
+                              rho=args.rho_sv),
+            cp=cp, n_dates=args.n_dates if args.n_dates <= 50 else 25,
+            method="adi")
+        return {k: (float(v) if isinstance(v, (int, float)) else v)
+                for k, v in out.items()}
     from .models import american_price_interval
 
-    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
     out = american_price_interval(args.spot, args.strike, args.maturity,
                                   args.rate, args.vol, cp=cp,
                                   n_outer=args.n_paths,
@@ -429,6 +442,14 @@ def build_parser() -> argparse.ArgumentParser:
     _common_contract_args(pa)
     pa.add_argument("--n-paths", type=int, default=16_384)
     pa.add_argument("--n-dates", type=int, default=200)
+    # --model heston: certified bracket under stochastic vol (ADI-surface
+    # dual, puts only); n-dates above 50 is clamped to the PDE-friendly 25
+    pa.add_argument("--model", choices=["bs", "heston"], default="bs")
+    pa.add_argument("--v0", type=float, default=0.04)
+    pa.add_argument("--kappa", type=float, default=2.0)
+    pa.add_argument("--theta", type=float, default=0.04)
+    pa.add_argument("--sigma-v", type=float, default=0.3)
+    pa.add_argument("--rho-sv", type=float, default=-0.7)
 
     pk = sub.add_parser("basket")
     pk.add_argument("--spots", default="100,95,105")

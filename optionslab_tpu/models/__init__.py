@@ -86,7 +86,7 @@ from .var_swap import (
     variance_swap_strike_replication,
     vix_style_index,
 )
-from .heston_fdm import heston_fdm_price
+from .heston_fdm import heston_fdm_greeks, heston_fdm_price
 from .heston_american import (
     fit_heston_lsm,
     heston_ab_upper,
@@ -188,7 +188,7 @@ __all__ = [
     # stochastic / jump models
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
     "heston_simulate_paths", "calibrate_heston", "calibrate_heston_mc",
-    "heston_fdm_price", "heston_american_bracket", "fit_heston_lsm",
+    "heston_fdm_price", "heston_fdm_greeks", "heston_american_bracket", "fit_heston_lsm",
     "heston_lsm_lower", "heston_ab_upper",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",

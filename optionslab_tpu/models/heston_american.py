@@ -193,9 +193,10 @@ def _grid_cont(surf, d, s, v, strike):
     suffer, and the grid spans 5 sigma)."""
     from .heston_fdm import _bilinear_at
 
-    cont_all, x_lo, dx, dv = surf
+    cont_all, x_lo, dx, dxi, c_v = surf
     sl = cont_all[d]
-    cont = _bilinear_at(sl, jnp.log(jnp.maximum(s, 1e-12)), v, x_lo, dx, dv)
+    cont = _bilinear_at(sl, jnp.log(jnp.maximum(s, 1e-12)), v, x_lo, dx,
+                        dxi, c_v)
     return jnp.clip(cont, 0.0, strike)
 
 
@@ -488,11 +489,11 @@ def heston_american_bracket(spot, strike, maturity, rate,
 
         if cp > 0:
             raise ValidationError("bracket supports puts (cp=-1) only")
-        price0, cont_all, x_lo, dx, dv = _heston_adi_bermudan(
+        price0, cont_all, x_lo, dx, dxi, c_v = _heston_adi_bermudan(
             float(spot), float(strike), float(maturity), float(rate), 0.0,
             float(cp), jax.tree.map(jnp.float32, params), n_x, n_v,
             n_dates, steps_per_date)
-        surf = (cont_all, x_lo, dx, dv)
+        surf = (cont_all, x_lo, dx, dxi, c_v)
         extra["adi_bermudan"] = float(price0)
         # one joint pipeline: dual upper + martingale-controlled lower on
         # the same outer paths — both stderrs at dual-gap scale

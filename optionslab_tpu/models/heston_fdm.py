@@ -33,7 +33,7 @@ from ..ops.tridiag import tridiag_solve
 from ..utils.exceptions import ValidationError
 from .heston import HestonParams
 
-__all__ = ["heston_fdm_price"]
+__all__ = ["heston_fdm_price", "heston_fdm_greeks"]
 
 
 def _apply_tridiag(lo, di, up, v):
@@ -49,7 +49,8 @@ def _adi_setup(spot, strike, maturity, rate, dividend, cp,
     """Build grids, Douglas stencils and the (projection-free) step
     closure shared by the European/American solver and the Bermudan
     slice recorder. Returns ``(step, intrinsic, meta)`` with
-    ``meta = (x_lo, dx, dv)`` (grid geometry for bilinear readers)."""
+    ``meta = (x_lo, dx, dxi, c_v)`` (grid geometry for the readers; v
+    maps through ξ = asinh(v/c_v))."""
     f32 = jnp.float32
     spot, strike, maturity, rate, dividend, cp = (
         jnp.asarray(a, f32) for a in (spot, strike, maturity, rate,
@@ -58,17 +59,30 @@ def _adi_setup(spot, strike, maturity, rate, dividend, cp,
                              (params.kappa, params.theta, params.sigma,
                               params.rho, params.v0))
 
-    # ---- grids -----------------------------------------------------------
+    # ---- grids (geometry is STOP-GRADIENT so AD Greeks differentiate the
+    # PDE solution on a frozen mesh, not the mesh itself — the 1-D
+    # engine's pattern, fdm.py ``_grid``) ----------------------------------
     vbar = jnp.maximum(v0, th)
     half_width = 5.0 * jnp.sqrt(vbar * maturity) + \
         1.5 * jnp.abs(jnp.log(spot / strike)) + 0.5
-    x_lo = jnp.log(strike) - half_width
-    x_hi = jnp.log(strike) + half_width
+    x_lo = lax.stop_gradient(jnp.log(strike) - half_width)
+    x_hi = lax.stop_gradient(jnp.log(strike) + half_width)
     x = jnp.linspace(x_lo, x_hi, n_x)
     dx = (x_hi - x_lo) / (n_x - 1)
-    v_max = 5.0 * vbar
-    v = jnp.linspace(0.0, v_max, n_v)
-    dv = v_max / (n_v - 1)
+    # sinh-stretched variance grid (Hout–Foulon): v = c·sinh(ξ), uniform
+    # ξ — fine resolution near v = 0/v0, a FAR v_max covering the CIR
+    # transient tail (a 5·vbar uniform cap was measured to bias d_sigma
+    # by ~13% through the artificial dV/dv = 0 wall while barely moving
+    # the price — truncation error cancelling discretization error)
+    v_max = lax.stop_gradient(1.5 * vbar
+                              + 10.0 * sig * jnp.sqrt(vbar / (2.0 * kap))
+                              + 2.0 * sig * sig / kap)
+    c_v = lax.stop_gradient(vbar)
+    xi_max = jnp.arcsinh(v_max / c_v)
+    xi = jnp.linspace(0.0, xi_max, n_v)
+    dxi = xi_max / (n_v - 1)
+    v = c_v * jnp.sinh(xi)
+    gp = c_v * jnp.cosh(xi)  # dv/dξ; d²v/dξ² = v itself
     dt = maturity / n_t
 
     s_grid = jnp.exp(x)
@@ -92,18 +106,22 @@ def _adi_setup(spot, strike, maturity, rate, dividend, cp,
     b1 = jnp.concatenate([jnp.zeros((n_v, 1), f32), b1[:, 1:-1],
                           jnp.zeros((n_v, 1), f32)], axis=1)
 
-    # ---- A2: v-direction stencil per spot column (n_x, n_v) --------------
+    # ---- A2: v-direction stencil per spot column (n_x, n_v), in the ξ
+    # coordinate: L_v V = [κ(θ−v)/g' − σ²v·v/(2g'³)]·V_ξ + [σ²v/(2g'²)]·V_ξξ
+    # (chain rule with g(ξ) = c·sinh ξ, g'' = v) ---------------------------
     vk = v[None, :]
-    conv_v = kap * (th - vk) / (2.0 * dv)
-    diff_v = 0.5 * sig * sig * vk / (dv * dv)
+    gpk = gp[None, :]
+    conv_v = (kap * (th - vk) / gpk
+              - 0.5 * sig * sig * vk * vk / gpk**3) / (2.0 * dxi)
+    diff_v = 0.5 * sig * sig * vk / (gpk * gpk * dxi * dxi)
     a2 = diff_v - conv_v
     c2 = diff_v + conv_v
     b2 = -2.0 * diff_v - 0.5 * rate
     a2 = jnp.broadcast_to(a2, (n_x, n_v))
     b2 = jnp.broadcast_to(b2, (n_x, n_v))
     c2 = jnp.broadcast_to(c2, (n_x, n_v))
-    # v = 0 row: degenerate PDE, upwind drift kappa*theta > 0
-    up0 = kap * th / dv
+    # v = 0 row: degenerate PDE, upwind drift kappa*theta > 0 (g'(0) = c)
+    up0 = kap * th / (c_v * dxi)
     a2 = a2.at[:, 0].set(0.0)
     b2 = b2.at[:, 0].set(-up0 - 0.5 * rate)
     c2 = c2.at[:, 0].set(up0)
@@ -120,11 +138,13 @@ def _adi_setup(spot, strike, maturity, rate, dividend, cp,
     i2_lo, i2_di, i2_up = -theta_s * dt * a2, 1.0 - theta_s * dt * b2, -theta_s * dt * c2
 
     def mixed(vgrid):
-        """rho*sigma*v * V_xv by central differences (zero at edges)."""
+        """rho*sigma*v * V_xv = (rho*sigma*v/g')·V_xξ by central
+        differences (zero at edges)."""
         core = (vgrid[2:, 2:] - vgrid[2:, :-2] - vgrid[:-2, 2:]
-                + vgrid[:-2, :-2]) / (4.0 * dx * dv)
+                + vgrid[:-2, :-2]) / (4.0 * dx * dxi)
         out = jnp.zeros_like(vgrid)
-        return out.at[1:-1, 1:-1].set(rho * sig * v[1:-1, None] * core)
+        return out.at[1:-1, 1:-1].set(
+            rho * sig * (v[1:-1] / gp[1:-1])[:, None] * core)
 
     def x_boundary(tau):
         """Dirichlet values at x_lo / x_hi for time-to-maturity tau."""
@@ -154,15 +174,16 @@ def _adi_setup(spot, strike, maturity, rate, dividend, cp,
         y2 = y2.at[:, 0].set(blo).at[:, -1].set(bhi)
         return y2
 
-    return step, intrinsic, (x_lo, dx, dv)
+    return step, intrinsic, (x_lo, dx, dxi, c_v)
 
 
-def _bilinear_at(grid, xq, vq, x_lo, dx, dv):
+def _bilinear_at(grid, xq, vq, x_lo, dx, dxi, c_v):
     """Bilinear read of a (n_v, n_x) grid at (log-spot xq, variance vq);
-    queries clamp to the grid edges. Any query shape."""
+    v maps through the sinh stretch (ξ = asinh(v/c)); queries clamp to
+    the grid edges. Any query shape."""
     n_v, n_x = grid.shape
     fx = jnp.clip((xq - x_lo) / dx, 0.0, n_x - 1.001)
-    fv = jnp.clip(vq / dv, 0.0, n_v - 1.001)
+    fv = jnp.clip(jnp.arcsinh(vq / c_v) / dxi, 0.0, n_v - 1.001)
     ix = jnp.floor(fx).astype(jnp.int32)
     iv = jnp.floor(fv).astype(jnp.int32)
     wx = fx - ix
@@ -179,7 +200,7 @@ def _bilinear_at(grid, xq, vq, x_lo, dx, dv):
 def _heston_adi(spot, strike, maturity, rate, dividend, cp,
                 params: HestonParams, n_x: int, n_v: int, n_t: int,
                 american: bool):
-    step, intrinsic, (x_lo, dx, dv) = _adi_setup(
+    step, intrinsic, (x_lo, dx, dxi, c_v) = _adi_setup(
         spot, strike, maturity, rate, dividend, cp, params, n_x, n_v, n_t,
         american)
 
@@ -191,7 +212,118 @@ def _heston_adi(spot, strike, maturity, rate, dividend, cp,
 
     vg, _ = lax.scan(body, intrinsic, jnp.arange(n_t))
     return _bilinear_at(vg, jnp.log(jnp.asarray(spot, jnp.float32)),
-                        jnp.asarray(params.v0, jnp.float32), x_lo, dx, dv)
+                        jnp.asarray(params.v0, jnp.float32), x_lo, dx,
+                        dxi, c_v)
+
+
+def _adi_solve_grid(spot, strike, maturity, rate, dividend, cp,
+                    params: HestonParams, n_x: int, n_v: int, n_t: int,
+                    american: bool):
+    """Full backward solve returning the t=0 grid + geometry. The scan
+    body is rematerialized (``jax.checkpoint``) so reverse-mode AD over
+    the n_t steps stores O(1) grids instead of O(n_t)."""
+    step, intrinsic, meta = _adi_setup(spot, strike, maturity, rate,
+                                       dividend, cp, params, n_x, n_v, n_t,
+                                       american)
+
+    @jax.checkpoint
+    def body(vg, i):
+        y2 = step(vg, i)
+        if american:
+            y2 = jnp.maximum(y2, intrinsic)
+        return y2, None
+
+    vg, _ = lax.scan(body, intrinsic, jnp.arange(n_t))
+    return vg, meta
+
+
+def _readout_quad(vg, x_lo, dx, dxi, c_v, spot, v0):
+    """Biquadratic (3x3 Lagrange) readout at (log spot, v0): smooth in
+    BOTH coordinates, so AD delta/gamma (spot) and vega/vomma (v0) are
+    the standard central stencils — with the stop-gradient mesh, v0
+    enters ONLY here, making the v0-ladder free of any solve AD."""
+    n_v, n_x = vg.shape
+    fx = (jnp.log(spot) - x_lo) / dx
+    fv = jnp.arcsinh(v0 / c_v) / dxi
+    jx = lax.stop_gradient(jnp.clip(jnp.round(fx), 1, n_x - 2)).astype(jnp.int32)
+    jv = lax.stop_gradient(jnp.clip(jnp.round(fv), 1, n_v - 2)).astype(jnp.int32)
+    tx = fx - jx
+    tv = fv - jv
+    wx = (0.5 * tx * (tx - 1.0), 1.0 - tx * tx, 0.5 * tx * (tx + 1.0))
+    wv = (0.5 * tv * (tv - 1.0), 1.0 - tv * tv, 0.5 * tv * (tv + 1.0))
+    out = 0.0
+    for a in range(3):
+        for b in range(3):
+            out = out + wv[a] * wx[b] * vg[jv + a - 1, jx + b - 1]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_t", "american"))
+def _fdm_greeks_pipeline(spot, strike, maturity, rate, dividend, cp,
+                         params: HestonParams, n_x: int, n_v: int, n_t: int,
+                         american: bool):
+    import dataclasses
+
+    f32 = jnp.float32
+    spot = jnp.asarray(spot, f32)
+    v0 = jnp.asarray(params.v0, f32)
+    vg, (x_lo, dx, dxi, c_v) = _adi_solve_grid(spot, strike, maturity,
+                                               rate, dividend, cp, params,
+                                               n_x, n_v, n_t, american)
+
+    def read(s_, w_):
+        return _readout_quad(vg, x_lo, dx, dxi, c_v, s_, w_)
+
+    price = read(spot, v0)
+    delta, vega_v0 = jax.grad(read, (0, 1))(spot, v0)
+    gamma = jax.grad(jax.grad(read, 0), 0)(spot, v0)
+    vanna = jax.grad(jax.grad(read, 0), 1)(spot, v0)
+    vomma = jax.grad(jax.grad(read, 1), 1)(spot, v0)
+
+    def by_params(pk):
+        pp = dataclasses.replace(params, kappa=pk[0], theta=pk[1],
+                                 sigma=pk[2], rho=pk[3])
+        vg2, meta2 = _adi_solve_grid(spot, strike, pk[5], pk[4],
+                                     dividend, cp, pp, n_x, n_v,
+                                     n_t, american)
+        return _readout_quad(vg2, *meta2, spot, v0)
+
+    pk0 = jnp.asarray([params.kappa, params.theta, params.sigma, params.rho,
+                       rate, maturity], f32)
+    gp = jax.grad(by_params)(pk0)
+    return {"price": price, "delta": delta, "gamma": gamma,
+            "vega_v0": vega_v0, "vanna_v0": vanna, "vomma_v0": vomma,
+            "d_kappa": gp[0], "d_theta": gp[1], "d_sigma": gp[2],
+            "d_rho": gp[3], "rho_rate": gp[4], "theta_cal": -gp[5]}
+
+
+def heston_fdm_greeks(spot, strike, maturity, rate, params: HestonParams,
+                      dividend=0.0, option_type="call",
+                      american: bool = False, n_x: int = 201, n_v: int = 101,
+                      n_t: int = 200) -> dict:
+    """Full Greek ladder through the 2-D ADI solve, European or AMERICAN:
+
+    - spot/v0 ladder (delta, gamma, vega_v0, vanna_v0, vomma_v0) from the
+      biquadratic readout alone — with the stop-gradient mesh these cost
+      nothing beyond the one solve;
+    - kappa/theta/sigma/rho/rate sensitivities + calendar theta
+      (``theta_cal`` = −dV/dT) by ONE reverse-mode pass through the
+      rematerialized scan (the obstacle projection differentiates as its
+      active-set subgradient — exact a.e. for the American).
+
+    The reference has no American Greeks under stochastic vol at all
+    (its FDM is 1-D BS, ``src/models/fdm_solver.py``); oracle coverage:
+    AD of the Lewis CF engine (European), CRN central differences of this
+    same solver (American).
+    """
+    params.validate()
+    if float(maturity) <= 0:
+        raise ValidationError("maturity must be > 0 for the Greek ladder")
+    cp = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
+    out = _fdm_greeks_pipeline(float(spot), float(strike), float(maturity),
+                               float(rate), float(dividend), cp, params,
+                               n_x, n_v, n_t, bool(american))
+    return {k: float(v) for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_dates",
@@ -203,7 +335,7 @@ def _heston_adi_bermudan(spot, strike, maturity, rate, dividend, cp,
     dates (uniform grid, dates 1..n_dates·T/n_dates), recording the
     CONTINUATION slice at each date just before projection.
 
-    Returns ``(price0, cont_all, x_lo, dx, dv)``:
+    Returns ``(price0, cont_all, x_lo, dx, dxi, c_v)``:
 
     - ``price0``: the Bermudan value at (spot, v0) — the PDE answer for
       the same date grid the MC bracket certifies;
@@ -216,7 +348,7 @@ def _heston_adi_bermudan(spot, strike, maturity, rate, dividend, cp,
     the dual martingale surface (upper bound) in ``heston_american``.
     """
     spd = steps_per_date
-    step, intrinsic, (x_lo, dx, dv) = _adi_setup(
+    step, intrinsic, (x_lo, dx, dxi, c_v) = _adi_setup(
         spot, strike, maturity, rate, dividend, cp, params, n_x, n_v,
         n_dates * spd, american=True)
 
@@ -238,10 +370,11 @@ def _heston_adi_bermudan(spot, strike, maturity, rate, dividend, cp,
     vg, conts = lax.scan(block, intrinsic, jnp.arange(n_dates - 1))
     vg = run_block(vg, n_dates - 1)
     price0 = _bilinear_at(vg, jnp.log(jnp.asarray(spot, jnp.float32)),
-                          jnp.asarray(params.v0, jnp.float32), x_lo, dx, dv)
+                          jnp.asarray(params.v0, jnp.float32), x_lo, dx,
+                          dxi, c_v)
     zero = jnp.zeros((1,) + intrinsic.shape, intrinsic.dtype)
     cont_all = jnp.concatenate([zero, conts[::-1], zero], axis=0)
-    return price0, cont_all, x_lo, dx, dv
+    return price0, cont_all, x_lo, dx, dxi, c_v
 
 
 def heston_fdm_price(spot, strike, maturity, rate, params: HestonParams,

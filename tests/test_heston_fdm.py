@@ -5,6 +5,7 @@ lower bound for the American put. Beyond the reference (1-D BS FDM only).
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from optionslab_tpu.models.fdm import fdm_price
 from optionslab_tpu.models.heston import (HestonParams, heston_price,
@@ -141,3 +142,97 @@ class TestAmericanHeston:
         am = float(heston_fdm_price(100.0, 100.0, 1.0, 0.05, params,
                                     option_type="call", american=True))
         assert abs(am - eu) < 0.02
+
+
+class TestFdmGreeksLadder:
+    """heston_fdm_greeks: full ladder through the 2-D ADI solve.
+
+    European oracle: AD of the Lewis CF engine — every entry must agree
+    to ~1% (the sinh-stretched v-grid is what makes d_sigma/d_rho
+    converge; the old uniform 5*vbar cap biased d_sigma by ~13%).
+    American oracle: CRN central differences of the solver itself.
+    """
+
+    @pytest.fixture(scope="class")
+    def params(self):
+        return HestonParams.make()
+
+    @pytest.fixture(scope="class")
+    def euro(self, params):
+        from optionslab_tpu.models import heston_fdm_greeks
+
+        return heston_fdm_greeks(100.0, 100.0, 1.0, 0.05, params,
+                                 option_type="put", n_x=151, n_v=81,
+                                 n_t=100)
+
+    def test_european_ladder_matches_lewis_ad(self, euro, params):
+        import dataclasses
+
+        def lewis(s, v0, kap, th, sig, rho, r, t):
+            pp = dataclasses.replace(params, v0=v0, kappa=kap, theta=th,
+                                     sigma=sig, rho=rho)
+            return heston_price(
+                ContractBatch.make(s, 100.0, t, r, 0.2, "put"), pp)
+
+        args = (100.0, 0.04, 2.0, 0.04, 0.3, -0.7, 0.05, 1.0)
+        gr = jax.grad(lewis, argnums=tuple(range(8)))(
+            *(jnp.float32(a) for a in args))
+        ref = dict(zip(["delta", "vega_v0", "d_kappa", "d_theta",
+                        "d_sigma", "d_rho", "rho_rate", "theta_cal"],
+                       (float(x) for x in gr)))
+        ref["theta_cal"] = -ref["theta_cal"]
+        for k, rv in ref.items():
+            tol = 0.015 * max(abs(rv), 1.0)
+            assert abs(euro[k] - rv) < tol, (k, euro[k], rv)
+
+    def test_gamma_vomma_vs_lewis_ad(self, euro, params):
+        def lewis_s(s):
+            return heston_price(
+                ContractBatch.make(s, 100.0, 1.0, 0.05, 0.2, "put"), params)
+
+        gam = float(jax.grad(jax.grad(lewis_s))(jnp.float32(100.0)))
+        assert abs(euro["gamma"] - gam) < 0.05 * abs(gam), (euro["gamma"], gam)
+
+    def test_american_delta_vs_crn_fd(self, params):
+        from optionslab_tpu.models import heston_fdm_greeks
+
+        g = heston_fdm_greeks(100.0, 100.0, 1.0, 0.05, params,
+                              option_type="put", american=True,
+                              n_x=151, n_v=81, n_t=100)
+
+        def price(s):
+            return float(heston_fdm_price(s, 100.0, 1.0, 0.05, params,
+                                          option_type="put", american=True,
+                                          n_x=151, n_v=81, n_t=100))
+
+        fd = (price(100.5) - price(99.5)) / 1.0
+        assert abs(g["delta"] - fd) < 0.01, (g["delta"], fd)
+        # American put: negative calendar theta, positive vega
+        assert g["theta_cal"] < 0 and g["vega_v0"] > 0 and g["gamma"] > 0
+
+    def test_american_sigma_sensitivity_vs_crn_fd(self, params):
+        import dataclasses
+
+        from optionslab_tpu.models import heston_fdm_greeks
+
+        g = heston_fdm_greeks(100.0, 100.0, 1.0, 0.05, params,
+                              option_type="put", american=True,
+                              n_x=151, n_v=81, n_t=100)
+        h = 0.01
+
+        def price(sig):
+            return float(heston_fdm_price(
+                100.0, 100.0, 1.0, 0.05,
+                dataclasses.replace(params, sigma=jnp.float32(sig)),
+                option_type="put", american=True, n_x=151, n_v=81, n_t=100))
+
+        fd = (price(0.3 + h) - price(0.3 - h)) / (2 * h)
+        assert abs(g["d_sigma"] - fd) < 0.03 + 0.03 * abs(fd), \
+            (g["d_sigma"], fd)
+
+    def test_zero_maturity_rejected(self, params):
+        from optionslab_tpu.models import heston_fdm_greeks
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            heston_fdm_greeks(100.0, 100.0, 0.0, 0.05, params)

@@ -125,6 +125,16 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli_main(["teleport"])
 
+    def test_american_heston_bracket(self, capsys):
+        """--model heston routes to the ADI-surface certified bracket."""
+        cli_main(["american", "--type", "put", "--model", "heston",
+                  "--n-dates", "6"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["method"] == "adi"
+        assert out["lower"] - 3 * out["lower_se"] \
+            <= out["upper"] + 3 * out["upper_se"]
+        assert out["width"] < 0.05, out
+
     def test_exotic_greeks_barrier_lr(self, capsys):
         """--greeks routes barriers to the in-kernel LR ladder (hash
         sampler auto-selected off-TPU)."""
