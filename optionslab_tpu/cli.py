@@ -194,6 +194,16 @@ def _exotic_kernel_greeks(args) -> dict:
 
 def cmd_american(args) -> dict:
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    if args.model == "lv":
+        from .models import local_vol_american_bracket
+        from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+        dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
+                             args.spot, args.rate)
+        out = local_vol_american_bracket(
+            dup, args.strike, args.maturity, cp=cp,
+            n_dates=args.n_dates if args.n_dates <= 50 else 25)
+        return {k: float(v) for k, v in out.items()}
     if args.model == "heston":
         from .models import HestonParams
         from .models.heston_american import heston_american_bracket
@@ -442,9 +452,10 @@ def build_parser() -> argparse.ArgumentParser:
     _common_contract_args(pa)
     pa.add_argument("--n-paths", type=int, default=16_384)
     pa.add_argument("--n-dates", type=int, default=200)
-    # --model heston: certified bracket under stochastic vol (ADI-surface
-    # dual, puts only); n-dates above 50 is clamped to the PDE-friendly 25
-    pa.add_argument("--model", choices=["bs", "heston"], default="bs")
+    # --model heston/lv: certified bracket under stochastic/local vol
+    # (PDE-surface dual, puts only; lv uses the sample smile at --vol
+    # ATM); n-dates above 50 is clamped to the PDE-friendly 25
+    pa.add_argument("--model", choices=["bs", "heston", "lv"], default="bs")
     pa.add_argument("--v0", type=float, default=0.04)
     pa.add_argument("--kappa", type=float, default=2.0)
     pa.add_argument("--theta", type=float, default=0.04)

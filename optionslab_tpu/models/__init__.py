@@ -87,6 +87,7 @@ from .var_swap import (
     vix_style_index,
 )
 from .heston_fdm import heston_fdm_greeks, heston_fdm_price
+from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
 from .heston_american import (
     fit_heston_lsm,
     heston_ab_upper,
@@ -189,6 +190,7 @@ __all__ = [
     "HestonPricer", "HestonParams", "heston_price", "heston_price_cos", "heston_mc_price",
     "heston_simulate_paths", "calibrate_heston", "calibrate_heston_mc",
     "heston_fdm_price", "heston_fdm_greeks", "heston_american_bracket", "fit_heston_lsm",
+    "local_vol_american_bracket", "lv_bermudan_slices",
     "heston_lsm_lower", "heston_ab_upper",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
