@@ -9,6 +9,8 @@ same façade. Endpoints (all POST, JSON body, JSON response):
   /mc      {"n_paths": N, "method": "pallas|xla", contract fields...}
   /iv      {"price": P, contract fields...}
   /exotic  {"kind": "asian|barrier|lookback|american|cliquet", ...}
+  /american {"model": "bs|heston|lv", "option_type": "put", ...}
+            → certified [lower, upper] bracket
   /batch/price {"model": "bs", "spot": [...], ...}   → batched pricing
   /health  (GET)
 
@@ -207,6 +209,46 @@ def handle_calibrate(body: dict) -> dict:
     return res.to_dict()
 
 
+def handle_american(body: dict) -> dict:
+    """Certified American-put bracket: {"model": "bs|heston|lv", contract
+    fields, optional n_dates / heston_params / smile params}. Returns the
+    bracket dict ({lower, upper, width, ...})."""
+    p, cp = _contract(body)
+    model = str(body.get("model", "bs")).lower()
+    n_dates = int(body.get("n_dates", 25))
+    # Optional MC/grid size overrides (capped — this is a demo server).
+    sizes = {k: min(int(body[k]), 1_000_000)
+             for k in ("n_fit", "n_lower", "n_outer", "n_inner", "n_grid")
+             if k in body}
+    if model == "heston":
+        from .models.heston import HestonParams
+        from .models.heston_american import heston_american_bracket
+
+        kw = {k: v for k, v in sizes.items() if k != "n_grid"}
+        out = heston_american_bracket(
+            p["spot"], p["strike"], p["maturity"], p["rate"],
+            HestonParams.make(**body.get("heston_params", {})), cp=cp,
+            n_dates=min(n_dates, 50), method="adi", **kw)
+    elif model == "lv":
+        from .models import local_vol_american_bracket
+        from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+        dup = DupireLocalVol(sample_smile_iv_fn(base_vol=p["vol"]),
+                             p["spot"], p["rate"])
+        kw = {k: v for k, v in sizes.items() if k in ("n_outer", "n_inner")}
+        out = local_vol_american_bracket(dup, p["strike"], p["maturity"],
+                                         cp=cp, n_dates=min(n_dates, 50),
+                                         **kw)
+    else:
+        from .models import american_price_interval
+
+        out = american_price_interval(p["spot"], p["strike"], p["maturity"],
+                                      p["rate"], p["vol"], cp=cp,
+                                      n_dates=n_dates, method="grid",
+                                      **sizes)
+    return {k: _to_jsonable(v) for k, v in out.items()}
+
+
 ROUTES = {
     "/price": handle_price,
     "/greeks": handle_greeks,
@@ -215,6 +257,7 @@ ROUTES = {
     "/exotic": handle_exotic,
     "/varswap": handle_varswap,
     "/calibrate": handle_calibrate,
+    "/american": handle_american,
     "/batch/price": handle_price,  # same handler — fields may be lists
 }
 

@@ -127,6 +127,30 @@ class TestServer:
         assert results == [200] * 8
 
 
+class TestAmericanEndpoint:
+    def test_bs_bracket(self, server):
+        status, body = _post(server, "/american", {
+            "option_type": "put", "n_dates": 8, "n_fit": 4000,
+            "n_lower": 4000, "n_outer": 2000, "n_inner": 16,
+            "n_grid": 256})
+        assert status == 200
+        assert body["lower"] <= body["upper"]
+        # American put at S=K=100, T=1, r=5%, vol=20% ≈ 6.08; a coarse
+        # 8-date Bermudan bracket must still contain its neighborhood.
+        lo = body["lower"] - 3 * body["lower_se"]
+        hi = body["upper"] + 3 * body["upper_se"]
+        assert lo < 6.3 and hi > 5.7
+        assert body["width"] == pytest.approx(body["upper"] - body["lower"])
+
+    def test_lv_bracket(self, server):
+        status, body = _post(server, "/american", {
+            "model": "lv", "option_type": "put", "n_dates": 4,
+            "n_outer": 512, "n_inner": 64})
+        assert status == 200
+        assert body["lower"] <= body["continuous_upper"]
+        assert 4.0 < body["lv_bermudan"] < 8.0
+
+
 class TestExoticEndpoint:
     def test_asian(self, server):
         status, body = _post(server, "/exotic", {"kind": "asian", "n_paths": 20000})
