@@ -109,6 +109,7 @@ class TestDualInternals:
         late = b[30:]
         assert np.all(np.diff(late) > -2.0)
 
+    @pytest.mark.slow
     def test_grid_bracket_pins_bermudan(self):
         """The grid engine's certified bracket is machine-tight: width
         ~2e-5 around the Bermudan-50 value (≈6.07864 by grid-Richardson),
@@ -136,6 +137,7 @@ class TestDualInternals:
         assert abs(float(out["lower"]) - euro) < 1e-6
         assert abs(float(out["upper"]) - euro) < 1e-6
 
+    @pytest.mark.slow
     def test_continuous_interval_contains_crr(self):
         """American-continuous certificate: Bermudan bracket + rigorous
         rK·dt pad must contain the CRR@2001 binomial price (small sizes

@@ -101,6 +101,7 @@ class TestEngines:
 
 
 class TestUnifiedGreeksAdapter:
+    @pytest.mark.slow
     def test_delta_vega_through_adapter(self):
         from optionslab_tpu.greeks import bates_price_fn, greeks_from_fn
 

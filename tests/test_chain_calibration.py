@@ -50,6 +50,7 @@ class TestCalibrateChain:
         assert np.all(np.diff(result.expiries) > 0)
         assert np.all(np.diff(result.thetas) > 0)
 
+    @pytest.mark.slow
     def test_from_prices_backfill_matches_direct(self, chain):
         # drop the IV column; calibration must recover it from prices
         df = chain.df.drop(columns=["implied_volatility"])
@@ -150,6 +151,7 @@ class TestPlotting:
 
 
 class TestModelCalibration:
+    @pytest.mark.slow
     def test_heston_fits_the_synthetic_surface(self, chain):
         from optionslab_tpu.surface.chain_calibration import (
             calibrate_model_to_chain)
@@ -168,6 +170,24 @@ class TestModelCalibration:
         assert r["iv_rmse"] < 0.015
         assert r["params"]["lam"] >= 0
 
+    @pytest.mark.slow
+    def test_heston_mc_kernel_path(self, chain):
+        """heston-mc routes the fit through the fused chain kernel
+        (in-kernel 5-param gradients); off-TPU it runs the interpreter
+        with the counter-hash sampler. Loose bounds — the point is the
+        full chain → kernel-calibration wiring, the tight parameter
+        recovery is test_heston_pallas.py's job."""
+        from optionslab_tpu.surface.chain_calibration import (
+            calibrate_model_to_chain)
+
+        r = calibrate_model_to_chain(chain, "heston-mc", n_steps=30,
+                                     mc_paths=131_072, mc_max_dt=0.25)
+        assert r["n_quotes"] <= 12  # thinned for the kernel launch
+        assert 0.0 < r["params"]["v0"] < 0.5
+        assert -1.0 < r["params"]["rho"] < 1.0
+        assert np.isfinite(r["loss"])
+        assert r["iv_rmse"] < 0.2  # 30 Adam steps: sanity, not convergence
+
     def test_unknown_model_raises(self, chain):
         from optionslab_tpu.surface.chain_calibration import (
             calibrate_model_to_chain)
@@ -176,6 +196,7 @@ class TestModelCalibration:
         with pytest.raises(ValidationError):
             calibrate_model_to_chain(chain, "sabr2")
 
+    @pytest.mark.slow
     def test_cli_calibrate_heston(self, capsys):
         cli_main(["calibrate", "--model", "heston", "--n-rows", "300",
                   "--steps", "400"])
@@ -185,6 +206,7 @@ class TestModelCalibration:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_calibrate_command(self, capsys):
         cli_main(["calibrate", "--n-rows", "300", "--bins", "3",
                   "--steps", "300"])

@@ -191,6 +191,7 @@ class TestBridgeQMC:
             (errs_qmc, errs_mc)
         assert max(errs_qmc) < 2e-3
 
+    @pytest.mark.slow
     def test_terminal_marginal_exact_vanilla(self):
         """A never-hit barrier is a European call: the bridge construction
         must reproduce the exact terminal lognormal."""
@@ -203,6 +204,7 @@ class TestBridgeQMC:
         exact = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
         assert abs(float(p) - exact) < 5e-3
 
+    @pytest.mark.slow
     def test_arith_asian_parity_with_scan(self):
         p, se, _ = pallas_exotic_price("asian_arith", S, K, T, R, SIG,
                                        n_paths=1, n_steps=N_STEPS,

@@ -116,6 +116,7 @@ class TestSobolKernelEndToEnd:
         np.testing.assert_allclose(np.asarray(out["delta"]), np.asarray(ex["delta"]),
                                    atol=2e-3)
 
+    @pytest.mark.slow
     def test_book_keeps_per_contract_qmc_accuracy(self):
         """Each contract in a book sees the full Sobol net under its own
         digital scramble — book error must stay within ~2x the

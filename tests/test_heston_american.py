@@ -79,6 +79,7 @@ class TestFrozenVarianceIsBS:
     contain the 1-D BS Bermudan value (CRR with matching date count is
     the oracle via the 1-D grid engine)."""
 
+    @pytest.mark.slow
     def test_bracket_contains_bs_american(self):
         frozen = HestonParams.make(v0=0.04, kappa=2.0, theta=0.04,
                                    sigma=1e-3, rho=0.0)
@@ -114,6 +115,7 @@ class TestAdiSurfaceBracket:
         assert adi["width"] > -3 * (adi["lower_se"] + adi["upper_se"]), adi
         assert adi["lower_se"] < 0.005 and adi["upper_se"] < 0.005, adi
 
+    @pytest.mark.slow
     def test_overlaps_lsm_bracket(self, adi):
         lsm = heston_american_bracket(S, K, T, R, PAR, n_dates=16, n_sub=2,
                                       n_fit=30_000, n_lower=60_000,
@@ -138,6 +140,7 @@ class TestAdiSurfaceBracket:
         with pytest.raises(ValidationError):
             heston_american_bracket(S, K, T, R, PAR, method="nope")
 
+    @pytest.mark.slow
     def test_euro_cv_cuts_lsm_stderr(self):
         """use_cv=True (Lewis-centered European control variate) must
         agree with the plain estimator and reduce its stderr."""

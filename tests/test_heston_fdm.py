@@ -193,6 +193,7 @@ class TestFdmGreeksLadder:
         gam = float(jax.grad(jax.grad(lewis_s))(jnp.float32(100.0)))
         assert abs(euro["gamma"] - gam) < 0.05 * abs(gam), (euro["gamma"], gam)
 
+    @pytest.mark.slow
     def test_american_delta_vs_crn_fd(self, params):
         from optionslab_tpu.models import heston_fdm_greeks
 

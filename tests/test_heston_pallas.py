@@ -111,6 +111,7 @@ class TestKernel:
             np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
                                        rtol=3e-5, err_msg=k)
 
+    @pytest.mark.slow
     def test_full_ladder_matches_lewis_ad(self):
         """Round-3: ladder=True carries forward sensitivities for EVERY
         Heston parameter + maturity. Oracle: AD of the Lewis integral in
@@ -167,6 +168,7 @@ class TestKernel:
             scheme="qe"))
         assert abs(float(pq) - px) < 5 * float(seq) + 0.05
 
+    @pytest.mark.slow
     def test_chain_ladder_prices_and_grads_match_lewis(self):
         """One launch prices a multi-expiry chain AND returns each quote's
         full (v0,kappa,theta,sigma,rho) gradient; oracle = per-quote Lewis
@@ -200,6 +202,7 @@ class TestKernel:
             tol = np.maximum(0.12, 0.03 * np.abs(gex)) + 0.12 * np.abs(gex)
             assert np.all(np.abs(gk - gex) <= tol), (q, gk, gex, tol)
 
+    @pytest.mark.slow
     def test_chain_and_single_ladders_agree(self):
         """The chain kernel and the single-contract ladder kernel carry
         the SAME Euler pathwise-sensitivity recursions in two code paths

@@ -144,6 +144,7 @@ class TestLocalVol:
         p, se = local_vol_mc_price(lv, 100.0, 1.0, n_paths=200_000)
         assert abs(float(p) - BS_CALL) < 3 * float(se) + 5e-3
 
+    @pytest.mark.slow
     def test_smile_consistency_mc_reprices_vanillas(self):
         """The Dupire round-trip: IV surface → local vol → MC → must return
         the input smile's BS prices (the fundamental consistency property)."""

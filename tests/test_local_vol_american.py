@@ -49,6 +49,7 @@ class TestFlatIsBS:
                                         + bracket["upper_se"]), bracket
         assert bracket["lower_se"] < 0.005 and bracket["upper_se"] < 0.005
 
+    @pytest.mark.slow
     def test_overlaps_gbm_certified_bracket(self, bracket):
         """Same Bermudan-16 number certified by two INDEPENDENT
         machineries (transition-matrix grid dual vs LV-PDE-surface dual)

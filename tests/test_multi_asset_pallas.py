@@ -87,6 +87,7 @@ class TestScanEngineParity:
 
 
 class TestLRDeltaVector:
+    @pytest.mark.slow
     def test_geo_basket_delta_matches_closed_form_ad(self):
         """Exact oracle: jax.grad of the lognormal geometric-basket Black
         formula w.r.t. the spot vector."""
@@ -101,6 +102,7 @@ class TestLRDeltaVector:
         np.testing.assert_allclose(np.asarray(out["delta"]),
                                    np.asarray(exact), atol=0.02)
 
+    @pytest.mark.slow
     def test_rainbow_delta_sane(self):
         """worst_of call: every asset's delta positive; the highest-vol
         asset 105/0.3 is least often the minimum."""
@@ -138,6 +140,7 @@ class TestFullLadder:
     Tolerances are ~1.5x the measured deterministic (seed-0) errors at
     one block; LR vega/gamma noise dominates them."""
 
+    @pytest.mark.slow
     def test_geo_basket_full_ladder_matches_closed_form_ad(self):
         from optionslab_tpu.ops.multi_asset_pallas import \
             pallas_multi_asset_greeks
@@ -189,6 +192,7 @@ class TestFullLadder:
                 jnp.float32(T)))
         assert abs(float(out["theta"]) - th_exact) < 0.2
 
+    @pytest.mark.slow
     def test_basket_theta_rho_match_crn_fd(self):
         """CRN finite differences of the price kernel itself (same hash
         seed => identical paths; LR vs FD agree to LR noise)."""

@@ -39,6 +39,7 @@ class TestShardedMC:
         assert float(p1.price) == float(p4.price) == float(p8.price)
         assert float(p1.std_error) == float(p4.std_error) == float(p8.std_error)
 
+    @pytest.mark.slow
     def test_book_topology_invariance(self, eight_devices):
         cfg = MCConfig(n_paths=8_000, dtype=jnp.float64)
         b = _batch(6)  # not divisible by the book axis: exercises padding
@@ -46,12 +47,14 @@ class TestShardedMC:
         p4 = sharded_book_price(b, KEY, cfg, make_mesh(8, book=4))
         np.testing.assert_array_equal(np.asarray(p2), np.asarray(p4))
 
+    @pytest.mark.slow
     def test_matches_single_device_engine_statistically(self, eight_devices):
         cfg = MCConfig(n_paths=160_000, dtype=jnp.float64)
         sharded = sharded_mc_price(_batch(), KEY, cfg, make_mesh(8))
         single = mc_price(_batch(), KEY, cfg)
         assert abs(float(sharded.price) - float(single)) < 6 * float(sharded.std_error)
 
+    @pytest.mark.slow
     def test_book_and_path_2d_mesh(self, eight_devices):
         mesh = make_mesh(8, book=2)
         cfg = MCConfig(n_paths=32_000, dtype=jnp.float64)

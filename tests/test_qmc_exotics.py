@@ -38,6 +38,7 @@ class TestBridge:
 
 
 class TestQMCExotics:
+    @pytest.mark.slow
     def test_geometric_asian_beats_prng_and_matches_closed_form(self):
         cf = float(geometric_asian_closed_form(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0, 64))
         errs_q, errs_p = [], []
@@ -52,6 +53,7 @@ class TestQMCExotics:
         assert np.mean(errs_q) < 0.005  # essentially exact at 16k paths
         assert np.mean(errs_q) * 5 < np.mean(errs_p)  # QMC edge
 
+    @pytest.mark.slow
     def test_arithmetic_asian_consistent_with_scan_engine(self):
         key = jax.random.PRNGKey(0)
         pq = float(qmc_asian_price(100.0, 100.0, 1.0, 0.05, 0.2, key, 1.0, 0.0,

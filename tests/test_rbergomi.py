@@ -14,6 +14,7 @@ from optionslab_tpu.utils.exceptions import ValidationError
 
 
 class TestVolterraLaw:
+    @pytest.mark.slow
     def test_variance_of_volterra_is_t2h(self):
         n, h = 128, 0.1
         L = jnp.asarray(_volterra_chol(n, h, 1.0))

@@ -170,6 +170,7 @@ class TestEndToEndCalibration:
 
 
 class TestCLIVendorSources:
+    @pytest.mark.slow
     def test_cli_calibrate_cboe(self, capsys, tmp_path):
         import json
 

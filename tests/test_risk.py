@@ -152,6 +152,7 @@ class TestPortfolio:
         p.add_position(Position(20, 50.0, 50.0, 2.0, 0.03, 0.3, "put", underlying="BBB"))
         return p
 
+    @pytest.mark.slow
     def test_aggregate_greeks(self):
         agg = self._book().aggregate_greeks()
         assert set(agg) >= {"price", "delta", "gamma", "vega", "theta", "rho"}

@@ -88,6 +88,7 @@ class TestShardedPallas:
         np.testing.assert_allclose(prices, prices[0], rtol=2e-5)
         np.testing.assert_allclose(deltas, deltas[0], rtol=2e-4)
 
+    @pytest.mark.slow
     def test_2d_mesh_and_book(self, tiny_tiles):
         """(book=2, paths=4) mesh, 3-contract book: full ladder vs BS."""
         spots = jnp.asarray([90.0, 100.0, 110.0])
@@ -151,6 +152,7 @@ class TestShardedPallas:
             sharded_exotic_greeks("barrier_up-and-out", 100.0, 100.0, 1.0,
                                   0.05, 0.2, mesh)
 
+    @pytest.mark.slow
     def test_sobol_sharded_keeps_qmc_accuracy(self, tiny_tiles):
         """Device-contiguous index ranges union to the single-device net —
         sharding must not degrade QMC accuracy."""

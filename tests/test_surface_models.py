@@ -93,6 +93,7 @@ class TestSVI:
 
 
 class TestMLP:
+    @pytest.mark.slow
     def test_train_eval_better_than_constant(self, chain):
         m = MLPModel(hidden_layers=(32, 16), epochs=250, seed=1)
         metrics = m.train(chain)
@@ -113,6 +114,7 @@ class TestMLP:
         pred2 = m2.predict_volatility(chain)
         np.testing.assert_allclose(pred1, pred2, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_mc_dropout_uncertainty(self, chain):
         m = MLPModel(hidden_layers=(16,), epochs=20, dropout_rate=0.2, seed=3)
         m.train(chain)

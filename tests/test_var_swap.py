@@ -98,6 +98,7 @@ class TestHestonClosedForms:
         mc_var = (float(se) ** 2) * 100_000
         assert abs(mc_var / vv - 1.0) < 0.05
 
+    @pytest.mark.slow
     def test_vol_swap_exact_within_mc_stderr(self, heston_params):
         T = 1.0
         _, _, rm, rse = vs.heston_integrated_variance_mc(
@@ -106,6 +107,7 @@ class TestHestonClosedForms:
         kq = float(vs.heston_vol_swap_strike(heston_params, T))
         assert abs(float(rm) - kq) < 4 * float(rse)
 
+    @pytest.mark.slow
     def test_exact_beats_brockhaus_long(self, heston_params):
         # BL is a 2nd-order expansion; the quadrature is exact. Check the
         # ordering against a tight MC estimate.
