@@ -288,15 +288,18 @@ def _load_chain(args):
 
 
 def cmd_calibrate(args) -> dict:
-    """Chain snapshot -> SVI/SSVI surface (default) or a CF dynamic model
-    (heston/bates) fitted to the quotes."""
+    """Chain snapshot -> SVI/SSVI surface (default) or a dynamic model
+    fitted to the quotes: heston/bates (Lewis-CF scanned Adam) or
+    heston-mc (fused-kernel simulation path — whole chain + all five
+    parameter gradients per Adam step in ONE Pallas launch)."""
     chain = _load_chain(args)
-    if args.model in ("heston", "bates"):
+    if args.model in ("heston", "heston-mc", "bates"):
         from .surface.chain_calibration import calibrate_model_to_chain
 
         return calibrate_model_to_chain(chain, args.model,
                                         from_prices=args.from_prices,
-                                        n_steps=args.steps)
+                                        n_steps=args.steps,
+                                        mc_paths=args.mc_paths)
     from .surface.chain_calibration import calibrate_chain
 
     res = calibrate_chain(chain, n_expiry_bins=args.bins,
@@ -499,7 +502,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("calibrate")
     _chain_args(pc)
     pc.add_argument("--model", default="svi",
-                    choices=["svi", "heston", "bates"])
+                    choices=["svi", "heston", "heston-mc", "bates"])
+    pc.add_argument("--mc-paths", type=int, default=1_000_000,
+                    help="paths per kernel launch for --model heston-mc")
 
     pl = sub.add_parser("plot")
     pl.add_argument("--what", default="smiles",

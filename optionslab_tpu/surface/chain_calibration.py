@@ -350,13 +350,25 @@ def local_vol_from_chain(chain, *, n_expiry_bins: int = 5,
 
 def calibrate_model_to_chain(chain, model: str = "heston", *,
                              from_prices: bool = False, n_steps: int = 800,
-                             max_quotes: int = 400, seed: int = 0) -> dict:
+                             max_quotes: int = 400, seed: int = 0,
+                             mc_paths: int = 1_000_000,
+                             mc_max_dt: float = 0.02) -> dict:
     """Fit a CF model (Heston or Bates) directly to chain option prices.
 
     The dynamic-model counterpart of :func:`calibrate_chain` (which fits
     static smiles): one scanned-Adam program over the whole quote set via
     ``calibrate_heston`` / ``calibrate_bates``.  Returns fitted params,
     the relative-MSE loss, and price/IV RMSE diagnostics.
+
+    ``model="heston-mc"`` routes to the kernel-speed simulation path
+    instead (:func:`~..models.heston.calibrate_heston_mc`): every Adam
+    step prices the whole chain AND gets all five parameter gradients
+    from ONE fused Pallas launch — use it when the dynamics have no
+    affine CF or to validate the semi-analytic fit end-to-end through
+    the simulation engine. Quotes are thinned to 12 for the kernel
+    (per-quote sensitivity tiles live in VMEM); diagnostics are priced
+    with the Lewis engine, so ``price_rmse`` folds in MC + Euler
+    discretization error of the fitted params.
     """
     from ..models.black_scholes import bs_price
     from ..models.iv import implied_vol
@@ -372,6 +384,8 @@ def calibrate_model_to_chain(chain, model: str = "heston", *,
     iv = np.asarray(df["implied_volatility"], np.float64)
     ok = np.isfinite(iv) & (iv > 0.01) & (iv < 3.0)
     df = df.loc[ok]
+    if model == "heston-mc":
+        max_quotes = min(max_quotes, 12)
     if len(df) > max_quotes:  # deterministic thinning for the Adam loop
         df = df.iloc[np.linspace(0, len(df) - 1, max_quotes).astype(int)]
 
@@ -406,8 +420,23 @@ def calibrate_model_to_chain(chain, model: str = "heston", *,
                  "sigma_j")
         from ..models.bates import bates_price as price_fn
         fitted = np.asarray(price_fn(batch, params))
+    elif model == "heston-mc":
+        import jax
+
+        from ..models.heston import calibrate_heston_mc, heston_price
+
+        # hardware PRNG on chip; counter-hash off-TPU (the interpreter
+        # stubs the hardware PRNG with zeros)
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        params, loss = calibrate_heston_mc(
+            target, strike, ttm, cp, float(np.median(s)),
+            float(np.median(rate)), n_steps=min(n_steps, 200),
+            n_paths=mc_paths, max_dt=mc_max_dt, seed=seed, sampler=sampler)
+        names = ("v0", "kappa", "theta", "sigma", "rho")
+        fitted = np.asarray(heston_price(batch, params))
     else:
-        raise ValidationError(f"model must be heston|bates, got {model!r}")
+        raise ValidationError(
+            f"model must be heston|heston-mc|bates, got {model!r}")
 
     iv_fit = np.asarray(implied_vol(jnp.asarray(fitted, jnp.float32),
                                     jnp.asarray(s, jnp.float32),
