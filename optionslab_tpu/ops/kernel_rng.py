@@ -18,6 +18,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
+from ._interpret_patch import ensure_interpret_patch
+
+# every Pallas kernel module imports this one — applying the interpreter
+# deadlock fix here covers all interpret-mode (off-TPU) kernel launches
+ensure_interpret_patch()
+
 TWO_PI = 6.283185307179586
 INV_2_24 = 1.0 / (1 << 24)
 INV_2_25 = 1.0 / (1 << 25)

@@ -19,7 +19,13 @@ path-dependent payoffs at kernel speed, consistently with the smile.
 
 ``seed_ref = [seed, block0]`` global-block ownership as in the other
 kernels (topology-invariant path sets; shardable). Samplers: ``prng`` /
-``hash``.
+``hash`` (plain MC) and ``sobol_bb`` / ``sobol_bb_hash`` (hybrid bridge
+QMC — the same 8-level dyadic construction as the exotic kernel: the
+bridge REPARAMETERIZES the iid normal draws, which is model-independent,
+so it applies unchanged under state-dependent σ(x, t); the variance
+reduction is largest when the payoff is dominated by the pinned z-sums,
+which holds approximately for mild smiles). Greeks reject the QMC
+samplers (LR scores assume iid normals).
 """
 
 from __future__ import annotations
@@ -35,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
-from .kernel_rng import draw_normals
+from .exotic_pallas import _bridge_plan, _sobol_nd
+from .gbm_pallas import _QMC_BITS, _mix32
+from .kernel_rng import TWO_PI, draw_normals
 
 ROWS = 128
 LANES = 512
@@ -85,7 +93,13 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
         for ref in refs:
             ref[:, :] = jnp.zeros_like(ref)
 
-    if sampler != "hash":
+    qmc = sampler.startswith("sobol_bb")
+    # QMC residuals always ride the counter-based hash stream (exact
+    # two-pass replay by construction; the hardware-PRNG reseed variant
+    # trips a pathological Mosaic compile — see exotic_pallas)
+    residual = "hash" if (qmc or sampler == "hash"
+                          or sampler.endswith("hash")) else "prng"
+    if residual != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
 
@@ -120,6 +134,48 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
     gz1 = [zero, zero] if greeks else []
     gvs = [zero, zero, zero, zero] if greeks else []
 
+    if qmc:
+        # Hybrid bridge QMC (cf. exotic_pallas): a scrambled Sobol point
+        # per path pins the terminal z-sum and up to 7 dyadic midpoint
+        # sums; hash residuals fill in conditionally per segment. The
+        # construction produces an EXACT iid N(0,1) step sequence — the
+        # state-dependent σ(x) consumes it unchanged.
+        bounds, constructs = _bridge_plan(n_steps, 8)
+        n_dim = 1 + len(constructs)
+        n_pairs = (n_dim + 1) // 2
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        scrambles = []
+        for _ in range(2 * n_pairs):
+            scrambles.append(h & mask30)
+            h = _mix32(h + jnp.int32(-1640531527))
+        us = _sobol_nd(idx, scrambles, 2 * n_pairs)
+        g = []
+        for i2 in range(n_pairs):
+            rad = jnp.sqrt(-2.0 * jnp.log(us[2 * i2]))
+            th = TWO_PI * us[2 * i2 + 1]
+            g.append(rad * jnp.cos(th))
+            g.append(rad * jnp.sin(th))
+        csum = {0: zero, n_steps: math.sqrt(float(n_steps)) * g[0]}
+        for (m, a, b), gd in zip(constructs, g[1:]):
+            frac = (m - a) / (b - a)
+            sd = math.sqrt((m - a) * (b - m) / (b - a))
+            csum[m] = csum[a] + (csum[b] - csum[a]) * frac + sd * gd
+        segs = list(zip(bounds[:-1], bounds[1:]))
+        targets = [csum[b] - csum[a] for a, b in segs]
+
+        def pre(i, carry):
+            sc, ss = carry
+            z1, z2 = draw_normals(residual, seed, block, i, n_steps, shape)
+            return sc + z1, ss + z2
+
+        seg_sums = []
+        for a, b in segs:
+            seg_sums.append(jax.lax.fori_loop(a, b, pre, (zero, zero)))
+
     def sigma(x, i):
         # Horner over the step-i coefficients (highest degree first);
         # scalar SMEM loads at a traced step index — no vector gathers.
@@ -132,38 +188,59 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
             acc = acc * xc + p_ref[base + 2 + j]
         return jnp.maximum(acc, 1e-4)  # vol floor: fit can dip near edges
 
-    def body(i, carry):
-        xs, aux, gz1, gvs = carry
-        z1, z2 = draw_normals(sampler, seed, block, i, n_steps, shape)
-        if greeks:
-            first = i == 0
-            gz1 = [jnp.where(first, z1, gz1[0]),
-                   jnp.where(first, z2, gz1[1])]
-        new_xs, new_gvs = [], []
-        for b, (x, z) in enumerate(zip(xs, (z1, -z1, z2, -z2))):
-            sig = sigma(x, i)
-            new_xs.append(x + mu_dt - 0.5 * sig * sig * dt + sig * sqdt * z)
-            if greeks:
-                new_gvs.append(gvs[b] + (z * z - 1.0) / sig - z * sqdt)
-        new_xs = tuple(new_xs)
-        gvs = new_gvs if greeks else gvs
-        if payoff == "asian":
-            aux = tuple(a + s0 * jnp.exp(x) for a, x in zip(aux, new_xs))
-        elif lookback_kind:
-            ext = jnp.minimum if lb_min else jnp.maximum
-            aux = tuple(ext(a, x) for a, x in zip(aux, new_xs))
-        elif barrier_kind:  # discrete monitoring at every step
-            b_log = p_ref[_P_BARRIER]
-            if up:
-                aux = tuple(jnp.maximum(h, jnp.where(x >= b_log, 1.0, 0.0))
-                            for h, x in zip(aux, new_xs))
+    def make_body(offs):
+        def body(i, carry):
+            xs, aux, gz1, gvs = carry
+            z1, z2 = draw_normals(residual, seed, block, i, n_steps, shape)
+            if offs is None:
+                zs = (z1, -z1, z2, -z2)
             else:
-                aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
-                            for h, x in zip(aux, new_xs))
-        return new_xs, aux, gz1, gvs
+                # conditional-law residuals: each branch's segment z-sum
+                # is pinned to its bridge target by a constant offset
+                oc_p, oc_m, os_p, os_m = offs
+                zs = (z1 + oc_p, -z1 + oc_m, z2 + os_p, -z2 + os_m)
+            if greeks:
+                first = i == 0
+                gz1 = [jnp.where(first, z1, gz1[0]),
+                       jnp.where(first, z2, gz1[1])]
+            new_xs, new_gvs = [], []
+            for b, (x, z) in enumerate(zip(xs, zs)):
+                sig = sigma(x, i)
+                new_xs.append(x + mu_dt - 0.5 * sig * sig * dt
+                              + sig * sqdt * z)
+                if greeks:
+                    new_gvs.append(gvs[b] + (z * z - 1.0) / sig - z * sqdt)
+            new_xs = tuple(new_xs)
+            gvs = new_gvs if greeks else gvs
+            if payoff == "asian":
+                aux = tuple(a + s0 * jnp.exp(x) for a, x in zip(aux, new_xs))
+            elif lookback_kind:
+                ext = jnp.minimum if lb_min else jnp.maximum
+                aux = tuple(ext(a, x) for a, x in zip(aux, new_xs))
+            elif barrier_kind:  # discrete monitoring at every step
+                b_log = p_ref[_P_BARRIER]
+                if up:
+                    aux = tuple(jnp.maximum(h, jnp.where(x >= b_log, 1.0, 0.0))
+                                for h, x in zip(aux, new_xs))
+                else:
+                    aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
+                                for h, x in zip(aux, new_xs))
+            return new_xs, aux, gz1, gvs
 
-    xs, aux, gz1, gvs = jax.lax.fori_loop(0, n_steps, body,
-                                          (xs, aux, gz1, gvs))
+        return body
+
+    if qmc:
+        carry = (xs, aux, gz1, gvs)
+        for j, (a, b) in enumerate(segs):
+            sc_j, ss_j = seg_sums[j]
+            inv = 1.0 / (b - a)
+            offs = ((targets[j] - sc_j) * inv, (targets[j] + sc_j) * inv,
+                    (targets[j] - ss_j) * inv, (targets[j] + ss_j) * inv)
+            carry = jax.lax.fori_loop(a, b, make_body(offs), carry)
+        xs, aux, gz1, gvs = carry
+    else:
+        xs, aux, gz1, gvs = jax.lax.fori_loop(0, n_steps, make_body(None),
+                                              (xs, aux, gz1, gvs))
 
     acc = jnp.zeros(shape, jnp.float32)
     acc2 = jnp.zeros(shape, jnp.float32)
@@ -221,6 +298,14 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
                                              "payoff", "sampler", "greeks"))
 def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
             payoff: str, sampler: str = "prng", greeks: bool = False):
+    if sampler.startswith("sobol"):
+        if n_steps < 2:
+            raise ValidationError("bridge QMC needs n_steps >= 2 (terminal "
+                                  "+ midpoint coordinates)")
+        if greeks:
+            raise ValidationError(
+                "LR scores assume iid normals; the bridge-QMC samplers "
+                "correlate increments — use prng/hash for LR Greeks")
     n_out = ((7 if payoff.startswith("lookback") else 5) if greeks else 2)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -331,7 +416,11 @@ class LocalVolKernelPricer:
         precomputed surface table. Barrier kinds monitor discretely at
         every step and price CONSISTENTLY with the vanilla smile — the
         point of a local-vol model (the reference's local vol prices
-        vanillas only); lookback kinds track the discrete extremum."""
+        vanillas only); lookback kinds track the discrete extremum.
+
+        ``sampler="sobol_bb"`` enables the 8-level hybrid bridge QMC
+        (needs ``n_steps >= 2``); the reported stderr then uses the
+        plain-MC formula and is indicative only (see exotic_pallas)."""
         p = self._params(strike, payoff, barrier)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
@@ -372,9 +461,14 @@ class LocalVolKernelPricer:
                        n_steps=self.n_steps, n_blocks=n_blocks,
                        cp=float(cp), payoff=payoff, sampler=sampler,
                        greeks=True)
+        return self._combine_greeks(outs, n_blocks * PATHS_PER_BLOCK,
+                                    payoff)
+
+    def _combine_greeks(self, outs, n: int, payoff: str) -> dict:
+        """Moment tiles → ladder dict (shared with the sharded path,
+        which psums the tiles over the mesh before this runs once)."""
         from .exotic_pallas import _mean_stderr
 
-        n = n_blocks * PATHS_PER_BLOCK
         df = math.exp(-self.rate * self.t_total)
         price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
         # sigma and its x-slope at the common start state x=0, step 0

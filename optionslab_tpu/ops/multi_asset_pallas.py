@@ -384,7 +384,15 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
     outs = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
                    n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                    sampler=sampler, lr=True)
-    n = n_blocks * PATHS_PER_BLOCK
+    return _combine_lr(outs, n_blocks * PATHS_PER_BLOCK, d, t, rate, spots,
+                       vols, corr, n_steps)
+
+
+def _combine_lr(outs, n: int, d: int, t: float, rate, spots, vols, corr,
+                n_steps: int) -> dict:
+    """Host-side assembly of the LR ladder from the kernel's moment tiles
+    (shared by the single-device and ``shard_map`` paths — the sharded
+    pipeline psums the tiles over ICI first, then this runs once)."""
     df = math.exp(-float(rate) * t)
     rate_f = float(rate)
     price, se, _ = _mean_stderr(outs[0], outs[1], n, df)

@@ -2,6 +2,9 @@ from .mesh import BOOK_AXIS, PATH_AXIS, book_sharding, make_mesh, path_sharding,
 from .sharded_mc import sharded_book_greeks, sharded_book_price, sharded_mc_price
 from .sharded_pallas import (sharded_exotic_greeks, sharded_exotic_price,
                              sharded_heston_greeks,
+                             sharded_local_vol_greeks,
+                             sharded_local_vol_price,
+                             sharded_multi_asset_greeks,
                              sharded_multi_asset_price,
                              sharded_pallas_greeks)
 from .sharded_risk import sharded_historical_var_es, sharded_mc_var
@@ -21,6 +24,9 @@ __all__ = [
     "sharded_exotic_greeks",
     "sharded_heston_greeks",
     "sharded_multi_asset_price",
+    "sharded_multi_asset_greeks",
+    "sharded_local_vol_price",
+    "sharded_local_vol_greeks",
     "sharded_historical_var_es",
     "sharded_mc_var",
 ]

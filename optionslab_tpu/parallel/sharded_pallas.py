@@ -39,6 +39,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import exotic_pallas as _ep
 from ..ops import heston_pallas as _hp
+from ..ops import local_vol_pallas as _lv
 from ..ops import multi_asset_pallas as _mp
 from ..ops.gbm_pallas import _combine, _lanes_for, _launch, _prepare
 from ..types import ContractBatch
@@ -237,22 +238,23 @@ def sharded_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("d", "kind", "n_steps",
                                              "n_blocks", "cp", "sampler",
-                                             "mesh"))
+                                             "lr", "mesh"))
 def _sharded_ma_launch(seed, params, *, d, kind, n_steps, n_blocks, cp,
-                       sampler, mesh):
+                       sampler, mesh, lr=False):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
+    n_out = 2 + (2 * d + d * (d + 1) // 2 + 2 if lr else 0)
 
     def local(seed_s, params_rep):
         dev = _device_linear_index(mesh, names)
         seed_vec = jnp.stack([seed_s.astype(jnp.int32), dev * bpd])
         outs = _mp._launch(seed_vec, params_rep, d=d, kind=kind,
                            n_steps=n_steps, n_blocks=bpd, cp=cp,
-                           sampler=sampler)
+                           sampler=sampler, lr=lr)
         return tuple(jax.lax.psum(o, names) for o in outs)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
-                   out_specs=(P(),) * 2, check_vma=False)
+                   out_specs=(P(),) * n_out, check_vma=False)
     return fn(seed, params)
 
 
@@ -280,49 +282,163 @@ def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                             math.exp(-float(rate) * t))
 
 
+def sharded_multi_asset_greeks(kind: str, spots, strike, maturity, rate,
+                               vols, corr, mesh: Mesh, weights=None,
+                               cp: float = 1.0, dividends=0.0,
+                               n_paths: int = 1_000_000, n_steps: int = 1,
+                               seed: int = 0, sampler: str = "prng") -> dict:
+    """``ops/multi_asset_pallas.pallas_multi_asset_greeks`` — the FULL
+    per-asset likelihood-ratio ladder (delta/vega vectors, d×d gamma
+    matrix, theta, rho) — with path blocks sharded over ``mesh``. Only
+    the 2+2d+d(d+1)/2+2 moment tiles cross ICI (one psum each); the
+    ladder is assembled once host-side from the global moments, so the
+    result is the single-device estimate for the identical path set."""
+    if kind not in _mp.KINDS:
+        raise ValidationError(f"unknown kind {kind!r}; choose {_mp.KINDS}")
+    d, t, p = _mp._params_vec(spots, weights, strike, maturity, rate, vols,
+                              corr, dividends, n_steps, lr=True)
+    if kind == "spread" and d != 2:
+        raise ValidationError("spread requires exactly 2 assets")
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _mp.PATHS_PER_BLOCK, n_dev)
+    outs = _sharded_ma_launch(jnp.asarray(seed, jnp.int32), p, d=d,
+                              kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+                              cp=float(cp), sampler=sampler, mesh=mesh,
+                              lr=True)
+    return _mp._combine_lr(outs, n_blocks * _mp.PATHS_PER_BLOCK, d, t, rate,
+                           spots, vols, corr, n_steps)
+
+
 # ---------------------------------------------------------------------------
 # Stochastic vol: the fused Heston kernel under shard_map
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
-                                             "sampler", "vega", "mesh"))
+                                             "sampler", "vega", "ladder",
+                                             "scheme", "mesh"))
 def _sharded_heston_pipeline(seed, params, scalars, *, n_steps, n_blocks,
-                             cp, sampler, vega, mesh):
+                             cp, sampler, vega, mesh, ladder=False,
+                             scheme="euler"):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
-    n_out = 4 if vega else 3
+    n_out = 3 if scheme == "qe" else (9 if ladder else (4 if vega else 3))
 
     def local(seed_s, params_rep, _scalars_rep):
         d = _device_linear_index(mesh, names)
         seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
         outs = _hp._launch(seed_vec, params_rep, n_steps=n_steps,
-                           n_blocks=bpd, cp=cp, sampler=sampler, vega=vega)
+                           n_blocks=bpd, cp=cp, sampler=sampler, vega=vega,
+                           ladder=ladder, scheme=scheme)
         return tuple(jax.lax.psum(o, names) for o in outs)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
                    out_specs=(P(),) * n_out, check_vma=False)
     outs = fn(seed, params, scalars)
-    return _hp._combine_moments(outs, n_blocks * _hp.PATHS_PER_BLOCK,
-                                scalars, cp, vega)
+    ppb = _hp.LADDER_PATHS_PER_BLOCK if ladder else _hp.PATHS_PER_BLOCK
+    return _hp._combine_moments(outs, n_blocks * ppb, scalars, cp, vega,
+                                ladder=ladder)
 
 
 def sharded_heston_greeks(spot, strike, maturity, rate, params, mesh: Mesh,
                           cp: float = 1.0, dividend: float = 0.0,
                           n_paths: int = 1_000_000, n_steps: int = 100,
                           seed: int = 0, sampler: str = "prng",
-                          vega: bool = True) -> dict:
+                          vega: bool = True, ladder: bool = False,
+                          scheme: str = "euler") -> dict:
     """``ops/heston_pallas.pallas_heston_greeks`` (price + pathwise
     delta/rho + v0-vega, one kernel pass) with path blocks sharded over
     ``mesh`` via global-block ownership — the same topology-invariant
-    construction as :func:`sharded_pallas_greeks`."""
-    t, p = _hp._params_vec(spot, strike, maturity, rate, params, dividend,
-                           n_steps)
+    construction as :func:`sharded_pallas_greeks`.
+
+    ``ladder=True`` shards the FULL parameter-sensitivity variant
+    (v0/kappa/theta/sigma/rho + calendar theta — 9 moment tiles psum over
+    ICI). ``scheme="qe"`` shards the Andersen-QE price kernel
+    (near-unbiased at coarse steps; price/delta/rho only — the ladder is
+    an Euler-scheme derivative)."""
+    if scheme == "qe" and (ladder or vega):
+        raise ValidationError("scheme='qe' is price/delta/rho only — the "
+                              "pathwise ladder differentiates the Euler "
+                              "recursion (use scheme='euler')")
+    if scheme == "qe":
+        t, p = _hp._params_vec_qe(spot, strike, maturity, rate, params,
+                                  dividend, n_steps)
+    else:
+        t, p = _hp._params_vec(spot, strike, maturity, rate, params,
+                               dividend, n_steps)
     _names, n_dev = _mesh_axes(mesh)
-    n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
+    ppb = _hp.LADDER_PATHS_PER_BLOCK if ladder else _hp.PATHS_PER_BLOCK
+    n_blocks = _round_blocks(n_paths, ppb, n_dev)
     scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
-                           float(params.v0)], jnp.float32)
+                           float(params.v0), float(rate)], jnp.float32)
     out = dict(_sharded_heston_pipeline(
         jnp.asarray(seed, jnp.int32), p, scalars, n_steps=n_steps,
-        n_blocks=n_blocks, cp=float(cp), sampler=sampler, vega=vega,
-        mesh=mesh))
-    out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
+        n_blocks=n_blocks, cp=float(cp), sampler=sampler,
+        vega=vega and not ladder and scheme != "qe", mesh=mesh,
+        ladder=ladder, scheme=scheme))
+    out["paths"] = n_blocks * ppb
     return out
+
+
+# ---------------------------------------------------------------------------
+# Local vol: the fused Dupire-smile kernel under shard_map
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
+                                             "payoff", "sampler", "greeks",
+                                             "mesh"))
+def _sharded_lv_launch(seed, params, *, n_steps, n_blocks, cp, payoff,
+                       sampler, greeks, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+    n_out = ((7 if payoff.startswith("lookback") else 5) if greeks else 2)
+
+    def local(seed_s, params_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _lv._launch(seed_vec, params_rep, n_steps=n_steps,
+                           n_blocks=bpd, cp=cp, payoff=payoff,
+                           sampler=sampler, greeks=greeks)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(),) * n_out, check_vma=False)
+    return fn(seed, params)
+
+
+def sharded_local_vol_price(pricer, strike, mesh: Mesh, cp: float = 1.0,
+                            payoff: str = "european", barrier: float = 0.0,
+                            n_paths: int = 1_000_000, seed: int = 0,
+                            sampler: str = "prng"):
+    """``ops/local_vol_pallas.LocalVolKernelPricer.price`` — smile-
+    consistent exotics on the precomputed per-step σ-polynomial table —
+    with path blocks sharded over ``mesh`` (global-block ownership, same
+    topology-invariant path set as every kernel family here). ``pricer``
+    is a fitted :class:`~..ops.local_vol_pallas.LocalVolKernelPricer`.
+    Returns (price, stderr, actual_paths)."""
+    p = pricer._params(strike, payoff, barrier)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _lv.PATHS_PER_BLOCK, n_dev)
+    pay, pay2 = _sharded_lv_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32),
+        n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
+        payoff=payoff, sampler=sampler, greeks=False, mesh=mesh)
+    return _ep._mean_stderr(pay, pay2, n_blocks * _lv.PATHS_PER_BLOCK,
+                            math.exp(-pricer.rate * pricer.t_total))
+
+
+def sharded_local_vol_greeks(pricer, strike, mesh: Mesh, cp: float = 1.0,
+                             payoff: str = "european", barrier: float = 0.0,
+                             n_paths: int = 1_000_000, seed: int = 0,
+                             sampler: str = "prng") -> dict:
+    """``LocalVolKernelPricer.greeks`` (sticky-strike LR delta/gamma +
+    parallel-shift vega, one kernel pass) sharded over ``mesh``: the 5
+    (7 for lookbacks) moment tiles psum over ICI and the ladder is
+    assembled once host-side — identical estimate to the single-device
+    launch over the same global path set."""
+    p = pricer._params(strike, payoff, barrier)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _lv.PATHS_PER_BLOCK, n_dev)
+    outs = _sharded_lv_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32),
+        n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
+        payoff=payoff, sampler=sampler, greeks=True, mesh=mesh)
+    return pricer._combine_greeks(outs, n_blocks * _lv.PATHS_PER_BLOCK,
+                                  payoff)

@@ -111,6 +111,44 @@ class TestKernel:
             np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
                                        rtol=3e-5, err_msg=k)
 
+    def test_sharded_full_ladder_matches_unsharded(self):
+        """ladder=True under shard_map: all 9 moment tiles psum over the
+        mesh; every calibration-gradient entry matches the single-device
+        launch on the identical global path set."""
+        from optionslab_tpu.parallel import make_mesh, sharded_heston_greeks
+
+        mesh = make_mesh(4)
+        out_s = sharded_heston_greeks(S, K, T, R, PAR, mesh, n_paths=1,
+                                      n_steps=4, seed=0, sampler="hash",
+                                      ladder=True)
+        out_u = pallas_heston_greeks(S, K, T, R, PAR, 1.0,
+                                     n_paths=out_s["paths"], n_steps=4,
+                                     seed=0, sampler="hash", ladder=True)
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "delta", "rho", "vega_v0", "d_kappa", "d_theta",
+                  "d_sigma", "d_rho", "theta"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=2e-4, err_msg=k)
+
+    def test_sharded_qe_scheme_matches_unsharded(self):
+        from optionslab_tpu.parallel import make_mesh, sharded_heston_greeks
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        mesh = make_mesh(4)
+        out_s = sharded_heston_greeks(S, K, T, R, PAR, mesh, n_paths=1,
+                                      n_steps=4, seed=0, sampler="hash",
+                                      vega=False, scheme="qe")
+        p_u, se_u, n_u = pallas_heston_price(S, K, T, R, PAR,
+                                             n_paths=out_s["paths"],
+                                             n_steps=4, seed=0,
+                                             sampler="hash", scheme="qe")
+        assert n_u == out_s["paths"]
+        np.testing.assert_allclose(float(out_s["price"]), float(p_u),
+                                   rtol=3e-5)
+        with pytest.raises(ValidationError):
+            sharded_heston_greeks(S, K, T, R, PAR, mesh, scheme="qe",
+                                  ladder=True)
+
     @pytest.mark.slow
     def test_full_ladder_matches_lewis_ad(self):
         """Round-3: ladder=True carries forward sensitivities for EVERY

@@ -240,3 +240,85 @@ class TestValidation:
             p, se, _ = pr.price(k, n_paths=1, sampler="hash")
             exact = float(bs_price(S, k, 1.0, R, 0.2, 1.0, 0.0))
             assert abs(float(p) - exact) < 5 * float(se) + 1e-3
+
+
+class TestSharded:
+    def test_sharded_price_and_greeks_match_unsharded(self):
+        """LV kernel under shard_map: global-block ownership — the sharded
+        estimate equals the single-device one on the identical path set
+        (up to f32 association), price AND the LR ladder."""
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+        from optionslab_tpu.parallel import (make_mesh,
+                                             sharded_local_vol_greeks,
+                                             sharded_local_vol_price)
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=4)
+        mesh = make_mesh(4)
+        p_s, se_s, n_s = sharded_local_vol_price(pr, 100.0, mesh, n_paths=1,
+                                                 sampler="hash")
+        p_u, se_u, n_u = pr.price(100.0, n_paths=n_s, sampler="hash")
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=3e-5)
+        out_s = sharded_local_vol_greeks(pr, 100.0, mesh, n_paths=1,
+                                         sampler="hash")
+        out_u = pr.greeks(100.0, n_paths=out_s["paths"], sampler="hash")
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-4, err_msg=k)
+
+    def test_sharded_lookback_boundary_terms(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+        from optionslab_tpu.parallel import (make_mesh,
+                                             sharded_local_vol_greeks)
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=4)
+        mesh = make_mesh(2)
+        out_s = sharded_local_vol_greeks(pr, 0.0, mesh, n_paths=1,
+                                         payoff="lookback_float",
+                                         sampler="hash")
+        out_u = pr.greeks(0.0, n_paths=out_s["paths"],
+                          payoff="lookback_float", sampler="hash")
+        for k in ("price", "delta", "gamma", "vega"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-4, err_msg=k)
+
+
+class TestBridgeQMC:
+    """Round-3: the hybrid 8-level bridge QMC sampler applied under
+    state-dependent sigma(x, t). The bridge reparameterizes the iid
+    normals (model-independent), so the step sequence stays exact iid
+    N(0,1) — parity with plain MC is the correctness check; the error
+    reduction is the quality check (flat surface, where the pinned
+    z-sums dominate the payoff)."""
+
+    def test_flat_european_qmc_tighter_than_plain_mc(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        exact = float(bs_price(S, 100.0, 1.0, R, 0.2, 1.0, 0.0))
+        p_q, se, _ = pr.price(100.0, n_paths=1, sampler="sobol_bb")
+        # QMC error must land well inside the plain-MC noise scale
+        assert abs(float(p_q) - exact) < 1.5 * float(se) + 1e-3, \
+            (float(p_q), exact, float(se))
+
+    def test_smile_asian_qmc_matches_plain_mc(self, smile_dupire):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(smile_dupire, 1.0, n_steps=8)
+        p_q, se_q, _ = pr.price(100.0, payoff="asian", n_paths=1,
+                                sampler="sobol_bb")
+        p_h, se_h, _ = pr.price(100.0, payoff="asian", n_paths=1,
+                                sampler="hash")
+        err = abs(float(p_q) - float(p_h))
+        assert err < 5 * np.hypot(float(se_q), float(se_h)) + 2e-3
+
+    def test_qmc_rejects_greeks_and_single_step(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        with pytest.raises(ValidationError):
+            pr.greeks(100.0, n_paths=1, sampler="sobol_bb")
+        pr1 = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=1)
+        with pytest.raises(ValidationError):
+            pr1.price(100.0, n_paths=1, sampler="sobol_bb")

@@ -15,7 +15,8 @@ from optionslab_tpu.models.multi_asset import (basket_asian_price,
                                                basket_price,
                                                geometric_basket_closed_form,
                                                margrabe_price, rainbow_price)
-from optionslab_tpu.ops.multi_asset_pallas import pallas_multi_asset_price
+from optionslab_tpu.ops.multi_asset_pallas import (pallas_multi_asset_greeks,
+                                                   pallas_multi_asset_price)
 from optionslab_tpu.utils.exceptions import ValidationError
 
 SPOTS = [100.0, 95.0, 105.0]
@@ -255,6 +256,29 @@ class TestSharded:
             sampler="hash", seed=0)
         assert n_u == n_s
         np.testing.assert_allclose(float(p_s), float(p_u), rtol=3e-5)
+
+    def test_sharded_full_ladder_matches_unsharded(self):
+        """The full LR ladder under shard_map: the 2+2d+d(d+1)/2+2 moment
+        tiles psum over the mesh, the host combine runs once — same
+        global path set => same ladder up to f32 association."""
+        from optionslab_tpu.parallel import (make_mesh,
+                                             sharded_multi_asset_greeks)
+
+        mesh = make_mesh(4)
+        out_s = sharded_multi_asset_greeks(
+            "basket", SPOTS, K, T, R, VOLS, CORR, mesh, weights=W,
+            n_paths=1, n_steps=2, sampler="hash")
+        out_u = pallas_multi_asset_greeks(
+            "basket", SPOTS, K, T, R, VOLS, CORR, weights=W,
+            n_paths=out_s["paths"], n_steps=2, sampler="hash", seed=0)
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "theta", "rho"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-5, err_msg=k)
+        for k in ("delta", "vega", "gamma"):
+            np.testing.assert_allclose(np.asarray(out_s[k]),
+                                       np.asarray(out_u[k]), rtol=5e-4,
+                                       err_msg=k)
 
 
 class TestValidation:
