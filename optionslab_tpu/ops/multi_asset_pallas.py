@@ -40,8 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
-from .exotic_pallas import _mean_stderr
-from .kernel_rng import draw_normals
+from .exotic_pallas import _mean_stderr, _sobol_nd
+from .gbm_pallas import _QMC_BITS, _mix32
+from .kernel_rng import TWO_PI, draw_normals
 
 ROWS = 128
 LANES = 256  # 4 branches × d ≤ 4 assets of (128, LANES) carries in VMEM
@@ -92,9 +93,10 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         for ref in refs:
             ref[:, :] = jnp.zeros_like(ref)
 
-    if sampler != "hash":
+    if sampler == "prng":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
+    qmc = sampler.startswith("sobol")
 
     s0 = [p_ref[4 * i + 0] for i in range(d)]
     drift = [p_ref[4 * i + 1] for i in range(d)]
@@ -116,6 +118,28 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
     # 4 antithetic branches × d assets of log-spot offsets (start at 0;
     # payoff multiplies by s0 — keeps the adds drift-centered)
     zero = jnp.zeros(shape, jnp.float32)
+    if qmc:
+        # terminal-only (n_steps == 1, enforced at launch): one scrambled
+        # 2d-dim Sobol point per path drives BOTH streams' d-dim normal
+        # draws exactly (Box–Muller pairs on dims (2i, 2i+1)); the GBM
+        # one-step increment is exact, so the whole terminal law is QMC.
+        # Global point index rides the block id — topology-invariant
+        # (shardable) like every sampler here.
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        scrambles = []
+        for _ in range(2 * d):
+            scrambles.append(h & mask30)
+            h = _mix32(h + jnp.int32(-1640531527))
+        us = _sobol_nd(idx, scrambles, 2 * d)
+        sob = []
+        for i in range(d):
+            rad = jnp.sqrt(-2.0 * jnp.log(us[2 * i]))
+            th = TWO_PI * us[2 * i + 1]
+            sob.append((rad * jnp.cos(th), rad * jnp.sin(th)))
     xs = [[zero for _ in range(d)] for _ in range(4)]
     asian = [zero, zero, zero, zero] if kind == "basket_asian" else None
     # per-stream (cos, sin) LR carries: first-step normals, a_i, b_i, q
@@ -136,8 +160,11 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         # A(+)/B(−), stream 1 (sin) feeds C(+)/D(−)
         zc, zs = [], []
         for i in range(d):
-            c, s = draw_normals(sampler, seed, block, step * d + i,
-                                n_steps * d, shape)
+            if qmc:
+                c, s = sob[i]
+            else:
+                c, s = draw_normals(sampler, seed, block, step * d + i,
+                                    n_steps * d, shape)
             zc.append(c)
             zs.append(s)
         streams = (zc, zs)
@@ -257,6 +284,11 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
                                              "lr"))
 def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
             cp: float, sampler: str = "prng", lr: bool = False):
+    if sampler.startswith("sobol") and n_steps != 1:
+        raise ValidationError(
+            "multi-asset QMC is terminal-only (n_steps=1): the 2d-dim "
+            "Sobol point drives the exact one-step GBM increment; use "
+            "prng/hash for multi-step monitoring (basket_asian)")
     n_out = 2 + (2 * d + d * (d + 1) // 2 + 2 if lr else 0)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -330,6 +362,12 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
     equal; ``spread`` ignores weights and requires exactly 2 assets.
     Oracles in the tests: the XLA scan engine (``models/multi_asset.py``),
     the geometric-basket Black formula (exact), Margrabe at K=0 (exact).
+
+    ``sampler="sobol"`` (terminal kinds, ``n_steps=1`` only): one
+    scrambled 2d-dim Sobol point per path drives the exact terminal law
+    — the full dimension fits the in-kernel 8-dim direction table for
+    d ≤ 4, so this is PURE QMC, not a hybrid bridge. The reported stderr
+    then uses the plain-MC formula and is indicative only.
     """
     if kind not in KINDS:
         raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
@@ -373,6 +411,13 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
     does the same at kernel speed.
     Returns {price, std_error, delta (d,), vega (d,), gamma (d,d),
     theta, rho, paths}.
+
+    ``sampler="sobol"`` (terminal kinds only) applies the pure 2d-dim
+    QMC terminal law to the ladder too: every moment E[pay·score] is an
+    integral of a deterministic functional of the SAME normals, so the
+    LR estimators stay consistent under QMC (unlike the hybrid bridge
+    samplers, whose residual replay changes which normals the scores
+    see); ``std_error`` keeps the plain-MC formula and is indicative.
     """
     if kind not in KINDS:
         raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")

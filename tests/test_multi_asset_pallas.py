@@ -304,3 +304,60 @@ class TestValidation:
                                            CORR, n_paths=1, seed=5,
                                            sampler="hash")
         assert float(a) != float(b)
+
+
+class TestQMC:
+    """Round-3: pure 2d-dim scrambled-Sobol terminal law (n_steps=1 —
+    the exact one-step GBM increment, so the WHOLE terminal law is QMC;
+    d <= 4 fits the in-kernel 8-dim direction table). Oracles: the
+    geometric-basket closed form and its AD gradient."""
+
+    def test_geo_basket_qmc_well_inside_mc_noise(self):
+        exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R,
+                                                   VOLS, CORR))
+        p_q, _se_q, _ = pallas_multi_asset_price(
+            "basket_geo", SPOTS, K, T, R, VOLS, CORR, weights=W,
+            n_paths=1, seed=0, sampler="sobol")
+        _p_h, se_h, _ = pallas_multi_asset_price(
+            "basket_geo", SPOTS, K, T, R, VOLS, CORR, weights=W,
+            n_paths=1, seed=0, sampler="hash")
+        err_q = abs(float(p_q) - exact)
+        # QMC must land well inside one plain-MC standard error
+        assert err_q < 0.5 * float(se_h), (err_q, float(se_h))
+
+    def test_qmc_ladder_matches_closed_form_ad(self):
+        out = pallas_multi_asset_greeks("basket_geo", SPOTS, K, T, R, VOLS,
+                                        CORR, weights=W, n_paths=1,
+                                        sampler="sobol")
+        f = lambda s, v: geometric_basket_closed_form(s, W, K, T, R, v, CORR)
+        s0 = jnp.asarray(SPOTS, jnp.float32)
+        v0 = jnp.asarray(VOLS, jnp.float32)
+        exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R,
+                                                   VOLS, CORR))
+        assert abs(float(out["price"]) - exact) < 5e-3
+        np.testing.assert_allclose(np.asarray(out["delta"]),
+                                   np.asarray(jax.grad(f, 0)(s0, v0)),
+                                   atol=0.02)
+        np.testing.assert_allclose(np.asarray(out["vega"]),
+                                   np.asarray(jax.grad(f, 1)(s0, v0)),
+                                   atol=1.6)
+
+    def test_sharded_qmc_matches_unsharded(self):
+        from optionslab_tpu.parallel import (make_mesh,
+                                             sharded_multi_asset_price)
+
+        mesh = make_mesh(4)
+        p_s, _se, n_s = sharded_multi_asset_price(
+            "basket", SPOTS, K, T, R, VOLS, CORR, mesh, weights=W,
+            n_paths=1, sampler="sobol")
+        p_u, _se_u, n_u = pallas_multi_asset_price(
+            "basket", SPOTS, K, T, R, VOLS, CORR, weights=W,
+            n_paths=n_s, seed=0, sampler="sobol")
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=3e-5)
+
+    def test_qmc_rejects_multistep(self):
+        with pytest.raises(ValidationError):
+            pallas_multi_asset_price("basket_asian", SPOTS, K, T, R, VOLS,
+                                     CORR, weights=W, n_paths=1, n_steps=4,
+                                     sampler="sobol")
