@@ -192,8 +192,18 @@ def _lower_from_policy(coefs, spot, strike, maturity, rate, vol, key, cp,
     return jnp.maximum(price, intrinsic), se
 
 
-def lsm_lower_bound(policy: LSMPolicy, key, n_paths: int = 200_000):
-    """Unbiased lower bound (fresh paths, fixed policy)."""
+def lsm_lower_bound(policy: LSMPolicy, key, n_paths: int = 200_000,
+                    use_cv: bool = True):
+    """Unbiased lower bound (fresh paths, fixed policy).
+
+    ``use_cv=True`` (default) subtracts the dual's deterministic
+    value-surface martingale at the stopping time (:func:`_lsm_lower_cv`)
+    — same policy value, stderr collapses to dual-gap scale."""
+    if use_cv:
+        return _lsm_lower_cv(policy.coefs, policy.vcoefs, policy.spot,
+                             policy.strike, policy.maturity, policy.rate,
+                             policy.vol, key, policy.cp, policy.dividend,
+                             n_paths, policy.n_dates, policy.basis)
     return _lower_from_policy(policy.coefs, policy.spot, policy.strike,
                               policy.maturity, policy.rate, policy.vol, key,
                               policy.cp, policy.dividend, n_paths,
@@ -443,6 +453,61 @@ def dual_upper_bound(policy: LSMPolicy, key, n_outer: int = 500_000):
                           policy.strike, policy.maturity, policy.rate,
                           policy.vol, key, policy.cp, policy.dividend,
                           n_outer, policy.n_dates, policy.basis)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_paths", "n_dates", "basis", "cp"))
+def _lsm_lower_cv(coefs, vcoefs, spot, strike, maturity, rate, vol, key, cp,
+                  dividend, n_paths: int, n_dates: int, basis: int):
+    """Martingale-control-variate lower bound on the LSM policy.
+
+    The SAME stopping rule (hence the same policy value) as
+    :func:`_lower_from_policy`, but the dual's deterministic
+    value-surface martingale (:func:`_dual_upper_cf` — exact lognormal
+    conditional expectations, M_0 = 0) is subtracted at the stopping
+    time. E[M_τ] = 0 by optional stopping (τ is bounded), so the
+    estimator stays unbiased while its noise collapses from payoff scale
+    to how far df·h_τ − M_τ sits from the policy value — dual-gap
+    scale. Same machinery as the Heston/LV American brackets
+    (``models/heston_american.py``), closing the certification family's
+    last un-CV'd lower bound."""
+    dtype = jax.dtypes.canonicalize_dtype(jnp.float64)
+    dt = maturity / n_dates
+    mu = (rate - dividend - 0.5 * vol * vol) * dt
+    sig = vol * jnp.sqrt(jnp.asarray(dt, dtype))
+    coefs = coefs.astype(dtype)
+    vcoefs = vcoefs.astype(dtype)
+    bounds = _solve_boundaries(coefs, strike, cp, basis, n_dates)
+    half = n_paths // 2
+    n_eff = 2 * half
+
+    def step(carry, idx):
+        log_s, m_mart, alive, pv = carry
+        z = jax.random.normal(jax.random.fold_in(key, idx), (half,),
+                              dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        s_prev = spot * jnp.exp(log_s)
+        log_s = log_s + mu + sig * z
+        s = spot * jnp.exp(log_s)
+        df = jnp.exp(-rate * dt * (idx + 1).astype(dtype))
+        v_k = df * _piecewise_value(s, bounds[idx], vcoefs[idx], strike, cp,
+                                    basis)
+        e_v = df * _expect_piecewise(s_prev, bounds[idx], vcoefs[idx],
+                                     strike, cp, basis, mu, sig)
+        m_mart = m_mart + (v_k - e_v)
+        stop, ex = _policy_exercise(coefs, s, idx, strike, cp, basis)
+        pay_now = jnp.where(alive & stop, df * ex - m_mart, 0.0)
+        return (log_s, m_mart, alive & ~stop, pv + pay_now), None
+
+    init = (jnp.zeros(n_eff, dtype), jnp.zeros(n_eff, dtype),
+            jnp.ones(n_eff, bool), jnp.zeros(n_eff, dtype))
+    (_, m_mart, alive, pv), _ = lax.scan(step, init, jnp.arange(n_dates))
+    # paths alive at the end expire worthless: stopped value 0 − M_T
+    pv = pv + jnp.where(alive, -m_mart, 0.0)
+    price = pv.mean()
+    se = pv.std(ddof=1) / jnp.sqrt(n_eff * 1.0)
+    intrinsic = jnp.maximum(cp * (spot - strike), 0.0)
+    return jnp.maximum(price, intrinsic), se
 
 
 # ---------------------------------------------------------------------------
