@@ -238,11 +238,54 @@ def cmd_basket(args) -> dict:
     corr = np.full((d, d), args.rho, np.float32)
     np.fill_diagonal(corr, 1.0)
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
-    p, se = basket_price(spots, w, args.strike, args.maturity, args.rate, vols,
-                         corr, jax.random.PRNGKey(args.seed), cp,
-                         n_paths=args.n_paths, kind=args.kind,
-                         return_stderr=True)
-    out = {"price": float(p), "std_error": float(se), "kind": args.kind}
+    if args.engine == "kernel":
+        from .ops.multi_asset_pallas import (pallas_multi_asset_greeks,
+                                             pallas_multi_asset_price)
+        from .utils.exceptions import ValidationError
+
+        kind = "basket_geo" if args.kind == "geometric" else "basket"
+        try:
+            return _basket_kernel(args, kind, spots, vols, corr, w, cp,
+                                  pallas_multi_asset_price,
+                                  pallas_multi_asset_greeks)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+    else:
+        if args.greeks or args.sampler != "prng":
+            raise SystemExit("--greeks / --sampler need --engine kernel")
+        p, se = basket_price(spots, w, args.strike, args.maturity, args.rate,
+                             vols, corr, jax.random.PRNGKey(args.seed), cp,
+                             n_paths=args.n_paths, kind=args.kind,
+                             return_stderr=True)
+        out = {"price": float(p), "std_error": float(se), "kind": args.kind}
+    if args.kind == "geometric":
+        out["closed_form"] = float(geometric_basket_closed_form(
+            spots, w, args.strike, args.maturity, args.rate, vols, corr, cp))
+    return out
+
+
+def _basket_kernel(args, kind, spots, vols, corr, w, cp, price_fn,
+                   greeks_fn) -> dict:
+    from .models import geometric_basket_closed_form
+
+    if args.greeks:
+        g = greeks_fn(kind, spots, args.strike, args.maturity, args.rate,
+                      vols, corr, weights=w, cp=cp, n_paths=args.n_paths,
+                      seed=args.seed, sampler=args.sampler)
+        out = {k: (np.asarray(v).tolist() if np.ndim(v) > 0 else float(v))
+               for k, v in g.items() if k != "paths"}
+        out.update(kind=args.kind, engine="kernel", sampler=args.sampler,
+                   paths=int(g["paths"]))
+    else:
+        p, se, n = price_fn(kind, spots, args.strike, args.maturity,
+                            args.rate, vols, corr, weights=w, cp=cp,
+                            n_paths=args.n_paths, seed=args.seed,
+                            sampler=args.sampler)
+        out = {"price": float(p), "std_error": float(se), "kind": args.kind,
+               "engine": "kernel", "sampler": args.sampler, "paths": int(n)}
+    if args.sampler == "sobol":
+        out["stderr_note"] = ("QMC: std_error uses the plain-MC formula "
+                              "and is indicative only")
     if args.kind == "geometric":
         out["closed_form"] = float(geometric_basket_closed_form(
             spots, w, args.strike, args.maturity, args.rate, vols, corr, cp))
@@ -477,6 +520,13 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["arithmetic", "geometric"])
     pk.add_argument("--n-paths", type=int, default=200_000)
     pk.add_argument("--seed", type=int, default=0)
+    pk.add_argument("--engine", default="xla", choices=["xla", "kernel"],
+                    help="kernel = fused Pallas multi-asset kernel "
+                         "(enables --greeks ladder and --sampler sobol)")
+    pk.add_argument("--sampler", default="prng",
+                    choices=["prng", "hash", "sobol"])
+    pk.add_argument("--greeks", action="store_true",
+                    help="full per-asset LR ladder (kernel engine only)")
 
     ps = sub.add_parser("surface")
     ps.add_argument("--model", default="svi")

@@ -151,3 +151,26 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["greek_method"] == "pathwise"
         assert 0.0 < out["delta"] < 1.0
+
+
+class TestCLIBasketKernel:
+    """--engine kernel routes to the fused multi-asset Pallas kernel,
+    with --sampler sobol (pure terminal QMC) and the --greeks ladder."""
+
+    def test_kernel_geometric_sobol_matches_closed_form(self, capsys):
+        cli_main(["basket", "--kind", "geometric", "--engine", "kernel",
+                  "--sampler", "sobol", "--n-paths", "1"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["engine"] == "kernel" and "stderr_note" in out
+        assert abs(out["price"] - out["closed_form"]) < 5e-3
+
+    def test_kernel_greeks_ladder_shapes(self, capsys):
+        cli_main(["basket", "--engine", "kernel", "--sampler", "hash",
+                  "--greeks", "--n-paths", "1"])
+        out = json.loads(capsys.readouterr().out)
+        assert len(out["delta"]) == 3 and len(out["gamma"]) == 3
+        assert {"vega", "theta", "rho", "price"} <= out.keys()
+
+    def test_xla_engine_rejects_kernel_flags(self):
+        with pytest.raises(SystemExit):
+            cli_main(["basket", "--greeks"])
