@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
-from .kernel_rng import draw_normals, draw_uniform
+from .exotic_pallas import _bridge_plan, _sobol_nd
+from .gbm_pallas import _QMC_BITS, _mix32
+from .kernel_rng import TWO_PI, draw_normals, draw_uniform
 
 ROWS = 128
 LANES = 512
@@ -93,7 +95,12 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
         for ref in refs:
             ref[:, :] = jnp.zeros_like(ref)
 
-    if sampler != "hash":
+    qmc = sampler.startswith("sobol_bb")
+    # QMC residuals always ride the counter-based hash stream (exact
+    # two-pass replay; the hardware-PRNG reseed variant trips a
+    # pathological Mosaic compile — see exotic_pallas)
+    residual = "hash" if (qmc or sampler == "hash") else sampler
+    if residual == "prng":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
 
@@ -106,11 +113,60 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     crho = rho / jnp.maximum(srho, 1e-4)
 
     shape = (ROWS, lanes)
-    x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    # RELATIVE log-spot carry (x0 = 0, payoff multiplies by s0): Mosaic's
+    # fast exp has argument-dependent relative error, and under QMC the
+    # per-branch offsets break the ±antithetic (w, 1/w) cancellation —
+    # keep exp's argument small (see NOTES_r3 "TPU fast-exp bias")
+    x0 = jnp.zeros(shape, jnp.float32)
     vv0 = jnp.full(shape, v0, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
     nsens = 11 if ladder else (2 if vega else 0)
+
+    if qmc:
+        # Hybrid bridge QMC over BOTH streams (price path only): one
+        # scrambled Sobol point pins up to 4 dyadic z-sum coordinates of
+        # the variance stream z_v AND 4 of the orthogonal spot stream
+        # z_o (2·(1+constructs) ≤ 8 dims); hash residuals fill in
+        # conditionally per segment. The bridge reparameterizes the iid
+        # normals, so the Euler scheme consumes an exact N(0,1) step law.
+        bounds, constructs = _bridge_plan(n_steps, 4)
+        n_lvl = 1 + len(constructs)  # per stream
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = block * (ROWS * lanes) + rid * lanes + cid + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        scrambles = []
+        for _ in range(2 * n_lvl):
+            scrambles.append(h & mask30)
+            h = _mix32(h + jnp.int32(-1640531527))
+        us = _sobol_nd(idx, scrambles, 2 * n_lvl)
+        gv, go = [], []
+        for k in range(n_lvl):  # pair k: (z_v level k, z_o level k)
+            rad = jnp.sqrt(-2.0 * jnp.log(us[2 * k]))
+            th = TWO_PI * us[2 * k + 1]
+            gv.append(rad * jnp.cos(th))
+            go.append(rad * jnp.sin(th))
+        csums = []
+        for g in (gv, go):
+            csum = {0: zero, n_steps: math.sqrt(float(n_steps)) * g[0]}
+            for (m, a, b), gd in zip(constructs, g[1:]):
+                frac = (m - a) / (b - a)
+                sd = math.sqrt((m - a) * (b - m) / (b - a))
+                csum[m] = csum[a] + (csum[b] - csum[a]) * frac + sd * gd
+            csums.append(csum)
+        segs = list(zip(bounds[:-1], bounds[1:]))
+        tv = [csums[0][b] - csums[0][a] for a, b in segs]
+        to = [csums[1][b] - csums[1][a] for a, b in segs]
+
+        def pre(i, carry):
+            sv, so = carry
+            z1, z2 = draw_normals(residual, seed, block, i, n_steps, shape)
+            return sv + z1, so + z2
+
+        seg_sums = [jax.lax.fori_loop(a, b, pre, (zero, zero))
+                    for a, b in segs]
 
     def advance(x, v, sens, sv, so, sx):
         ind = jnp.where(v > 0.0, 1.0, 0.0)  # full truncation: v⁺ = max(v,0)
@@ -150,15 +206,27 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
         return x_new, v_new, [dxv, dvv, dxk, dvk, dxt, dvt, dxs, dvs,
                               dxr, dxm, dvm]
 
-    def body(i, carry):
-        xa, va, xb, vb = carry[:4]
-        sa = list(carry[4:4 + nsens])
-        sb = list(carry[4 + nsens:4 + 2 * nsens])
-        zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
-        zx = rho * zv + srho * zo
-        xa, va, sa = advance(xa, va, sa, zv, zo, zx)
-        xb, vb, sb = advance(xb, vb, sb, -zv, -zo, -zx)
-        return tuple([xa, va, xb, vb] + sa + sb)
+    def make_body(offs):
+        def body(i, carry):
+            xa, va, xb, vb = carry[:4]
+            sa = list(carry[4:4 + nsens])
+            sb = list(carry[4 + nsens:4 + 2 * nsens])
+            zv, zo = draw_normals(residual, seed, block, i, n_steps, shape)
+            if offs is None:
+                zva, zoa, zvb, zob = zv, zo, -zv, -zo
+            else:
+                # conditional-law residuals: each branch's segment z-sums
+                # are pinned to the shared bridge targets
+                ovp, oop, ovm, oom = offs
+                zva, zoa = zv + ovp, zo + oop
+                zvb, zob = -zv + ovm, -zo + oom
+            zxa = rho * zva + srho * zoa
+            zxb = rho * zvb + srho * zob
+            xa, va, sa = advance(xa, va, sa, zva, zoa, zxa)
+            xb, vb, sb = advance(xb, vb, sb, zvb, zob, zxb)
+            return tuple([xa, va, xb, vb] + sa + sb)
+
+        return body
 
     if ladder:
         sens0 = [zero, one] + [zero] * 9
@@ -167,7 +235,16 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     else:
         sens0 = []
     carry0 = tuple([x0, vv0, x0, vv0] + sens0 + list(sens0))
-    out_carry = jax.lax.fori_loop(0, n_steps, body, carry0)
+    if qmc:
+        out_carry = carry0
+        for j, (a, b) in enumerate(segs):
+            sv_j, so_j = seg_sums[j]
+            inv = 1.0 / (b - a)
+            offs = ((tv[j] - sv_j) * inv, (to[j] - so_j) * inv,
+                    (tv[j] + sv_j) * inv, (to[j] + so_j) * inv)
+            out_carry = jax.lax.fori_loop(a, b, make_body(offs), out_carry)
+    else:
+        out_carry = jax.lax.fori_loop(0, n_steps, make_body(None), carry0)
     xa, va, xb, vb = out_carry[:4]
     sa = out_carry[4:4 + nsens]
     sb = out_carry[4 + nsens:4 + 2 * nsens]
@@ -182,7 +259,7 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     else:
         dx_slots = ((), ())
     for x, dxs_b in ((xa, dx_slots[0]), (xb, dx_slots[1])):
-        st = jnp.exp(x)
+        st = s0 * jnp.exp(x)
         d = cp * (st - strike)
         p = jnp.maximum(d, 0.0)
         ind_st = jnp.where(d > 0, st, 0.0)
@@ -229,7 +306,8 @@ def _heston_qe_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     v0 = p_ref[12]
 
     shape = (ROWS, LANES)
-    x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    # relative log-spot carry (fast-exp discipline — see _heston_kernel)
+    x0 = jnp.zeros(shape, jnp.float32)
     vv0 = jnp.full(shape, v0, jnp.float32)
 
     def advance(x, v, zv, zx, u):
@@ -268,7 +346,7 @@ def _heston_qe_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
     acc2 = jnp.zeros(shape, jnp.float32)
     acc1 = jnp.zeros(shape, jnp.float32)
     for x in (xa, xb):
-        st = jnp.exp(x)
+        st = s0 * jnp.exp(x)
         d = cp * (st - strike)
         p = jnp.maximum(d, 0.0)
         acc += p
@@ -330,7 +408,8 @@ def _heston_chain_kernel(seed_ref, p_ref, *refs, n_steps: int,
     KS0 = DT0 + n_steps
 
     shape = (ROWS, LANES)
-    x0 = jnp.full(shape, jnp.log(s0), jnp.float32)
+    # relative log-spot carry (fast-exp discipline — see _heston_kernel)
+    x0 = jnp.zeros(shape, jnp.float32)
     vv0 = jnp.full(shape, v0, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
@@ -377,7 +456,7 @@ def _heston_chain_kernel(seed_ref, p_ref, *refs, n_steps: int,
                 cpq = cps[q]
                 accs = [zero] * 7
                 for x, sens in ((xa, sa), (xb, sb)):
-                    st = jnp.exp(x)
+                    st = s0 * jnp.exp(x)
                     dd = cpq * (st - strike)
                     pay = jnp.maximum(dd, 0.0)
                     ind_st = jnp.where(dd > 0, st, 0.0)
@@ -554,6 +633,18 @@ def make_chain_pricer(strikes, maturities, cps, spot, rate,
 def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
             sampler: str = "prng", vega: bool = False, ladder: bool = False,
             scheme: str = "euler"):
+    if sampler.startswith("sobol"):
+        if scheme == "qe":
+            raise ValidationError("bridge QMC rides the Euler scheme only "
+                                  "(the QE variance transition consumes a "
+                                  "uniform the bridge does not pin)")
+        if vega or ladder:
+            raise ValidationError("bridge QMC is price/delta/rho only — "
+                                  "use prng/hash for the sensitivity "
+                                  "ladder")
+        if n_steps < 2:
+            raise ValidationError("bridge QMC needs n_steps >= 2 (terminal "
+                                  "+ midpoint coordinates)")
     if scheme == "qe":
         n_out = 3
         kern = functools.partial(_heston_qe_kernel, n_steps=n_steps, cp=cp,
@@ -721,7 +812,14 @@ def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
 
     ``scheme``: ``euler`` (full truncation) or ``qe`` (Andersen
     quadratic-exponential — near-unbiased at coarse steps; mirrors the
-    XLA engine's ``heston_mc_price(..., scheme='qe')``)."""
+    XLA engine's ``heston_mc_price(..., scheme='qe')``).
+
+    ``sampler="sobol_bb"`` (Euler scheme, ``n_steps >= 2``): hybrid
+    bridge QMC over BOTH Brownian streams — one scrambled Sobol point
+    pins up to 4 dyadic z-sum coordinates of the variance stream and 4
+    of the orthogonal spot stream; hash residuals fill in conditionally.
+    The reported stderr then uses the plain-MC formula and is indicative
+    only (see ``exotic_pallas``)."""
     if scheme == "qe":
         t, p = _params_vec_qe(spot, strike, maturity, rate, params, dividend,
                               n_steps)

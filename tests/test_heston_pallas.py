@@ -298,3 +298,51 @@ class TestKernel:
         p2, _, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=5,
                                        seed=4, sampler="hash")
         assert float(p0) == float(p1) != float(p2)
+
+
+class TestBridgeQMC:
+    """Round-3: hybrid bridge QMC over BOTH Heston streams (4 dyadic
+    z-sum coordinates each on the variance and orthogonal-spot streams,
+    hash residuals). With sigma_v ~ 0 and theta = v0, the Euler scheme is
+    EXACT per step (v stays at v0), so Black-Scholes is an exact oracle
+    and the QMC error is directly measurable."""
+
+    DEGEN = HestonParams.make(0.04, 2.0, 0.04, 1e-6, -0.5)
+
+    def test_degenerate_bs_qmc_well_inside_mc_noise(self):
+        from optionslab_tpu.models.black_scholes import bs_price
+
+        exact = float(bs_price(S, K, T, R, 0.2, 1.0, 0.0))
+        p_q, _se_q, _ = pallas_heston_price(S, K, T, R, self.DEGEN,
+                                            n_paths=1, n_steps=8, seed=0,
+                                            sampler="sobol_bb")
+        _p_h, se_h, _ = pallas_heston_price(S, K, T, R, self.DEGEN,
+                                            n_paths=1, n_steps=8, seed=0,
+                                            sampler="hash")
+        err_q = abs(float(p_q) - exact)
+        assert err_q < 0.5 * float(se_h), (err_q, float(se_h))
+
+    def test_smile_point_qmc_matches_plain_mc(self):
+        """Full smile params: sobol_bb and hash share the same Euler
+        discretization, so they must agree within combined MC noise."""
+        p_q, se_q, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=1,
+                                           n_steps=8, seed=0,
+                                           sampler="sobol_bb")
+        p_h, se_h, _ = pallas_heston_price(S, K, T, R, PAR, n_paths=1,
+                                           n_steps=8, seed=1,
+                                           sampler="hash")
+        err = abs(float(p_q) - float(p_h))
+        assert err < 5 * float(np.hypot(float(se_q), float(se_h)))
+
+    def test_qmc_validation(self):
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=8,
+                                sampler="sobol_bb", scheme="qe")
+        with pytest.raises(ValidationError):
+            pallas_heston_greeks(S, K, T, R, PAR, n_paths=1, n_steps=8,
+                                 sampler="sobol_bb", ladder=True)
+        with pytest.raises(ValidationError):
+            pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=1,
+                                sampler="sobol_bb")
