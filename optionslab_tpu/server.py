@@ -11,6 +11,10 @@ same façade. Endpoints (all POST, JSON body, JSON response):
   /exotic  {"kind": "asian|barrier|lookback|american|cliquet", ...}
   /american {"model": "bs|heston|lv", "option_type": "put", ...}
             → certified [lower, upper] bracket
+  /basket  {"kind": "basket|basket_geo|rainbow_*|spread|basket_asian",
+            "spots": [...], "vols": [...], "corr"|"rho", "greeks": bool,
+            "sampler": "prng|hash|sobol"} → multi-asset kernel (full
+            per-asset LR ladder with greeks=true)
   /batch/price {"model": "bs", "spot": [...], ...}   → batched pricing
   /health  (GET)
 
@@ -170,6 +174,49 @@ def handle_exotic(body: dict) -> dict:
     return {"kind": kind, "price": _to_jsonable(price), "std_error": _to_jsonable(se)}
 
 
+def handle_basket(body: dict) -> dict:
+    """Multi-asset kernel over the wire: price (any kind) or the full
+    per-asset LR ladder (``greeks=true``). ``sampler="sobol"`` gives the
+    pure 2d-dim QMC terminal law (terminal kinds; stderr indicative)."""
+    from .ops.multi_asset_pallas import (KINDS, pallas_multi_asset_greeks,
+                                         pallas_multi_asset_price)
+    from .utils.exceptions import ValidationError
+
+    spots = [float(x) for x in body.get("spots", [100.0, 95.0, 105.0])]
+    vols = [float(x) for x in body.get("vols", [0.2, 0.25, 0.3])]
+    d = len(spots)
+    corr = body.get("corr")
+    if corr is None:
+        rho = float(body.get("rho", 0.4))
+        corr = np.full((d, d), rho)
+        np.fill_diagonal(corr, 1.0)
+    weights = body.get("weights")
+    kind = str(body.get("kind", "basket"))
+    if kind not in KINDS:
+        raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
+    cp = 1.0 if str(body.get("option_type", "call")).lower().startswith("c") \
+        else -1.0
+    kw = dict(weights=weights, cp=cp,
+              n_paths=min(int(body.get("n_paths", 500_000)), 4_000_000),
+              n_steps=int(body.get("n_steps", 1)),
+              seed=int(body.get("seed", 0)),
+              sampler=str(body.get("sampler", "prng")))
+    args = (kind, spots, float(body.get("strike", 100.0)),
+            float(body.get("maturity", 1.0)), float(body.get("rate", 0.05)),
+            vols, corr)
+    if body.get("greeks"):
+        out = {k: _to_jsonable(v)
+               for k, v in pallas_multi_asset_greeks(*args, **kw).items()}
+    else:
+        p, se, n = pallas_multi_asset_price(*args, **kw)
+        out = {"price": float(p), "std_error": float(se), "paths": int(n)}
+    out.update(kind=kind, sampler=kw["sampler"])
+    if kw["sampler"] == "sobol":
+        out["stderr_note"] = ("QMC: std_error uses the plain-MC formula "
+                              "and is indicative only")
+    return out
+
+
 def handle_iv(body: dict) -> dict:
     from .models import implied_volatility
 
@@ -258,6 +305,7 @@ ROUTES = {
     "/varswap": handle_varswap,
     "/calibrate": handle_calibrate,
     "/american": handle_american,
+    "/basket": handle_basket,
     "/batch/price": handle_price,  # same handler — fields may be lists
 }
 

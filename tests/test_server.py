@@ -187,3 +187,29 @@ class TestExoticEndpoint:
             "kind": "american", "greeks": True, "n_paths": 1})
         assert status == 400
         assert "error" in body
+
+
+class TestBasketEndpoint:
+    def test_geo_basket_sobol_matches_closed_form(self, server):
+        from optionslab_tpu.models.multi_asset import \
+            geometric_basket_closed_form
+
+        status, out = _post(server, "/basket", {
+            "kind": "basket_geo", "spots": [100.0, 95.0], "vols": [0.2, 0.25],
+            "rho": 0.4, "strike": 95.0, "sampler": "sobol", "n_paths": 1})
+        assert status == 200 and "stderr_note" in out
+        cf = float(geometric_basket_closed_form(
+            [100.0, 95.0], [0.5, 0.5], 95.0, 1.0, 0.05, [0.2, 0.25],
+            [[1.0, 0.4], [0.4, 1.0]]))
+        assert abs(out["price"] - cf) < 5e-3
+
+    def test_greeks_ladder_over_the_wire(self, server):
+        status, out = _post(server, "/basket", {
+            "greeks": True, "sampler": "hash", "n_paths": 1})
+        assert status == 200
+        assert len(out["delta"]) == 3 and len(out["gamma"]) == 3
+        assert {"vega", "theta", "rho", "price"} <= out.keys()
+
+    def test_bad_kind_400(self, server):
+        status, out = _post(server, "/basket", {"kind": "teleport"})
+        assert status == 400 and "error" in out
