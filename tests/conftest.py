@@ -19,6 +19,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: repeat gate runs skip recompiles (measured
+# ~2x on compile-heavy tests). Keyed by HLO hash, so code changes recompile
+# automatically; programs with host callbacks (interpret-mode Pallas) are
+# excluded by jax itself. Directory is gitignored.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

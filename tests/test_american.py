@@ -60,6 +60,7 @@ class TestBracket:
         assert abs(float(out["lower"]) - euro) < 4 * float(out["lower_se"]) + 0.01
         assert float(out["upper"]) >= euro - 0.01
 
+    @pytest.mark.slow
     def test_payoff_feature_basis_beats_plain_polys(self):
         """The h-feature must not hurt: lower bound at least as high as the
         baseline scan-engine LSM (same budget) within noise."""
@@ -74,6 +75,7 @@ class TestBracket:
 
 
 class TestDualInternals:
+    @pytest.mark.slow
     def test_expect_piecewise_matches_mc(self):
         pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
                                 n_paths=50_000, n_dates=50, basis=3)
@@ -152,6 +154,7 @@ class TestDualInternals:
         assert lo <= crr <= hi, (lo, crr, hi)
         assert float(out["pad"]) == pytest.approx(R * K * T / 100)
 
+    @pytest.mark.slow
     def test_continuous_interval_call_no_dividend(self):
         euro = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
         out = am.american_continuous_interval(S, K, T, R, SIG, cp=1.0, seed=0,
@@ -180,6 +183,7 @@ class TestDualInternals:
         # price: Richardson-extrapolated Bermudan-200 ≈ Am − 0.59/200
         assert abs(g["price"] - (6.09040 - 0.59 / 200)) < 2e-3
 
+    @pytest.mark.slow
     def test_nested_ab_also_upper(self):
         pol = am.fit_lsm_policy(S, K, T, R, SIG, jax.random.PRNGKey(0), cp=-1.0,
                                 n_paths=50_000, n_dates=20, basis=3)

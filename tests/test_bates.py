@@ -116,6 +116,7 @@ class TestUnifiedGreeksAdapter:
 
 
 class TestCalibration:
+    @pytest.mark.slow
     def test_recovers_prices(self, batch):
         true = BatesParams.make(v0=0.05, kappa=1.5, theta=0.05, sigma=0.4,
                                 rho=-0.6, lam=0.8, mu_j=-0.08, sigma_j=0.12,

@@ -31,6 +31,7 @@ class TestEPP:
 
 
 class TestHarness:
+    @pytest.mark.slow
     def test_parametric_models_run(self, smile):
         k, vols = smile
         bench = VolSurfaceBenchmark(models=["svi", "kernel_ridge"])

@@ -214,6 +214,7 @@ class TestCLI:
         assert len(out["svi_params"]) == 3
         assert out["report"]["total_quotes_used"] == 300
 
+    @pytest.mark.slow
     def test_plot_command(self, capsys, tmp_path):
         out_png = str(tmp_path / "s.png")
         cli_main(["plot", "--what", "smiles", "--out", out_png,

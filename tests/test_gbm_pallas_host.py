@@ -47,6 +47,7 @@ class TestPrepare:
 
 
 class TestCombine:
+    @pytest.mark.slow
     def test_greek_formulas_match_bs_with_synthetic_moments(self):
         """Feed _combine with EXACT moments computed from a large normal
         sample — the combination formulas must reproduce BS Greeks."""

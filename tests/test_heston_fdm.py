@@ -102,6 +102,7 @@ class TestAmericanHeston:
         assert am >= 0.0  # and above intrinsic at the money
         assert am >= 100.0 - 100.0
 
+    @pytest.mark.slow
     def test_against_lsm_lower_bound(self, params):
         am = float(heston_fdm_price(100.0, 100.0, 1.0, 0.05, params,
                                     option_type="put", american=True,
@@ -211,6 +212,7 @@ class TestFdmGreeksLadder:
         # American put: negative calendar theta, positive vega
         assert g["theta_cal"] < 0 and g["vega_v0"] > 0 and g["gamma"] > 0
 
+    @pytest.mark.slow
     def test_american_sigma_sensitivity_vs_crn_fd(self, params):
         import dataclasses
 

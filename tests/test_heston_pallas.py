@@ -309,6 +309,7 @@ class TestBridgeQMC:
 
     DEGEN = HestonParams.make(0.04, 2.0, 0.04, 1e-6, -0.5)
 
+    @pytest.mark.slow
     def test_degenerate_bs_qmc_well_inside_mc_noise(self):
         from optionslab_tpu.models.black_scholes import bs_price
 

@@ -50,6 +50,7 @@ class TestBinomial:
         eu = float(binomial_price(_batch("call"), american=False, n_steps=500))
         assert abs(am - eu) < 1e-6
 
+    @pytest.mark.slow
     def test_greeks_vs_bs(self):
         g = binomial_greeks(_batch(), n_steps=1000)
         ex = bs_greeks(*[jnp.asarray(v, F) for v in ATM], 1.0, 0.0)

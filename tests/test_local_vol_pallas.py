@@ -243,6 +243,7 @@ class TestValidation:
 
 
 class TestSharded:
+    @pytest.mark.slow
     def test_sharded_price_and_greeks_match_unsharded(self):
         """LV kernel under shard_map: global-block ownership — the sharded
         estimate equals the single-device one on the identical path set
@@ -267,6 +268,7 @@ class TestSharded:
             np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
                                        rtol=5e-4, err_msg=k)
 
+    @pytest.mark.slow
     def test_sharded_lookback_boundary_terms(self):
         from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
         from optionslab_tpu.parallel import (make_mesh,
@@ -292,6 +294,7 @@ class TestBridgeQMC:
     reduction is the quality check (flat surface, where the pinned
     z-sums dominate the payoff)."""
 
+    @pytest.mark.slow
     def test_flat_european_qmc_tighter_than_plain_mc(self):
         from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
 
@@ -302,6 +305,7 @@ class TestBridgeQMC:
         assert abs(float(p_q) - exact) < 1.5 * float(se) + 1e-3, \
             (float(p_q), exact, float(se))
 
+    @pytest.mark.slow
     def test_smile_asian_qmc_matches_plain_mc(self, smile_dupire):
         from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
 

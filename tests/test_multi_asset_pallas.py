@@ -170,6 +170,7 @@ class TestFullLadder:
         rho_exact = float(jax.grad(f, 3)(s0, v0, T, jnp.float32(R)))
         assert abs(float(out["rho"]) - rho_exact) < 0.4
 
+    @pytest.mark.slow
     def test_spread_ladder_matches_margrabe_gradients(self):
         from optionslab_tpu.ops.multi_asset_pallas import \
             pallas_multi_asset_greeks
@@ -257,6 +258,7 @@ class TestSharded:
         assert n_u == n_s
         np.testing.assert_allclose(float(p_s), float(p_u), rtol=3e-5)
 
+    @pytest.mark.slow
     def test_sharded_full_ladder_matches_unsharded(self):
         """The full LR ladder under shard_map: the 2+2d+d(d+1)/2+2 moment
         tiles psum over the mesh, the host combine runs once — same
@@ -325,6 +327,7 @@ class TestQMC:
         # QMC must land well inside one plain-MC standard error
         assert err_q < 0.5 * float(se_h), (err_q, float(se_h))
 
+    @pytest.mark.slow
     def test_qmc_ladder_matches_closed_form_ad(self):
         out = pallas_multi_asset_greeks("basket_geo", SPOTS, K, T, R, VOLS,
                                         CORR, weights=W, n_paths=1,

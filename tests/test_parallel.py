@@ -128,6 +128,7 @@ class TestShardedRisk:
         assert abs(float(var_s) - float(historical_var(pnl, 0.95))) < 0.05
         assert abs(float(es_s) - float(historical_es(pnl, 0.95))) < 0.05
 
+    @pytest.mark.slow
     def test_sharded_mc_var(self, eight_devices):
         from optionslab_tpu.parallel.sharded_risk import sharded_mc_var
         from optionslab_tpu.risk import lognormal_var

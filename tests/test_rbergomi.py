@@ -59,6 +59,7 @@ class TestPricing:
         bsv = np.asarray(bs_price(100.0, ks, 1.0, 0.05, 0.2, 1.0))
         assert np.all(np.abs(np.asarray(pr) - bsv) < 3 * np.asarray(se) + 0.01)
 
+    @pytest.mark.slow
     def test_martingale_forward(self):
         # deep-ITM call ~ forward parity: C - P = S - K e^{-rT}
         p = RBergomiParams(hurst=0.15, eta=1.5, rho=-0.7, xi0=0.04)

@@ -158,6 +158,7 @@ class TestPortfolio:
         assert set(agg) >= {"price", "delta", "gamma", "vega", "theta", "rho"}
         assert agg["gamma"] != 0.0
 
+    @pytest.mark.slow
     def test_attribution_sums_to_total(self):
         book = self._book()
         agg = book.aggregate_greeks()

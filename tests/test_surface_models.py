@@ -104,6 +104,7 @@ class TestMLP:
         with pytest.raises(ModelError):
             MLPModel().predict_volatility(chain)
 
+    @pytest.mark.slow
     def test_save_load_identical_predictions(self, chain, tmp_path):
         m = MLPModel(hidden_layers=(16,), epochs=30, seed=2)
         m.train(chain)
@@ -122,6 +123,7 @@ class TestMLP:
         assert mean.shape == (32,)
         assert np.all(std >= 0) and std.max() > 0
 
+    @pytest.mark.slow
     def test_input_gradients_shape(self, chain):
         m = MLPModel(hidden_layers=(16,), epochs=10, seed=4)
         m.train(chain)

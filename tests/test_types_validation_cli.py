@@ -125,6 +125,7 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli_main(["teleport"])
 
+    @pytest.mark.slow
     def test_american_heston_bracket(self, capsys):
         """--model heston routes to the ADI-surface certified bracket."""
         cli_main(["american", "--type", "put", "--model", "heston",
