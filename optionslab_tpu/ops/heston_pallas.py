@@ -358,6 +358,99 @@ def _heston_qe_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
         m1_ref[:, :] += acc1[:, off:off + 128]
 
 
+def _heston_qe_ladder_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
+                             sampler: str):
+    """Full parameter ladder on the Andersen-QE scheme by in-kernel
+    common-random-number forward bumps.
+
+    The QE transition is NOT pathwise-differentiable in the parameters:
+    the quadratic↔exponential branch switch at psi = 1.5 moves with
+    (kappa, theta, sigma), so forward sensitivities carry an O(switch
+    density) bias. The sound estimator is same-draw finite differences —
+    every bumped path system consumes the IDENTICAL (z_v, z_x, u)
+    stream, so the FD noise is O(h) of the payoff noise while the QE
+    scheme's near-unbiasedness at coarse steps is preserved (the Euler
+    ladder is exact-in-scheme but inherits Euler's discretization bias).
+
+    p_ref (SMEM f32): [s0, strike] + 7 constant sets × [mu_dt, emkd, c1,
+    s2_v, s2_0, k0, k1, k2, k3, k4, v0] — base then bumps of
+    (v0, kappa, theta, sigma, rho, T). Carries 7 antithetic path-system
+    pairs (28 tiles at LADDER_LANES); outputs pay/pay²/m1 of the base
+    system + Σpay of each bumped system (9 refs).
+    """
+    n_sets = len(refs) - 3 + 1
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0, strike = p_ref[0], p_ref[1]
+    C = [[p_ref[2 + s * 11 + j] for j in range(11)] for s in range(n_sets)]
+
+    shape = (ROWS, LADDER_LANES)
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def advance(x, v, c, zv, zx, u):
+        mu_dt, emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, _v0 = c
+        m = c1 + emkd * v
+        s2 = s2_v * v + s2_0
+        psi = s2 / jnp.maximum(m * m, 1e-30)
+        inv_psi = 2.0 / jnp.maximum(psi, 1e-10)
+        b2 = jnp.maximum(inv_psi - 1.0 + jnp.sqrt(
+            jnp.maximum(inv_psi * (inv_psi - 1.0), 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        v_quad = a * (jnp.sqrt(b2) + zv) ** 2
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-7)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-30)
+        v_exp = jnp.where(
+            u <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u, 1e-30))
+            / jnp.maximum(beta, 1e-30))
+        v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
+        x_new = x + mu_dt + k0 + k1 * v + k2 * v_new \
+            + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zx
+        return x_new, v_new
+
+    def body(i, carry):
+        zv, zx = draw_normals(sampler, seed, block, i, n_steps, shape)
+        u = draw_uniform(sampler, seed, block, i, n_steps, shape)
+        new = []
+        for s in range(n_sets):
+            xa, va, xb, vb = carry[4 * s:4 * s + 4]
+            xa, va = advance(xa, va, C[s], zv, zx, u)
+            xb, vb = advance(xb, vb, C[s], -zv, -zx, 1.0 - u)
+            new += [xa, va, xb, vb]
+        return tuple(new)
+
+    carry0 = []
+    for s in range(n_sets):
+        v0_s = jnp.full(shape, C[s][10], jnp.float32)
+        carry0 += [zero, v0_s, zero, v0_s]
+    out_carry = jax.lax.fori_loop(0, n_steps, body, tuple(carry0))
+
+    accs = [jnp.zeros(shape, jnp.float32) for _ in range(len(refs))]
+    for s in range(n_sets):
+        for b in range(2):
+            st = s0 * jnp.exp(out_carry[4 * s + 2 * b])
+            d = cp * (st - strike)
+            p = jnp.maximum(d, 0.0)
+            if s == 0:
+                accs[0] += p
+                accs[1] += p * p
+                accs[2] += jnp.where(d > 0, st, 0.0)
+            else:
+                accs[2 + s] += p
+    for off in range(0, LADDER_LANES, 128):
+        for ref, a in zip(refs, accs):
+            ref[:, :] += a[:, off:off + 128]
+
+
 def _fold8(a):
     """(ROWS, LANES) → (8, 128) partial-sum tile (canonical fold order)."""
     t = a[:, 0:128]
@@ -645,7 +738,11 @@ def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
         if n_steps < 2:
             raise ValidationError("bridge QMC needs n_steps >= 2 (terminal "
                                   "+ midpoint coordinates)")
-    if scheme == "qe":
+    if scheme == "qe" and ladder:
+        n_out = 9
+        kern = functools.partial(_heston_qe_ladder_kernel, n_steps=n_steps,
+                                 cp=cp, sampler=sampler)
+    elif scheme == "qe":
         n_out = 3
         kern = functools.partial(_heston_qe_kernel, n_steps=n_steps, cp=cp,
                                  sampler=sampler)
@@ -688,14 +785,9 @@ def _params_vec(spot, strike, maturity, rate, params, dividend, n_steps):
     ], jnp.float32)
 
 
-def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
-                   n_steps):
-    """Host-side QE constants (Andersen eq. 33, gamma1=gamma2=1/2) —
-    mirrors ``models/heston.py:_heston_mc_qe``."""
-    t = max(float(maturity), EPS_TIME)
-    dt = t / n_steps
-    kap, th = float(params.kappa), float(params.theta)
-    sig, rho = float(params.sigma), float(params.rho)
+def _qe_consts(kap, th, sig, rho, v0, dt, mu):
+    """The 11 per-set QE constants (Andersen eq. 33, gamma1=gamma2=1/2):
+    [mu_dt, emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, v0]."""
     emkd = math.exp(-kap * dt)
     c1 = th * (1.0 - emkd)
     s2_v = sig * sig * emkd * (1.0 - emkd) / kap
@@ -706,10 +798,56 @@ def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
     k2 = g2 * dt * (kap * rho / sig - 0.5) + rho / sig
     k3 = g1 * dt * (1.0 - rho * rho)
     k4 = g2 * dt * (1.0 - rho * rho)
-    return t, jnp.asarray([
-        float(spot), float(strike), (float(rate) - float(dividend)) * dt,
-        emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, float(params.v0), 0.0,
-    ], jnp.float32)
+    return [mu * dt, emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, v0]
+
+
+def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
+                   n_steps):
+    """Host-side QE constants — mirrors ``models/heston.py:_heston_mc_qe``."""
+    t = max(float(maturity), EPS_TIME)
+    dt = t / n_steps
+    c = _qe_consts(float(params.kappa), float(params.theta),
+                   float(params.sigma), float(params.rho),
+                   float(params.v0), dt, float(rate) - float(dividend))
+    # legacy layout: [s0, K, mu_dt, emkd, c1, s2_v, s2_0, k0..k4, v0, pad]
+    return t, jnp.asarray([float(spot), float(strike)] + c + [0.0],
+                          jnp.float32)
+
+
+def _params_vec_qe_ladder(spot, strike, maturity, rate, params, dividend,
+                          n_steps, h_rel: float = 1e-3):
+    """Base + 6 CRN-bumped QE constant sets (v0, kappa, theta, sigma,
+    rho, T). Returns (t, p, hs) — ``hs`` are the absolute bump sizes the
+    host-side FD divides by. Multiplicative bumps except rho (additive,
+    clipped inside (−1, 1)) so the FD stays well-scaled at any level."""
+    t = max(float(maturity), EPS_TIME)
+    mu = float(rate) - float(dividend)
+    kap, th = float(params.kappa), float(params.theta)
+    sig, rho, v0 = float(params.sigma), float(params.rho), float(params.v0)
+    dt = t / n_steps
+    base = (kap, th, sig, rho, v0, dt)
+    h_v0 = h_rel * max(v0, 1e-2)
+    h_kap = h_rel * max(kap, 0.1)
+    h_th = h_rel * max(th, 1e-2)
+    h_sig = h_rel * max(sig, 1e-2)
+    h_rho = h_rel
+    rho_b = min(rho + h_rho, 0.999)
+    h_rho = rho_b - rho
+    h_t = h_rel * t
+    sets = [
+        base,
+        (kap, th, sig, rho, v0 + h_v0, dt),
+        (kap + h_kap, th, sig, rho, v0, dt),
+        (kap, th + h_th, sig, rho, v0, dt),
+        (kap, th, sig + h_sig, rho, v0, dt),
+        (kap, th, sig, rho_b, v0, dt),
+        (kap, th, sig, rho, v0, (t + h_t) / n_steps),
+    ]
+    p = [float(spot), float(strike)]
+    for (k_, t_, s_, r_, v_, d_) in sets:
+        p += _qe_consts(k_, t_, s_, r_, v_, d_, mu)
+    hs = np.asarray([h_v0, h_kap, h_th, h_sig, h_rho, h_t], np.float32)
+    return t, jnp.asarray(p, jnp.float32), hs
 
 
 def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
@@ -753,6 +891,36 @@ def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
     return out
 
 
+def _combine_qe_ladder(outs, n: int, scalars, cp: float) -> dict:
+    """QE CRN-bump moment tiles → the full ladder dict. ``scalars``:
+    [spot, t, df, v0, rate, h_v0, h_kap, h_th, h_sig, h_rho, h_t]
+    (traced). Same output keys as the Euler ladder."""
+    spot, t, df, v0, rate = scalars[:5]
+    hs = scalars[5:11]
+    pay, pay2, m1 = outs[:3]
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    mean1 = m1.sum() / n
+    price = df * mean
+    # forward CRN differences of the bumped-system payoff means
+    d = [(outs[3 + k].sum() / n - mean) / hs[k] for k in range(6)]
+    dv0 = df * d[0]
+    return {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        "delta": df * cp * mean1 / spot,       # exact pathwise (S_T ∝ S0)
+        "rho": t * (df * cp * mean1 - price),  # exact pathwise (∂x_T/∂r = T)
+        "vega_v0": dv0,
+        "vega": 2.0 * jnp.sqrt(v0) * dv0,
+        "d_kappa": df * d[1],
+        "d_theta": df * d[2],
+        "d_sigma": df * d[3],
+        "d_rho": df * d[4],
+        # theta (calendar) = −∂(df·mean)/∂T = r·price − df·∂mean/∂T
+        "theta": rate * price - df * d[5],
+    }
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "n_blocks", "cp", "sampler",
                                     "vega", "ladder", "scheme"))
@@ -765,6 +933,8 @@ def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler,
                    cp=cp, sampler=sampler, vega=vega, ladder=ladder,
                    scheme=scheme)
     ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
+    if scheme == "qe" and ladder:
+        return _combine_qe_ladder(outs, n_blocks * ppb, scalars, cp)
     return _combine_moments(outs, n_blocks * ppb, scalars, cp,
                             vega, ladder=ladder)
 
@@ -773,7 +943,8 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
                          dividend: float = 0.0, n_paths: int = 1_000_000,
                          n_steps: int = 100, seed: int = 0,
                          sampler: str = "prng", vega: bool = True,
-                         ladder: bool = False) -> dict:
+                         ladder: bool = False, scheme: str = "euler",
+                         h_rel: float = 1e-3) -> dict:
     """Heston price + stderr + pathwise delta/rho (+ v0-vega) in one pass.
 
     ``params``: a ``models.heston.HestonParams`` (or anything with
@@ -790,7 +961,30 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
     anchor ``src/greeks/unified_greeks.py:235`` (the reference FD engine
     covers every parameter — this does it at kernel speed, unbiased).
     The returned dict also carries ``paths``.
+
+    ``scheme="qe"`` + ``ladder=True``: the same ladder on the Andersen-QE
+    scheme via in-kernel common-random-number forward bumps of relative
+    size ``h_rel`` (the QE branch switch is not pathwise-differentiable —
+    see ``_heston_qe_ladder_kernel``). Near-unbiased at coarse steps
+    where the Euler ladder inherits the Euler discretization bias.
     """
+    if scheme == "qe":
+        if not ladder:
+            raise ValidationError("scheme='qe' greeks require ladder=True "
+                                  "(the CRN-bump kernel) — price/delta/rho "
+                                  "alone ride pallas_heston_price")
+        t, p, hs = _params_vec_qe_ladder(spot, strike, maturity, rate,
+                                         params, dividend, n_steps, h_rel)
+        n_blocks = max(1, math.ceil(n_paths / LADDER_PATHS_PER_BLOCK))
+        scalars = jnp.asarray(
+            [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
+             float(rate)] + list(hs), jnp.float32)
+        out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
+                             n_steps=n_steps, n_blocks=n_blocks,
+                             cp=float(cp), sampler=sampler, ladder=True,
+                             scheme="qe"))
+        out["paths"] = n_blocks * LADDER_PATHS_PER_BLOCK
+        return out
     t, p = _params_vec(spot, strike, maturity, rate, params, dividend, n_steps)
     ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
     n_blocks = max(1, math.ceil(n_paths / ppb))

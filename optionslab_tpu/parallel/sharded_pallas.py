@@ -320,7 +320,7 @@ def _sharded_heston_pipeline(seed, params, scalars, *, n_steps, n_blocks,
                              scheme="euler"):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
-    n_out = 3 if scheme == "qe" else (9 if ladder else (4 if vega else 3))
+    n_out = 9 if ladder else (3 if scheme == "qe" else (4 if vega else 3))
 
     def local(seed_s, params_rep, _scalars_rep):
         d = _device_linear_index(mesh, names)
@@ -334,6 +334,8 @@ def _sharded_heston_pipeline(seed, params, scalars, *, n_steps, n_blocks,
                    out_specs=(P(),) * n_out, check_vma=False)
     outs = fn(seed, params, scalars)
     ppb = _hp.LADDER_PATHS_PER_BLOCK if ladder else _hp.PATHS_PER_BLOCK
+    if scheme == "qe" and ladder:
+        return _hp._combine_qe_ladder(outs, n_blocks * ppb, scalars, cp)
     return _hp._combine_moments(outs, n_blocks * ppb, scalars, cp, vega,
                                 ladder=ladder)
 
@@ -351,14 +353,19 @@ def sharded_heston_greeks(spot, strike, maturity, rate, params, mesh: Mesh,
 
     ``ladder=True`` shards the FULL parameter-sensitivity variant
     (v0/kappa/theta/sigma/rho + calendar theta — 9 moment tiles psum over
-    ICI). ``scheme="qe"`` shards the Andersen-QE price kernel
-    (near-unbiased at coarse steps; price/delta/rho only — the ladder is
-    an Euler-scheme derivative)."""
-    if scheme == "qe" and (ladder or vega):
-        raise ValidationError("scheme='qe' is price/delta/rho only — the "
-                              "pathwise ladder differentiates the Euler "
-                              "recursion (use scheme='euler')")
-    if scheme == "qe":
+    ICI); with ``scheme="qe"`` that is the CRN-bump QE ladder. Plain
+    ``scheme="qe"`` shards the Andersen-QE price kernel (near-unbiased at
+    coarse steps; price/delta/rho only)."""
+    if scheme == "qe" and vega and not ladder:
+        raise ValidationError("scheme='qe' needs ladder=True for "
+                              "sensitivities (the CRN-bump kernel); plain "
+                              "qe is price/delta/rho only")
+    hs = []
+    if scheme == "qe" and ladder:
+        t, p, hs = _hp._params_vec_qe_ladder(spot, strike, maturity, rate,
+                                             params, dividend, n_steps)
+        hs = list(hs)
+    elif scheme == "qe":
         t, p = _hp._params_vec_qe(spot, strike, maturity, rate, params,
                                   dividend, n_steps)
     else:
@@ -368,7 +375,7 @@ def sharded_heston_greeks(spot, strike, maturity, rate, params, mesh: Mesh,
     ppb = _hp.LADDER_PATHS_PER_BLOCK if ladder else _hp.PATHS_PER_BLOCK
     n_blocks = _round_blocks(n_paths, ppb, n_dev)
     scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
-                           float(params.v0), float(rate)], jnp.float32)
+                           float(params.v0), float(rate)] + hs, jnp.float32)
     out = dict(_sharded_heston_pipeline(
         jnp.asarray(seed, jnp.int32), p, scalars, n_steps=n_steps,
         n_blocks=n_blocks, cp=float(cp), sampler=sampler,

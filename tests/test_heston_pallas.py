@@ -145,9 +145,22 @@ class TestKernel:
         assert n_u == out_s["paths"]
         np.testing.assert_allclose(float(out_s["price"]), float(p_u),
                                    rtol=3e-5)
-        with pytest.raises(ValidationError):
-            sharded_heston_greeks(S, K, T, R, PAR, mesh, scheme="qe",
-                                  ladder=True)
+        # the CRN-bump QE ladder shards too: parity with unsharded
+        out_l = sharded_heston_greeks(S, K, T, R, PAR, mesh, n_paths=1,
+                                      n_steps=4, seed=0, sampler="hash",
+                                      scheme="qe", ladder=True)
+        out_lu = pallas_heston_greeks(S, K, T, R, PAR,
+                                      n_paths=out_l["paths"], n_steps=4,
+                                      seed=0, sampler="hash", scheme="qe",
+                                      ladder=True)
+        for k in ("price", "delta"):
+            np.testing.assert_allclose(float(out_l[k]), float(out_lu[k]),
+                                       rtol=3e-4, err_msg=k)
+        # FD entries divide an f32 moment difference by h ~ 1e-3·param,
+        # amplifying psum-association noise ~1/h: tolerance scales with
+        # price·eps/h, not with the entry itself
+        for k in ("d_theta", "d_sigma", "theta"):
+            assert abs(float(out_l[k]) - float(out_lu[k])) < 0.1, k
 
     @pytest.mark.slow
     def test_full_ladder_matches_lewis_ad(self):
@@ -347,3 +360,55 @@ class TestBridgeQMC:
         with pytest.raises(ValidationError):
             pallas_heston_price(S, K, T, R, PAR, n_paths=1, n_steps=1,
                                 sampler="sobol_bb")
+
+
+class TestQELadder:
+    """Round-3: full parameter ladder on the QE scheme via in-kernel CRN
+    forward bumps (the QE branch switch is not pathwise-differentiable).
+    Near-unbiased at coarse steps, so Lewis-AD is a direct oracle."""
+
+    @pytest.mark.slow
+    def test_qe_ladder_matches_lewis_ad_at_coarse_steps(self):
+        out = pallas_heston_greeks(S, K, T, R, PAR, n_paths=1, n_steps=16,
+                                   seed=0, sampler="hash", scheme="qe",
+                                   ladder=True)
+        f = lambda v0, k, th, sg, rh, s, r, t: heston_price(
+            ContractBatch.single(s, K, t, r, 1.0),
+            HestonParams(v0=v0, kappa=k, theta=th, sigma=sg,
+                         rho=rh)).ravel()[0]
+        a = [jnp.float64(0.04), jnp.float64(2.0), jnp.float64(0.04),
+             jnp.float64(0.3), jnp.float64(-0.7), jnp.float64(S),
+             jnp.float64(R), jnp.float64(T)]
+        lewis = {
+            "vega_v0": float(jax.grad(f, 0)(*a)),
+            "d_kappa": float(jax.grad(f, 1)(*a)),
+            "d_theta": float(jax.grad(f, 2)(*a)),
+            "d_sigma": float(jax.grad(f, 3)(*a)),
+            "d_rho": float(jax.grad(f, 4)(*a)),
+            "delta": float(jax.grad(f, 5)(*a)),
+            "rho": float(jax.grad(f, 6)(*a)),
+            "theta": -float(jax.grad(f, 7)(*a)),
+        }
+        # measured seed-0 errors at 131k paths are 2-5x inside these
+        tols = {"vega_v0": 1.5, "d_kappa": 0.05, "d_theta": 2.0,
+                "d_sigma": 0.05, "d_rho": 0.02, "delta": 0.01,
+                "rho": 0.25, "theta": 0.05}
+        for k, tol in tols.items():
+            assert abs(float(out[k]) - lewis[k]) < tol, \
+                (k, float(out[k]), lewis[k])
+
+    def test_qe_ladder_smoke_and_validation(self):
+        out = pallas_heston_greeks(S, K, T, R, PAR, n_paths=1, n_steps=4,
+                                   seed=0, sampler="hash", scheme="qe",
+                                   ladder=True)
+        assert {"price", "delta", "rho", "vega", "d_kappa", "d_theta",
+                "d_sigma", "d_rho", "theta"} <= out.keys()
+        assert 0.3 < float(out["delta"]) < 0.9
+        assert np.isfinite([float(out[k]) for k in
+                            ("d_kappa", "d_theta", "d_sigma",
+                             "d_rho", "theta")]).all()
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            pallas_heston_greeks(S, K, T, R, PAR, n_paths=1, n_steps=4,
+                                 scheme="qe", ladder=False)
