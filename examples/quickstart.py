@@ -3,6 +3,11 @@
 Run: python examples/quickstart.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo checkout; `pip install -e .` makes this a no-op
+
 import jax
 import jax.numpy as jnp
 

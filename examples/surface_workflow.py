@@ -4,6 +4,11 @@ benchmark, export.
 Run: python examples/surface_workflow.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo checkout; `pip install -e .` makes this a no-op
+
 import numpy as np
 
 from optionslab_tpu.benchmarks import VolSurfaceBenchmark

@@ -9,6 +9,7 @@ import pytest
 @pytest.mark.parametrize("script", [
     "examples/quickstart.py",
     "examples/risk_workflow.py",
+    "examples/heston_workflow.py",
 ])
 @pytest.mark.slow
 def test_example_runs(script, capsys):
