@@ -105,6 +105,26 @@ def cmd_greeks(args) -> dict:
     from .models import bs_greeks
 
     cp = 1.0 if args.option_type == "call" else -1.0
+    model = getattr(args, "model", "bs")
+    if model.startswith("heston"):
+        # kernel ladder: Euler = exact pathwise sensitivities of the
+        # scheme; heston-qe = CRN-bump ladder on Andersen-QE
+        # (near-unbiased at coarse steps)
+        from .models import HestonParams
+        from .ops.heston_pallas import pallas_heston_greeks
+
+        par = HestonParams.make(args.v0, args.kappa, args.theta,
+                                args.sigma_v, args.rho_sv)
+        scheme = "qe" if model == "heston-qe" else "euler"
+        out = pallas_heston_greeks(
+            args.spot, args.strike, args.maturity, args.rate, par, cp,
+            args.dividend, n_paths=args.n_paths, n_steps=args.n_steps,
+            seed=args.seed, ladder=True, scheme=scheme)
+        res = {k: float(v) for k, v in out.items()}
+        res.update(model=model, scheme=scheme,
+                   greek_method=("crn-bump-fd" if scheme == "qe"
+                                 else "pathwise-in-scheme"))
+        return res
     g = bs_greeks(args.spot, args.strike, args.maturity, args.rate, args.vol, cp,
                   args.dividend)
     return {k: float(v) for k, v in g.items()}
@@ -467,6 +487,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     pg = sub.add_parser("greeks")
     _common_contract_args(pg)
+    pg.add_argument("--model", default="bs",
+                    choices=["bs", "heston", "heston-qe"],
+                    help="heston[-qe]: full kernel parameter ladder "
+                         "(v0/kappa/theta/sigma/rho + calendar theta)")
+    pg.add_argument("--n-paths", type=int, default=200_000)
+    pg.add_argument("--n-steps", type=int, default=32)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--v0", type=float, default=0.04)
+    pg.add_argument("--kappa", type=float, default=2.0)
+    pg.add_argument("--theta", type=float, default=0.04)
+    pg.add_argument("--sigma-v", type=float, default=0.3)
+    pg.add_argument("--rho-sv", type=float, default=-0.7)
 
     pm = sub.add_parser("mc")
     _common_contract_args(pm)

@@ -175,3 +175,21 @@ class TestCLIBasketKernel:
     def test_xla_engine_rejects_kernel_flags(self):
         with pytest.raises(SystemExit):
             cli_main(["basket", "--greeks"])
+
+
+class TestCLIHestonGreeks:
+    def test_heston_qe_ladder_json(self, capsys):
+        cli_main(["greeks", "--model", "heston-qe", "--n-paths", "1",
+                  "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "crn-bump-fd"
+        assert {"delta", "vega", "d_kappa", "d_theta", "d_sigma", "d_rho",
+                "theta", "rho"} <= out.keys()
+        assert 0.3 < out["delta"] < 0.9
+
+    def test_heston_euler_ladder_json(self, capsys):
+        cli_main(["greeks", "--model", "heston", "--n-paths", "1",
+                  "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "pathwise-in-scheme"
+        assert "d_sigma" in out
