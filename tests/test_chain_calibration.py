@@ -127,6 +127,10 @@ class TestLocalVolPipeline:
 
 
 class TestPlotting:
+    @pytest.fixture(autouse=True)
+    def _needs_matplotlib(self):
+        pytest.importorskip("matplotlib")
+
     def test_smile_fits_png(self, chain, result, tmp_path):
         from optionslab_tpu.utils.plotting import plot_smile_fits
 
@@ -216,6 +220,7 @@ class TestCLI:
 
     @pytest.mark.slow
     def test_plot_command(self, capsys, tmp_path):
+        pytest.importorskip("matplotlib")
         out_png = str(tmp_path / "s.png")
         cli_main(["plot", "--what", "smiles", "--out", out_png,
                   "--n-rows", "300", "--bins", "3", "--steps", "300"])
