@@ -325,6 +325,22 @@ class _Handler(BaseHTTPRequestHandler):
 
             self._send(200, {"status": "ok", "backend": jax.default_backend(),
                              "devices": [str(d) for d in jax.devices()]})
+        elif self.path == "/metrics":
+            from .utils.timing import get_timings
+
+            out = {}
+            for label, ms in get_timings().items():
+                if not label.startswith("http:"):
+                    continue
+                s = sorted(ms)
+                n = len(s)
+                out[label[5:]] = {
+                    "count": n,
+                    "p50_ms": round(s[n // 2], 3),
+                    "p95_ms": round(s[min(n - 1, int(0.95 * n))], 3),
+                    "max_ms": round(s[-1], 3),
+                }
+            self._send(200, out)
         else:
             self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -334,10 +350,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown endpoint {self.path}",
                              "endpoints": sorted(ROUTES)})
             return
+        from .utils.timing import Timer
+
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
-            self._send(200, handler(body))
+            with Timer(f"http:{self.path}"):
+                payload = handler(body)
+            self._send(200, payload)
         except Exception as e:
             self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -213,3 +213,14 @@ class TestBasketEndpoint:
     def test_bad_kind_400(self, server):
         status, out = _post(server, "/basket", {"kind": "teleport"})
         assert status == 400 and "error" in out
+
+
+class TestMetricsEndpoint:
+    def test_metrics_after_requests(self, server):
+        _post(server, "/price", {"model": "bs"})
+        _post(server, "/price", {"model": "bs"})
+        status, out = _get(server, "/metrics")
+        assert status == 200
+        assert "/price" in out
+        m = out["/price"]
+        assert m["count"] >= 2 and m["p50_ms"] > 0 and m["p95_ms"] >= m["p50_ms"]
