@@ -110,6 +110,9 @@ PAYOFF_KINDS = (
     "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in", "cliquet", "autocall",
+    # internal: arithmetic-Asian payoff MINUS its geometric control
+    # variate (exact closed-form mean added back host-side)
+    "asian_arith_cv",
 )
 GREEK_KINDS = ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed")
 
@@ -169,6 +172,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     seed = seed_ref[0]
 
     s0 = param_ref[_P_S0]
+    inv_s0 = 1.0 / s0
     strike = param_ref[_P_K]
     drift_dt = param_ref[_P_DRIFT_DT]
     vol_sqrt_dt = param_ref[_P_VOLSQDT]
@@ -185,6 +189,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     geo = kind.startswith("asian_geo")  # carried in log space (no per-step exp)
 
     def init_stat(s_like):
+        if kind == "asian_arith_cv":
+            # running (Σ S_i seeded with S0, Σ log(S_i/S0))
+            return (s_like, jnp.zeros(shape, jnp.float32))
         if kind.startswith("asian_arith"):
             return (s_like,)  # running sum of S, seeded with S0 (removed in payoff)
         if geo:
@@ -206,6 +213,11 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         return (hit0.astype(jnp.float32),)
 
     def update_stat(stat, s_or_log, i):
+        if kind == "asian_arith_cv":
+            # the log argument sits near 1, where the TPU fast-log error
+            # is benign (absolute log-prices would bias the geo leg)
+            return (stat[0] + s_or_log,
+                    stat[1] + jnp.log(s_or_log * inv_s0))
         if kind.startswith("asian_arith"):
             return (stat[0] + s_or_log,)
         if geo:
@@ -250,6 +262,11 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         # a small argument, where the TPU fast-exp error is benign (at
         # |arg| ~ log(100) its relative error alone is a ~2e-3 price bias)
         s_t = s0 * jnp.exp(s_or_log) if geo else s_or_log
+        if kind == "asian_arith_cv":
+            avg = (stat[0] - s0) * inv_n
+            geo_avg = s0 * jnp.exp(stat[1] * inv_n)
+            return (jnp.maximum(cp * (avg - strike), 0.0)
+                    - jnp.maximum(cp * (geo_avg - strike), 0.0))
         if kind.startswith("asian"):
             if kind.startswith("asian_arith"):
                 avg = (stat[0] - s0) * inv_n
@@ -491,7 +508,8 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                         cp: float = 1.0, dividend: float = 0.0,
                         barrier: float = 0.0, n_paths: int = 1_000_000,
                         n_steps: int = 64, seed: int = 0,
-                        sampler: str = "prng"):
+                        sampler: str = "prng",
+                        control_variate: bool = False):
     """Fused exotic pricing: (price, stderr, actual_paths).
 
     ``kind`` ∈ PAYOFF_KINDS (cliquet/autocall have dedicated wrappers with
@@ -514,7 +532,19 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     can also understate.  Treat it as indicative only; for a trustworthy
     QMC error estimate use the randomized-replication stderr of
     ``models/qmc_exotics``.
+
+    ``control_variate=True`` (``asian_arith`` only): the kernel prices
+    the DIFFERENCE against the geometric-average payoff on the same
+    paths and the exact discrete geometric closed form is added back —
+    the classic Kemna–Vorst control variate at kernel speed. The
+    returned stderr is the stderr of the difference, i.e. the TRUE
+    uncertainty of the CV estimator. Composes with any sampler.
     """
+    if control_variate:
+        if kind != "asian_arith":
+            raise ValidationError("control_variate applies to asian_arith "
+                                  "(geometric Kemna–Vorst CV)")
+        kind = "asian_arith_cv"
     if kind not in PAYOFF_KINDS:
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
     if kind in ("cliquet", "autocall"):
@@ -527,8 +557,14 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind=kind, n_steps=n_steps, n_blocks=n_blocks,
                         cp=float(cp), sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t))
+    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                                math.exp(-float(rate) * t))
+    if kind == "asian_arith_cv":
+        from ..models.exotics import geometric_asian_closed_form
+
+        price = price + geometric_asian_closed_form(
+            spot, strike, t, rate, vol, cp, dividend, n_steps)
+    return price, se, n
 
 
 def _mean_stderr(pay, pay2, n, df):
@@ -662,7 +698,7 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
     and come at full kernel speed — throw paths at them. Returned dict
     carries ``paths``.
     """
-    if kind not in PAYOFF_KINDS:
+    if kind not in PAYOFF_KINDS or kind == "asian_arith_cv":
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
     if kind in ("cliquet", "autocall"):
         raise ValidationError(f"use pallas_{kind}_lr_greeks for structured params")

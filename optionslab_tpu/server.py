@@ -17,6 +17,7 @@ same façade. Endpoints (all POST, JSON body, JSON response):
             per-asset LR ladder with greeks=true)
   /batch/price {"model": "bs", "spot": [...], ...}   → batched pricing
   /health  (GET)
+  /metrics (GET) → per-endpoint request-latency count/p50/p95/max (ms)
 
 Design: stdlib ThreadingHTTPServer (no extra deps); all numerics go through
 the jitted façade so a request costs one device dispatch; the first request
