@@ -49,7 +49,10 @@ LANES = 256  # 4 branches × d ≤ 4 assets of (128, LANES) carries in VMEM
 PATHS_PER_BLOCK = 4 * ROWS * LANES
 
 KINDS = ("basket", "basket_geo", "rainbow_best", "rainbow_worst", "spread",
-         "basket_asian")
+         "basket_asian",
+         # internal: arithmetic-basket payoff MINUS its geometric control
+         # variate (exact closed-form mean added back host-side)
+         "basket_cv")
 
 
 def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
@@ -104,6 +107,10 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
     w = [p_ref[4 * i + 3] for i in range(d)]
     L = [[p_ref[4 * d + i * d + j] for j in range(d)] for i in range(d)]
     strike = p_ref[4 * d + d * d]
+    if kind == "basket_cv":
+        # Π s0_i^{w_i}, computed host-side at full precision: the geo leg
+        # exponentiates only the RELATIVE log-basket (small argument)
+        g0 = p_ref[4 * d + d * d + 1]
     if lr:
         base_inv = 4 * d + d * d + 1
         Linv = [[p_ref[base_inv + i * d + j] for j in range(d)]
@@ -225,6 +232,13 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         if kind == "basket":
             lvl = basket_level(x_b)
             pay = jnp.maximum(cp * (lvl - strike), 0.0)
+        elif kind == "basket_cv":
+            lvl = basket_level(x_b)
+            glog = w[0] * x_b[0]
+            for i in range(1, d):
+                glog = glog + w[i] * x_b[i]
+            pay = (jnp.maximum(cp * (lvl - strike), 0.0)
+                   - jnp.maximum(cp * (g0 * jnp.exp(glog) - strike), 0.0))
         elif kind == "basket_geo":
             lg = w[0] * (jnp.log(s0[0]) + x_b[0])
             for i in range(1, d):
@@ -312,7 +326,7 @@ def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
 
 
 def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
-                dividends, n_steps, lr: bool = False):
+                dividends, n_steps, lr: bool = False, cv: bool = False):
     spots = np.asarray(spots, np.float64).ravel()
     vols = np.asarray(vols, np.float64).ravel()
     d = spots.size
@@ -338,6 +352,8 @@ def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
               vols[i] * math.sqrt(dt), weights[i]]
     p += list(L.ravel())
     p += [float(strike)]
+    if cv:
+        p += [float(np.prod(spots ** weights))]  # g0 = Π s0^w (f64 host)
     if lr:
         p += list(np.linalg.inv(L).ravel())
         sqdt = math.sqrt(dt)
@@ -352,7 +368,8 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                              corr, weights=None, cp: float = 1.0,
                              dividends=0.0, n_paths: int = 1_000_000,
                              n_steps: int = 1, seed: int = 0,
-                             sampler: str = "prng"):
+                             sampler: str = "prng",
+                             control_variate: bool = False):
     """(price, stderr, actual_paths) from the fused multi-asset kernel.
 
     ``kind`` ∈ {basket, basket_geo, rainbow_best, rainbow_worst, spread,
@@ -368,19 +385,39 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
     — the full dimension fits the in-kernel 8-dim direction table for
     d ≤ 4, so this is PURE QMC, not a hybrid bridge. The reported stderr
     then uses the plain-MC formula and is indicative only.
+
+    ``control_variate=True`` (``basket`` only): the kernel prices the
+    difference against the geometric basket on the same paths and the
+    exact geometric-basket closed form is added back (Kemna–Vorst for
+    baskets); the stderr is the TRUE CV-estimator uncertainty. Composes
+    with any sampler.
     """
+    if control_variate:
+        if kind != "basket":
+            raise ValidationError("control_variate applies to the "
+                                  "arithmetic basket (geometric CV)")
+        kind = "basket_cv"
     if kind not in KINDS:
         raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
     d, t, p = _params_vec(spots, weights, strike, maturity, rate, vols, corr,
-                          dividends, n_steps)
+                          dividends, n_steps, cv=kind == "basket_cv")
     if kind == "spread" and d != 2:
         raise ValidationError("spread requires exactly 2 assets")
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
                         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                         sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t))
+    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                                math.exp(-float(rate) * t))
+    if kind == "basket_cv":
+        from ..models.multi_asset import geometric_basket_closed_form
+
+        weights_a = (np.asarray(weights, np.float64).ravel()
+                     if weights is not None
+                     else np.full(d, 1.0 / d))
+        price = price + geometric_basket_closed_form(
+            spots, weights_a, strike, t, rate, vols, corr, cp, dividends)
+    return price, se, n
 
 
 def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
@@ -419,7 +456,7 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
     samplers, whose residual replay changes which normals the scores
     see); ``std_error`` keeps the plain-MC formula and is indicative.
     """
-    if kind not in KINDS:
+    if kind not in KINDS or kind == "basket_cv":
         raise ValidationError(f"unknown kind {kind!r}; choose {KINDS}")
     d, t, p = _params_vec(spots, weights, strike, maturity, rate, vols, corr,
                           dividends, n_steps, lr=True)

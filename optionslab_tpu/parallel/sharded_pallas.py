@@ -262,14 +262,23 @@ def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                               corr, mesh: Mesh, weights=None, cp: float = 1.0,
                               dividends=0.0, n_paths: int = 1_000_000,
                               n_steps: int = 1, seed: int = 0,
-                              sampler: str = "prng"):
+                              sampler: str = "prng",
+                              control_variate: bool = False):
     """``ops/multi_asset_pallas.pallas_multi_asset_price`` with path blocks
     sharded over ``mesh`` (global-block ownership, topology-invariant path
-    set). Returns (price, stderr, actual_paths)."""
+    set). Returns (price, stderr, actual_paths). ``control_variate=True``
+    (basket only) applies the geometric CV — the diff moments psum, the
+    exact closed form is added once host-side."""
+    if control_variate:
+        if kind != "basket":
+            raise ValidationError("control_variate applies to the "
+                                  "arithmetic basket (geometric CV)")
+        kind = "basket_cv"
     if kind not in _mp.KINDS:
         raise ValidationError(f"unknown kind {kind!r}; choose {_mp.KINDS}")
     d, t, p = _mp._params_vec(spots, weights, strike, maturity, rate, vols,
-                              corr, dividends, n_steps)
+                              corr, dividends, n_steps,
+                              cv=kind == "basket_cv")
     if kind == "spread" and d != 2:
         raise ValidationError("spread requires exactly 2 assets")
     _names, n_dev = _mesh_axes(mesh)
@@ -278,8 +287,19 @@ def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                                    kind=kind, n_steps=n_steps,
                                    n_blocks=n_blocks, cp=float(cp),
                                    sampler=sampler, mesh=mesh)
-    return _ep._mean_stderr(pay, pay2, n_blocks * _mp.PATHS_PER_BLOCK,
-                            math.exp(-float(rate) * t))
+    price, se, n = _ep._mean_stderr(pay, pay2,
+                                    n_blocks * _mp.PATHS_PER_BLOCK,
+                                    math.exp(-float(rate) * t))
+    if kind == "basket_cv":
+        import numpy as _np
+
+        from ..models.multi_asset import geometric_basket_closed_form
+
+        weights_a = (_np.asarray(weights, _np.float64).ravel()
+                     if weights is not None else _np.full(d, 1.0 / d))
+        price = price + geometric_basket_closed_form(
+            spots, weights_a, strike, t, rate, vols, corr, cp, dividends)
+    return price, se, n
 
 
 def sharded_multi_asset_greeks(kind: str, spots, strike, maturity, rate,
@@ -293,7 +313,7 @@ def sharded_multi_asset_greeks(kind: str, spots, strike, maturity, rate,
     the 2+2d+d(d+1)/2+2 moment tiles cross ICI (one psum each); the
     ladder is assembled once host-side from the global moments, so the
     result is the single-device estimate for the identical path set."""
-    if kind not in _mp.KINDS:
+    if kind not in _mp.KINDS or kind == "basket_cv":
         raise ValidationError(f"unknown kind {kind!r}; choose {_mp.KINDS}")
     d, t, p = _mp._params_vec(spots, weights, strike, maturity, rate, vols,
                               corr, dividends, n_steps, lr=True)
