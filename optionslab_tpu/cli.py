@@ -163,6 +163,27 @@ def cmd_iv(args) -> dict:
 def cmd_exotic(args) -> dict:
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
+    if getattr(args, "cv", False):
+        # Kemna–Vorst geometric CV at kernel speed (asian only)
+        from .ops.exotic_pallas import pallas_exotic_price
+        from .utils.exceptions import ValidationError
+
+        if args.kind != "asian":
+            raise SystemExit("--cv applies to --kind asian")
+        import jax
+
+        cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        try:
+            p, se, n = pallas_exotic_price(
+                "asian_arith", args.spot, args.strike, args.maturity,
+                args.rate, args.vol, cp, n_paths=args.n_paths,
+                n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+                sampler=sampler, control_variate=True)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+        return {"kind": "asian", "price": float(p), "std_error": float(se),
+                "paths": int(n), "control_variate": "geometric"}
     from .models import (
         AmericanOptionLSM,
         AsianOption,
@@ -521,6 +542,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--n-paths", type=int, default=100_000)
     pe.add_argument("--seed", type=int, default=0)
     pe.add_argument("--n-steps", type=int, default=64)
+    pe.add_argument("--cv", action="store_true",
+                    help="Kemna-Vorst geometric control variate at kernel "
+                         "speed (asian only; ~24x lower stderr)")
     pe.add_argument("--greeks", action="store_true",
                     help="fused-kernel Greek ladder (pathwise for asian/"
                          "lookback, likelihood-ratio for barrier/cliquet/"

@@ -151,6 +151,21 @@ def handle_exotic(body: dict) -> dict:
             n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
             seed=int(body.get("seed", 0)))
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
+    if kind == "asian" and body.get("control_variate"):
+        import jax
+
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        cp = 1.0 if p["option_type"].startswith("c") else -1.0
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        pr, se, n = pallas_exotic_price(
+            "asian_arith", *common, cp, p["dividend"], n_paths=n_paths,
+            n_steps=int(body.get("n_steps", 64)),
+            seed=int(body.get("seed", 0)), sampler=sampler,
+            control_variate=True)
+        return {"kind": kind, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se), "paths": int(n),
+                "control_variate": "geometric"}
     if kind == "asian":
         opt = AsianOption(*common, option_type=p["option_type"], n_paths=n_paths,
                           averaging=body.get("averaging", "arithmetic"))
@@ -209,8 +224,11 @@ def handle_basket(body: dict) -> dict:
         out = {k: _to_jsonable(v)
                for k, v in pallas_multi_asset_greeks(*args, **kw).items()}
     else:
-        p, se, n = pallas_multi_asset_price(*args, **kw)
+        p, se, n = pallas_multi_asset_price(
+            *args, **kw, control_variate=bool(body.get("control_variate")))
         out = {"price": float(p), "std_error": float(se), "paths": int(n)}
+        if body.get("control_variate"):
+            out["control_variate"] = "geometric"
     out.update(kind=kind, sampler=kw["sampler"])
     if kw["sampler"] == "sobol":
         out["stderr_note"] = ("QMC: std_error uses the plain-MC formula "

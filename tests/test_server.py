@@ -224,3 +224,22 @@ class TestMetricsEndpoint:
         assert "/price" in out
         m = out["/price"]
         assert m["count"] >= 2 and m["p50_ms"] > 0 and m["p95_ms"] >= m["p50_ms"]
+
+
+class TestControlVariateOverWire:
+    def test_asian_cv(self, server):
+        status, out = _post(server, "/exotic", {
+            "kind": "asian", "control_variate": True, "n_paths": 1,
+            "n_steps": 16})
+        assert status == 200 and out["control_variate"] == "geometric"
+        # 16-fixing arithmetic Asian at the defaults (S=K=100, T=1,
+        # r=5%, sigma=20%): 6.058 — the fixing count defines the contract
+        assert abs(out["price"] - 6.058) < 0.02
+        assert out["std_error"] < 5e-3
+
+    def test_basket_cv(self, server):
+        status, out = _post(server, "/basket", {
+            "kind": "basket", "control_variate": True, "n_paths": 1,
+            "sampler": "hash"})
+        assert status == 200 and out["control_variate"] == "geometric"
+        assert out["std_error"] < 2e-2
