@@ -27,6 +27,8 @@ from .forest import (
 from .chain_calibration import (ChainCalibrationResult, calibrate_chain,
                                 calibrate_model_to_chain, chain_smile_data,
                                 local_vol_from_chain, svi_surface_iv_fn)
+from .essvi import (ESSVIParams, calibrate_essvi, essvi_g,
+                    essvi_surface_iv_fn, essvi_total_variance)
 from .generator import VolatilitySurfaceGenerator
 from .kernel_ridge import KernelRidgeModel, SVRModel
 from .grid_search import nested_cross_validate, tune_model
@@ -56,6 +58,8 @@ __all__ = [
     "svi_local_variance", "ssvi_total_variance",
     "ChainCalibrationResult", "calibrate_chain", "chain_smile_data",
     "svi_surface_iv_fn", "local_vol_from_chain", "calibrate_model_to_chain",
+    "ESSVIParams", "calibrate_essvi", "essvi_total_variance", "essvi_g",
+    "essvi_surface_iv_fn",
     "MLPModel", "PINNVolatilityModel", "KernelRidgeModel", "SVRModel",
     "RandomForestVolatilityModel", "GradientBoostingVolatilityModel",
     "XGBVolatilityModel", "VolatilitySurfaceGenerator",

@@ -46,6 +46,8 @@ class ChainCalibrationResult:
     rate: float
     slice_quotes: list = dataclasses.field(default_factory=list, repr=False)
     # [(k, iv_adjusted)] per expiry — the exact data each slice was fit to
+    essvi: object = None            # ESSVIParams when essvi=True
+    essvi_rmse_vol: float = float("nan")
 
     def to_dict(self) -> dict:
         def p2d(p):
@@ -65,6 +67,12 @@ class ChainCalibrationResult:
             "report": self.report,
             "spot": self.spot,
             "rate": self.rate,
+            **({"essvi": {
+                "theta": [float(x) for x in np.asarray(self.essvi.theta)],
+                "rho": [float(x) for x in np.asarray(self.essvi.rho)],
+                "psi": [float(x) for x in np.asarray(self.essvi.psi)]},
+                "essvi_rmse_vol": float(self.essvi_rmse_vol)}
+               if self.essvi is not None else {}),
         }
 
     def svi_vol(self, log_moneyness, expiry_index: int):
@@ -155,7 +163,8 @@ def _calibrate_ssvi_scattered(k_flat, theta_flat, w_flat, n_steps, learning_rate
 
 def calibrate_chain(chain, *, n_expiry_bins: int = 6, from_prices: bool = False,
                     min_quotes_per_slice: int = 8, n_steps: int = 600,
-                    learning_rate: float = 0.02) -> ChainCalibrationResult:
+                    learning_rate: float = 0.02,
+                    essvi: bool = False) -> ChainCalibrationResult:
     """Chain snapshot -> per-expiry SVI slices + global SSVI + arb report.
 
     ``chain``: an ``OptionChainDataset`` or DataFrame with the standard
@@ -164,6 +173,11 @@ def calibrate_chain(chain, *, n_expiry_bins: int = 6, from_prices: bool = False,
 
     Moneyness convention: forward log-moneyness k = log(K/F),
     F = S exp(r T) (SVI's natural coordinate; Gatheral 2004).
+
+    ``essvi=True`` additionally fits an eSSVI surface (per-expiry rho/psi,
+    :mod:`~.essvi`) jointly over all slices in one scanned-Adam dispatch —
+    typically well below the global-SSVI RMSE on real chains — and merges
+    its exact no-arb report under ``report["essvi_*"]``.
     """
     if from_prices or "implied_volatility" not in _as_dataframe(chain).columns:
         if hasattr(chain, "backfill_implied_vol"):
@@ -274,11 +288,32 @@ def calibrate_chain(chain, *, n_expiry_bins: int = 6, from_prices: bool = False,
         "total_quotes_used": int(counts.sum()),
     }
 
+    essvi_params, essvi_rmse = None, float("nan")
+    if essvi:
+        from .essvi import calibrate_essvi, essvi_report, essvi_total_variance
+
+        ks = [q[0] for q in slice_quotes]
+        ws = [(q[1] ** 2) * q[2] for q in slice_quotes]
+        essvi_params, _ = calibrate_essvi(ks, ws, thetas_init=thetas,
+                                          n_steps=max(n_steps, 1200),
+                                          learning_rate=learning_rate)
+        errs = []
+        for i, (kq, ivq, tq) in enumerate(slice_quotes):
+            w_e = np.asarray(essvi_total_variance(
+                jnp.asarray(kq, jnp.float32), essvi_params.theta[i],
+                essvi_params.rho[i], essvi_params.psi[i]))
+            errs.append(np.sqrt(np.maximum(w_e, 1e-12) / tq) - ivq)
+        essvi_rmse = float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
+        rep_e = essvi_report(essvi_params, float(k_all.min()) - 0.2,
+                             float(k_all.max()) + 0.2)
+        report.update({f"essvi_{k}": v for k, v in rep_e.items()})
+
     return ChainCalibrationResult(
         expiries=expiries, n_quotes=counts, svi_params=svi_params,
         svi_rmse_vol=rmse, thetas=thetas, ssvi=ssvi, ssvi_rmse_vol=ssvi_rmse,
         report=report, spot=spot, rate=rate,
-        slice_quotes=[(q[0], q[1]) for q in slice_quotes])
+        slice_quotes=[(q[0], q[1]) for q in slice_quotes],
+        essvi=essvi_params, essvi_rmse_vol=essvi_rmse)
 
 
 def svi_surface_iv_fn(result: ChainCalibrationResult):
