@@ -1,4 +1,5 @@
 from .expected_shortfall import ExpectedShortfall
+from .exposure import ExposureResult, cva_dva, exposure_profile, xva_report
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
 from .stress import StressScenario, StressTester
@@ -32,4 +33,8 @@ __all__ = [
     "SensitivityAnalysis",
     "OptionsPortfolio",
     "Position",
+    "ExposureResult",
+    "exposure_profile",
+    "cva_dva",
+    "xva_report",
 ]

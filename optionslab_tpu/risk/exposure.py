@@ -1,0 +1,212 @@
+"""Counterparty exposure profiles and CVA/DVA (XVA) on simulated paths.
+
+Beyond-reference capability: the reference's risk layer stops at
+portfolio VaR/ES/stress (``src/risk_analysis/``); production option desks
+also need EE/EPE/PFE exposure profiles and credit valuation adjustments.
+
+TPU-first design: the whole profile is ONE jitted program — exact GBM
+risk-factor transitions on the date grid (cumulative-sum Brownian path,
+no scan: S_t is an exact functional of the normals), closed-form
+revaluation of every position at every (path, date) by broadcasting
+``bs_price`` over a (paths, dates) grid, and device-side quantiles for
+PFE.  No per-date Python loops over scenarios (the classic CPU XVA
+engine shape); the only Python loop is over the handful of netting-set
+instruments, each adding one fused (paths, dates) valuation.
+
+Conventions:
+  - EE(t)   = E[(V_t - C_t)^+]                  (undiscounted)
+  - EE*(t)  = E[df(0,t) (V_t - C_t)^+]          (discounted)
+  - EPE     = time-average of EE(t) on the grid
+  - PFE_q(t)= q-quantile of (V_t - C_t)^+
+  - ENE(t)  = E[(-(V_t - C_t))^+]               (our exposure to them)
+  - CVA     = (1-R) sum_j 1/2 (EE*_{j-1} + EE*_j) (SP(t_{j-1}) - SP(t_j))
+    with survival SP(t) = exp(-lambda t) (flat hazard), trapezoid in EE*.
+  - Collateral: received C_t = (V_{t-MPoR} - threshold)^+ — a margin
+    period of risk lags the mark the collateral tracks.
+
+Exact oracles used by the tests: a LONG option book's EE*(t) equals its
+time-0 value for every t (optional-stopping / martingale pricing); the
+forward's PFE is the lognormal quantile mapped through its monotone
+value function; flat-hazard CVA of a long option is (1-R) V_0
+(1 - e^{-lambda T}).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.black_scholes import bs_price
+from ..utils.exceptions import ValidationError
+from .portfolio import OptionsPortfolio, Position
+
+__all__ = ["ExposureResult", "exposure_profile", "cva_dva", "xva_report"]
+
+
+@dataclasses.dataclass
+class ExposureResult:
+    dates: np.ndarray          # (m,) years, t=0 excluded
+    ee: np.ndarray             # (m,) expected exposure
+    ee_discounted: np.ndarray  # (m,)
+    ene: np.ndarray            # (m,) expected negative exposure
+    ene_discounted: np.ndarray
+    pfe: np.ndarray            # (m,) q-quantile exposure
+    quantile: float
+    epe: float                 # time-averaged EE
+    max_pfe: float
+    rate: float
+    n_paths: int
+
+    def to_dict(self) -> dict:
+        return {
+            "dates": [float(t) for t in self.dates],
+            "ee": [float(x) for x in self.ee],
+            "ee_discounted": [float(x) for x in self.ee_discounted],
+            "ene": [float(x) for x in self.ene],
+            "pfe": [float(x) for x in self.pfe],
+            "quantile": self.quantile,
+            "epe": self.epe,
+            "max_pfe": self.max_pfe,
+            "n_paths": self.n_paths,
+        }
+
+
+def _positions(book) -> list[Position]:
+    if isinstance(book, OptionsPortfolio):
+        return book.positions
+    return list(book)
+
+
+def _value_grid(s_grid, t_grid, pos: Position, rate, dividend):
+    """Mark-to-market of one position on the (paths, dates) grid."""
+    tau = jnp.maximum(pos.maturity - t_grid, 1e-8)
+    # a deal stays in the netting set THROUGH its payoff date (the payoff
+    # is exposure until it settles); it drops only after maturity
+    alive = (pos.maturity - t_grid) > -1e-9
+    if pos.option_type == "forward":
+        v = (s_grid * jnp.exp(-dividend * tau)
+             - pos.strike * jnp.exp(-rate * tau))
+    else:
+        cp = 1.0 if pos.option_type == "call" else -1.0
+        v = bs_price(s_grid, pos.strike, tau, rate, pos.vol, cp, dividend)
+    return pos.quantity * jnp.where(alive, v, 0.0)
+
+
+def exposure_profile(book, *, horizon: float | None = None,
+                     n_dates: int = 24, n_paths: int = 65536, seed: int = 0,
+                     quantile: float = 0.95, netting: bool = True,
+                     collateral_threshold: float | None = None,
+                     mpor: float = 0.0, spot: float | None = None,
+                     rate: float | None = None, vol: float | None = None,
+                     dividend: float = 0.0) -> ExposureResult:
+    """EE/EPE/PFE/ENE profile of a netting set on simulated GBM paths.
+
+    ``book``: an :class:`~.portfolio.OptionsPortfolio` or list of
+    :class:`~.portfolio.Position` (``option_type`` may also be
+    ``"forward"``).  Risk-factor dynamics: risk-neutral GBM with
+    ``vol`` (default: the book's first position vol) — the measure under
+    which EE* is the price of the exposure option, which is what CVA
+    discounting needs.
+
+    ``collateral_threshold``: received-collateral threshold H; the
+    counterparty posts (V - H)^+ observed ``mpor`` YEARS earlier (margin
+    period of risk).  ``netting=False`` computes gross exposure
+    sum_i (V_i)^+ instead of (sum_i V_i)^+.
+    """
+    pos = _positions(book)
+    if not pos:
+        raise ValidationError("exposure_profile needs a non-empty book")
+    if not 0.0 < quantile < 1.0:
+        raise ValidationError(f"quantile must be in (0,1): {quantile}")
+    p0 = pos[0]
+    spot = float(p0.spot if spot is None else spot)
+    rate = float(p0.rate if rate is None else rate)
+    vol = float(p0.vol if vol is None else vol)
+    horizon = float(horizon if horizon is not None
+                    else max(p.maturity for p in pos))
+    if horizon <= 0:
+        raise ValidationError("horizon must be positive")
+
+    dates = jnp.linspace(horizon / n_dates, horizon, n_dates,
+                         dtype=jnp.float32)
+    lag = int(np.ceil(mpor / (horizon / n_dates) - 1e-9)) if mpor > 0 else 0
+
+    @jax.jit
+    def run(key):
+        z = jax.random.normal(key, (n_paths, n_dates), jnp.float32)
+        dt = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.float32), dates]))
+        w = jnp.cumsum(z * jnp.sqrt(dt)[None, :], axis=1)
+        s = spot * jnp.exp((rate - dividend - 0.5 * vol * vol) * dates[None, :]
+                           + vol * w)
+        t_grid = dates[None, :]
+        if netting:
+            v = jnp.zeros_like(s)
+            for p in pos:
+                v = v + _value_grid(s, t_grid, p, rate, dividend)
+            vs = [v]
+        else:
+            vs = [_value_grid(s, t_grid, p, rate, dividend) for p in pos]
+
+        def exposed(v):
+            if collateral_threshold is not None:
+                v_lag = (v if lag == 0 else
+                         jnp.concatenate([jnp.zeros((n_paths, lag), v.dtype),
+                                          v[:, :-lag]], axis=1))
+                coll = jnp.maximum(v_lag - collateral_threshold, 0.0)
+                return v - coll
+            return v
+
+        e_pos = sum(jnp.maximum(exposed(v), 0.0) for v in vs)
+        e_neg = sum(jnp.maximum(-exposed(v), 0.0) for v in vs)
+        df = jnp.exp(-rate * dates)[None, :]
+        return (jnp.mean(e_pos, axis=0), jnp.mean(df * e_pos, axis=0),
+                jnp.mean(e_neg, axis=0), jnp.mean(df * e_neg, axis=0),
+                jnp.quantile(e_pos, quantile, axis=0))
+
+    ee, ee_d, ene, ene_d, pfe = (np.asarray(x) for x in
+                                 run(jax.random.PRNGKey(seed)))
+    return ExposureResult(
+        dates=np.asarray(dates), ee=ee, ee_discounted=ee_d, ene=ene,
+        ene_discounted=ene_d, pfe=pfe, quantile=quantile,
+        epe=float(np.mean(ee)), max_pfe=float(pfe.max()), rate=rate,
+        n_paths=n_paths)
+
+
+def cva_dva(exposure: ExposureResult, hazard_rate: float,
+            recovery: float = 0.4, own_hazard_rate: float | None = None,
+            own_recovery: float = 0.4) -> dict:
+    """CVA (and DVA when ``own_hazard_rate`` is given) from a profile.
+
+    Flat-hazard survival SP(t) = exp(-lambda t); trapezoid in discounted
+    EE between date-grid points (t=0 contributes EE*(0)=exposure today,
+    taken as the first grid value for a conservative short-end).
+    """
+    if hazard_rate < 0 or recovery < 0 or recovery > 1:
+        raise ValidationError("need hazard_rate >= 0 and recovery in [0,1]")
+    t = np.concatenate([[0.0], exposure.dates])
+
+    def leg(profile, lam, rec):
+        sp = np.exp(-lam * t)
+        dpd = sp[:-1] - sp[1:]
+        prof = np.concatenate([[profile[0]], profile])
+        mid = 0.5 * (prof[:-1] + prof[1:])
+        return float((1.0 - rec) * np.sum(mid * dpd))
+
+    out = {"cva": leg(exposure.ee_discounted, hazard_rate, recovery),
+           "hazard_rate": hazard_rate, "recovery": recovery}
+    if own_hazard_rate is not None:
+        out["dva"] = leg(exposure.ene_discounted, own_hazard_rate,
+                         own_recovery)
+        out["bcva"] = out["cva"] - out["dva"]
+    return out
+
+
+def xva_report(book, *, hazard_rate: float = 0.02, recovery: float = 0.4,
+               own_hazard_rate: float | None = None, **exposure_kwargs) -> dict:
+    """One-call exposure profile + CVA/DVA summary for a netting set."""
+    prof = exposure_profile(book, **exposure_kwargs)
+    adj = cva_dva(prof, hazard_rate, recovery, own_hazard_rate)
+    return {**prof.to_dict(), **adj}

@@ -315,6 +315,37 @@ def handle_american(body: dict) -> dict:
     return {k: _to_jsonable(v) for k, v in out.items()}
 
 
+def handle_xva(body: dict) -> dict:
+    """Counterparty exposure + CVA for a netting set: {"positions":
+    [{quantity, strike, maturity, option_type}, ...], "spot", "rate",
+    "vol", optional hazard/recovery/own_hazard/quantile/dates/paths/
+    collateral_threshold/mpor}. Sizes are capped (demo server)."""
+    from .risk import Position, xva_report
+
+    spot = float(body.get("spot", 100.0))
+    rate = float(body.get("rate", 0.05))
+    vol = float(body.get("vol", 0.2))
+    specs = body.get("positions") or [{}]
+    book = [Position(quantity=float(s.get("quantity", 1.0)), spot=spot,
+                     strike=float(s.get("strike", 100.0)),
+                     maturity=float(s.get("maturity", 1.0)), rate=rate,
+                     vol=float(s.get("vol", vol)),
+                     option_type=str(s.get("option_type", "call")))
+            for s in specs]
+    thr = body.get("collateral_threshold")
+    out = xva_report(
+        book, hazard_rate=float(body.get("hazard", 0.02)),
+        recovery=float(body.get("recovery", 0.4)),
+        own_hazard_rate=(float(body["own_hazard"]) if "own_hazard" in body
+                         else None),
+        n_dates=min(int(body.get("dates", 24)), 120),
+        n_paths=min(int(body.get("paths", 65536)), 1_048_576),
+        quantile=float(body.get("quantile", 0.95)),
+        collateral_threshold=None if thr is None else float(thr),
+        mpor=float(body.get("mpor", 0.0)), seed=int(body.get("seed", 0)))
+    return {k: _to_jsonable(v) for k, v in out.items()}
+
+
 ROUTES = {
     "/price": handle_price,
     "/greeks": handle_greeks,
@@ -325,6 +356,7 @@ ROUTES = {
     "/calibrate": handle_calibrate,
     "/american": handle_american,
     "/basket": handle_basket,
+    "/xva": handle_xva,
     "/batch/price": handle_price,  # same handler — fields may be lists
 }
 

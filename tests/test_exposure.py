@@ -1,0 +1,140 @@
+"""Exposure profiles (EE/EPE/PFE) and CVA/DVA against exact oracles.
+
+Oracles:
+  - a LONG option's discounted EE equals its time-0 BS value at EVERY
+    grid date (martingale pricing: V_t >= 0 so (V_t)^+ = V_t and
+    E[df V_t] = V_0);
+  - the forward's PFE is the lognormal quantile mapped through its
+    monotone value function (closed form);
+  - flat-hazard CVA of a long option is (1-R) V_0 (1 - e^{-lambda T});
+  - perfect netting (long + short of the same contract) has zero
+    exposure; gross (non-netted) does not.
+"""
+
+import numpy as np
+import pytest
+from scipy.stats import norm
+
+from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.risk.exposure import cva_dva, exposure_profile, xva_report
+from optionslab_tpu.risk.portfolio import OptionsPortfolio, Position
+
+S, K, T, R, SIG = 100.0, 100.0, 1.0, 0.05, 0.2
+
+
+def _call(qty=1.0, strike=K, maturity=T):
+    return Position(quantity=qty, spot=S, strike=strike, maturity=maturity,
+                    rate=R, vol=SIG, option_type="call")
+
+
+class TestMartingaleOracle:
+    def test_long_call_discounted_ee_is_flat_at_v0(self):
+        prof = exposure_profile([_call()], n_dates=12, n_paths=131072, seed=0)
+        v0 = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        # every date's discounted EE = V0 within MC noise (~0.03 at 131k)
+        np.testing.assert_allclose(prof.ee_discounted, v0, rtol=0.02)
+        # ENE of a long option is zero (up to float roundoff at tau -> 0)
+        assert float(np.max(prof.ene)) < 1e-6
+
+    def test_undiscounted_ee_grows_at_the_short_rate(self):
+        prof = exposure_profile([_call()], n_dates=8, n_paths=131072, seed=1)
+        v0 = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        expect = v0 * np.exp(R * prof.dates)
+        np.testing.assert_allclose(prof.ee, expect, rtol=0.02)
+
+
+class TestForwardPFE:
+    def test_forward_pfe_matches_lognormal_quantile(self):
+        fwd = Position(quantity=1.0, spot=S, strike=K, maturity=T, rate=R,
+                       vol=SIG, option_type="forward")
+        q = 0.95
+        prof = exposure_profile([fwd], n_dates=10, n_paths=262144, seed=2,
+                                quantile=q)
+        zq = norm.ppf(q)
+        for j, t in enumerate(prof.dates):
+            tau = T - t
+            s_q = S * np.exp((R - 0.5 * SIG**2) * t + SIG * np.sqrt(t) * zq)
+            v_q = max(s_q - K * np.exp(-R * tau), 0.0)
+            assert abs(prof.pfe[j] - v_q) < max(0.04 * v_q, 0.25), (t, v_q)
+
+    def test_forward_has_two_sided_exposure(self):
+        fwd = Position(quantity=1.0, spot=S, strike=K, maturity=T, rate=R,
+                       vol=SIG, option_type="forward")
+        prof = exposure_profile([fwd], n_dates=10, n_paths=65536, seed=3)
+        assert prof.ene[-1] > 0.5
+        assert prof.ee[-1] > 0.5
+
+
+class TestCVA:
+    def test_flat_hazard_cva_closed_form(self):
+        lam, rec = 0.03, 0.4
+        prof = exposure_profile([_call()], n_dates=48, n_paths=131072, seed=4)
+        adj = cva_dva(prof, hazard_rate=lam, recovery=rec)
+        v0 = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        exact = (1.0 - rec) * v0 * (1.0 - np.exp(-lam * T))
+        assert abs(adj["cva"] - exact) < 0.03 * exact, (adj["cva"], exact)
+
+    def test_dva_and_bcva(self):
+        # strike AT THE FORWARD: V_0 = 0, and put-call parity makes
+        # EE*(t) - ENE*(t) = E[df V_t] = 0 EXACTLY on the same paths,
+        # so CVA == DVA under equal hazards up to the shared MC noise
+        k_fwd = S * np.exp(R * T)
+        fwd = Position(quantity=1.0, spot=S, strike=k_fwd, maturity=T,
+                       rate=R, vol=SIG, option_type="forward")
+        prof = exposure_profile([fwd], n_dates=16, n_paths=65536, seed=5)
+        np.testing.assert_allclose(prof.ee_discounted, prof.ene_discounted,
+                                   rtol=0.05)
+        adj = cva_dva(prof, hazard_rate=0.02, own_hazard_rate=0.02)
+        assert adj["dva"] == pytest.approx(adj["cva"], rel=0.05)
+        assert adj["bcva"] == pytest.approx(adj["cva"] - adj["dva"])
+
+
+class TestNettingAndCollateral:
+    def test_perfect_netting_kills_exposure(self):
+        book = [_call(qty=1.0), _call(qty=-1.0)]
+        prof = exposure_profile(book, n_dates=6, n_paths=16384, seed=6)
+        assert float(np.max(prof.ee)) < 1e-5
+        gross = exposure_profile(book, n_dates=6, n_paths=16384, seed=6,
+                                 netting=False)
+        assert float(np.min(gross.ee)) > 1.0  # the long leg alone
+
+    def test_zero_threshold_collateral_kills_long_option_exposure(self):
+        prof = exposure_profile([_call()], n_dates=6, n_paths=16384, seed=7,
+                                collateral_threshold=0.0, mpor=0.0)
+        assert float(np.max(prof.ee)) < 1e-5
+
+    def test_mpor_leaves_gap_risk(self):
+        prof = exposure_profile([_call()], n_dates=12, n_paths=32768, seed=8,
+                                collateral_threshold=0.0, mpor=2.0 / 12.0)
+        # collateral lags -> residual exposure, but far below uncollateralized
+        un = exposure_profile([_call()], n_dates=12, n_paths=32768, seed=8)
+        assert 0.01 < prof.epe < 0.5 * un.epe
+
+    def test_threshold_monotone(self):
+        e0 = exposure_profile([_call()], n_dates=6, n_paths=16384, seed=9,
+                              collateral_threshold=2.0).epe
+        e1 = exposure_profile([_call()], n_dates=6, n_paths=16384, seed=9,
+                              collateral_threshold=8.0).epe
+        un = exposure_profile([_call()], n_dates=6, n_paths=16384, seed=9).epe
+        assert e0 < e1 < un
+
+
+class TestFacade:
+    def test_xva_report_and_portfolio_input(self):
+        book = OptionsPortfolio()
+        book.add_position(_call(qty=2.0))
+        book.add_position(Position(quantity=-1.0, spot=S, strike=110.0,
+                                   maturity=0.5, rate=R, vol=0.25,
+                                   option_type="put"))
+        rep = xva_report(book, hazard_rate=0.02, n_dates=8, n_paths=8192)
+        assert rep["cva"] > 0
+        assert len(rep["ee"]) == 8
+        assert rep["max_pfe"] >= max(rep["ee"])
+
+    def test_validation(self):
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            exposure_profile([])
+        with pytest.raises(ValidationError):
+            exposure_profile([_call()], quantile=1.5)

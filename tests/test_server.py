@@ -243,3 +243,30 @@ class TestControlVariateOverWire:
             "sampler": "hash"})
         assert status == 200 and out["control_variate"] == "geometric"
         assert out["std_error"] < 2e-2
+
+
+class TestXVAEndpoint:
+    def test_long_call_cva_over_the_wire(self, server):
+        status, body = _post(server, "/xva", {
+            "positions": [{"quantity": 1.0, "strike": 100.0,
+                           "maturity": 1.0, "option_type": "call"}],
+            "spot": 100.0, "rate": 0.05, "vol": 0.2,
+            "hazard": 0.03, "recovery": 0.4,
+            "dates": 8, "paths": 16384})
+        assert status == 200
+        import numpy as np
+
+        # martingale oracle: discounted EE == V0 at every date
+        v0 = 10.4506
+        ee = np.asarray(body["ee_discounted"])
+        assert np.all(np.abs(ee - v0) < 0.05 * v0)
+        exact = 0.6 * v0 * (1.0 - np.exp(-0.03))
+        assert abs(body["cva"] - exact) < 0.1 * exact
+
+    def test_collateralized_exposure_drops(self, server):
+        base = {"positions": [{"quantity": 1.0}], "dates": 6,
+                "paths": 8192}
+        _, un = _post(server, "/xva", base)
+        _, coll = _post(server, "/xva",
+                        {**base, "collateral_threshold": 0.0})
+        assert coll["epe"] < 1e-5 < un["epe"]
