@@ -51,6 +51,7 @@ from .fdm import (
 )
 from .rbergomi import (
     RBergomiParams,
+    rbergomi_greeks,
     rbergomi_price,
     rbergomi_smile_iv,
 )
@@ -197,7 +198,7 @@ __all__ = [
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",
     "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
     "nig_mc_price",
-    "RBergomiParams", "rbergomi_price", "rbergomi_smile_iv",
+    "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",

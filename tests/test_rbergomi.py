@@ -109,3 +109,56 @@ class TestValidation:
         with pytest.raises(ValidationError):
             rbergomi_price(100.0, 100.0, 1.0, 0.05, RBergomiParams(),
                            jax.random.PRNGKey(0), n_paths=1001, n_steps=16)
+
+
+class TestGreeks:
+    """Pathwise-AD Greeks: BS limit is exact; rough parameters match CRN
+    finite differences of rbergomi_price on the same key."""
+
+    def test_eta_zero_limit_matches_bs_greeks(self):
+        from optionslab_tpu.models.black_scholes import bs_greeks
+        from optionslab_tpu.models.rbergomi import rbergomi_greeks
+
+        p = RBergomiParams(hurst=0.1, eta=1e-6, rho=-0.5, xi0=0.04)
+        g = rbergomi_greeks(100.0, 100.0, 1.0, 0.05, p,
+                            jax.random.PRNGKey(0), n_paths=100_000,
+                            n_steps=64)
+        bs = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
+        assert abs(g["delta"] - float(bs["delta"])) < 0.01
+        assert abs(g["gamma"] - float(bs["gamma"])) < 0.003
+        assert abs(g["vega"] - float(bs["vega"])) < 1.5
+        assert abs(g["rho_rate"] - float(bs["rho"])) < 1.0
+        # spot/vol correlation is inert when vol is deterministic; the
+        # PATHWISE functional still depends on rho (which Brownian drives
+        # the spot), so the AD estimate is pure MC noise around zero
+        assert abs(g["corr_sens"]) < 0.25
+
+    @pytest.mark.slow
+    def test_rough_greeks_match_crn_fd(self):
+        from optionslab_tpu.models.rbergomi import rbergomi_greeks
+
+        p = RBergomiParams(hurst=0.12, eta=1.5, rho=-0.7, xi0=0.05)
+        key = jax.random.PRNGKey(5)
+        kw = dict(n_paths=150_000, n_steps=64)
+        g = rbergomi_greeks(100.0, 100.0, 1.0, 0.05, p, key, **kw)
+
+        def price_at(**over):
+            pp = RBergomiParams(hurst=p.hurst, eta=over.get("eta", p.eta),
+                                rho=over.get("rho", p.rho),
+                                xi0=over.get("xi0", p.xi0))
+            pr, _ = rbergomi_price(over.get("spot", 100.0),
+                                   np.array([100.0]), 1.0,
+                                   over.get("rate", 0.05), pp, key, **kw)
+            return float(pr[0])
+
+        h = 1e-3
+        fd = {
+            "delta": (price_at(spot=100.0 * (1 + h)) - price_at(spot=100.0 * (1 - h))) / (200.0 * h),
+            "vega_xi0": (price_at(xi0=p.xi0 * (1 + h)) - price_at(xi0=p.xi0 * (1 - h))) / (2 * p.xi0 * h),
+            "vega_eta": (price_at(eta=p.eta * (1 + h)) - price_at(eta=p.eta * (1 - h))) / (2 * p.eta * h),
+            "corr_sens": (price_at(rho=p.rho + h) - price_at(rho=p.rho - h)) / (2 * h),
+            "rho_rate": (price_at(rate=0.05 + h) - price_at(rate=0.05 - h)) / (2 * h),
+        }
+        for name, v in fd.items():
+            tol = max(0.02 * abs(v), 0.05)
+            assert abs(g[name] - v) < tol, (name, g[name], v)
