@@ -387,7 +387,8 @@ def cmd_calibrate(args) -> dict:
     from .surface.chain_calibration import calibrate_chain
 
     res = calibrate_chain(chain, n_expiry_bins=args.bins,
-                          from_prices=args.from_prices, n_steps=args.steps)
+                          from_prices=args.from_prices, n_steps=args.steps,
+                          essvi=getattr(args, "essvi", False))
     return res.to_dict()
 
 
@@ -458,6 +459,37 @@ def cmd_var(args) -> dict:
         "lognormal_var": a.parametric_lognormal(args.value, args.mu, args.sigma),
         "monte_carlo_var": a.monte_carlo(args.value, args.mu, args.sigma),
     }
+
+
+def cmd_report(args) -> dict:
+    """One self-contained HTML desk report: smile fits, surface, arb
+    report, exercise boundary, VaR, exposure/CVA — the reference's
+    dashboard content as a single artifact."""
+    from .utils.report import build_report
+
+    chain = _load_chain(args)
+    return build_report(chain, out_path=args.out, n_expiry_bins=args.bins,
+                        n_steps=args.steps, essvi=not args.no_essvi,
+                        include_boundary=not args.no_boundary,
+                        include_xva=not args.no_xva, seed=args.seed)
+
+
+def cmd_xva(args) -> dict:
+    """Counterparty exposure profile (EE/EPE/PFE) + CVA/DVA for a simple
+    netting set: one option position vs the counterparty."""
+    from .risk import Position, xva_report
+
+    pos = Position(quantity=args.quantity, spot=args.spot,
+                   strike=args.strike, maturity=args.maturity,
+                   rate=args.rate, vol=args.vol,
+                   option_type=args.option_type)
+    return xva_report(
+        [pos], hazard_rate=args.hazard, recovery=args.recovery,
+        own_hazard_rate=args.own_hazard if args.own_hazard > 0 else None,
+        n_dates=args.dates, n_paths=args.paths, quantile=args.quantile,
+        collateral_threshold=(args.collateral_threshold
+                              if args.collateral_threshold >= 0 else None),
+        mpor=args.mpor, seed=args.seed)
 
 
 def cmd_backtest(args) -> dict:
@@ -611,6 +643,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["svi", "heston", "heston-mc", "bates"])
     pc.add_argument("--mc-paths", type=int, default=1_000_000,
                     help="paths per kernel launch for --model heston-mc")
+    pc.add_argument("--essvi", action="store_true",
+                    help="also fit an eSSVI surface (per-expiry rho/psi, "
+                         "joint no-arb-penalized fit in one dispatch)")
 
     pl = sub.add_parser("plot")
     pl.add_argument("--what", default="smiles",
@@ -642,6 +677,34 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--sigma", type=float, default=0.2)
     pv.add_argument("--confidence", type=float, default=0.95)
 
+    pr = sub.add_parser("report")
+    _chain_args(pr)
+    pr.add_argument("--out", default="report.html")
+    pr.add_argument("--no-essvi", action="store_true")
+    pr.add_argument("--no-boundary", action="store_true")
+    pr.add_argument("--no-xva", action="store_true")
+
+    px = sub.add_parser("xva")
+    px.add_argument("--spot", type=float, default=100.0)
+    px.add_argument("--strike", type=float, default=100.0)
+    px.add_argument("--maturity", type=float, default=1.0)
+    px.add_argument("--rate", type=float, default=0.05)
+    px.add_argument("--vol", type=float, default=0.2)
+    px.add_argument("--quantity", type=float, default=1.0)
+    px.add_argument("--option-type", default="call",
+                    choices=["call", "put", "forward"])
+    px.add_argument("--hazard", type=float, default=0.02)
+    px.add_argument("--own-hazard", type=float, default=0.0)
+    px.add_argument("--recovery", type=float, default=0.4)
+    px.add_argument("--quantile", type=float, default=0.95)
+    px.add_argument("--dates", type=int, default=24)
+    px.add_argument("--paths", type=int, default=65536)
+    px.add_argument("--collateral-threshold", type=float, default=-1.0,
+                    help="received-collateral threshold; negative disables")
+    px.add_argument("--mpor", type=float, default=0.0,
+                    help="margin period of risk in years")
+    px.add_argument("--seed", type=int, default=0)
+
     pb = sub.add_parser("backtest")
     pb.add_argument("--vol", type=float, default=0.2)
     pb.add_argument("--hedge-vol", type=float, default=0.2)
@@ -671,6 +734,8 @@ COMMANDS = {
     "plot": cmd_plot,
     "var": cmd_var,
     "varswap": cmd_varswap,
+    "xva": cmd_xva,
+    "report": cmd_report,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,
     "serve": cmd_serve,
