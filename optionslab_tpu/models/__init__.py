@@ -54,6 +54,7 @@ from .rbergomi import (
     rbergomi_greeks,
     rbergomi_price,
     rbergomi_smile_iv,
+    xi_curve_from_variance_swaps,
 )
 from .levy import (
     NIGParams,
@@ -199,6 +200,7 @@ __all__ = [
     "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
     "nig_mc_price",
     "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
+    "xi_curve_from_variance_swaps",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..utils.exceptions import ValidationError
 
 __all__ = ["RBergomiParams", "rbergomi_price", "rbergomi_greeks",
-           "rbergomi_smile_iv", "rbergomi_variance_grid"]
+           "rbergomi_smile_iv", "rbergomi_variance_grid",
+           "xi_curve_from_variance_swaps"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,7 +111,12 @@ def _terminal_spots(spot, rate, dividend, xi0, eta, rho, *, hurst: float,
                     maturity: float, key, n_paths: int, n_steps: int):
     """Terminal spots S_T, differentiable in (spot, rate, dividend, xi0,
     eta, rho).  hurst/maturity stay static (they shape the host-side
-    Cholesky factor)."""
+    Cholesky factor).
+
+    ``xi0`` is either a scalar (flat forward variance) or an
+    (n_steps,)-vector of the forward-variance curve at the LEFT grid
+    times [0, t_1, ..., t_{n-1}] — the points the left-point spot
+    integral samples."""
     n = n_steps
     lmat = jnp.asarray(_volterra_chol(n, hurst, float(maturity)))
     t_grid = jnp.linspace(maturity / n, maturity, n).astype(jnp.float32)
@@ -127,12 +133,15 @@ def _terminal_spots(spot, rate, dividend, xi0, eta, rho, *, hurst: float,
     w_lvl = vw[:, n:]
     dw = jnp.diff(w_lvl, axis=1, prepend=jnp.zeros((n_paths, 1), jnp.float32))
 
-    v = xi0 * jnp.exp(eta * v_tilde
-                      - 0.5 * eta**2 * t_grid[None, :] ** (2 * hurst))
-    # left-point variance: v at t_0 = xi0, then the grid values shifted
-    v_left = jnp.concatenate(
-        [jnp.broadcast_to(jnp.asarray(xi0, jnp.float32), (n_paths, 1)),
-         v[:, :-1]], axis=1)
+    # lognormal factor at the grid, shifted to left points (1 at t=0);
+    # xi0(t_left) multiplies it so v_left[i] = xi0(t_{i-1}) e^{eta V~ - ...}
+    expf = jnp.exp(eta * v_tilde
+                   - 0.5 * eta**2 * t_grid[None, :] ** (2 * hurst))
+    expf_left = jnp.concatenate(
+        [jnp.ones((n_paths, 1), jnp.float32), expf[:, :-1]], axis=1)
+    xi_left = jnp.broadcast_to(
+        jnp.asarray(xi0, jnp.float32).reshape(-1), (n,))
+    v_left = xi_left[None, :] * expf_left
     sq_v = jnp.sqrt(v_left)
 
     zp = jax.random.normal(k2, (half, n), jnp.float32)
@@ -149,9 +158,11 @@ def _terminal_spots(spot, rate, dividend, xi0, eta, rho, *, hurst: float,
                                     "n_steps", "return_iv"))
 def _rbergomi_core(spot, strikes, maturity, rate, dividend, cp,
                    params: RBergomiParams, key, n_paths: int, n_steps: int,
-                   return_iv: bool = False):
+                   return_iv: bool = False, xi_left=None):
+    xi = (jnp.float32(params.xi0) if xi_left is None
+          else jnp.asarray(xi_left, jnp.float32))
     st = _terminal_spots(spot, rate, dividend,
-                         jnp.float32(params.xi0), jnp.float32(params.eta),
+                         xi, jnp.float32(params.eta),
                          jnp.float32(params.rho), hurst=params.hurst,
                          maturity=maturity, key=key, n_paths=n_paths,
                          n_steps=n_steps)
@@ -164,20 +175,71 @@ def _rbergomi_core(spot, strikes, maturity, rate, dividend, cp,
 
 def rbergomi_price(spot, strikes, maturity, rate, params: RBergomiParams,
                    key, dividend=0.0, option_type="call",
-                   n_paths: int = 100_000, n_steps: int = 256):
+                   n_paths: int = 100_000, n_steps: int = 256,
+                   xi_curve=None):
     """European prices under rBergomi (exact variance path law).
 
     Returns (prices, stderr) over the strike array — all strikes share one
-    path set (common random numbers)."""
+    path set (common random numbers).
+
+    ``xi_curve``: optional forward-variance TERM STRUCTURE — a callable
+    t -> xi0(t) (evaluated host-side on the left grid times) or an
+    (n_steps,)-array at [0, t_1, ..., t_{n-1}].  Overrides the flat
+    ``params.xi0``; build one from market variance-swap strikes with
+    :func:`xi_curve_from_variance_swaps`.  At eta -> 0 the price reduces
+    EXACTLY to Black-Scholes with sigma^2 = (1/T) int_0^T xi0(s) ds."""
     params.validate()
     if n_paths % 2:
         raise ValidationError("n_paths must be even (antithetic)")
     strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
     cp_scalar = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
     cp = jnp.full(strikes.shape, cp_scalar, jnp.float32)
+    xi_left = None
+    if xi_curve is not None:
+        t_left = np.linspace(0.0, float(maturity), n_steps, endpoint=False)
+        xi_left = (np.asarray([float(xi_curve(t)) for t in t_left], np.float32)
+                   if callable(xi_curve)
+                   else np.asarray(xi_curve, np.float32))
+        if xi_left.shape != (n_steps,):
+            raise ValidationError(
+                f"xi_curve array must have shape ({n_steps},), got {xi_left.shape}")
+        if np.any(xi_left <= 0):
+            raise ValidationError("xi_curve must be positive")
     return _rbergomi_core(jnp.float32(spot), strikes, float(maturity),
                           jnp.float32(rate), jnp.float32(dividend), cp,
-                          params, key, n_paths, n_steps)
+                          params, key, n_paths, n_steps, xi_left=xi_left)
+
+
+def xi_curve_from_variance_swaps(maturities, variance_strikes):
+    """Forward-variance curve xi0(t) from market variance-swap strikes.
+
+    Model-free identity: K_var(T) * T = int_0^T xi0(s) ds, so piecewise-
+    constant forward variance between quoted maturities is
+
+        xi0(t) = d(K_var T)/dT = (K_{i} T_i - K_{i-1} T_{i-1}) / (T_i - T_{i-1})
+
+    Returns a callable t -> xi0(t) (flat extrapolation beyond the ends).
+    Feeds :func:`rbergomi_price`'s ``xi_curve`` — by construction the
+    model reprices every input variance swap exactly (E[v_t] = xi0(t)).
+    """
+    t = np.asarray(maturities, np.float64)
+    k = np.asarray(variance_strikes, np.float64)
+    if t.ndim != 1 or t.shape != k.shape or len(t) == 0:
+        raise ValidationError("need matching 1-D maturities/strikes")
+    if np.any(np.diff(t) <= 0) or t[0] <= 0:
+        raise ValidationError("maturities must be positive and increasing")
+    tot = k * t                      # cumulative total variance
+    fwd = np.diff(tot, prepend=0.0) / np.diff(t, prepend=0.0)
+    if np.any(fwd <= 0):
+        raise ValidationError(
+            "variance-swap term structure implies non-positive forward "
+            "variance (calendar arbitrage in the quotes)")
+
+    def xi(tq):
+        idx = np.searchsorted(t, np.asarray(tq, np.float64), side="left")
+        return fwd[np.minimum(idx, len(fwd) - 1)]
+
+    return xi
 
 
 def rbergomi_smile_iv(k_log_moneyness, maturity, params: RBergomiParams, key,

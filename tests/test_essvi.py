@@ -163,3 +163,30 @@ class TestChainFacade:
         assert "essvi_arbitrage_free" in res.report
         d = res.to_dict()
         assert len(d["essvi"]["rho"]) == len(res.expiries)
+
+
+class TestESSVIDupireDropIn:
+    @pytest.mark.slow
+    def test_essvi_surface_feeds_dupire_and_reprices(self):
+        """essvi_surface_iv_fn is a drop-in DupireLocalVol input: the LV
+        PDE repriced vanilla matches the eSSVI slice's own BS price."""
+        from optionslab_tpu.models.black_scholes import bs_price
+        from optionslab_tpu.models.local_vol import DupireLocalVol
+
+        expiries, ks, ws = _make_term_structure_chain(seed=2, noise=0.0)
+        p, _ = calibrate_essvi(ks, ws, n_steps=1200)
+        iv_fn = essvi_surface_iv_fn(p, expiries)
+        dup = DupireLocalVol(iv_fn, spot=100.0, rate=0.02,
+                             k_range=(-0.5, 0.5), t_range=(0.02, 1.5),
+                             n_k=101, n_t=50)
+        # local variance is finite and positive on the quoted region
+        lv = np.asarray(dup.local_variance(
+            jnp.linspace(-0.3, 0.3, 21), jnp.full(21, 0.7)))
+        assert np.all(np.isfinite(lv)) and np.all(lv > 0)
+        # reprice an ATM-forward vanilla at the third expiry
+        t = float(expiries[2])
+        fwd = 100.0 * np.exp(0.02 * t)
+        iv_slice = float(iv_fn(0.0, t))
+        want = float(bs_price(100.0, fwd, t, 0.02, iv_slice, 1.0, 0.0))
+        got = float(dup.price(100.0, fwd, t))
+        assert abs(got - want) < max(0.015 * want, 0.02), (got, want)

@@ -162,3 +162,90 @@ class TestGreeks:
         for name, v in fd.items():
             tol = max(0.02 * abs(v), 0.05)
             assert abs(g[name] - v) < tol, (name, g[name], v)
+
+
+class TestForwardVarianceCurve:
+    """xi0(t) term structure: exact BS limit at eta -> 0 with the
+    time-averaged variance, flat-curve equivalence, variance-swap
+    bootstrap identities."""
+
+    def test_flat_curve_equals_flat_params(self):
+        p = RBergomiParams(hurst=0.12, eta=1.5, rho=-0.7, xi0=0.05)
+        k = jax.random.PRNGKey(3)
+        a, _ = rbergomi_price(100.0, np.array([100.0]), 1.0, 0.05, p, k,
+                              n_paths=50_000, n_steps=64)
+        b, _ = rbergomi_price(100.0, np.array([100.0]), 1.0, 0.05, p, k,
+                              n_paths=50_000, n_steps=64,
+                              xi_curve=lambda t: 0.05)
+        assert abs(float(a[0]) - float(b[0])) < 1e-5
+
+    def test_eta_zero_curve_is_bs_at_average_variance(self):
+        # xi0(t) = 0.02 + 0.04 t: int_0^1 xi0 = 0.04 => sigma_eff = 0.2
+        p = RBergomiParams(hurst=0.1, eta=1e-6, rho=-0.5, xi0=0.99)
+        pr, se = rbergomi_price(100.0, np.array([90.0, 100.0, 110.0]), 1.0,
+                                0.05, p, jax.random.PRNGKey(4),
+                                n_paths=100_000, n_steps=128,
+                                xi_curve=lambda t: 0.02 + 0.04 * t)
+        # left-point sampling of an increasing curve underestimates the
+        # integral by ~ 0.04*dt/2; fold that into the tolerance
+        bsv = np.asarray(bs_price(100.0, np.array([90.0, 100.0, 110.0]),
+                                  1.0, 0.05, 0.2, 1.0))
+        assert np.all(np.abs(np.asarray(pr) - bsv)
+                      < 3 * np.asarray(se) + 0.03)
+
+    def test_variance_swap_bootstrap(self):
+        from optionslab_tpu.models import xi_curve_from_variance_swaps
+
+        # quotes generated from a known piecewise forward variance
+        t = np.array([0.25, 0.5, 1.0, 2.0])
+        fwd_true = np.array([0.03, 0.045, 0.05, 0.06])
+        tot = np.cumsum(fwd_true * np.diff(t, prepend=0.0))
+        xi = xi_curve_from_variance_swaps(t, tot / t)
+        # recovered forward variance is exact inside each bucket
+        for tq, want in [(0.1, 0.03), (0.25, 0.03), (0.3, 0.045),
+                         (0.7, 0.05), (1.5, 0.06), (5.0, 0.06)]:
+            assert abs(float(xi(tq)) - want) < 1e-12, (tq, float(xi(tq)))
+
+    def test_variance_swap_reprice_through_mc(self):
+        # E[(1/T) int v dt] under the curve == the input strike
+        from optionslab_tpu.models import xi_curve_from_variance_swaps
+        from optionslab_tpu.models.rbergomi import (_terminal_spots,
+                                                    _volterra_chol)
+
+        t = np.array([0.5, 1.0])
+        k_var = np.array([0.04, 0.0475])   # fwd: 0.04 then 0.055
+        xi = xi_curve_from_variance_swaps(t, k_var)
+        n = 64
+        tq = np.linspace(0.0, 1.0, n, endpoint=False)
+        xi_left = np.asarray(xi(tq), np.float32)
+        # E[v_left(t)] = xi(t) martingale => mean total variance = K T
+        p = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=1.0)
+        L = jnp.asarray(_volterra_chol(n, p.hurst, 1.0))
+        z = jax.random.normal(jax.random.PRNGKey(9), (100_000, 2 * n),
+                              jnp.float32)
+        z = jnp.concatenate([z, -z], axis=0)
+        vt = (z @ L.T)[:, :n]
+        tg = jnp.linspace(1.0 / n, 1.0, n)
+        expf = jnp.exp(p.eta * vt - 0.5 * p.eta**2
+                       * tg[None, :] ** (2 * p.hurst))
+        expf_left = jnp.concatenate(
+            [jnp.ones((expf.shape[0], 1), jnp.float32), expf[:, :-1]], 1)
+        v_left = xi_left[None, :] * expf_left
+        realized = float(jnp.mean(jnp.mean(v_left, axis=1)))
+        assert abs(realized - k_var[1]) < 0.0015
+
+    def test_bad_curves_raise(self):
+        from optionslab_tpu.models import xi_curve_from_variance_swaps
+
+        p = RBergomiParams()
+        with pytest.raises(ValidationError):
+            rbergomi_price(100.0, 100.0, 1.0, 0.05, p, jax.random.PRNGKey(0),
+                           n_paths=1000, n_steps=16,
+                           xi_curve=np.full(8, 0.04))      # wrong length
+        with pytest.raises(ValidationError):
+            rbergomi_price(100.0, 100.0, 1.0, 0.05, p, jax.random.PRNGKey(0),
+                           n_paths=1000, n_steps=16,
+                           xi_curve=lambda t: -0.01)        # negative
+        with pytest.raises(ValidationError):
+            # decreasing K_var T  => negative forward variance
+            xi_curve_from_variance_swaps([0.5, 1.0], [0.08, 0.03])
