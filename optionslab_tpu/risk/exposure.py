@@ -101,15 +101,23 @@ def exposure_profile(book, *, horizon: float | None = None,
                      collateral_threshold: float | None = None,
                      mpor: float = 0.0, spot: float | None = None,
                      rate: float | None = None, vol: float | None = None,
-                     dividend: float = 0.0) -> ExposureResult:
+                     dividend: float = 0.0,
+                     corr=None) -> ExposureResult:
     """EE/EPE/PFE/ENE profile of a netting set on simulated GBM paths.
 
     ``book``: an :class:`~.portfolio.OptionsPortfolio` or list of
     :class:`~.portfolio.Position` (``option_type`` may also be
     ``"forward"``).  Risk-factor dynamics: risk-neutral GBM with
-    ``vol`` (default: the book's first position vol) — the measure under
+    ``vol`` (default: each position's own vol) — the measure under
     which EE* is the price of the exposure option, which is what CVA
     discounting needs.
+
+    Multi-underlying netting sets: positions with distinct
+    ``Position.underlying`` labels get their OWN correlated GBM factor
+    (spot/vol from that underlying's first position; override the
+    correlation with ``corr``, an (m, m) matrix in the order underlyings
+    first appear — default identity).  Cross-underlying netting is where
+    real CVA relief lives.
 
     ``collateral_threshold``: received-collateral threshold H; the
     counterparty posts (V - H)^+ observed ``mpor`` YEARS earlier (margin
@@ -122,13 +130,35 @@ def exposure_profile(book, *, horizon: float | None = None,
     if not 0.0 < quantile < 1.0:
         raise ValidationError(f"quantile must be in (0,1): {quantile}")
     p0 = pos[0]
-    spot = float(p0.spot if spot is None else spot)
     rate = float(p0.rate if rate is None else rate)
-    vol = float(p0.vol if vol is None else vol)
     horizon = float(horizon if horizon is not None
                     else max(p.maturity for p in pos))
     if horizon <= 0:
         raise ValidationError("horizon must be positive")
+
+    # one risk factor per distinct underlying, in first-appearance order
+    unds: list[str] = []
+    for p in pos:
+        if p.underlying not in unds:
+            unds.append(p.underlying)
+    m = len(unds)
+    u_idx = {u: i for i, u in enumerate(unds)}
+    first = {p.underlying: p for p in reversed(pos)}
+    spots = np.array([float(spot if spot is not None and m == 1
+                            else first[u].spot) for u in unds], np.float32)
+    vols = np.array([float(vol if vol is not None and m == 1
+                           else first[u].vol) for u in unds], np.float32)
+    if corr is None:
+        chol = np.eye(m, dtype=np.float32)
+    else:
+        c = np.asarray(corr, np.float64)
+        if c.shape != (m, m):
+            raise ValidationError(f"corr must be ({m}, {m}) for underlyings "
+                                  f"{unds}, got {c.shape}")
+        try:
+            chol = np.linalg.cholesky(c).astype(np.float32)
+        except np.linalg.LinAlgError as e:
+            raise ValidationError("corr must be positive definite") from e
 
     dates = jnp.linspace(horizon / n_dates, horizon, n_dates,
                          dtype=jnp.float32)
@@ -136,19 +166,24 @@ def exposure_profile(book, *, horizon: float | None = None,
 
     @jax.jit
     def run(key):
-        z = jax.random.normal(key, (n_paths, n_dates), jnp.float32)
+        z = jax.random.normal(key, (n_paths, n_dates, m), jnp.float32)
+        z = jnp.einsum("pdm,km->pdk", z, jnp.asarray(chol))
         dt = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.float32), dates]))
-        w = jnp.cumsum(z * jnp.sqrt(dt)[None, :], axis=1)
-        s = spot * jnp.exp((rate - dividend - 0.5 * vol * vol) * dates[None, :]
-                           + vol * w)
+        w = jnp.cumsum(z * jnp.sqrt(dt)[None, :, None], axis=1)
+        vg = jnp.asarray(vols)[None, None, :]
+        s_all = (jnp.asarray(spots)[None, None, :]
+                 * jnp.exp((rate - dividend - 0.5 * vg * vg)
+                           * dates[None, :, None] + vg * w))
         t_grid = dates[None, :]
         if netting:
-            v = jnp.zeros_like(s)
+            v = jnp.zeros((n_paths, n_dates), jnp.float32)
             for p in pos:
-                v = v + _value_grid(s, t_grid, p, rate, dividend)
+                v = v + _value_grid(s_all[:, :, u_idx[p.underlying]],
+                                    t_grid, p, rate, dividend)
             vs = [v]
         else:
-            vs = [_value_grid(s, t_grid, p, rate, dividend) for p in pos]
+            vs = [_value_grid(s_all[:, :, u_idx[p.underlying]], t_grid, p,
+                              rate, dividend) for p in pos]
 
         def exposed(v):
             if collateral_threshold is not None:

@@ -138,3 +138,50 @@ class TestFacade:
             exposure_profile([])
         with pytest.raises(ValidationError):
             exposure_profile([_call()], quantile=1.5)
+
+
+class TestMultiUnderlying:
+    def _pair(self, corr):
+        a = Position(quantity=1.0, spot=S, strike=K, maturity=T, rate=R,
+                     vol=SIG, option_type="call", underlying="A")
+        b = Position(quantity=-1.0, spot=S, strike=K, maturity=T, rate=R,
+                     vol=SIG, option_type="call", underlying="B")
+        return exposure_profile([a, b], n_dates=8, n_paths=32768, seed=11,
+                                corr=corr)
+
+    def test_perfect_correlation_nets_away(self):
+        prof = self._pair([[1.0, 0.999999], [0.999999, 1.0]])
+        assert prof.epe < 0.05
+
+    def test_independent_underlyings_leave_exposure(self):
+        prof = self._pair([[1.0, 0.0], [0.0, 1.0]])
+        assert prof.epe > 1.0
+        # and default corr (identity) matches explicit identity
+        prof_default = self._pair(None)
+        np.testing.assert_allclose(prof.ee, prof_default.ee, rtol=1e-6)
+
+    def test_exposure_decreases_with_correlation(self):
+        epes = [self._pair([[1.0, c], [c, 1.0]]).epe
+                for c in (0.0, 0.5, 0.9)]
+        assert epes[0] > epes[1] > epes[2]
+
+    def test_bad_corr_shapes_raise(self):
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            self._pair([[1.0]])
+        with pytest.raises(ValidationError):
+            self._pair([[1.0, 2.0], [2.0, 1.0]])  # not PSD
+
+    def test_each_underlying_uses_its_own_spot_and_vol(self):
+        # deep-ITM call on a high-spot underlying dominates the netting set
+        hi = Position(quantity=1.0, spot=200.0, strike=100.0, maturity=1.0,
+                      rate=R, vol=0.1, option_type="call", underlying="HI")
+        lo = Position(quantity=1.0, spot=50.0, strike=100.0, maturity=1.0,
+                      rate=R, vol=0.1, option_type="call", underlying="LO")
+        prof = exposure_profile([hi, lo], n_dates=6, n_paths=16384, seed=12)
+        from optionslab_tpu.models.black_scholes import bs_price
+
+        v0 = (float(bs_price(200.0, 100.0, 1.0, R, 0.1, 1.0, 0.0))
+              + float(bs_price(50.0, 100.0, 1.0, R, 0.1, 1.0, 0.0)))
+        np.testing.assert_allclose(prof.ee_discounted, v0, rtol=0.03)
