@@ -1,5 +1,6 @@
 from .expected_shortfall import ExpectedShortfall
-from .exposure import ExposureResult, cva_dva, exposure_profile, xva_report
+from .exposure import (ExposureResult, cva_allocation, cva_dva,
+                       exposure_profile, xva_report)
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
 from .stress import StressScenario, StressTester
@@ -36,5 +37,6 @@ __all__ = [
     "ExposureResult",
     "exposure_profile",
     "cva_dva",
+    "cva_allocation",
     "xva_report",
 ]

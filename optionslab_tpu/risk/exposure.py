@@ -43,7 +43,8 @@ from ..models.black_scholes import bs_price
 from ..utils.exceptions import ValidationError
 from .portfolio import OptionsPortfolio, Position
 
-__all__ = ["ExposureResult", "exposure_profile", "cva_dva", "xva_report"]
+__all__ = ["ExposureResult", "exposure_profile", "cva_dva",
+           "cva_allocation", "xva_report"]
 
 
 @dataclasses.dataclass
@@ -95,6 +96,54 @@ def _value_grid(s_grid, t_grid, pos: Position, rate, dividend):
     return pos.quantity * jnp.where(alive, v, 0.0)
 
 
+def _book_setup(pos, spot, rate, vol, corr, horizon):
+    """Shared netting-set setup: one risk factor per distinct underlying
+    (first-appearance order), spot/vol per factor, correlation Cholesky."""
+    p0 = pos[0]
+    rate = float(p0.rate if rate is None else rate)
+    horizon = float(horizon if horizon is not None
+                    else max(p.maturity for p in pos))
+    if horizon <= 0:
+        raise ValidationError("horizon must be positive")
+    unds: list[str] = []
+    for p in pos:
+        if p.underlying not in unds:
+            unds.append(p.underlying)
+    m = len(unds)
+    u_idx = {u: i for i, u in enumerate(unds)}
+    first = {p.underlying: p for p in reversed(pos)}
+    spots = np.array([float(spot if spot is not None and m == 1
+                            else first[u].spot) for u in unds], np.float32)
+    vols = np.array([float(vol if vol is not None and m == 1
+                           else first[u].vol) for u in unds], np.float32)
+    if corr is None:
+        chol = np.eye(m, dtype=np.float32)
+    else:
+        c = np.asarray(corr, np.float64)
+        if c.shape != (m, m):
+            raise ValidationError(f"corr must be ({m}, {m}) for underlyings "
+                                  f"{unds}, got {c.shape}")
+        try:
+            chol = np.linalg.cholesky(c).astype(np.float32)
+        except np.linalg.LinAlgError as e:
+            raise ValidationError("corr must be positive definite") from e
+    return rate, horizon, u_idx, spots, vols, chol
+
+
+def _sim_spots(key, n_paths, dates, spots, vols, chol, rate, dividend):
+    """(paths, dates, factors) exact GBM levels on the date grid."""
+    m = len(spots)
+    n_dates = dates.shape[0]
+    z = jax.random.normal(key, (n_paths, n_dates, m), jnp.float32)
+    z = jnp.einsum("pdm,km->pdk", z, jnp.asarray(chol))
+    dt = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.float32), dates]))
+    w = jnp.cumsum(z * jnp.sqrt(dt)[None, :, None], axis=1)
+    vg = jnp.asarray(vols)[None, None, :]
+    return (jnp.asarray(spots)[None, None, :]
+            * jnp.exp((rate - dividend - 0.5 * vg * vg)
+                      * dates[None, :, None] + vg * w))
+
+
 def exposure_profile(book, *, horizon: float | None = None,
                      n_dates: int = 24, n_paths: int = 65536, seed: int = 0,
                      quantile: float = 0.95, netting: bool = True,
@@ -129,36 +178,8 @@ def exposure_profile(book, *, horizon: float | None = None,
         raise ValidationError("exposure_profile needs a non-empty book")
     if not 0.0 < quantile < 1.0:
         raise ValidationError(f"quantile must be in (0,1): {quantile}")
-    p0 = pos[0]
-    rate = float(p0.rate if rate is None else rate)
-    horizon = float(horizon if horizon is not None
-                    else max(p.maturity for p in pos))
-    if horizon <= 0:
-        raise ValidationError("horizon must be positive")
-
-    # one risk factor per distinct underlying, in first-appearance order
-    unds: list[str] = []
-    for p in pos:
-        if p.underlying not in unds:
-            unds.append(p.underlying)
-    m = len(unds)
-    u_idx = {u: i for i, u in enumerate(unds)}
-    first = {p.underlying: p for p in reversed(pos)}
-    spots = np.array([float(spot if spot is not None and m == 1
-                            else first[u].spot) for u in unds], np.float32)
-    vols = np.array([float(vol if vol is not None and m == 1
-                           else first[u].vol) for u in unds], np.float32)
-    if corr is None:
-        chol = np.eye(m, dtype=np.float32)
-    else:
-        c = np.asarray(corr, np.float64)
-        if c.shape != (m, m):
-            raise ValidationError(f"corr must be ({m}, {m}) for underlyings "
-                                  f"{unds}, got {c.shape}")
-        try:
-            chol = np.linalg.cholesky(c).astype(np.float32)
-        except np.linalg.LinAlgError as e:
-            raise ValidationError("corr must be positive definite") from e
+    rate, horizon, u_idx, spots, vols, chol = _book_setup(
+        pos, spot, rate, vol, corr, horizon)
 
     dates = jnp.linspace(horizon / n_dates, horizon, n_dates,
                          dtype=jnp.float32)
@@ -166,14 +187,8 @@ def exposure_profile(book, *, horizon: float | None = None,
 
     @jax.jit
     def run(key):
-        z = jax.random.normal(key, (n_paths, n_dates, m), jnp.float32)
-        z = jnp.einsum("pdm,km->pdk", z, jnp.asarray(chol))
-        dt = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.float32), dates]))
-        w = jnp.cumsum(z * jnp.sqrt(dt)[None, :, None], axis=1)
-        vg = jnp.asarray(vols)[None, None, :]
-        s_all = (jnp.asarray(spots)[None, None, :]
-                 * jnp.exp((rate - dividend - 0.5 * vg * vg)
-                           * dates[None, :, None] + vg * w))
+        s_all = _sim_spots(key, n_paths, dates, spots, vols, chol, rate,
+                           dividend)
         t_grid = dates[None, :]
         if netting:
             v = jnp.zeros((n_paths, n_dates), jnp.float32)
@@ -237,6 +252,87 @@ def cva_dva(exposure: ExposureResult, hazard_rate: float,
                          own_recovery)
         out["bcva"] = out["cva"] - out["dva"]
     return out
+
+
+def cva_allocation(book, hazard_rate: float, recovery: float = 0.4, *,
+                   method: str = "euler", horizon: float | None = None,
+                   n_dates: int = 24, n_paths: int = 65536, seed: int = 0,
+                   spot: float | None = None, rate: float | None = None,
+                   vol: float | None = None, dividend: float = 0.0,
+                   corr=None) -> dict:
+    """Per-trade CVA attribution for an (uncollateralized) netting set.
+
+    ``method="euler"``: marginal allocation CVA_i built from the
+    per-trade exposure contributions E[df 1{V>0} V_i].  Because
+    (sum_i V_i)^+ = sum_i 1{V>0} V_i pathwise, Euler allocations sum to
+    the total CVA EXACTLY (positive homogeneity) — asserted by the
+    tests.  A negative allocation identifies a trade that HEDGES the
+    netting set (it earns CVA relief at the margin).
+
+    ``method="incremental"``: CVA(book) - CVA(book without trade i) on
+    common random numbers (same key), the "what if we tear it up" view.
+    Incremental allocations do NOT generally sum to the total.
+
+    Returns {"total_cva", "allocations": [per trade], "method"}.
+    """
+    pos = _positions(book)
+    if not pos:
+        raise ValidationError("cva_allocation needs a non-empty book")
+    if method not in ("euler", "incremental"):
+        raise ValidationError(f"method must be euler|incremental: {method!r}")
+    rate_, horizon_, u_idx, spots, vols, chol = _book_setup(
+        pos, spot, rate, vol, corr, horizon)
+    dates = jnp.linspace(horizon_ / n_dates, horizon_, n_dates,
+                         dtype=jnp.float32)
+
+    @jax.jit
+    def contribs(key):
+        s_all = _sim_spots(key, n_paths, dates, spots, vols, chol, rate_,
+                           dividend)
+        t_grid = dates[None, :]
+        v_each = [_value_grid(s_all[:, :, u_idx[p.underlying]], t_grid, p,
+                              rate_, dividend) for p in pos]
+        v = sum(v_each)
+        ind = (v > 0.0).astype(jnp.float32)
+        df = jnp.exp(-rate_ * dates)[None, :]
+        return [jnp.mean(df * ind * vi, axis=0) for vi in v_each]
+
+    t = np.concatenate([[0.0], np.asarray(dates)])
+    sp = np.exp(-hazard_rate * t)
+    dpd = sp[:-1] - sp[1:]
+
+    def leg(profile):
+        prof = np.concatenate([[profile[0]], profile])
+        return float((1.0 - recovery)
+                     * np.sum(0.5 * (prof[:-1] + prof[1:]) * dpd))
+
+    key = jax.random.PRNGKey(seed)
+    per_trade = [np.asarray(c) for c in contribs(key)]
+    total = leg(np.sum(per_trade, axis=0))
+    if method == "euler":
+        alloc = [leg(c) for c in per_trade]
+    else:
+        kw = dict(horizon=horizon_, n_dates=n_dates, n_paths=n_paths,
+                  seed=seed, rate=rate_, dividend=dividend)
+        alloc = []
+        for i in range(len(pos)):
+            rest = pos[:i] + pos[i + 1:]
+            if rest:
+                # note: corr ordering only survives if removing trade i
+                # keeps the same underlying set; restrict to that case
+                sub_unds = {p.underlying for p in rest}
+                if corr is not None and len(sub_unds) != len(spots):
+                    raise ValidationError(
+                        "incremental allocation with corr requires every "
+                        "underlying to appear in >= 2 trades")
+                prof = exposure_profile(rest, corr=corr, **kw)
+                cva_rest = cva_dva(prof, hazard_rate, recovery)["cva"]
+            else:
+                cva_rest = 0.0
+            alloc.append(total - cva_rest)
+    return {"total_cva": total, "allocations": alloc, "method": method,
+            "trades": [f"{p.quantity:+g} {p.option_type} K={p.strike:g} "
+                       f"T={p.maturity:g} ({p.underlying})" for p in pos]}
 
 
 def xva_report(book, *, hazard_rate: float = 0.02, recovery: float = 0.4,

@@ -185,3 +185,63 @@ class TestMultiUnderlying:
         v0 = (float(bs_price(200.0, 100.0, 1.0, R, 0.1, 1.0, 0.0))
               + float(bs_price(50.0, 100.0, 1.0, R, 0.1, 1.0, 0.0)))
         np.testing.assert_allclose(prof.ee_discounted, v0, rtol=0.03)
+
+
+class TestCVAAllocation:
+    def _book(self):
+        a = _call(qty=2.0)
+        b = Position(quantity=-1.0, spot=S, strike=110.0, maturity=0.8,
+                     rate=R, vol=SIG, option_type="call")
+        c = Position(quantity=1.0, spot=S, strike=90.0, maturity=0.5,
+                     rate=R, vol=SIG, option_type="put")
+        return [a, b, c]
+
+    def test_euler_allocations_sum_exactly(self):
+        from optionslab_tpu.risk import cva_allocation
+
+        out = cva_allocation(self._book(), 0.02, method="euler",
+                             n_dates=10, n_paths=16384, seed=1)
+        assert abs(sum(out["allocations"]) - out["total_cva"]) < 1e-8
+        assert out["total_cva"] > 0
+
+    def test_euler_total_matches_profile_cva(self):
+        from optionslab_tpu.risk import cva_allocation
+
+        book = self._book()
+        out = cva_allocation(book, 0.02, method="euler", n_dates=10,
+                             n_paths=16384, seed=1)
+        prof = exposure_profile(book, n_dates=10, n_paths=16384, seed=1)
+        ref = cva_dva(prof, 0.02)["cva"]
+        assert out["total_cva"] == pytest.approx(ref, rel=1e-5)
+
+    def test_hedge_trade_gets_negative_allocation(self):
+        from optionslab_tpu.risk import cva_allocation
+
+        # short call partially hedges the long call -> negative marginal CVA
+        book = [_call(qty=1.0), _call(qty=-0.5)]
+        out = cva_allocation(book, 0.02, method="euler", n_dates=8,
+                             n_paths=16384, seed=2)
+        assert out["allocations"][0] > 0 > out["allocations"][1]
+
+    def test_incremental_view(self):
+        from optionslab_tpu.risk import cva_allocation
+
+        book = [_call(qty=1.0), _call(qty=-0.5)]
+        out = cva_allocation(book, 0.02, method="incremental", n_dates=8,
+                             n_paths=16384, seed=2)
+        # tearing up the hedge RAISES CVA -> its incremental value is < 0
+        assert out["allocations"][1] < 0
+        # single-trade incremental == its standalone CVA == the total of
+        # the remaining book complement identity
+        solo = cva_allocation([_call()], 0.02, method="incremental",
+                              n_dates=8, n_paths=16384, seed=3)
+        assert solo["allocations"][0] == pytest.approx(solo["total_cva"])
+
+    def test_validation(self):
+        from optionslab_tpu.risk import cva_allocation
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            cva_allocation([], 0.02)
+        with pytest.raises(ValidationError):
+            cva_allocation([_call()], 0.02, method="nope")
