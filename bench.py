@@ -17,25 +17,40 @@ import jax.numpy as jnp
 
 
 def main():
+    # If the TPU tunnel is unreachable, fall back to CPU rather than crash:
+    # an honest (clearly labeled) CPU line beats a missing bench record.
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        print(f"# TPU backend unavailable ({e}); falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+
     from optionslab_tpu.ops.gbm_pallas import pallas_mc_price_greeks, pallas_paths_per_launch
     from optionslab_tpu.types import ContractBatch
 
-    on_tpu = jax.default_backend() == "tpu"
-    # throughput case: single contract, large path count amortizes dispatch
-    n_paths = 1_000_000_000 if on_tpu else 1_000_000
+    on_tpu = backend == "tpu"
+    # hardware PRNG on chip; counter-hash off-TPU (the interpreter stubs
+    # the pltpu PRNG with zeros, which would corrupt the price check)
+    smp = "prng" if on_tpu else "hash"
+    # throughput case: single contract, large path count amortizes dispatch.
+    # The CPU fallback runs the kernel under the (slow) TPU interpreter —
+    # keep it small; the record is a degraded-mode marker, not a perf claim.
+    n_paths = 1_000_000_000 if on_tpu else 131_072
     batch = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "call")
 
     # warmup / compile
-    out = jax.block_until_ready(pallas_mc_price_greeks(batch, n_paths=n_paths, seed=0))
+    out = jax.block_until_ready(pallas_mc_price_greeks(batch, n_paths=n_paths, seed=0, sampler=smp))
     price = float(out["price"])
     stderr = float(out["std_error"])
     exact = 10.450583572185565
     ok = abs(price - exact) < max(5.0 * stderr, 5e-3 * exact)
 
-    iters = 10
+    iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for i in range(iters):
-        res = pallas_mc_price_greeks(batch, n_paths=n_paths, seed=100 + i)
+        res = pallas_mc_price_greeks(batch, n_paths=n_paths, seed=100 + i, sampler=smp)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / iters
     actual = pallas_paths_per_launch(batch, n_paths)
@@ -45,10 +60,10 @@ def main():
     # apples-to-apples (price vs price) rate against the CPU baseline
     from optionslab_tpu.ops.gbm_pallas import pallas_mc_price_only
 
-    jax.block_until_ready(pallas_mc_price_only(batch, n_paths=n_paths, seed=0))
+    jax.block_until_ready(pallas_mc_price_only(batch, n_paths=n_paths, seed=0, sampler=smp))
     t0 = time.perf_counter()
-    for i in range(iters):
-        res_po = pallas_mc_price_only(batch, n_paths=n_paths, seed=100 + i)
+    for i in range(iters):  # noqa: B007 — timed loop
+        res_po = pallas_mc_price_only(batch, n_paths=n_paths, seed=100 + i, sampler=smp)
     jax.block_until_ready(res_po)
     dt_po = (time.perf_counter() - t0) / iters
     price_only_paths_per_sec = actual / dt_po
@@ -66,19 +81,27 @@ def main():
     roofline_frac = transc_per_sec * 6.0 / vpu_ops_per_sec  # midpoint cost 6
 
     # secondary: 1k-contract book, 1M paths each, full Greeks — latency
-    spots = jnp.linspace(50.0, 150.0, 1024)
+    n_book = 1024 if on_tpu else 64
+    spots = jnp.linspace(50.0, 150.0, n_book)
     book = ContractBatch.make(spots, 100.0, 1.0, 0.05, 0.2, "call")
-    book_paths = 1_000_000 if on_tpu else 100_000
-    jax.block_until_ready(pallas_mc_price_greeks(book, n_paths=book_paths, seed=0))
+    book_paths = 1_000_000 if on_tpu else 8_192
+    book_iters = 5 if on_tpu else 1
+    jax.block_until_ready(pallas_mc_price_greeks(book, n_paths=book_paths, seed=0, sampler=smp))
     t0 = time.perf_counter()
-    for i in range(5):
-        res = pallas_mc_price_greeks(book, n_paths=book_paths, seed=200 + i)
+    for i in range(book_iters):
+        res = pallas_mc_price_greeks(book, n_paths=book_paths, seed=200 + i, sampler=smp)
     jax.block_until_ready(res)
-    book_ms = (time.perf_counter() - t0) / 5 * 1e3
+    book_ms = (time.perf_counter() - t0) / book_iters * 1e3
 
-    # secondary: exotic + Heston kernels and the QMC sampler (quick passes)
+    # secondary: exotic + Heston kernels and the QMC sampler (quick passes).
+    # TPU-only: these use chip-scale path counts that would take hours on
+    # the interpret-mode CPU fallback.
     extras = {}
+    if not on_tpu:
+        extras["secondary_skipped"] = "CPU fallback (TPU tunnel unavailable)"
     try:
+        if not on_tpu:
+            raise StopIteration  # skip extras, keep the headline honest
         from optionslab_tpu.ops.exotic_pallas import pallas_exotic_price
 
         p, _, n_e = pallas_exotic_price("asian_arith", 100.0, 100.0, 1.0, 0.05, 0.2,
@@ -275,6 +298,8 @@ def main():
         exact_b = bs_price(spots_q, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
         extras["qmc_book8_2m_max_abs_err"] = round(
             float(jnp.max(jnp.abs(qb["price"] - exact_b))), 8)
+    except StopIteration:
+        pass
     except Exception as e:  # pragma: no cover - secondary metrics best-effort
         extras["secondary_error"] = f"{type(e).__name__}: {e}"
 
@@ -310,7 +335,8 @@ def main():
                               "(BASELINE.md: 100k paths in ~3.0 ms, NumPy); "
                               "vs_baseline divides the literal price-only "
                               "kernel rate by it"),
-            "book_1024x%dk_full_greeks_ms" % (book_paths // 1000): round(book_ms, 2),
+            "book_%dx%dk_full_greeks_ms" % (n_book, max(book_paths // 1000, 1)):
+                round(book_ms, 2),
             **extras,
         },
     }
