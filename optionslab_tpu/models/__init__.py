@@ -49,6 +49,11 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .dividends import (
+    dividend_parity_gap,
+    fdm_price_discrete_dividends,
+    mc_price_discrete_dividends,
+)
 from .rbergomi import (
     RBergomiParams,
     rbergomi_greeks,
@@ -201,6 +206,8 @@ __all__ = [
     "nig_mc_price",
     "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
     "xi_curve_from_variance_swaps",
+    "fdm_price_discrete_dividends", "mc_price_discrete_dividends",
+    "dividend_parity_gap",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",
