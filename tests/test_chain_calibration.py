@@ -228,3 +228,40 @@ class TestCLI:
         assert out["written"] == out_png
         import os
         assert os.path.getsize(out_png) > 10_000
+
+
+class TestHTMLReport:
+    @pytest.fixture(autouse=True)
+    def _needs_matplotlib(self):
+        pytest.importorskip("matplotlib")
+
+    @pytest.mark.slow
+    def test_build_report_end_to_end(self, chain, tmp_path):
+        from optionslab_tpu.utils.report import build_report
+
+        out = tmp_path / "report.html"
+        summary = build_report(chain, out_path=str(out), n_expiry_bins=4,
+                               n_steps=300, essvi=True,
+                               include_boundary=True, include_xva=True)
+        text = out.read_text()
+        # self-contained: inline PNGs, every section rendered
+        assert text.count("data:image/png;base64,") >= 3
+        for section in ("Smile calibration", "Surface", "no-arbitrage",
+                        "exercise boundary", "Risk", "CVA"):
+            assert section in text, section
+        assert set(summary["sections"]) == {"smiles", "surface", "arbitrage",
+                                            "boundary", "risk", "xva"}
+        assert summary["arbitrage_free"] in (True, False)
+        assert out.stat().st_size > 100_000  # real figures inside
+
+    def test_build_report_minimal(self, chain, tmp_path):
+        from optionslab_tpu.utils.report import build_report
+
+        out = tmp_path / "mini.html"
+        summary = build_report(chain, out_path=str(out), n_expiry_bins=4,
+                               n_steps=200, essvi=False,
+                               include_boundary=False, include_xva=False)
+        assert summary["sections"] == ["smiles", "surface", "arbitrage",
+                                       "risk"]
+        assert summary["essvi_rmse_vol"] is None
+        assert out.stat().st_size > 30_000
