@@ -191,7 +191,8 @@ def _mc_div_core(spot, strike, maturity, rate, vol, div_t, div_a, key,
     # simulate in f32, REDUCE in f64: the parity identity C - P =
     # S0 - PV(divs) - K df then holds to ~1e-4 instead of f32-mean noise
     pay = jnp.maximum(cp * (s - strike), 0.0)
-    pay = pay.astype(jnp.promote_types(pay.dtype, jnp.float64))  # no-op at x32
+    # reduce at the widest enabled precision (f64 under x64, else f32)
+    pay = pay.astype(jnp.result_type(float))
     disc = jnp.exp(-rate.astype(pay.dtype) * maturity)
     return disc * jnp.mean(pay), disc * jnp.std(pay) / jnp.sqrt(1.0 * n_paths)
 
