@@ -235,6 +235,16 @@ def _exotic_kernel_greeks(args) -> dict:
 
 def cmd_american(args) -> dict:
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    if args.model == "maxcall":
+        from .models.multi_asset_american import max_call_bracket
+
+        spots = [float(x) for x in str(args.spots).split(",")]
+        vols = [float(x) for x in str(args.vols).split(",")]
+        out = max_call_bracket(
+            spots, args.strike, args.maturity, args.rate, vols,
+            dividend=args.dividend, n_dates=min(args.n_dates, 50),
+            n_fit=50_000, n_lower=100_000, n_outer=1024, n_inner=256)
+        return {k: float(v) for k, v in out.items()}
     if args.model == "lv":
         from .models import local_vol_american_bracket
         from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
@@ -589,7 +599,13 @@ def build_parser() -> argparse.ArgumentParser:
     # --model heston/lv: certified bracket under stochastic/local vol
     # (PDE-surface dual, puts only; lv uses the sample smile at --vol
     # ATM); n-dates above 50 is clamped to the PDE-friendly 25
-    pa.add_argument("--model", choices=["bs", "heston", "lv"], default="bs")
+    pa.add_argument("--model", choices=["bs", "heston", "lv", "maxcall"],
+                    default="bs")
+    # --model maxcall: certified Bermudan max-call bracket on d assets
+    # (--dividend comes from the common contract args; the Broadie-
+    # Glasserman benchmark uses --dividend 0.10 --maturity 3 --n-dates 9)
+    pa.add_argument("--spots", default="100,100")
+    pa.add_argument("--vols", default="0.2,0.2")
     pa.add_argument("--v0", type=float, default=0.04)
     pa.add_argument("--kappa", type=float, default=2.0)
     pa.add_argument("--theta", type=float, default=0.04)

@@ -49,6 +49,12 @@ from .fdm import (
     explicit_fdm_stable_steps,
     fdm_price,
 )
+from .multi_asset_american import (
+    fit_max_call_lsm,
+    max_call_bracket,
+    max_call_lower,
+    max_call_upper,
+)
 from .dividends import (
     dividend_parity_gap,
     fdm_price_discrete_dividends,
@@ -208,6 +214,8 @@ __all__ = [
     "xi_curve_from_variance_swaps",
     "fdm_price_discrete_dividends", "mc_price_discrete_dividends",
     "dividend_parity_gap",
+    "max_call_bracket", "max_call_lower", "max_call_upper",
+    "fit_max_call_lsm",
     "variance_swap_strike_replication", "variance_swap_strike_from_iv",
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",
