@@ -243,8 +243,10 @@ def cmd_american(args) -> dict:
         out = max_call_bracket(
             spots, args.strike, args.maturity, args.rate, vols,
             dividend=args.dividend, n_dates=min(args.n_dates, 50),
+            kind="min_put" if cp < 0 else "max_call",
             n_fit=50_000, n_lower=100_000, n_outer=1024, n_inner=256)
-        return {k: float(v) for k, v in out.items()}
+        return {k: (float(v) if not isinstance(v, str) else v)
+                for k, v in out.items()}
     if args.model == "lv":
         from .models import local_vol_american_bracket
         from .models.local_vol import DupireLocalVol, sample_smile_iv_fn

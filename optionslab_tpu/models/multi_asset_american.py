@@ -53,14 +53,23 @@ N_FEAT = 8
 N_SFEAT = 12
 
 
-def _order_stats(s):
-    """Top-2 sorted prices along the last (asset) axis: (y1, y2).
-    For d=1, y2 = y1 (keeps the basis well-defined; the ridge handles
-    the collinearity)."""
+def _order_stats(s, kind: str = "max_call"):
+    """The two payoff-relevant order statistics along the asset axis:
+    (top-2 for the max-call, bottom-2 for the min-put).  For d=1 both
+    stats coincide (the ridge handles the collinearity)."""
     y = jnp.sort(s, axis=-1)
-    y1 = y[..., -1]
-    y2 = y[..., -2] if s.shape[-1] > 1 else y[..., -1]
+    if kind == "min_put":
+        y1 = y[..., 0]
+        y2 = y[..., 1] if s.shape[-1] > 1 else y[..., 0]
+    else:
+        y1 = y[..., -1]
+        y2 = y[..., -2] if s.shape[-1] > 1 else y[..., -1]
     return y1, y2
+
+
+def _payoff(y1, strike, kind: str):
+    return (jnp.maximum(strike - y1, 0.0) if kind == "min_put"
+            else jnp.maximum(y1 - strike, 0.0))
 
 
 def _features(y1, y2, ex):
@@ -117,7 +126,7 @@ def _setup(spots, vols, corr, d):
 
 def fit_max_call_lsm(spots, strike, maturity, rate, vols, key,
                      dividend: float = 0.0, corr=None, n_dates: int = 9,
-                     n_paths: int = 100_000):
+                     n_paths: int = 100_000, kind: str = "max_call"):
     """Backward LSM on order-statistic features (f64 host solves).
 
     Returns (policy_coefs, surface_coefs): (n_dates+1, F) each — the
@@ -131,14 +140,21 @@ def fit_max_call_lsm(spots, strike, maturity, rate, vols, key,
     k_ = float(strike)
     dt = float(maturity) / n_dates
     disc = math.exp(-float(rate) * dt)
-    y1 = np.max(s, axis=-1)
-    y2 = (np.sort(s, axis=-1)[..., -2] if d > 1 else y1)
-    cash = np.maximum(y1[-1] - k_, 0.0)
+    ys = np.sort(s, axis=-1)
+    if kind == "min_put":
+        y1 = ys[..., 0]
+        y2 = ys[..., 1] if d > 1 else y1
+        cash = np.maximum(k_ - y1[-1], 0.0)
+    else:
+        y1 = ys[..., -1]
+        y2 = ys[..., -2] if d > 1 else y1
+        cash = np.maximum(y1[-1] - k_, 0.0)
     coefs = np.zeros((n_dates + 1, N_FEAT))
     scoefs = np.zeros((n_dates + 1, N_SFEAT))
     for t in range(n_dates - 1, 0, -1):
         cash *= disc
-        ex = np.maximum(y1[t] - k_, 0.0)
+        ex = (np.maximum(k_ - y1[t], 0.0) if kind == "min_put"
+              else np.maximum(y1[t] - k_, 0.0))
         sb = np.asarray(_sfeatures(jnp.asarray(y1[t] / k_),
                                    jnp.asarray(y2[t] / k_),
                                    jnp.asarray(ex / k_)))
@@ -158,37 +174,39 @@ def fit_max_call_lsm(spots, strike, maturity, rate, vols, key,
     return jnp.asarray(coefs, jnp.float32), jnp.asarray(scoefs, jnp.float32)
 
 
-def _exercise_now(coefs, t, s, strike, n_dates):
-    y1, y2 = _order_stats(s)
-    ex = jnp.maximum(y1 - strike, 0.0)
+def _exercise_now(coefs, t, s, strike, n_dates, kind):
+    y1, y2 = _order_stats(s, kind)
+    ex = _payoff(y1, strike, kind)
     phi = _features(y1 / strike, y2 / strike, ex / strike)
     cont = (phi @ coefs[t]) * strike
     last = t >= n_dates
     return ex, (ex > 0.0) & (last | (ex > cont))
 
 
-def _surface_value(scoefs, t, s, strike, n_dates, vmax):
-    """Ṽ_t = max(payoff, clipped continuation fit); zero continuation at
-    the last date. ``vmax`` bounds the polynomial wings (a call's value
-    is <= max_i S_i — use the path-set's global max as a loose cap)."""
-    y1, y2 = _order_stats(s)
-    ex = jnp.maximum(y1 - strike, 0.0)
+def _surface_value(scoefs, t, s, strike, n_dates, vmax, kind):
+    """V~_t = max(payoff, clipped continuation fit); zero continuation at
+    the last date. ``vmax`` bounds the polynomial wings (min-put: K;
+    max-call: a deterministic 8-sigma envelope of the terminal max)."""
+    y1, y2 = _order_stats(s, kind)
+    ex = _payoff(y1, strike, kind)
     phi = _sfeatures(y1 / strike, y2 / strike, ex / strike)
     cont = jnp.clip((phi @ scoefs[t]) * strike, 0.0, vmax)
     cont = jnp.where(t >= n_dates, 0.0, cont)
     return jnp.maximum(ex, cont)
 
 
-@functools.partial(jax.jit, static_argnames=("n_dates", "n_paths", "d"))
+@functools.partial(jax.jit, static_argnames=("n_dates", "n_paths", "d",
+                                             "kind"))
 def _lower_pipeline(coefs, key, spots, vols, chol, strike, maturity, rate,
-                    dividend, n_dates, n_paths, d):
+                    dividend, n_dates, n_paths, d, kind):
     s_paths = _simulate_dates(key, spots, vols, chol, rate, dividend,
                               maturity, n_dates, n_paths, d)
     dt = maturity / n_dates
 
     def body(carry, t):
         alive, cash = carry
-        ex, take = _exercise_now(coefs, t, s_paths[t], strike, n_dates)
+        ex, take = _exercise_now(coefs, t, s_paths[t], strike, n_dates,
+                                 kind)
         pay_now = alive & take
         cash = jnp.where(pay_now, jnp.exp(-rate * dt * t) * ex, cash)
         return (alive & ~take, cash), None
@@ -202,20 +220,20 @@ def _lower_pipeline(coefs, key, spots, vols, chol, strike, maturity, rate,
 
 def max_call_lower(coefs, key, spots, strike, maturity, rate, vols,
                    dividend: float = 0.0, corr=None, n_dates: int = 9,
-                   n_paths: int = 200_000):
+                   n_paths: int = 200_000, kind: str = "max_call"):
     """Out-of-sample policy value: (lower bound, stderr)."""
     d = len(np.atleast_1d(spots))
     spots_j, vols_j, chol = _setup(spots, vols, corr, d)
     m, se = _lower_pipeline(coefs, key, spots_j, vols_j, chol,
                             float(strike), float(maturity), float(rate),
-                            float(dividend), n_dates, n_paths, d)
+                            float(dividend), n_dates, n_paths, d, kind)
     return float(m), float(se)
 
 
 @functools.partial(jax.jit, static_argnames=("n_dates", "n_outer", "n_inner",
-                                             "d"))
+                                             "d", "kind"))
 def _upper_pipeline(scoefs, key, spots, vols, chol, strike, maturity, rate,
-                    dividend, n_dates, n_outer, n_inner, d):
+                    dividend, n_dates, n_outer, n_inner, d, kind):
     dt = maturity / n_dates
     drift = (rate - dividend - 0.5 * vols * vols) * dt
     sig_sdt = vols * jnp.sqrt(dt)
@@ -226,14 +244,17 @@ def _upper_pipeline(scoefs, key, spots, vols, chol, strike, maturity, rate,
     # polynomial-wing cap for the value surface: a DETERMINISTIC constant
     # (it must not peek at the paths, or the dual martingale property
     # breaks) — generous 8-sigma envelope of the terminal max
-    vmax = (jnp.max(spots) * jnp.exp((jnp.abs(rate - dividend)
-                                      + 8.0 * jnp.max(vols)
-                                      / jnp.sqrt(maturity)) * maturity))
+    if kind == "min_put":
+        vmax = strike  # a put on the min is worth at most K
+    else:
+        vmax = (jnp.max(spots) * jnp.exp((jnp.abs(rate - dividend)
+                                          + 8.0 * jnp.max(vols)
+                                          / jnp.sqrt(maturity)) * maturity))
 
     def dual_body(carry, t):
         m_prev, best = carry
         vk = jnp.exp(-rate * dt * t) * _surface_value(
-            scoefs, t, s_out[t], strike, n_dates, vmax)
+            scoefs, t, s_out[t], strike, n_dates, vmax, kind)
         # antithetic one-date inner transitions from X_{t-1}
         z = jax.random.normal(jax.random.fold_in(k_dual, t),
                               (n_outer, half, d), jnp.float32)
@@ -244,16 +265,16 @@ def _upper_pipeline(scoefs, key, spots, vols, chol, strike, maturity, rate,
                                 s_prev * jnp.exp(2.0 * drift[None, None, :]
                                                  - step)], axis=1)
         # note: the antithetic mate uses drift - sig*z (same law)
-        v_in = _surface_value(scoefs, t, s_in, strike, n_dates, vmax)
+        v_in = _surface_value(scoefs, t, s_in, strike, n_dates, vmax, kind)
         t2 = jnp.exp(-rate * dt * t) * v_in.mean(axis=1)
         m_t = m_prev + vk - t2
-        y1, _ = _order_stats(s_out[t])
-        cand = jnp.exp(-rate * dt * t) * jnp.maximum(y1 - strike, 0.0) - m_t
+        y1, _ = _order_stats(s_out[t], kind)
+        cand = jnp.exp(-rate * dt * t) * _payoff(y1, strike, kind) - m_t
         best = jnp.maximum(best, cand)
         return (m_t, best), None
 
-    y1_0, _ = _order_stats(s_out[0])
-    ex0 = jnp.maximum(y1_0 - strike, 0.0)
+    y1_0, _ = _order_stats(s_out[0], kind)
+    ex0 = _payoff(y1_0, strike, kind)
     (m_n, best), _ = lax.scan(dual_body,
                               (jnp.zeros(n_outer, jnp.float32), ex0),
                               jnp.arange(1, n_dates + 1))
@@ -262,13 +283,15 @@ def _upper_pipeline(scoefs, key, spots, vols, chol, strike, maturity, rate,
 
 def max_call_upper(scoefs, key, spots, strike, maturity, rate, vols,
                    dividend: float = 0.0, corr=None, n_dates: int = 9,
-                   n_outer: int = 2048, n_inner: int = 512):
+                   n_outer: int = 2048, n_inner: int = 512,
+                   kind: str = "max_call"):
     """Value-surface dual upper bound: (upper, stderr)."""
     d = len(np.atleast_1d(spots))
     spots_j, vols_j, chol = _setup(spots, vols, corr, d)
     m, se = _upper_pipeline(scoefs, key, spots_j, vols_j, chol,
                             float(strike), float(maturity), float(rate),
-                            float(dividend), n_dates, n_outer, n_inner, d)
+                            float(dividend), n_dates, n_outer, n_inner, d,
+                            kind)
     return float(m), float(se)
 
 
@@ -276,7 +299,7 @@ def max_call_bracket(spots, strike, maturity, rate, vols,
                      dividend: float = 0.0, corr=None, n_dates: int = 9,
                      n_fit: int = 100_000, n_lower: int = 200_000,
                      n_outer: int = 2048, n_inner: int = 512,
-                     seed: int = 0) -> dict:
+                     seed: int = 0, kind: str = "max_call") -> dict:
     """Certified Bermudan max-call bracket on d correlated assets.
 
     Returns {lower, lower_se, upper, upper_se, width, n_dates}: the
@@ -287,14 +310,18 @@ def max_call_bracket(spots, strike, maturity, rate, vols,
     """
     if float(maturity) <= 0:
         raise ValidationError("maturity must be positive")
+    if kind not in ("max_call", "min_put"):
+        raise ValidationError(f"kind must be max_call|min_put: {kind!r}")
     key = jax.random.PRNGKey(seed)
     kf, kl, ku = jax.random.split(key, 3)
     coefs, scoefs = fit_max_call_lsm(spots, strike, maturity, rate, vols,
-                                     kf, dividend, corr, n_dates, n_fit)
+                                     kf, dividend, corr, n_dates, n_fit,
+                                     kind=kind)
     lo, lo_se = max_call_lower(coefs, kl, spots, strike, maturity, rate,
-                               vols, dividend, corr, n_dates, n_lower)
+                               vols, dividend, corr, n_dates, n_lower,
+                               kind=kind)
     up, up_se = max_call_upper(scoefs, ku, spots, strike, maturity, rate,
                                vols, dividend, corr, n_dates, n_outer,
-                               n_inner)
+                               n_inner, kind=kind)
     return {"lower": lo, "lower_se": lo_se, "upper": up, "upper_se": up_se,
-            "width": up - lo, "n_dates": n_dates}
+            "width": up - lo, "n_dates": n_dates, "kind": kind}

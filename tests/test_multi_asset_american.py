@@ -85,3 +85,50 @@ class TestValidation:
         with pytest.raises(ValidationError):
             max_call_bracket([100.0, 100.0], 100.0, maturity=1.0, rate=0.05,
                              vols=[0.2, 0.2], corr=[[1.0]])
+
+
+class TestMinPut:
+    def test_d1_min_put_overlaps_the_certified_gbm_bermudan(self):
+        """Cross-machinery oracle: the d=1 'min-put' IS the standard
+        Bermudan put — its bracket must overlap the independent
+        grid-engine certificate on the same date grid."""
+        from optionslab_tpu.models import american_price_interval
+        from optionslab_tpu.models.multi_asset_american import \
+            max_call_bracket
+
+        b = max_call_bracket([100.0], 100.0, maturity=1.0, rate=0.05,
+                             vols=[0.2], dividend=0.0, n_dates=9,
+                             kind="min_put", n_fit=50_000, n_lower=100_000,
+                             n_outer=1024, n_inner=256, seed=5)
+        ref = american_price_interval(100.0, 100.0, 1.0, 0.05, 0.2, cp=-1.0,
+                                      n_dates=9, method="grid", n_grid=512,
+                                      n_lower=50_000, n_outer=50_000)
+        lo = max(b["lower"] - 3 * b["lower_se"], ref["lower"] - 3 * ref["lower_se"])
+        hi = min(b["upper"] + 3 * b["upper_se"], ref["upper"] + 3 * ref["upper_se"])
+        assert lo <= hi, (b, ref)
+        assert b["width"] < 0.05
+
+    def test_min_put_worth_more_than_single_puts(self):
+        from optionslab_tpu.models.multi_asset_american import \
+            max_call_bracket
+
+        two = max_call_bracket([100.0, 100.0], 100.0, maturity=1.0,
+                               rate=0.05, vols=[0.2, 0.2], dividend=0.0,
+                               n_dates=9, kind="min_put", n_fit=30_000,
+                               n_lower=50_000, n_outer=512, n_inner=128,
+                               seed=6)
+        one = max_call_bracket([100.0], 100.0, maturity=1.0, rate=0.05,
+                               vols=[0.2], dividend=0.0, n_dates=9,
+                               kind="min_put", n_fit=30_000,
+                               n_lower=50_000, n_outer=512, n_inner=128,
+                               seed=6)
+        # min of two assets is stochastically smaller -> dearer put
+        assert two["lower"] > one["upper"] + 1.0
+
+    def test_unknown_kind_raises(self):
+        from optionslab_tpu.models.multi_asset_american import \
+            max_call_bracket
+
+        with pytest.raises(ValidationError):
+            max_call_bracket([100.0], 100.0, maturity=1.0, rate=0.05,
+                             vols=[0.2], kind="nope")
