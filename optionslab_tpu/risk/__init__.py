@@ -1,6 +1,6 @@
 from .expected_shortfall import ExpectedShortfall
 from .exposure import (ExposureResult, cva_allocation, cva_dva,
-                       exposure_profile, xva_report)
+                       cva_greeks, exposure_profile, xva_report)
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
 from .stress import StressScenario, StressTester
@@ -38,5 +38,6 @@ __all__ = [
     "exposure_profile",
     "cva_dva",
     "cva_allocation",
+    "cva_greeks",
     "xva_report",
 ]

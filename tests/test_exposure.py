@@ -245,3 +245,50 @@ class TestCVAAllocation:
             cva_allocation([], 0.02)
         with pytest.raises(ValidationError):
             cva_allocation([_call()], 0.02, method="nope")
+
+
+class TestCVAGreeks:
+    def test_long_call_cva_greeks_match_scaled_bs(self):
+        """EE*(t) = V0 for a long option, so CVA = (1-R) V0 (1-e^{-lam T})
+        and every market sensitivity is the BS Greek times that scale."""
+        from optionslab_tpu.models.black_scholes import bs_greeks
+        from optionslab_tpu.risk import cva_greeks
+
+        lam, rec = 0.03, 0.4
+        g = cva_greeks([_call()], lam, rec, n_dates=16, n_paths=131072,
+                       seed=0)
+        scale = (1.0 - rec) * (1.0 - np.exp(-lam * T))
+        bs = bs_greeks(S, K, T, R, SIG, 1.0, 0.0)
+        v0 = float(bs_price(S, K, T, R, SIG, 1.0, 0.0))
+        assert g["cva"] == pytest.approx(scale * v0, rel=0.02)
+        assert g["cva_delta"]["UND"] == pytest.approx(
+            scale * float(bs["delta"]), rel=0.03)
+        assert g["cva_vega"]["UND"] == pytest.approx(
+            scale * float(bs["vega"]), rel=0.05)
+        # dCVA/dlambda = (1-R) V0 T e^{-lam T}
+        assert g["cva_hazard_sens"] == pytest.approx(
+            0.6 * v0 * T * np.exp(-lam * T), rel=0.03)
+
+    def test_cva_rho_via_crn_fd(self):
+        from optionslab_tpu.risk import cva_greeks
+
+        g = cva_greeks([_call()], 0.03, n_dates=12, n_paths=32768, seed=1)
+        h = 1e-3
+        up = cva_greeks([_call()], 0.03, n_dates=12, n_paths=32768, seed=1,
+                        rate=R + h)["cva"]
+        dn = cva_greeks([_call()], 0.03, n_dates=12, n_paths=32768, seed=1,
+                        rate=R - h)["cva"]
+        assert g["cva_rho"] == pytest.approx((up - dn) / (2 * h), abs=0.05)
+
+    def test_hedged_book_has_reduced_cva_delta(self):
+        from optionslab_tpu.risk import cva_greeks
+
+        g_naked = cva_greeks([_call()], 0.02, n_dates=8, n_paths=16384,
+                             seed=2)
+        # a short forward hedges the delta but keeps CVA positive
+        fwd = Position(quantity=-0.6, spot=S, strike=S * np.exp(R * T),
+                       maturity=T, rate=R, vol=SIG, option_type="forward")
+        g_hedged = cva_greeks([_call(), fwd], 0.02, n_dates=8,
+                              n_paths=16384, seed=2)
+        assert abs(g_hedged["cva_delta"]["UND"]) < abs(
+            g_naked["cva_delta"]["UND"])
