@@ -10,6 +10,7 @@ import pytest
     "examples/quickstart.py",
     "examples/risk_workflow.py",
     "examples/heston_workflow.py",
+    "examples/xva_workflow.py",
 ])
 @pytest.mark.slow
 def test_example_runs(script, capsys):
