@@ -116,8 +116,16 @@ class TestEndToEndCalibration:
         from optionslab_tpu.data.loader import OptionChainDataset
 
         res = calibrate_chain(OptionChainDataset(used), n_expiry_bins=6,
-                              from_prices=True, n_steps=400)
+                              from_prices=True, n_steps=400, essvi=True)
         return res, held, used
+
+    def test_essvi_beats_ssvi_on_the_vendor_chain(self, calibrated):
+        """Per-expiry rho/psi must fit the real-format chain at least as
+        well as the global power law, and stay arbitrage-free."""
+        res, _, _ = calibrated
+        assert res.essvi is not None
+        assert res.essvi_rmse_vol <= res.ssvi_rmse_vol + 1e-4
+        assert res.report["essvi_arbitrage_free"], res.report
 
     def test_ssvi_fit_quality_and_arbitrage(self, calibrated):
         res, _, _ = calibrated
