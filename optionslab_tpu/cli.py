@@ -193,6 +193,24 @@ def cmd_exotic(args) -> dict:
         LookbackOption,
     )
 
+    if args.kind in ("one-touch", "no-touch"):
+        # digital barrier at kernel speed; direction inferred from the
+        # barrier's side of the spot
+        import jax
+
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        side = "up" if args.barrier >= args.spot else "down"
+        kname = f"{args.kind.replace('-', '_')}_{side}"
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        p, se, n = pallas_exotic_price(
+            kname, args.spot, args.strike, args.maturity, args.rate,
+            args.vol, barrier=args.barrier, n_paths=args.n_paths,
+            n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+            sampler=sampler)
+        return {"kind": kname, "price": float(p), "std_error": float(se),
+                "paths": int(n), "pays": "unit cash at expiry"}
+
     common = (args.spot, args.strike, args.maturity, args.rate, args.vol)
     if args.kind == "asian":
         opt = AsianOption(*common, option_type=args.option_type, n_paths=args.n_paths)
@@ -580,7 +598,8 @@ def build_parser() -> argparse.ArgumentParser:
     _common_contract_args(pe)
     pe.add_argument("--kind", default="asian",
                     choices=["asian", "barrier", "lookback", "american",
-                             "autocallable", "cliquet"])
+                             "autocallable", "cliquet", "one-touch",
+                             "no-touch"])
     pe.add_argument("--barrier", type=float, default=120.0)
     pe.add_argument("--barrier-type", default="up-and-out")
     pe.add_argument("--n-paths", type=int, default=100_000)

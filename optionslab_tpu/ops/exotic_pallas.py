@@ -110,6 +110,9 @@ PAYOFF_KINDS = (
     "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in", "cliquet", "autocall",
+    # digital barriers: unit cash at EXPIRY if the barrier was hit
+    # (one-touch) / never hit (no-touch) on the monitoring grid
+    "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
     # internal: arithmetic-Asian payoff MINUS its geometric control
     # variate (exact closed-form mean added back host-side)
     "asian_arith_cv",
@@ -286,6 +289,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             loss = jnp.maximum(1.0 - s_t / s0, 0.0)
             final = param_ref[_P_E] * (1.0 - ki * loss)
             return pv + alive * df_t * final  # already discounted in-kernel
+        if "touch" in kind:
+            # unit cash at expiry on the hit / no-hit event (host-side df)
+            return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 

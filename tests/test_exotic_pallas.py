@@ -425,3 +425,89 @@ class TestGeometricControlVariate:
         with pytest.raises(ValidationError):
             pallas_exotic_lr_greeks("asian_arith_cv", S, K, T, R, SIG,
                                     n_paths=1)
+
+
+class TestTouchKinds:
+    """Digital barriers (one-touch / no-touch, cash at expiry).
+
+    Oracles: the EXACT complement identity one + no = df on the same
+    seed; the reflection-principle closed form with the
+    Broadie-Glasserman-Kou discrete-monitoring correction; boundary
+    cases (barrier at spot / unreachable); LR delta vs CRN-FD."""
+
+    @staticmethod
+    def _touch_cf(spot, barrier, maturity, rate, vol, up=True):
+        """Continuous-monitoring P(hit) * df (cash at expiry)."""
+        from scipy.stats import norm
+
+        b = np.log(barrier / spot)
+        mu = rate - 0.5 * vol * vol
+        sq = vol * np.sqrt(maturity)
+        if up:
+            p = (norm.cdf((-b + mu * maturity) / sq)
+                 + np.exp(2.0 * mu * b / vol**2)
+                 * norm.cdf((-b - mu * maturity) / sq))
+        else:
+            p = (norm.cdf((b - mu * maturity) / sq)
+                 + np.exp(2.0 * mu * b / vol**2)
+                 * norm.cdf((b + mu * maturity) / sq))
+        return np.exp(-rate * maturity) * p
+
+    def test_complement_identity_exact(self):
+        for kind_up, kind_no, barrier in [("one_touch_up", "no_touch_up", 115.0),
+                                          ("one_touch_down", "no_touch_down", 90.0)]:
+            p1, _, _ = pallas_exotic_price(kind_up, S, K, T, R, SIG,
+                                           barrier=barrier, n_paths=1,
+                                           n_steps=N_STEPS, sampler="hash")
+            p0, _, _ = pallas_exotic_price(kind_no, S, K, T, R, SIG,
+                                           barrier=barrier, n_paths=1,
+                                           n_steps=N_STEPS, sampler="hash")
+            df = np.exp(-R * T)
+            assert abs(float(p1) + float(p0) - df) < 1e-6
+
+    @pytest.mark.parametrize("up,barrier", [(True, 115.0), (False, 87.0)])
+    def test_closed_form_with_bgk_correction(self, up, barrier):
+        n_steps = 32
+        kind = "one_touch_up" if up else "one_touch_down"
+        p, se, _ = pallas_exotic_price(kind, S, K, T, R, SIG,
+                                       barrier=barrier, n_paths=1,
+                                       n_steps=n_steps, sampler="hash")
+        beta = 0.5826
+        shift = np.exp((beta if up else -beta) * SIG * np.sqrt(T / n_steps))
+        cf = self._touch_cf(S, barrier * shift, T, R, SIG, up)
+        assert abs(float(p) - cf) < 5 * float(se) + 0.012, (float(p), cf)
+
+    def test_boundary_cases(self):
+        # barrier at spot: hit at t=0 -> one-touch pays df with certainty
+        p, _, _ = pallas_exotic_price("one_touch_up", S, K, T, R, SIG,
+                                      barrier=S, n_paths=1, n_steps=4,
+                                      sampler="hash")
+        assert abs(float(p) - np.exp(-R * T)) < 1e-6
+        # unreachable barrier
+        p, _, _ = pallas_exotic_price("one_touch_up", S, K, T, R, SIG,
+                                      barrier=400.0, n_paths=1, n_steps=4,
+                                      sampler="hash")
+        assert float(p) < 1e-5
+
+    def test_monotone_in_barrier(self):
+        ps = [float(pallas_exotic_price("one_touch_up", S, K, T, R, SIG,
+                                        barrier=b, n_paths=1, n_steps=8,
+                                        sampler="hash")[0])
+              for b in (105.0, 115.0, 130.0)]
+        assert ps[0] > ps[1] > ps[2]
+
+    def test_lr_delta_matches_crn_fd(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+
+        kw = dict(barrier=115.0, n_paths=1, n_steps=8, seed=3,
+                  sampler="hash")
+        g = pallas_exotic_lr_greeks("one_touch_up", S, K, T, R, SIG, **kw)
+        h = 0.5
+        up, _, _ = pallas_exotic_price("one_touch_up", S + h, K, T, R, SIG,
+                                       **kw)
+        dn, _, _ = pallas_exotic_price("one_touch_up", S - h, K, T, R, SIG,
+                                       **kw)
+        fd = (float(up) - float(dn)) / (2 * h)
+        # CRN FD of the hit indicator is itself noisy at O(flip fraction);
+        # bound by the combined scale of both estimators at one block
+        assert abs(float(g["delta"]) - fd) < 5e-3, (float(g["delta"]), fd)
