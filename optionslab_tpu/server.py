@@ -151,6 +151,22 @@ def handle_exotic(body: dict) -> dict:
             n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
             seed=int(body.get("seed", 0)))
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
+    if kind in ("one-touch", "no-touch"):
+        import jax
+
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        barrier = float(body.get("barrier", 120.0))
+        side = "up" if barrier >= p["spot"] else "down"
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        pr, se, n = pallas_exotic_price(
+            f"{kind.replace('-', '_')}_{side}", *common,
+            barrier=barrier, n_paths=n_paths,
+            n_steps=int(body.get("n_steps", 64)),
+            seed=int(body.get("seed", 0)), sampler=sampler)
+        return {"kind": f"{kind.replace('-', '_')}_{side}",
+                "price": _to_jsonable(pr), "std_error": _to_jsonable(se),
+                "paths": int(n), "pays": "unit cash at expiry"}
     if kind == "asian" and body.get("control_variate"):
         import jax
 

@@ -270,3 +270,15 @@ class TestXVAEndpoint:
         _, coll = _post(server, "/xva",
                         {**base, "collateral_threshold": 0.0})
         assert coll["epe"] < 1e-5 < un["epe"]
+
+
+class TestTouchEndpoint:
+    def test_one_touch_complement_over_the_wire(self, server):
+        import numpy as np
+
+        base = {"spot": 100.0, "maturity": 1.0, "rate": 0.05, "vol": 0.2,
+                "barrier": 115.0, "n_paths": 1, "n_steps": 8}
+        _, one = _post(server, "/exotic", {**base, "kind": "one-touch"})
+        _, no = _post(server, "/exotic", {**base, "kind": "no-touch"})
+        assert abs(one["price"] + no["price"] - np.exp(-0.05)) < 1e-5
+        assert one["kind"] == "one_touch_up"
