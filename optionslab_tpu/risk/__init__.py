@@ -1,6 +1,7 @@
 from .expected_shortfall import ExpectedShortfall
 from .exposure import (ExposureResult, cva_allocation, cva_dva,
                        cva_greeks, exposure_profile, xva_report)
+from .exposure_heston import heston_exposure_profile
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
 from .stress import StressScenario, StressTester
@@ -40,4 +41,5 @@ __all__ = [
     "cva_allocation",
     "cva_greeks",
     "xva_report",
+    "heston_exposure_profile",
 ]

@@ -292,3 +292,83 @@ class TestCVAGreeks:
                               n_paths=16384, seed=2)
         assert abs(g_hedged["cva_delta"]["UND"]) < abs(
             g_naked["cva_delta"]["UND"])
+
+
+class TestHestonExposure:
+    """Stochastic-vol exposure: martingale oracle, GBM limit, netting."""
+
+    def _params(self, **kw):
+        from optionslab_tpu.models.heston import HestonParams
+
+        return HestonParams.make(**kw)
+
+    def test_long_call_martingale_under_heston(self):
+        from optionslab_tpu.models.heston import heston_price
+        from optionslab_tpu.risk.exposure_heston import \
+            heston_exposure_profile
+        from optionslab_tpu.types import ContractBatch
+
+        p = self._params()
+        prof = heston_exposure_profile([_call()], p, n_dates=12, n_sub=4,
+                                       n_paths=32768, seed=0)
+        v0 = float(heston_price(
+            ContractBatch.make(S, K, T, R, SIG, "call"), p))
+        np.testing.assert_allclose(prof.ee_discounted, v0, rtol=0.025)
+        assert float(np.max(prof.ene)) < 1e-5
+        assert np.all(prof.pfe >= prof.ee - 1e-6)
+
+    def test_sigma_v_zero_limit_matches_gbm_engine(self):
+        from optionslab_tpu.risk.exposure_heston import \
+            heston_exposure_profile
+
+        # v0 = theta, sigma_v ~ 0: variance pinned at 0.04 -> GBM sigma=0.2.
+        # rho=0 keeps the QE martingale-correction terms (k0, k1 carry
+        # rho/sigma) from blowing up into f32 cancellation at tiny sigma_v
+        p = self._params(v0=0.04, theta=0.04, sigma=1e-3, kappa=2.0,
+                         rho=0.0)
+        hp = heston_exposure_profile([_call()], p, n_dates=8, n_sub=4,
+                                     n_paths=32768, seed=1)
+        gp = exposure_profile([_call()], n_dates=8, n_paths=32768, seed=2)
+        np.testing.assert_allclose(hp.ee, gp.ee, rtol=0.03)
+        np.testing.assert_allclose(hp.pfe, gp.pfe, rtol=0.03)
+
+    def test_perfect_netting_and_gross(self):
+        from optionslab_tpu.risk.exposure_heston import \
+            heston_exposure_profile
+
+        p = self._params()
+        book = [_call(qty=1.0), _call(qty=-1.0)]
+        net = heston_exposure_profile(book, p, n_dates=6, n_paths=8192)
+        assert float(np.max(net.ee)) < 1e-4
+        gross = heston_exposure_profile(book, p, n_dates=6, n_paths=8192,
+                                        netting=False)
+        assert float(np.min(gross.ee)) > 1.0
+
+    def test_cva_closed_form_under_heston(self):
+        from optionslab_tpu.models.heston import heston_price
+        from optionslab_tpu.risk.exposure_heston import \
+            heston_exposure_profile
+        from optionslab_tpu.types import ContractBatch
+
+        p = self._params()
+        prof = heston_exposure_profile([_call()], p, n_dates=24, n_sub=2,
+                                       n_paths=32768, seed=3)
+        adj = cva_dva(prof, hazard_rate=0.03, recovery=0.4)
+        v0 = float(heston_price(
+            ContractBatch.make(S, K, T, R, SIG, "call"), p))
+        exact = 0.6 * v0 * (1.0 - np.exp(-0.03))
+        assert adj["cva"] == pytest.approx(exact, rel=0.05)
+
+    def test_validation(self):
+        from optionslab_tpu.risk.exposure_heston import \
+            heston_exposure_profile
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        p = self._params()
+        with pytest.raises(ValidationError):
+            heston_exposure_profile([], p)
+        with pytest.raises(ValidationError):
+            a = _call()
+            b = Position(1.0, 100.0, 100.0, 1.0, R, SIG, "call",
+                         underlying="OTHER")
+            heston_exposure_profile([a, b], p)
