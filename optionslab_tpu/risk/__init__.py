@@ -1,6 +1,6 @@
 from .expected_shortfall import ExpectedShortfall
 from .exposure import (ExposureResult, cva_allocation, cva_dva,
-                       cva_greeks, exposure_profile, xva_report)
+                       cva_greeks, cva_wwr, exposure_profile, xva_report)
 from .exposure_heston import heston_exposure_profile
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
@@ -40,6 +40,7 @@ __all__ = [
     "cva_dva",
     "cva_allocation",
     "cva_greeks",
+    "cva_wwr",
     "xva_report",
     "heston_exposure_profile",
 ]

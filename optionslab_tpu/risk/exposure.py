@@ -61,6 +61,20 @@ class ExposureResult:
     rate: float
     n_paths: int
 
+    @property
+    def effective_ee(self) -> np.ndarray:
+        """Basel effective EE: the running maximum of EE(t) (rolloff of
+        short-dated deals may not shrink regulatory exposure)."""
+        return np.maximum.accumulate(self.ee)
+
+    @property
+    def eepe(self) -> float:
+        """Effective EPE: time-average of effective EE over the first
+        year of the profile (or the whole profile if shorter)."""
+        m = self.dates <= 1.0 + 1e-9
+        eff = self.effective_ee
+        return float(np.mean(eff[m] if m.any() else eff))
+
     def to_dict(self) -> dict:
         return {
             "dates": [float(t) for t in self.dates],
@@ -70,6 +84,8 @@ class ExposureResult:
             "pfe": [float(x) for x in self.pfe],
             "quantile": self.quantile,
             "epe": self.epe,
+            "effective_ee": [float(x) for x in self.effective_ee],
+            "eepe": self.eepe,
             "max_pfe": self.max_pfe,
             "n_paths": self.n_paths,
         }
@@ -406,6 +422,65 @@ def cva_greeks(book, hazard_rate: float, recovery: float = 0.4, *,
         "cva_rho": float(grads[2]),
         "cva_hazard_sens": float(grads[3]),
     }
+
+
+def cva_wwr(book, hazard_rate: float, recovery: float = 0.4, *,
+            wwr_beta: float = 0.0, horizon: float | None = None,
+            n_dates: int = 24, n_paths: int = 65536, seed: int = 0,
+            spot: float | None = None, rate: float | None = None,
+            vol: float | None = None, dividend: float = 0.0,
+            corr=None) -> dict:
+    """CVA with WRONG-WAY RISK: the default intensity rides the equity
+    factor, lambda_t = lambda0 · (S_t/S_0)^{-beta} (equity sells off ->
+    credit deteriorates; Hull-White style intensity mapping).  Survival
+    becomes PATH-DEPENDENT, SP_t = exp(-sum lambda_s dt), and
+
+        CVA = (1-R) · E[ sum_j df_j E_j (SP_{j-1} - SP_j) ]
+
+    couples exposure and default pathwise — the cross-term a profile-
+    based CVA cannot see.  beta > 0 is wrong-way for long-call netting
+    sets (exposure high exactly when default is likely... no: exposure
+    high when S is HIGH while default likely when S is LOW — that is
+    RIGHT-way for calls; puts/short-forwards get the wrong-way sign).
+
+    ``beta=0`` reduces EXACTLY to the profile CVA on the same paths
+    (asserted by the tests).  The first underlying's factor drives the
+    intensity.  Returns {"cva", "cva_beta0", "wwr_ratio"}.
+    """
+    pos = _positions(book)
+    if not pos:
+        raise ValidationError("cva_wwr needs a non-empty book")
+    rate_, horizon_, u_idx, spots, vols, chol = _book_setup(
+        pos, spot, rate, vol, corr, horizon)
+    dates = jnp.linspace(horizon_ / n_dates, horizon_, n_dates,
+                         dtype=jnp.float32)
+    dt = horizon_ / n_dates
+
+    @jax.jit
+    def run(key, beta):
+        s_all = _sim_spots(key, n_paths, dates, spots, vols, chol, rate_,
+                           dividend)
+        t_grid = dates[None, :]
+        v = jnp.zeros((n_paths, n_dates), jnp.float32)
+        for p in pos:
+            v = v + _value_grid(s_all[:, :, u_idx[p.underlying]], t_grid,
+                                p, rate_, dividend)
+        e = jnp.maximum(v, 0.0)
+        lam = hazard_rate * (s_all[:, :, 0] / spots[0]) ** (-beta)
+        cum = jnp.cumsum(lam * dt, axis=1)
+        sp = jnp.exp(-cum)                        # SP at the date grid
+        sp_prev = jnp.concatenate(
+            [jnp.ones((n_paths, 1), jnp.float32), sp[:, :-1]], axis=1)
+        df = jnp.exp(-rate_ * dates)[None, :]
+        return (1.0 - recovery) * jnp.mean(
+            jnp.sum(df * e * (sp_prev - sp), axis=1))
+
+    key = jax.random.PRNGKey(seed)
+    cva_b = float(run(key, jnp.float32(wwr_beta)))
+    cva_0 = float(run(key, jnp.float32(0.0)))
+    return {"cva": cva_b, "cva_beta0": cva_0,
+            "wwr_ratio": cva_b / max(cva_0, 1e-12),
+            "wwr_beta": wwr_beta}
 
 
 def xva_report(book, *, hazard_rate: float = 0.02, recovery: float = 0.4,

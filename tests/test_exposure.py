@@ -372,3 +372,56 @@ class TestHestonExposure:
             b = Position(1.0, 100.0, 100.0, 1.0, R, SIG, "call",
                          underlying="OTHER")
             heston_exposure_profile([a, b], p)
+
+
+class TestWrongWayRisk:
+    def test_beta_zero_is_exactly_the_plain_estimator(self):
+        from optionslab_tpu.risk import cva_wwr
+
+        out = cva_wwr([_call()], 0.03, wwr_beta=0.0, n_dates=12,
+                      n_paths=16384, seed=0)
+        assert out["wwr_ratio"] == pytest.approx(1.0, abs=1e-6)
+        # and the beta=0 number sits near the profile-based CVA
+        prof = exposure_profile([_call()], n_dates=12, n_paths=16384,
+                                seed=0)
+        ref = cva_dva(prof, 0.03)["cva"]
+        assert out["cva_beta0"] == pytest.approx(ref, rel=0.05)
+
+    def test_put_book_is_wrong_way_call_book_is_right_way(self):
+        from optionslab_tpu.risk import cva_wwr
+
+        put = Position(quantity=1.0, spot=S, strike=K, maturity=T, rate=R,
+                       vol=SIG, option_type="put")
+        w_put = cva_wwr([put], 0.03, wwr_beta=3.0, n_dates=12,
+                        n_paths=32768, seed=1)
+        w_call = cva_wwr([_call()], 0.03, wwr_beta=3.0, n_dates=12,
+                         n_paths=32768, seed=1)
+        # put exposure peaks where S is low = where default intensity
+        # peaks -> CVA amplified; call exposure is anti-correlated
+        assert w_put["wwr_ratio"] > 1.1
+        assert w_call["wwr_ratio"] < 0.9
+
+    def test_wwr_monotone_in_beta(self):
+        from optionslab_tpu.risk import cva_wwr
+
+        put = Position(quantity=1.0, spot=S, strike=K, maturity=T, rate=R,
+                       vol=SIG, option_type="put")
+        ratios = [cva_wwr([put], 0.03, wwr_beta=b, n_dates=8,
+                          n_paths=16384, seed=2)["wwr_ratio"]
+                  for b in (0.0, 2.0, 5.0)]
+        assert ratios[0] < ratios[1] < ratios[2]
+
+
+class TestBaselMetrics:
+    def test_effective_ee_and_eepe(self):
+        # a short-dated deal rolls off: EE drops, effective EE must not
+        short = _call(maturity=0.4)
+        prof = exposure_profile([short], horizon=1.0, n_dates=10,
+                                n_paths=16384, seed=3)
+        eff = prof.effective_ee
+        assert np.all(np.diff(eff) >= -1e-9)
+        assert np.all(eff >= prof.ee - 1e-9)
+        assert eff[-1] == pytest.approx(prof.ee.max())
+        assert prof.eepe >= float(np.mean(prof.ee)) - 1e-9
+        d = prof.to_dict()
+        assert "eepe" in d and len(d["effective_ee"]) == 10
