@@ -7,6 +7,8 @@ from .sensitivity import SensitivityAnalysis
 from .stress import StressScenario, StressTester
 from .var import (
     VaRAnalyzer,
+    component_es,
+    component_var,
     delta_normal_var,
     historical_es,
     historical_var,
@@ -21,6 +23,8 @@ from .var import (
 __all__ = [
     "VaRAnalyzer",
     "historical_var",
+    "component_var",
+    "component_es",
     "historical_es",
     "parametric_var",
     "parametric_es",

@@ -183,3 +183,59 @@ class VaRAnalyzer:
 
     def stress_table(self, base_var, shifts):
         return {float(s): float(stressed_var(base_var, s)) for s in np.asarray(shifts)}
+
+
+# ---------------------------------------------------------------------------
+# Component (Euler) allocation
+# ---------------------------------------------------------------------------
+def component_var(pnl_components, confidence: float = 0.95,
+                  window: int = 0):
+    """Euler allocation of historical VaR to P&L components.
+
+    ``pnl_components``: (n_obs, n_components) — each column one desk /
+    position / factor; the portfolio P&L is the row sum.  Component VaR
+    of column i is −E[X_i | X_p in the VaR window]: the conditional tail
+    contribution, which SUMS TO THE TOTAL VaR estimate by construction
+    (Euler / positive homogeneity).  ``window``: number of tail
+    observations to average (0 = the single quantile observation; small
+    windows trade bias for variance like a Harrell–Davis estimator).
+
+    Beyond-reference: the reference computes portfolio VaR only; desks
+    need the decomposition to know WHO consumes the limit.
+    Returns dict(total_var, components (n,), pct (n,)).
+    """
+    _check_confidence(confidence)
+    x = jnp.asarray(pnl_components)
+    if x.ndim != 2:
+        raise ValidationError("pnl_components must be (n_obs, n_components)")
+    port = x.sum(axis=1)
+    n = port.shape[0]
+    k = max(int(np.floor((1.0 - confidence) * n)), 0)
+    order = jnp.argsort(port)
+    if window <= 0:
+        sel = order[k:k + 1]
+    else:
+        lo = max(k - window // 2, 0)
+        sel = jax.lax.dynamic_slice(order, (lo,), (min(window, n),))
+    comp = -jnp.mean(x[sel, :], axis=0)
+    total = comp.sum()
+    return {"total_var": total, "components": comp,
+            "pct": comp / jnp.where(total == 0.0, 1.0, total)}
+
+
+def component_es(pnl_components, confidence: float = 0.95):
+    """Euler allocation of historical EXPECTED SHORTFALL: component i
+    gets −E[X_i | X_p ≤ VaR_p].  ES is coherent, so the allocation is
+    the exact Aumann–Shapley/Euler one and sums to the total ES."""
+    _check_confidence(confidence)
+    x = jnp.asarray(pnl_components)
+    if x.ndim != 2:
+        raise ValidationError("pnl_components must be (n_obs, n_components)")
+    port = x.sum(axis=1)
+    q = jnp.quantile(port, 1.0 - confidence)
+    w = (port <= q).astype(x.dtype)
+    denom = jnp.maximum(w.sum(), 1.0)
+    comp = -(x * w[:, None]).sum(axis=0) / denom
+    total = comp.sum()
+    return {"total_es": total, "components": comp,
+            "pct": comp / jnp.where(total == 0.0, 1.0, total)}

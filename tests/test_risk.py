@@ -188,3 +188,44 @@ class TestPortfolio:
     def test_empty_portfolio_raises(self):
         with pytest.raises(ValidationError):
             OptionsPortfolio().aggregate_greeks()
+
+
+class TestComponentAllocation:
+    def test_component_es_sums_and_matches_total(self):
+        import numpy as np
+
+        from optionslab_tpu.risk import component_es, historical_es
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0.0, [1.0, 2.0, 0.5], size=(20000, 3))
+        out = component_es(x, confidence=0.95)
+        total_direct = float(historical_es(x.sum(axis=1), 0.95))
+        assert float(out["total_es"]) == pytest.approx(total_direct,
+                                                       rel=0.02)
+        assert float(jnp.sum(out["components"])) == pytest.approx(
+            float(out["total_es"]), rel=1e-6)
+        # the sigma=2 component dominates the tail
+        comps = np.asarray(out["components"])
+        assert comps[1] > comps[0] > comps[2]
+
+    def test_component_var_sums_and_hedge_is_negative(self):
+        import numpy as np
+
+        from optionslab_tpu.risk import component_var
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(0.0, 1.0, 20000)
+        x = np.stack([a, -0.5 * a, rng.normal(0.0, 0.3, 20000)], axis=1)
+        out = component_var(x, confidence=0.99, window=200)
+        comps = np.asarray(out["components"])
+        assert float(jnp.sum(out["components"])) == pytest.approx(
+            float(out["total_var"]), rel=1e-6)
+        # the -0.5a column hedges the portfolio -> negative allocation
+        assert comps[1] < 0 < comps[0]
+
+    def test_validation(self):
+        from optionslab_tpu.risk import component_var
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            component_var(jnp.zeros(10))
