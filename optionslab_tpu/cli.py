@@ -161,6 +161,8 @@ def cmd_iv(args) -> dict:
 
 
 def cmd_exotic(args) -> dict:
+    if getattr(args, "model", "bs").startswith("heston"):
+        return _exotic_heston(args)
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
     if getattr(args, "cv", False):
@@ -230,6 +232,74 @@ def cmd_exotic(args) -> dict:
                             n_paths=args.n_paths)
     price, se = opt.price(return_stderr=True)
     return {"kind": args.kind, "price": float(price), "std_error": float(se)}
+
+
+def _exotic_heston(args) -> dict:
+    """--model heston[-qe]: exotics priced under Heston dynamics via the
+    fused stochastic-vol kernel (``ops.heston_pallas``); --greeks adds the
+    one-pass joint-density LR ladder (Euler scheme, non-structured kinds).
+    Smile-consistent prices for the products that need them (autocallable
+    vega flips sign with the knock-in state; a flat-vol GBM model cannot
+    see a cliquet's forward skew)."""
+    import jax
+
+    from .models import HestonParams
+    from .ops.heston_pallas import (pallas_heston_autocall_price,
+                                    pallas_heston_cliquet_price,
+                                    pallas_heston_exotic_lr_greeks,
+                                    pallas_heston_exotic_price)
+    from .utils.exceptions import ValidationError
+
+    par = HestonParams.make(args.v0, args.kappa, args.theta, args.sigma_v,
+                            args.rho_sv)
+    scheme = "qe" if args.model == "heston-qe" else "euler"
+    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    kw = dict(n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
+              seed=args.seed, sampler=sampler)
+    base = {"model": args.model, "scheme": scheme, "dynamics": "heston"}
+    try:
+        if args.kind == "autocallable":
+            p, se, n = pallas_heston_autocall_price(
+                args.spot, args.maturity, args.rate, par, scheme=scheme, **kw)
+            return {**base, "kind": "autocallable", "price": float(p),
+                    "std_error": float(se), "paths": int(n)}
+        if args.kind == "cliquet":
+            p, se, n = pallas_heston_cliquet_price(
+                args.spot, args.maturity, args.rate, par, scheme=scheme, **kw)
+            return {**base, "kind": "cliquet", "price": float(p),
+                    "std_error": float(se), "paths": int(n)}
+        if args.kind in ("one-touch", "no-touch"):
+            side = "up" if args.barrier >= args.spot else "down"
+            kname = f"{args.kind.replace('-', '_')}_{side}"
+        elif args.kind == "asian":
+            kname = "asian_arith"
+        elif args.kind == "lookback":
+            kname = "lookback_float"
+        elif args.kind == "barrier":
+            kname = f"barrier_{args.barrier_type}"
+        else:
+            raise SystemExit(
+                f"--model heston supports asian/barrier/lookback/one-touch/"
+                f"no-touch/autocallable/cliquet, not {args.kind!r}")
+        if getattr(args, "greeks", False):
+            if scheme != "euler":
+                raise SystemExit("--greeks under heston uses the Euler LR "
+                                 "ladder; drop -qe")
+            out = pallas_heston_exotic_lr_greeks(
+                kname, args.spot, args.strike, args.maturity, args.rate,
+                par, cp, barrier=args.barrier, **kw)
+            res = {k: float(v) for k, v in out.items()}
+            res.update(base, kind=kname, greek_method="lr-joint-density",
+                       vega_convention="2*sqrt(v0)*vega_v0")
+            return res
+        p, se, n = pallas_heston_exotic_price(
+            kname, args.spot, args.strike, args.maturity, args.rate, par,
+            cp, barrier=args.barrier, scheme=scheme, **kw)
+        return {**base, "kind": kname, "price": float(p),
+                "std_error": float(se), "paths": int(n)}
+    except ValidationError as e:
+        raise SystemExit(str(e)) from e
 
 
 def _exotic_kernel_greeks(args) -> dict:
@@ -612,6 +682,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fused-kernel Greek ladder (pathwise for asian/"
                          "lookback, likelihood-ratio for barrier/cliquet/"
                          "autocallable)")
+    pe.add_argument("--model", default="bs",
+                    choices=["bs", "heston", "heston-qe"],
+                    help="heston[-qe]: price under stochastic vol via the "
+                         "fused Heston exotic kernel; --greeks adds the "
+                         "joint-density LR ladder (euler only)")
+    pe.add_argument("--v0", type=float, default=0.04)
+    pe.add_argument("--kappa", type=float, default=2.0)
+    pe.add_argument("--theta", type=float, default=0.04)
+    pe.add_argument("--sigma-v", type=float, default=0.3)
+    pe.add_argument("--rho-sv", type=float, default=-0.7)
 
     pa = sub.add_parser("american")
     _common_contract_args(pa)

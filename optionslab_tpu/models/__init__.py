@@ -99,6 +99,12 @@ from .var_swap import (
     variance_swap_strike_replication,
     vix_style_index,
 )
+from .heston_exotics import (
+    HESTON_EXOTIC_KINDS,
+    heston_autocall_price,
+    heston_cliquet_price,
+    heston_exotic_price,
+)
 from .heston_fdm import heston_fdm_greeks, heston_fdm_price
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
 from .heston_american import (
@@ -205,6 +211,8 @@ __all__ = [
     "heston_fdm_price", "heston_fdm_greeks", "heston_american_bracket", "fit_heston_lsm",
     "local_vol_american_bracket", "lv_bermudan_slices",
     "heston_lsm_lower", "heston_ab_upper",
+    "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
+    "heston_autocall_price",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",

@@ -998,6 +998,493 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Path-dependent (exotic) payoffs under Heston — the last cell of the
+# payoff × dynamics matrix at kernel speed (GBM: exotic_pallas, local vol:
+# local_vol_pallas, stochastic vol: here). Reference anchors:
+# src/pricing_models/exotic_options.py (payoff families) ×
+# src/pricing_models/heston.py:184 (dynamics) — the reference has no
+# stochastic-vol exotics at all.
+# ---------------------------------------------------------------------------
+HESTON_EXOTIC_KINDS = (
+    "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
+    "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
+    "barrier_down-and-in",
+    "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
+    "cliquet", "autocall",
+)
+
+# exotic param vector layout (SMEM f32): common head + dynamics tail
+(_HX_S0, _HX_K, _HX_LOGB, _HX_INVN, _HX_RDT, _HX_DT, _HX_SQDT,
+ _HX_A, _HX_B, _HX_C, _HX_D, _HX_E, _HX_DYN) = range(13)
+# euler tail: [mu_dt, kappa, theta, sigma_v, rho, srho, v0]
+# qe tail:    [mu_dt, emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4, v0]
+
+
+def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
+                          cp: float, period: int, sampler: str, scheme: str,
+                          lr: bool = False):
+    """Exotic payoffs under Heston, fully fused: (x, v) plus the payoff's
+    running statistics live in VMEM registers for the whole path.
+
+    Statistics are carried in RELATIVE-LOG space wherever possible (the
+    fast-exp discipline): extrema/barriers compare x against
+    ``log(level/S0)`` directly (exp is monotone), so only the arithmetic
+    Asian and cliquet pay a per-step exp.
+
+    ``lr=True`` (Euler scheme, non-structured kinds) reduces
+    likelihood-ratio score moments in the same pass. All scores
+    differentiate the JOINT (y, v) transition density — under correlation
+    the spot score is the INDEPENDENT normal zo₀, not zx₀ (the marginal
+    zx₀ score leaks rho·E[pay·zv₀] of variance-path dependence and is
+    biased for any payoff correlated with the vol path):
+
+      D1 = Σ pay·zo₀            → delta = D1/(n S0 √(1−ρ²) √(v0 dt))
+      DG = Σ pay·(zo₀²−1)       → gamma (with the same 1/√(1−ρ²) scaling)
+      DV = Σ pay·score_v0       exact ∂ln p/∂v0 (v0 enters ONLY the two
+           step-0 transitions — Markov): score_v0 = −zv₀·a − zo₀·(b−ρa)/√(1−ρ²)
+           − 1/v0 with a = ∂zv₀/∂v0, b = ∂zx₀/∂v0 at fixed path
+      SR = Σ pay·Σᵢ zoᵢ·√dt/(√(1−ρ²)√vᵢ⁺)  drift score → rate rho (gated
+           at vᵢ⁺=0, where the truncated transition is deterministic and
+           carries no rate information)
+    """
+    if lr:
+        pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref = refs
+    else:
+        pay_ref, pay2_ref = refs
+    block = pl.program_id(0) + seed_ref[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in refs:
+            ref[:, :] = jnp.zeros_like(ref)
+
+    if sampler != "hash":
+        pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
+    seed = seed_ref[0]
+
+    s0, strike, log_b = p_ref[_HX_S0], p_ref[_HX_K], p_ref[_HX_LOGB]
+    inv_n, rdt = p_ref[_HX_INVN], p_ref[_HX_RDT]
+    dt, sqrt_dt = p_ref[_HX_DT], p_ref[_HX_SQDT]
+    mu_dt = p_ref[_HX_DYN]
+    if scheme == "euler":
+        kappa, theta_lr = p_ref[_HX_DYN + 1], p_ref[_HX_DYN + 2]
+        sigma_v, rho = p_ref[_HX_DYN + 3], p_ref[_HX_DYN + 4]
+        srho, v0 = p_ref[_HX_DYN + 5], p_ref[_HX_DYN + 6]
+    else:
+        emkd, c1 = p_ref[_HX_DYN + 1], p_ref[_HX_DYN + 2]
+        s2_v, s2_0 = p_ref[_HX_DYN + 3], p_ref[_HX_DYN + 4]
+        k0, k1 = p_ref[_HX_DYN + 5], p_ref[_HX_DYN + 6]
+        k2, k3 = p_ref[_HX_DYN + 7], p_ref[_HX_DYN + 8]
+        k4, v0 = p_ref[_HX_DYN + 9], p_ref[_HX_DYN + 10]
+        rho = srho = jnp.float32(0.0)  # correlation folded into k-weights
+
+    shape = (ROWS, LANES)
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    barrier_up = "up" in kind
+    knock_in = kind.endswith("in")
+
+    def init_stat():
+        if kind in ("asian_arith", "asian_geo"):
+            return (zero,)
+        if kind.startswith("lookback"):
+            return (zero,)  # extremum of x, seeded at x0 = 0 (S0 included)
+        if kind == "cliquet":
+            return (zero, zero)  # (period-start x, capped-return acc)
+        if kind == "autocall":
+            return (one, zero, zero)  # (alive, knocked-in, pv)
+        # x0 = 0: S0 already beyond the barrier counts as hit
+        hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
+                         1.0, 0.0)
+        return (zero + hit0,)
+
+    def update_stat(stat, x, i):
+        if kind == "asian_arith":
+            return (stat[0] + jnp.exp(x),)  # relative prices (small args)
+        if kind == "asian_geo":
+            return (stat[0] + x,)
+        if kind.startswith("lookback"):
+            lo = (cp > 0) == (kind == "lookback_float")  # float call / fixed put: min
+            return ((jnp.minimum if lo else jnp.maximum)(stat[0], x),)
+        if kind == "cliquet":
+            x_start, acc = stat
+            is_end = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            capped = jnp.clip(jnp.exp(x - x_start) - 1.0,
+                              p_ref[_HX_A], p_ref[_HX_B])
+            acc = acc + is_end * capped
+            x_start = x_start + is_end * (x - x_start)
+            return (x_start, acc)
+        if kind == "autocall":
+            alive, ki, pv = stat
+            ki = jnp.maximum(ki, jnp.where(x <= p_ref[_HX_C], 1.0, 0.0))
+            is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            df_i = jnp.exp(-rdt * (i + 1).astype(jnp.float32))
+            called = alive * is_obs * jnp.where(x >= p_ref[_HX_A], 1.0, 0.0)
+            couponed = alive * is_obs * jnp.where(x >= p_ref[_HX_B], 1.0, 0.0)
+            pv = pv + df_i * (p_ref[_HX_D] * couponed + p_ref[_HX_E] * called)
+            alive = alive * (1.0 - called)
+            return (alive, ki, pv)
+        hit = (x >= log_b) if barrier_up else (x <= log_b)
+        return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
+
+    def payoff(stat, x):
+        s_t = s0 * jnp.exp(x)
+        if kind == "asian_arith":
+            return jnp.maximum(cp * (s0 * stat[0] * inv_n - strike), 0.0)
+        if kind == "asian_geo":
+            return jnp.maximum(cp * (s0 * jnp.exp(stat[0] * inv_n) - strike),
+                               0.0)
+        if kind == "lookback_float":
+            ext = s0 * jnp.exp(stat[0])
+            return (s_t - ext) if cp > 0 else (ext - s_t)
+        if kind == "lookback_fixed":
+            return jnp.maximum(cp * (s0 * jnp.exp(stat[0]) - strike), 0.0)
+        if kind == "cliquet":
+            return p_ref[_HX_E] * jnp.clip(stat[1], p_ref[_HX_C],
+                                           p_ref[_HX_D])
+        if kind == "autocall":
+            alive, ki, pv = stat
+            df_t = jnp.exp(-rdt * float(n_steps))
+            loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
+            final = p_ref[_HX_E] * (1.0 - ki * loss)
+            return pv + alive * df_t * final  # discounted in-kernel
+        if "touch" in kind:
+            return stat[0] if kind.startswith("one") else (1.0 - stat[0])
+        vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
+        return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
+
+    def advance_euler(x, v, zv, zx, zo):
+        ind = jnp.where(v > 0.0, 1.0, 0.0)
+        vp = v * ind
+        sq = jnp.sqrt(vp)
+        x_new = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * zx
+        v_new = v + kappa * (theta_lr - vp) * dt + sigma_v * sq * sqrt_dt * zv
+        if not lr:
+            return x_new, v_new, None
+        # drift score term (joint density, at fixed v-path): the rate
+        # perturbs only the INDEPENDENT shock zo → zo·√dt/(srho·√v⁺),
+        # gated where the transition is deterministic (v⁺ = 0 ⇒ x
+        # carries no rate information)
+        ds = ind * zo * sqrt_dt / (jnp.maximum(srho, 1e-4)
+                                   * jnp.maximum(sq, 1e-6))
+        return x_new, v_new, ds
+
+    def advance_qe(x, v, zv, zx, u):
+        m = c1 + emkd * v
+        s2 = s2_v * v + s2_0
+        psi = s2 / jnp.maximum(m * m, 1e-30)
+        inv_psi = 2.0 / jnp.maximum(psi, 1e-10)
+        b2 = jnp.maximum(inv_psi - 1.0 + jnp.sqrt(
+            jnp.maximum(inv_psi * (inv_psi - 1.0), 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        v_quad = a * (jnp.sqrt(b2) + zv) ** 2
+        p_mass = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-7)
+        beta = (1.0 - p_mass) / jnp.maximum(m, 1e-30)
+        v_exp = jnp.where(
+            u <= p_mass, 0.0,
+            jnp.log((1.0 - p_mass) / jnp.maximum(1.0 - u, 1e-30))
+            / jnp.maximum(beta, 1e-30))
+        v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
+        x_new = x + mu_dt + k0 + k1 * v + k2 * v_new \
+            + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zx
+        return x_new, v_new
+
+    def body(i, carry):
+        xa, va, xb, vb = carry[:4]
+        sta = carry[4]
+        stb = carry[5]
+        zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
+        if scheme == "qe":
+            # QE folds correlation into the k-weights: the spot shock is
+            # the INDEPENDENT normal zo (Andersen eq. 33)
+            u = draw_uniform(sampler, seed, block, i, n_steps, shape)
+            xa, va = advance_qe(xa, va, zv, zo, u)
+            xb, vb = advance_qe(xb, vb, -zv, -zo, 1.0 - u)
+            dsa = dsb = None
+        else:
+            zxa = rho * zv + srho * zo
+            xa, va, dsa = advance_euler(xa, va, zv, zxa, zo)
+            xb, vb, dsb = advance_euler(xb, vb, -zv, -zxa, -zo)
+        sta = update_stat(sta, xa, i)
+        stb = update_stat(stb, xb, i)
+        if not lr:
+            return (xa, va, xb, vb, sta, stb)
+        zv0, zo0, sra, srb = carry[6:10]
+        first = i == 0
+        zv0 = jnp.where(first, zv, zv0)
+        zo0 = jnp.where(first, zo, zo0)
+        return (xa, va, xb, vb, sta, stb, zv0, zo0, sra + dsa, srb + dsb)
+
+    x0 = zero
+    vv0 = jnp.full(shape, v0, jnp.float32)
+    carry0 = (x0, vv0, x0, vv0, init_stat(), init_stat()) \
+        + ((zero, zero, zero, zero) if lr else ())
+    out = jax.lax.fori_loop(0, n_steps, body, carry0)
+    xa, _, xb, _ = out[:4]
+    sta, stb = out[4], out[5]
+    zv0, zo0, sra, srb = out[6:10] if lr else (zero, zero, zero, zero)
+
+    accs = [jnp.zeros(shape, jnp.float32) for _ in range(len(refs))]
+    if lr:
+        sq_v0dt = jnp.sqrt(jnp.maximum(v0, 1e-8) * dt)
+        inv_v0 = 1.0 / jnp.maximum(v0, 1e-8)
+        srho_g = jnp.maximum(srho, 1e-4)
+    for sign, x, st, sr in ((1.0, xa, sta, sra), (-1.0, xb, stb, srb)):
+        p = payoff(st, x)
+        accs[0] += p
+        accs[1] += p * p
+        if lr:
+            zvs, zos = sign * zv0, sign * zo0
+            zxs = rho * zvs + srho * zos
+            accs[2] += p * zos
+            accs[3] += p * (zos * zos - 1.0)
+            # score_v0 = −zv₀·a − zo₀·(b − ρa)/srho − 1/v0;
+            # a = ∂zv₀/∂v0 = (κdt−1)/(σ√(v0dt)) − zv₀/(2v0),
+            # b = ∂zx₀/∂v0 = √dt/(2√v0) − zx₀/(2v0)   (at fixed path)
+            a_t = (kappa * dt - 1.0) / (sigma_v * sq_v0dt) \
+                - zvs * (0.5 * inv_v0)
+            b_t = sqrt_dt / (2.0 * jnp.sqrt(jnp.maximum(v0, 1e-8))) \
+                - zxs * (0.5 * inv_v0)
+            sc_v = -zvs * a_t - zos * (b_t - rho * a_t) / srho_g - inv_v0
+            accs[4] += p * sc_v
+            accs[5] += p * sr
+    for off in range(0, LANES, 128):
+        for ref, a in zip(refs, accs):
+            ref[:, :] += a[:, off:off + 128]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler",
+                                             "scheme", "lr"))
+def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
+                   cp: float, period: int = 1, sampler: str = "prng",
+                   scheme: str = "euler", lr: bool = False):
+    n_out = 6 if lr else 2
+    acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    interpret = (False if jax.default_backend() == "tpu"
+                 else pltpu.InterpretParams())
+    return pl.pallas_call(
+        functools.partial(_heston_exotic_kernel, kind=kind, n_steps=n_steps,
+                          cp=cp, period=period, sampler=sampler,
+                          scheme=scheme, lr=lr),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[acc_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=n_blocks * n_steps * ROWS * LANES * 2 * (30 if lr else 22),
+            bytes_accessed=n_out * ROWS * 128 * 4,
+            transcendentals=n_blocks * n_steps * ROWS * LANES * 8,
+        ),
+        interpret=interpret,
+    )(seed, params)
+
+
+def _exotic_params(spot, strike, maturity, rate, params, dividend, barrier,
+                   n_steps, scheme):
+    t = max(float(maturity), EPS_TIME)
+    dt = t / n_steps
+    mu = float(rate) - float(dividend)
+    log_b = (math.log(max(float(barrier), 1e-30) / float(spot))
+             if float(barrier) > 0.0 else 0.0)
+    head = [float(spot), float(strike), log_b, 1.0 / n_steps,
+            float(rate) * dt, dt, math.sqrt(dt),
+            0.0, 0.0, 0.0, 0.0, 0.0]
+    if scheme == "qe":
+        # layout: [mu_dt, emkd, c1, s2_v, s2_0, k0..k4, v0]
+        tail = _qe_consts(float(params.kappa), float(params.theta),
+                          float(params.sigma), float(params.rho),
+                          float(params.v0), dt, mu)
+    else:
+        rho = float(params.rho)
+        tail = [mu * dt, float(params.kappa), float(params.theta),
+                float(params.sigma), rho,
+                math.sqrt(max(1.0 - rho * rho, 0.0)), float(params.v0)]
+    return head + tail, t
+
+
+def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
+                               params, cp: float = 1.0,
+                               dividend: float = 0.0, barrier: float = 0.0,
+                               n_paths: int = 1_000_000, n_steps: int = 64,
+                               seed: int = 0, sampler: str = "prng",
+                               scheme: str = "euler"):
+    """Fused exotic pricing under Heston: (price, stderr, actual_paths).
+
+    ``kind`` ∈ HESTON_EXOTIC_KINDS minus the structured kinds (cliquet/
+    autocall have dedicated wrappers). Payoff conventions match the GBM
+    exotic kernel exactly; scan parity: ``models/heston_exotics.py``.
+    ``scheme``: ``euler`` (full truncation) or ``qe`` (Andersen — near-
+    unbiased at coarse step counts).
+    """
+    if kind not in HESTON_EXOTIC_KINDS:
+        raise ValidationError(
+            f"unknown heston exotic kind {kind!r}; choose {HESTON_EXOTIC_KINDS}")
+    if kind in ("cliquet", "autocall"):
+        raise ValidationError(
+            f"use pallas_heston_{kind}_price for structured params")
+    if sampler.startswith("sobol"):
+        raise ValidationError("the Heston exotic kernel samplers are "
+                              "prng|hash (bridge QMC rides the vanilla "
+                              "kernel)")
+    p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
+                          barrier, n_steps, scheme)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch_exotic(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        kind=kind, n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
+        sampler=sampler, scheme=scheme)
+    n = n_blocks * PATHS_PER_BLOCK
+    df = math.exp(-float(rate) * t)
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_heston_cliquet_price(spot, maturity, rate, params,
+                                dividend: float = 0.0,
+                                local_floor: float = -0.05,
+                                local_cap: float = 0.05,
+                                global_floor: float = 0.0,
+                                global_cap: float = 1e9,
+                                notional: float = 100.0, n_periods: int = 12,
+                                n_paths: int = 1_000_000, n_steps: int = 252,
+                                seed: int = 0, sampler: str = "prng",
+                                scheme: str = "euler"):
+    """Fused cliquet under Heston — the forward-smile product priced under
+    the dynamics that actually generate a forward smile (scan parity:
+    ``models/heston_exotics.heston_cliquet_price``)."""
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError("n_steps must be a positive multiple of n_periods")
+    p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                          n_steps, scheme)
+    p[_HX_A], p[_HX_B] = float(local_floor), float(local_cap)
+    p[_HX_C], p[_HX_D] = float(global_floor), float(global_cap)
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch_exotic(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        period=n_steps // n_periods, sampler=sampler, scheme=scheme)
+    n = n_blocks * PATHS_PER_BLOCK
+    df = math.exp(-float(rate) * t)
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_heston_autocall_price(spot, maturity, rate, params,
+                                 dividend: float = 0.0,
+                                 notional: float = 100.0,
+                                 autocall_barrier: float = 1.0,
+                                 coupon_barrier: float = 0.8,
+                                 ki_barrier: float = 0.7,
+                                 coupon_rate: float = 0.08, n_obs: int = 4,
+                                 n_paths: int = 1_000_000,
+                                 n_steps: int = 252, seed: int = 0,
+                                 sampler: str = "prng",
+                                 scheme: str = "euler"):
+    """Fused autocallable under Heston — the stochastic-vol product (vega
+    sign flips with the knock-in state; GBM misprices it structurally).
+    Coupons/redemptions discount in-kernel; scan parity:
+    ``models/heston_exotics.heston_autocall_price``. Barrier levels are
+    RELATIVE to spot (compared in log space in-kernel)."""
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    p, _t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                           n_steps, scheme)
+    p[_HX_A] = math.log(max(float(autocall_barrier), 1e-9))
+    p[_HX_B] = math.log(max(float(coupon_barrier), 1e-9))
+    p[_HX_C] = math.log(max(float(ki_barrier), 1e-9))
+    p[_HX_D] = float(notional) * float(coupon_rate) / n_obs
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch_exotic(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        period=n_steps // n_obs, sampler=sampler, scheme=scheme)
+    n = n_blocks * PATHS_PER_BLOCK
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    return mean, jnp.sqrt(var / n), n
+
+
+def _combine_exotic_lr(outs, n: int, scalars) -> dict:
+    """LR moment tiles → price/stderr/delta/gamma/vega_v0/vega/rho.
+    ``scalars``: [spot, t, df, v0, dt, srho] (traced). Shared by the
+    single-device pipeline and the sharded (psum) path. The D1/DG moments
+    are zo₀-scores (joint-density LR) → the 1/(srho·√(v0 dt)) scaling."""
+    spot, t, df, v0, dt, srho = scalars[:6]
+    pay_m, pay2_m, d1_m, dg_m, dv_m, sr_m = [o.sum() / n for o in outs]
+    price = df * pay_m
+    var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
+    c = 1.0 / (jnp.maximum(srho, 1e-4) * jnp.sqrt(v0 * dt))
+    dv0 = df * dv_m
+    return {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        "delta": df * d1_m * c / spot,
+        "gamma": df * (dg_m * c * c - d1_m * c) / (spot * spot),
+        "vega_v0": dv0,
+        "vega": 2.0 * jnp.sqrt(v0) * dv0,
+        "rho": df * sr_m - t * price,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler"))
+def _exotic_lr_pipeline(seed, p, scalars, *, kind, n_steps, n_blocks, cp,
+                        sampler):
+    outs = _launch_exotic(seed, p, kind=kind, n_steps=n_steps,
+                          n_blocks=n_blocks, cp=cp, sampler=sampler,
+                          scheme="euler", lr=True)
+    return _combine_exotic_lr(outs, n_blocks * PATHS_PER_BLOCK, scalars)
+
+
+def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
+                                   params, cp: float = 1.0,
+                                   dividend: float = 0.0,
+                                   barrier: float = 0.0,
+                                   n_paths: int = 1_000_000,
+                                   n_steps: int = 64, seed: int = 0,
+                                   sampler: str = "prng") -> dict:
+    """Heston exotic price + likelihood-ratio delta/gamma/vega_v0/rho in
+    ONE kernel pass — for ANY payoff kind including barriers and touches
+    whose pathwise derivative is zero a.e.
+
+    The scores differentiate the EULER transition densities (scheme-exact,
+    unbiased for the simulated measure): spot scores use only the
+    first-step shock (S0 enters one transition — Markov), the v0 score is
+    the exact ∂ln p/∂v0 of the two step-0 transitions, and the rate score
+    sums drift perturbations over steps, gated where v⁺ = 0 (full
+    truncation makes that transition deterministic; the gate drops a
+    rate-information-free term, so the estimator stays unbiased whenever
+    P(v⁺ = 0) = 0 and degrades gracefully under heavy Feller violation).
+    ``vega`` is the spot-vol convention 2√v0·vega_v0. Euler scheme only.
+    """
+    if kind not in HESTON_EXOTIC_KINDS or kind in ("cliquet", "autocall"):
+        raise ValidationError(
+            f"LR greeks cover the non-structured kinds, got {kind!r}")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
+                          barrier, n_steps, "euler")
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    scalars = jnp.asarray(
+        [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
+         t / n_steps,
+         math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0))], jnp.float32)
+    out = dict(_exotic_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        scalars, kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        cp=float(cp), sampler=sampler))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
 def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
                         dividend: float = 0.0, n_paths: int = 1_000_000,
                         n_steps: int = 100, seed: int = 0,

@@ -1,6 +1,8 @@
 from .mesh import BOOK_AXIS, PATH_AXIS, book_sharding, make_mesh, path_sharding, replicated
 from .sharded_mc import sharded_book_greeks, sharded_book_price, sharded_mc_price
 from .sharded_pallas import (sharded_exotic_greeks, sharded_exotic_price,
+                             sharded_heston_exotic_greeks,
+                             sharded_heston_exotic_price,
                              sharded_heston_greeks,
                              sharded_local_vol_greeks,
                              sharded_local_vol_price,
@@ -23,6 +25,8 @@ __all__ = [
     "sharded_exotic_price",
     "sharded_exotic_greeks",
     "sharded_heston_greeks",
+    "sharded_heston_exotic_price",
+    "sharded_heston_exotic_greeks",
     "sharded_multi_asset_price",
     "sharded_multi_asset_greeks",
     "sharded_local_vol_price",

@@ -469,3 +469,90 @@ def sharded_local_vol_greeks(pricer, strike, mesh: Mesh, cp: float = 1.0,
         payoff=payoff, sampler=sampler, greeks=True, mesh=mesh)
     return pricer._combine_greeks(outs, n_blocks * _lv.PATHS_PER_BLOCK,
                                   payoff)
+
+
+# ---------------------------------------------------------------------------
+# Heston exotics: the fused stochastic-vol path-dependent kernel under
+# shard_map (closes the payoff x dynamics matrix at pod scale)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler",
+                                             "scheme", "lr", "mesh"))
+def _sharded_heston_exotic_launch(seed, params, *, kind, n_steps, n_blocks,
+                                  cp, period, sampler, scheme, lr, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+    n_out = 6 if lr else 2
+
+    def local(seed_s, params_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _hp._launch_exotic(seed_vec, params_rep, kind=kind,
+                                  n_steps=n_steps, n_blocks=bpd, cp=cp,
+                                  period=period, sampler=sampler,
+                                  scheme=scheme, lr=lr)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(),) * n_out, check_vma=False)
+    return fn(seed, params)
+
+
+def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
+                                params, mesh: Mesh, cp: float = 1.0,
+                                dividend: float = 0.0, barrier: float = 0.0,
+                                n_paths: int = 1_000_000, n_steps: int = 64,
+                                seed: int = 0, sampler: str = "prng",
+                                scheme: str = "euler"):
+    """``ops/heston_pallas.pallas_heston_exotic_price`` with path blocks
+    sharded over ``mesh`` (global-block ownership — the same topology-
+    invariant path set as every kernel family here). Euler or Andersen-QE
+    scheme. Returns (price, stderr, actual_paths)."""
+    if kind not in _hp.HESTON_EXOTIC_KINDS or kind in ("cliquet", "autocall"):
+        raise ValidationError(
+            f"sharded heston exotics cover the non-structured kinds, got "
+            f"{kind!r}")
+    p, t = _hp._exotic_params(spot, strike, maturity, rate, params, dividend,
+                              barrier, n_steps, scheme)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
+    pay, pay2 = _sharded_heston_exotic_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
+        sampler=sampler, scheme=scheme, lr=False, mesh=mesh)
+    n = n_blocks * _hp.PATHS_PER_BLOCK
+    return _ep._mean_stderr(pay, pay2, n, math.exp(-float(rate) * t))
+
+
+def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
+                                 params, mesh: Mesh, cp: float = 1.0,
+                                 dividend: float = 0.0, barrier: float = 0.0,
+                                 n_paths: int = 1_000_000, n_steps: int = 64,
+                                 seed: int = 0,
+                                 sampler: str = "prng") -> dict:
+    """``pallas_heston_exotic_lr_greeks`` (price + joint-density LR
+    delta/gamma/v0-vega/rho, one pass, Euler scheme) sharded over
+    ``mesh``: six moment tiles psum over ICI, ladder combined once
+    host-side — identical estimate to the single-device launch on the
+    same global path set."""
+    if kind not in _hp.HESTON_EXOTIC_KINDS or kind in ("cliquet", "autocall"):
+        raise ValidationError(
+            f"LR greeks cover the non-structured kinds, got {kind!r}")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _hp._exotic_params(spot, strike, maturity, rate, params, dividend,
+                              barrier, n_steps, "euler")
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
+    outs = _sharded_heston_exotic_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
+        sampler=sampler, scheme="euler", lr=True, mesh=mesh)
+    scalars = jnp.asarray(
+        [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
+         t / n_steps,
+         math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0))], jnp.float32)
+    out = dict(_hp._combine_exotic_lr(outs, n_blocks * _hp.PATHS_PER_BLOCK,
+                                      scalars))
+    out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
+    return out

@@ -1,0 +1,214 @@
+"""Exotics under Heston: scan engine vs fused kernel vs GBM-limit oracles.
+
+Three independent cross-checks:
+ 1. kernel == scan engine statistically (same dynamics, independent
+    samplers) for every payoff kind, both schemes;
+ 2. sigma_v -> 0, v0 = theta collapses Heston to GBM(sigma=sqrt(v0)) —
+    prices must match the GBM exotic engines (``models/exotics.py``);
+ 3. the in-kernel LR Greek ladder vs CRN finite differences of the
+    kernel itself (same seed/sampler: FD noise is tiny).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from optionslab_tpu.models.heston import HestonParams
+from optionslab_tpu.models.heston_exotics import (
+    HESTON_EXOTIC_KINDS, heston_autocall_price, heston_cliquet_price,
+    heston_exotic_price)
+from optionslab_tpu.ops.heston_pallas import (
+    pallas_heston_autocall_price, pallas_heston_cliquet_price,
+    pallas_heston_exotic_lr_greeks, pallas_heston_exotic_price)
+from optionslab_tpu.utils.exceptions import ValidationError
+
+PAR = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+S, K, T, R = 100.0, 100.0, 1.0, 0.05
+KEY = jax.random.PRNGKey(7)
+
+
+def _barrier_for(kind):
+    return 120.0 if "up" in kind else (80.0 if "down" in kind else 0.0)
+
+
+class TestScanKernelParity:
+    @pytest.mark.parametrize("kind", [
+        "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
+        "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
+        "barrier_down-and-in", "one_touch_up", "one_touch_down",
+        "no_touch_up", "no_touch_down"])
+    def test_kind_parity(self, kind):
+        b = _barrier_for(kind)
+        ps, ss = heston_exotic_price(kind, S, K, T, R, PAR, KEY, barrier=b,
+                                     n_paths=60_000, n_steps=16,
+                                     return_stderr=True)
+        pk, sk, n = pallas_heston_exotic_price(
+            kind, S, K, T, R, PAR, barrier=b, n_paths=60_000, n_steps=16,
+            sampler="hash")
+        tol = 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.01
+        assert abs(float(ps) - float(pk)) < tol
+
+    def test_qe_parity_and_coarse_step_bias(self):
+        """QE scan == QE kernel; and QE at 8 steps sits within noise of
+        Euler at 64 steps for the TERMINAL-only payoff (barrier far away
+        => effectively vanilla, step-count independent)."""
+        kw = dict(barrier=250.0, n_paths=60_000)
+        ps, ss = heston_exotic_price("barrier_up-and-out", S, K, T, R, PAR,
+                                     KEY, scheme="qe", n_steps=8,
+                                     return_stderr=True, **kw)
+        pk, sk, _ = pallas_heston_exotic_price(
+            "barrier_up-and-out", S, K, T, R, PAR, scheme="qe", n_steps=8,
+            sampler="hash", **kw)
+        assert abs(float(ps) - float(pk)) < 5 * float(jnp.sqrt(ss**2 + sk**2))
+        pe, se = heston_exotic_price("barrier_up-and-out", S, K, T, R, PAR,
+                                     KEY, scheme="euler", n_steps=64,
+                                     return_stderr=True, **kw)
+        assert abs(float(ps) - float(pe)) < 5 * float(jnp.sqrt(ss**2 + se**2)) + 0.02
+
+    def test_cliquet_parity(self):
+        ps, ss = heston_cliquet_price(S, T, R, PAR, KEY, n_periods=4,
+                                      n_paths=60_000, n_steps=16,
+                                      return_stderr=True)
+        pk, sk, _ = pallas_heston_cliquet_price(
+            S, T, R, PAR, n_periods=4, n_paths=60_000, n_steps=16,
+            sampler="hash")
+        assert abs(float(ps) - float(pk)) < 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.01
+
+    def test_autocall_parity(self):
+        ps, ss = heston_autocall_price(S, T, R, PAR, KEY, n_obs=4,
+                                       n_paths=60_000, n_steps=16,
+                                       return_stderr=True)
+        pk, sk, _ = pallas_heston_autocall_price(
+            S, T, R, PAR, n_obs=4, n_paths=60_000, n_steps=16,
+            sampler="hash")
+        assert abs(float(ps) - float(pk)) < 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.02
+
+
+class TestGBMLimit:
+    """sigma_v -> 0, v0 = theta: variance path is exactly flat at v0, so the
+    Heston engines must reproduce GBM(sigma=sqrt(v0)) discretely-monitored
+    exotic prices (log-Euler is exact at constant vol)."""
+    LIM = HestonParams.make(0.04, 2.0, 0.04, 1e-7, -0.7)
+    VOL = 0.2
+
+    def test_asian_matches_gbm_engine(self):
+        from optionslab_tpu.models.exotics import asian_price
+        pg, sg = asian_price(S, K, T, R, self.VOL, KEY, n_paths=120_000,
+                             n_steps=16, return_stderr=True)
+        ph, sh = heston_exotic_price("asian_arith", S, K, T, R, self.LIM,
+                                     jax.random.PRNGKey(11), n_paths=120_000,
+                                     n_steps=16, return_stderr=True)
+        assert abs(float(pg) - float(ph)) < 5 * float(jnp.sqrt(sg**2 + sh**2))
+
+    def test_barrier_matches_gbm_engine(self):
+        from optionslab_tpu.models.exotics import barrier_price
+        pg, sg = barrier_price(S, K, 120.0, T, R, self.VOL, KEY,
+                               barrier_type="up-and-out", n_paths=120_000,
+                               n_steps=16, return_stderr=True)
+        ph, sh = heston_exotic_price("barrier_up-and-out", S, K, T, R,
+                                     self.LIM, jax.random.PRNGKey(12),
+                                     barrier=120.0, n_paths=120_000,
+                                     n_steps=16, return_stderr=True)
+        assert abs(float(pg) - float(ph)) < 5 * float(jnp.sqrt(sg**2 + sh**2))
+
+    def test_kernel_lookback_matches_gbm_engine(self):
+        from optionslab_tpu.models.exotics import lookback_price
+        pg, sg = lookback_price(S, K, T, R, self.VOL, KEY, floating=True,
+                                n_paths=120_000, n_steps=16,
+                                return_stderr=True)
+        ph, sh, _ = pallas_heston_exotic_price(
+            "lookback_float", S, K, T, R, self.LIM, n_paths=120_000,
+            n_steps=16, sampler="hash")
+        assert abs(float(pg) - float(ph)) < 5 * float(jnp.sqrt(sg**2 + sh**2))
+
+
+class TestLRGreeks:
+    @pytest.fixture(scope="class")
+    def asian_ladder(self):
+        return pallas_heston_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, PAR, n_paths=250_000, n_steps=16,
+            sampler="hash")
+
+    def _fd(self, kind, b, h_s=0.5, h_v=0.002, h_r=0.002, n_paths=250_000):
+        def price(s=S, rr=R, v0=0.04):
+            p = HestonParams.make(v0, 2.0, 0.04, 0.3, -0.7)
+            pk, _, _ = pallas_heston_exotic_price(
+                kind, s, K, T, rr, p, barrier=b, n_paths=n_paths,
+                n_steps=16, sampler="hash")
+            return float(pk)
+        p0 = price()
+        pu, pd = price(s=S + h_s), price(s=S - h_s)
+        pvu, pvd = price(v0=0.04 + h_v), price(v0=0.04 - h_v)
+        pru, prd = price(rr=R + h_r), price(rr=R - h_r)
+        return {"price": p0, "delta": (pu - pd) / (2 * h_s),
+                "gamma": (pu - 2 * p0 + pd) / h_s**2,
+                "vega_v0": (pvu - pvd) / (2 * h_v),
+                "rho": (pru - prd) / (2 * h_r)}
+
+    def test_asian_ladder_vs_crn_fd(self, asian_ladder):
+        fd = self._fd("asian_arith", 0.0)
+        g = asian_ladder
+        assert abs(g["price"] - fd["price"]) < 1e-6  # same seed: identical
+        assert abs(g["delta"] - fd["delta"]) < 0.02
+        assert abs(g["gamma"] - fd["gamma"]) < 0.005
+        assert abs(g["vega_v0"] - fd["vega_v0"]) < 0.05 * abs(fd["vega_v0"]) + 0.5
+        assert abs(g["rho"] - fd["rho"]) < 0.05 * abs(fd["rho"]) + 0.5
+
+    def test_vega_convention(self, asian_ladder):
+        assert asian_ladder["vega"] == pytest.approx(
+            2.0 * np.sqrt(0.04) * asian_ladder["vega_v0"], rel=1e-6)
+
+    @pytest.mark.slow
+    def test_barrier_ladder_vs_crn_fd(self):
+        g = pallas_heston_exotic_lr_greeks(
+            "barrier_up-and-out", S, K, T, R, PAR, barrier=120.0,
+            n_paths=500_000, n_steps=16, sampler="hash")
+        fd = self._fd("barrier_up-and-out", 120.0, n_paths=500_000)
+        assert abs(g["delta"] - fd["delta"]) < 0.02
+        assert abs(g["vega_v0"] - fd["vega_v0"]) < 0.06 * abs(fd["vega_v0"]) + 0.5
+        assert abs(g["rho"] - fd["rho"]) < 1.0
+
+    def test_gbm_limit_delta_matches_bs_pathwise(self):
+        """In the sigma_v->0 limit the joint-density LR delta must agree
+        with the GBM exotic kernel's LR delta (exact identity in
+        expectation: E[pay*zo0]/srho == E[pay*zx0] when pay _|_ zv)."""
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_lr_greeks
+        lim = HestonParams.make(0.04, 2.0, 0.04, 1e-7, -0.7)
+        gh = pallas_heston_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, lim, n_paths=250_000, n_steps=16,
+            sampler="hash")
+        gg = pallas_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, 0.2, n_paths=250_000, n_steps=16,
+            sampler="hash")
+        assert abs(gh["delta"] - gg["delta"]) < 0.02
+        assert abs(gh["price"] - gg["price"]) < 0.05
+
+
+class TestValidation:
+    def test_unknown_kind(self):
+        with pytest.raises(ValidationError):
+            heston_exotic_price("nope", S, K, T, R, PAR, KEY)
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_price("nope", S, K, T, R, PAR)
+
+    def test_structured_kinds_rejected(self):
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_price("cliquet", S, K, T, R, PAR)
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_lr_greeks("autocall", S, K, T, R, PAR)
+
+    def test_qmc_rejected(self):
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
+                                       sampler="sobol_bb")
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_lr_greeks("asian_arith", S, K, T, R, PAR,
+                                           sampler="sobol_bb")
+
+    def test_bad_period(self):
+        with pytest.raises(ValidationError):
+            heston_cliquet_price(S, T, R, PAR, KEY, n_periods=5, n_steps=16)
+        with pytest.raises(ValidationError):
+            pallas_heston_autocall_price(S, T, R, PAR, n_obs=5, n_steps=16)

@@ -161,3 +161,59 @@ class TestShardedPallas:
                                     sampler="sobol")
         exact = float(bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)["price"])
         assert abs(float(out["price"]) - exact) < 5e-3
+
+
+class TestShardedHestonExotic:
+    """The stochastic-vol exotic kernel under shard_map."""
+
+    def _par(self):
+        from optionslab_tpu.models.heston import HestonParams
+        return HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+
+    def test_price_matches_unsharded(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            PATHS_PER_BLOCK, pallas_heston_exotic_price)
+        from optionslab_tpu.parallel import sharded_heston_exotic_price
+
+        mesh = make_mesh(4)
+        args = ("asian_arith", 100.0, 100.0, 1.0, 0.05, self._par())
+        p_s, se_s, n_s = sharded_heston_exotic_price(
+            *args, mesh, n_paths=1, n_steps=4, sampler="hash")
+        assert n_s == 4 * PATHS_PER_BLOCK
+        p_u, se_u, n_u = pallas_heston_exotic_price(
+            *args, n_paths=n_s, n_steps=4, sampler="hash")
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
+        np.testing.assert_allclose(float(se_s), float(se_u), rtol=1e-4)
+
+    def test_greeks_match_unsharded(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_lr_greeks)
+        from optionslab_tpu.parallel import sharded_heston_exotic_greeks
+
+        mesh = make_mesh(4)
+        args = ("barrier_up-and-out", 100.0, 100.0, 1.0, 0.05, self._par())
+        out_s = sharded_heston_exotic_greeks(*args, mesh, barrier=130.0,
+                                             n_paths=1, n_steps=4,
+                                             sampler="hash")
+        out_u = pallas_heston_exotic_lr_greeks(*args, barrier=130.0,
+                                               n_paths=out_s["paths"],
+                                               n_steps=4, sampler="hash")
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "delta", "gamma", "vega_v0", "rho"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-5, atol=1e-7, err_msg=k)
+
+    def test_rejects_structured_and_qmc(self):
+        from optionslab_tpu.parallel import (sharded_heston_exotic_greeks,
+                                             sharded_heston_exotic_price)
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        mesh = make_mesh(2)
+        with pytest.raises(ValidationError):
+            sharded_heston_exotic_price("cliquet", 100.0, 0.0, 1.0, 0.05,
+                                        self._par(), mesh)
+        with pytest.raises(ValidationError):
+            sharded_heston_exotic_greeks("asian_arith", 100.0, 100.0, 1.0,
+                                         0.05, self._par(), mesh,
+                                         sampler="sobol_bb")
