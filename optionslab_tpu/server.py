@@ -8,7 +8,9 @@ same façade. Endpoints (all POST, JSON body, JSON response):
   /greeks  {contract fields...}                      → full BS Greek ladder
   /mc      {"n_paths": N, "method": "pallas|xla", contract fields...}
   /iv      {"price": P, contract fields...}
-  /exotic  {"kind": "asian|barrier|lookback|american|cliquet", ...}
+  /exotic  {"kind": "asian|barrier|lookback|american|cliquet|...",
+            "model": "bs|heston|heston-qe"}  → heston: stochastic-vol
+            kernel (+"greeks": joint-density LR ladder)
   /american {"model": "bs|heston|lv", "option_type": "put", ...}
             → certified [lower, upper] bracket
   /basket  {"kind": "basket|basket_geo|rainbow_*|spread|basket_asian",
@@ -135,6 +137,8 @@ def handle_exotic(body: dict) -> dict:
     p, _ = _contract(body)
     kind = body.get("kind", "asian")
     n_paths = int(body.get("n_paths", 100_000))
+    if str(body.get("model", "bs")).startswith("heston"):
+        return _exotic_heston(body, p, kind, n_paths)
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
         # ratio (barrier/cliquet/autocall); ValidationError → 400
@@ -204,6 +208,73 @@ def handle_exotic(body: dict) -> dict:
         raise ValueError(f"unknown exotic kind {kind!r}")
     price, se = opt.price(return_stderr=True)
     return {"kind": kind, "price": _to_jsonable(price), "std_error": _to_jsonable(se)}
+
+
+def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
+    """model=heston[-qe]: exotics under stochastic vol at kernel speed
+    (mirrors CLI ``exotic --model heston``). Heston params come from the
+    body (v0/kappa/theta/sigma_v/rho_sv, CIR defaults); greeks=true adds
+    the one-pass joint-density LR ladder (Euler, non-structured kinds)."""
+    import jax
+
+    from .models import HestonParams
+    from .ops.heston_pallas import (pallas_heston_autocall_price,
+                                    pallas_heston_cliquet_price,
+                                    pallas_heston_exotic_lr_greeks,
+                                    pallas_heston_exotic_price)
+
+    par = HestonParams.make(float(body.get("v0", 0.04)),
+                            float(body.get("kappa", 2.0)),
+                            float(body.get("theta", 0.04)),
+                            float(body.get("sigma_v", 0.3)),
+                            float(body.get("rho_sv", -0.7)))
+    model = str(body.get("model"))
+    scheme = "qe" if model == "heston-qe" else "euler"
+    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    cp = 1.0 if p["option_type"].startswith("c") else -1.0
+    kw = dict(n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
+              seed=int(body.get("seed", 0)), sampler=sampler)
+    base = {"model": model, "scheme": scheme, "dynamics": "heston"}
+    if kind == "autocallable":
+        pr, se, n = pallas_heston_autocall_price(
+            p["spot"], p["maturity"], p["rate"], par, scheme=scheme, **kw)
+        return {**base, "kind": kind, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se), "paths": int(n)}
+    if kind == "cliquet":
+        pr, se, n = pallas_heston_cliquet_price(
+            p["spot"], p["maturity"], p["rate"], par, scheme=scheme, **kw)
+        return {**base, "kind": kind, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se), "paths": int(n)}
+    barrier = float(body.get("barrier", 120.0))
+    if kind in ("one-touch", "no-touch"):
+        side = "up" if barrier >= p["spot"] else "down"
+        kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind == "asian":
+        kname = "asian_arith"
+    elif kind == "lookback":
+        kname = "lookback_float"
+    elif kind == "barrier":
+        kname = f"barrier_{body.get('barrier_type', 'up-and-out')}"
+    else:
+        raise ValueError(f"model=heston supports asian/barrier/lookback/"
+                         f"one-touch/no-touch/autocallable/cliquet, "
+                         f"not {kind!r}")
+    if body.get("greeks"):
+        if scheme != "euler":
+            raise ValueError("greeks under heston use the Euler LR ladder; "
+                             "drop -qe")
+        out = pallas_heston_exotic_lr_greeks(
+            kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
+            cp, barrier=barrier, **kw)
+        res = {k: _to_jsonable(v) for k, v in out.items()}
+        res.update(base, kind=kname, greek_method="lr-joint-density",
+                   vega_convention="2*sqrt(v0)*vega_v0")
+        return res
+    pr, se, n = pallas_heston_exotic_price(
+        kname, p["spot"], p["strike"], p["maturity"], p["rate"], par, cp,
+        barrier=barrier, scheme=scheme, **kw)
+    return {**base, "kind": kname, "price": _to_jsonable(pr),
+            "std_error": _to_jsonable(se), "paths": int(n)}
 
 
 def handle_basket(body: dict) -> dict:

@@ -282,3 +282,37 @@ class TestTouchEndpoint:
         _, no = _post(server, "/exotic", {**base, "kind": "no-touch"})
         assert abs(one["price"] + no["price"] - np.exp(-0.05)) < 1e-5
         assert one["kind"] == "one_touch_up"
+
+
+class TestHestonExoticEndpoint:
+    def test_asian_under_heston(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "asian", "model": "heston", "n_paths": 1, "n_steps": 4})
+        assert status == 200 and body["dynamics"] == "heston"
+        assert 0 < body["price"] < 10.45 and body["scheme"] == "euler"
+
+    def test_autocall_qe(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "autocallable", "model": "heston-qe", "n_paths": 1,
+            "n_steps": 4})
+        assert status == 200 and body["scheme"] == "qe"
+        assert 80.0 < body["price"] < 120.0
+
+    def test_lr_ladder_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "barrier", "model": "heston", "greeks": True,
+            "barrier": 130.0, "n_paths": 1, "n_steps": 4})
+        assert status == 200
+        assert body["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "vega_v0", "rho"} <= body.keys()
+
+    def test_qe_greeks_400(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "asian", "model": "heston-qe", "greeks": True,
+            "n_paths": 1, "n_steps": 4})
+        assert status == 400 and "error" in body
+
+    def test_unsupported_kind_400(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "american", "model": "heston", "n_paths": 1})
+        assert status == 400
