@@ -244,7 +244,9 @@ def _exotic_heston(args) -> dict:
     import jax
 
     from .models import HestonParams
-    from .ops.heston_pallas import (pallas_heston_autocall_price,
+    from .ops.heston_pallas import (pallas_heston_autocall_lr_greeks,
+                                    pallas_heston_autocall_price,
+                                    pallas_heston_cliquet_lr_greeks,
                                     pallas_heston_cliquet_price,
                                     pallas_heston_exotic_lr_greeks,
                                     pallas_heston_exotic_price)
@@ -258,16 +260,32 @@ def _exotic_heston(args) -> dict:
     kw = dict(n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
               seed=args.seed, sampler=sampler)
     base = {"model": args.model, "scheme": scheme, "dynamics": "heston"}
+    greeks = getattr(args, "greeks", False)
+    if greeks and scheme != "euler":
+        raise SystemExit("--greeks under heston uses the Euler LR ladder; "
+                         "drop -qe")
     try:
-        if args.kind == "autocallable":
-            p, se, n = pallas_heston_autocall_price(
-                args.spot, args.maturity, args.rate, par, scheme=scheme, **kw)
-            return {**base, "kind": "autocallable", "price": float(p),
-                    "std_error": float(se), "paths": int(n)}
-        if args.kind == "cliquet":
-            p, se, n = pallas_heston_cliquet_price(
-                args.spot, args.maturity, args.rate, par, scheme=scheme, **kw)
-            return {**base, "kind": "cliquet", "price": float(p),
+        if args.kind in ("autocallable", "cliquet"):
+            skw = (dict(n_obs=getattr(args, "n_obs", 4))
+                   if args.kind == "autocallable"
+                   else dict(n_periods=getattr(args, "n_periods", 8)))
+            if greeks:
+                fn = (pallas_heston_autocall_lr_greeks
+                      if args.kind == "autocallable"
+                      else pallas_heston_cliquet_lr_greeks)
+                out = fn(args.spot, args.maturity, args.rate, par, **skw,
+                         **kw)
+                res = {k: (float(v) if not isinstance(v, str) else v)
+                       for k, v in out.items()}
+                res.update(base, kind=args.kind,
+                           greek_method="lr-joint-density",
+                           vega_convention="2*sqrt(v0)*vega_v0")
+                return res
+            fn = (pallas_heston_autocall_price if args.kind == "autocallable"
+                  else pallas_heston_cliquet_price)
+            p, se, n = fn(args.spot, args.maturity, args.rate, par,
+                          scheme=scheme, **skw, **kw)
+            return {**base, "kind": args.kind, "price": float(p),
                     "std_error": float(se), "paths": int(n)}
         if args.kind in ("one-touch", "no-touch"):
             side = "up" if args.barrier >= args.spot else "down"
@@ -282,10 +300,7 @@ def _exotic_heston(args) -> dict:
             raise SystemExit(
                 f"--model heston supports asian/barrier/lookback/one-touch/"
                 f"no-touch/autocallable/cliquet, not {args.kind!r}")
-        if getattr(args, "greeks", False):
-            if scheme != "euler":
-                raise SystemExit("--greeks under heston uses the Euler LR "
-                                 "ladder; drop -qe")
+        if greeks:
             out = pallas_heston_exotic_lr_greeks(
                 kname, args.spot, args.strike, args.maturity, args.rate,
                 par, cp, barrier=args.barrier, **kw)
@@ -692,6 +707,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--theta", type=float, default=0.04)
     pe.add_argument("--sigma-v", type=float, default=0.3)
     pe.add_argument("--rho-sv", type=float, default=-0.7)
+    pe.add_argument("--n-obs", type=int, default=4,
+                    help="autocallable observation dates (heston model)")
+    pe.add_argument("--n-periods", type=int, default=8,
+                    help="cliquet reset periods (heston model)")
 
     pa = sub.add_parser("american")
     _common_contract_args(pa)

@@ -1032,12 +1032,12 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
     ``log(level/S0)`` directly (exp is monotone), so only the arithmetic
     Asian and cliquet pay a per-step exp.
 
-    ``lr=True`` (Euler scheme, non-structured kinds) reduces
-    likelihood-ratio score moments in the same pass. All scores
-    differentiate the JOINT (y, v) transition density — under correlation
-    the spot score is the INDEPENDENT normal zo₀, not zx₀ (the marginal
-    zx₀ score leaks rho·E[pay·zv₀] of variance-path dependence and is
-    biased for any payoff correlated with the vol path):
+    ``lr=True`` (Euler scheme) reduces likelihood-ratio score moments in
+    the same pass. All scores differentiate the JOINT (y, v) transition
+    density — under correlation the spot score is the INDEPENDENT normal
+    zo₀, not zx₀ (the marginal zx₀ score leaks rho·E[pay·zv₀] of
+    variance-path dependence and is biased for any payoff correlated with
+    the vol path):
 
       D1 = Σ pay·zo₀            → delta = D1/(n S0 √(1−ρ²) √(v0 dt))
       DG = Σ pay·(zo₀²−1)       → gamma (with the same 1/√(1−ρ²) scaling)
@@ -1047,9 +1047,24 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
       SR = Σ pay·Σᵢ zoᵢ·√dt/(√(1−ρ²)√vᵢ⁺)  drift score → rate rho (gated
            at vᵢ⁺=0, where the truncated transition is deterministic and
            carries no rate information)
+      TS = Σ pay·Σᵢ tᵢ, the dt = T/n maturity score of BOTH transitions,
+           tᵢ = zvᵢκ(θ−vᵢ⁺)/(σ√(vᵢ⁺dt)) + zoᵢ[(μ−vᵢ⁺/2)−ρκ(θ−vᵢ⁺)/σ]/
+           (√(1−ρ²)√(vᵢ⁺dt)) + (zvᵢ²+zoᵢ²−2)/(2dt), gated at vᵢ⁺=0
+           → theta = r·price − df·E[pay·TS]/n
+
+    Structured kinds: cliquet works as-is (delta/gamma are the
+    frozen-fixings hedge sensitivities — the first baseline IS S0, so the
+    score measures spot sensitivity with fixings frozen); autocall
+    discounts in-kernel, so an 8th moment DR = −Σ tᵢ·dfᵢ·cashᵢ (incl.
+    final redemption) completes rho and theta exactly as in the GBM
+    autocall ladder (``exotic_pallas`` ``discounted=True``).
     """
     if lr:
-        pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref = refs
+        if kind == "autocall":
+            (pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref, ts_ref,
+             dr_ref) = refs
+        else:
+            pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref, ts_ref = refs
     else:
         pay_ref, pay2_ref = refs
     block = pl.program_id(0) + seed_ref[1]
@@ -1059,7 +1074,12 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         for ref in refs:
             ref[:, :] = jnp.zeros_like(ref)
 
-    if sampler != "hash":
+    qmc = sampler.startswith("sobol_bb")
+    # QMC residuals always ride the counter-based hash stream (exact
+    # two-pass replay; hardware-PRNG residuals trip a pathological
+    # Mosaic compile — see the vanilla Heston kernel)
+    residual = "hash" if (qmc or sampler == "hash") else sampler
+    if residual != "hash":
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
 
@@ -1093,7 +1113,8 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         if kind == "cliquet":
             return (zero, zero)  # (period-start x, capped-return acc)
         if kind == "autocall":
-            return (one, zero, zero)  # (alive, knocked-in, pv)
+            # (alive, knocked-in, pv[, discount-derivative moment])
+            return (one, zero, zero, zero) if lr else (one, zero, zero)
         # x0 = 0: S0 already beyond the barrier counts as hit
         hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                          1.0, 0.0)
@@ -1116,14 +1137,19 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             x_start = x_start + is_end * (x - x_start)
             return (x_start, acc)
         if kind == "autocall":
-            alive, ki, pv = stat
+            alive, ki, pv = stat[:3]
             ki = jnp.maximum(ki, jnp.where(x <= p_ref[_HX_C], 1.0, 0.0))
             is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
-            df_i = jnp.exp(-rdt * (i + 1).astype(jnp.float32))
+            steps = (i + 1).astype(jnp.float32)
+            df_i = jnp.exp(-rdt * steps)
             called = alive * is_obs * jnp.where(x >= p_ref[_HX_A], 1.0, 0.0)
             couponed = alive * is_obs * jnp.where(x >= p_ref[_HX_B], 1.0, 0.0)
-            pv = pv + df_i * (p_ref[_HX_D] * couponed + p_ref[_HX_E] * called)
+            cash = p_ref[_HX_D] * couponed + p_ref[_HX_E] * called
+            pv = pv + df_i * cash
             alive = alive * (1.0 - called)
+            if lr:  # DR = −Σ tᵢ·dfᵢ·cashᵢ (coupon/call legs)
+                dr = stat[3] - steps * dt * df_i * cash
+                return (alive, ki, pv, dr)
             return (alive, ki, pv)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -1144,7 +1170,7 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return p_ref[_HX_E] * jnp.clip(stat[1], p_ref[_HX_C],
                                            p_ref[_HX_D])
         if kind == "autocall":
-            alive, ki, pv = stat
+            alive, ki, pv = stat[:3]
             df_t = jnp.exp(-rdt * float(n_steps))
             loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
             final = p_ref[_HX_E] * (1.0 - ki * loss)
@@ -1161,14 +1187,23 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         x_new = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * zx
         v_new = v + kappa * (theta_lr - vp) * dt + sigma_v * sq * sqrt_dt * zv
         if not lr:
-            return x_new, v_new, None
-        # drift score term (joint density, at fixed v-path): the rate
-        # perturbs only the INDEPENDENT shock zo → zo·√dt/(srho·√v⁺),
-        # gated where the transition is deterministic (v⁺ = 0 ⇒ x
-        # carries no rate information)
-        ds = ind * zo * sqrt_dt / (jnp.maximum(srho, 1e-4)
-                                   * jnp.maximum(sq, 1e-6))
-        return x_new, v_new, ds
+            return x_new, v_new, None, None
+        # per-step scores of the joint density at fixed endpoints, gated
+        # where the truncated transition is deterministic (v⁺ = 0):
+        #   rate:  the drift perturbs only the INDEPENDENT shock zo
+        #          → zo·√dt/(srho·√v⁺)
+        #   maturity (dt = T/n): both shocks and the Jacobian move
+        #          → zv·κ(θ−v⁺)/(σ√(v⁺dt)) + zo·[(μ−v⁺/2)−ρκ(θ−v⁺)/σ]/
+        #            (srho·√(v⁺dt)) + (zv²+zo²−2)/(2dt)
+        srho_g = jnp.maximum(srho, 1e-4)
+        inv_sqvdt = ind / (jnp.maximum(sq, 1e-6) * sqrt_dt)
+        ds = zo * dt * inv_sqvdt / srho_g
+        kth = kappa * (theta_lr - vp)
+        ts = (zv * kth / sigma_v * inv_sqvdt
+              + zo * (mu_dt / dt - 0.5 * vp - rho * kth / sigma_v)
+              * inv_sqvdt / srho_g
+              + ind * (zv * zv + zo * zo - 2.0) / (2.0 * dt))
+        return x_new, v_new, ds, ts
 
     def advance_qe(x, v, zv, zx, u):
         m = c1 + emkd * v
@@ -1190,47 +1225,117 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zx
         return x_new, v_new
 
-    def body(i, carry):
-        xa, va, xb, vb = carry[:4]
-        sta = carry[4]
-        stb = carry[5]
-        zv, zo = draw_normals(sampler, seed, block, i, n_steps, shape)
-        if scheme == "qe":
-            # QE folds correlation into the k-weights: the spot shock is
-            # the INDEPENDENT normal zo (Andersen eq. 33)
-            u = draw_uniform(sampler, seed, block, i, n_steps, shape)
-            xa, va = advance_qe(xa, va, zv, zo, u)
-            xb, vb = advance_qe(xb, vb, -zv, -zo, 1.0 - u)
-            dsa = dsb = None
-        else:
-            zxa = rho * zv + srho * zo
-            xa, va, dsa = advance_euler(xa, va, zv, zxa, zo)
-            xb, vb, dsb = advance_euler(xb, vb, -zv, -zxa, -zo)
-        sta = update_stat(sta, xa, i)
-        stb = update_stat(stb, xb, i)
-        if not lr:
-            return (xa, va, xb, vb, sta, stb)
-        zv0, zo0, sra, srb = carry[6:10]
-        first = i == 0
-        zv0 = jnp.where(first, zv, zv0)
-        zo0 = jnp.where(first, zo, zo0)
-        return (xa, va, xb, vb, sta, stb, zv0, zo0, sra + dsa, srb + dsb)
+    if qmc:
+        # Hybrid bridge QMC over BOTH streams (Euler price path only,
+        # lr=False): one scrambled Sobol point pins up to 4 dyadic z-sum
+        # coordinates of the variance stream AND 4 of the orthogonal spot
+        # stream; hash residuals fill in conditionally per segment. The
+        # bridge reparameterizes the iid normals — the payoff statistics
+        # update inside the segment replay exactly as under plain MC.
+        assert scheme == "euler" and not lr
+        bounds, constructs = _bridge_plan(n_steps, 4)
+        n_lvl = 1 + len(constructs)  # per stream
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        mask30 = jnp.int32((1 << _QMC_BITS) - 1)
+        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x2C9277B5))
+        scrambles = []
+        for _ in range(2 * n_lvl):
+            scrambles.append(h & mask30)
+            h = _mix32(h + jnp.int32(-1640531527))
+        us = _sobol_nd(idx, scrambles, 2 * n_lvl)
+        gv, go = [], []
+        for k in range(n_lvl):
+            rad = jnp.sqrt(-2.0 * jnp.log(us[2 * k]))
+            th = TWO_PI * us[2 * k + 1]
+            gv.append(rad * jnp.cos(th))
+            go.append(rad * jnp.sin(th))
+        csums = []
+        for g in (gv, go):
+            csum = {0: zero, n_steps: math.sqrt(float(n_steps)) * g[0]}
+            for (m, a, b), gd in zip(constructs, g[1:]):
+                frac = (m - a) / (b - a)
+                sd = math.sqrt((m - a) * (b - m) / (b - a))
+                csum[m] = csum[a] + (csum[b] - csum[a]) * frac + sd * gd
+            csums.append(csum)
+        segs = list(zip(bounds[:-1], bounds[1:]))
+        tv = [csums[0][b] - csums[0][a] for a, b in segs]
+        to = [csums[1][b] - csums[1][a] for a, b in segs]
+
+        def pre(i, carry):
+            sv, so = carry
+            z1, z2 = draw_normals(residual, seed, block, i, n_steps, shape)
+            return sv + z1, so + z2
+
+        seg_sums = [jax.lax.fori_loop(a, b, pre, (zero, zero))
+                    for a, b in segs]
+
+    def make_body(offs):
+        def body(i, carry):
+            xa, va, xb, vb = carry[:4]
+            sta = carry[4]
+            stb = carry[5]
+            zv, zo = draw_normals(residual, seed, block, i, n_steps, shape)
+            if offs is None:
+                zva, zoa, zvb, zob = zv, zo, -zv, -zo
+            else:
+                # conditional-law residuals: each branch's segment z-sums
+                # are pinned to the shared bridge targets
+                ovp, oop, ovm, oom = offs
+                zva, zoa = zv + ovp, zo + oop
+                zvb, zob = -zv + ovm, -zo + oom
+            if scheme == "qe":
+                # QE folds correlation into the k-weights: the spot shock
+                # is the INDEPENDENT normal zo (Andersen eq. 33)
+                u = draw_uniform(residual, seed, block, i, n_steps, shape)
+                xa, va = advance_qe(xa, va, zva, zoa, u)
+                xb, vb = advance_qe(xb, vb, zvb, zob, 1.0 - u)
+                dsa = dsb = tsa = tsb = None
+            else:
+                zxa = rho * zva + srho * zoa
+                zxb = rho * zvb + srho * zob
+                xa, va, dsa, tsa = advance_euler(xa, va, zva, zxa, zoa)
+                xb, vb, dsb, tsb = advance_euler(xb, vb, zvb, zxb, zob)
+            sta = update_stat(sta, xa, i)
+            stb = update_stat(stb, xb, i)
+            if not lr:
+                return (xa, va, xb, vb, sta, stb)
+            zv0, zo0, sra, srb, tta, ttb = carry[6:12]
+            first = i == 0
+            zv0 = jnp.where(first, zv, zv0)
+            zo0 = jnp.where(first, zo, zo0)
+            return (xa, va, xb, vb, sta, stb, zv0, zo0, sra + dsa,
+                    srb + dsb, tta + tsa, ttb + tsb)
+
+        return body
 
     x0 = zero
     vv0 = jnp.full(shape, v0, jnp.float32)
     carry0 = (x0, vv0, x0, vv0, init_stat(), init_stat()) \
-        + ((zero, zero, zero, zero) if lr else ())
-    out = jax.lax.fori_loop(0, n_steps, body, carry0)
+        + ((zero, zero, zero, zero, zero, zero) if lr else ())
+    if qmc:
+        out = carry0
+        for j, (a, b) in enumerate(segs):
+            sv_j, so_j = seg_sums[j]
+            inv = 1.0 / (b - a)
+            offs = ((tv[j] - sv_j) * inv, (to[j] - so_j) * inv,
+                    (tv[j] + sv_j) * inv, (to[j] + so_j) * inv)
+            out = jax.lax.fori_loop(a, b, make_body(offs), out)
+    else:
+        out = jax.lax.fori_loop(0, n_steps, make_body(None), carry0)
     xa, _, xb, _ = out[:4]
     sta, stb = out[4], out[5]
-    zv0, zo0, sra, srb = out[6:10] if lr else (zero, zero, zero, zero)
+    zv0, zo0, sra, srb, tta, ttb = (out[6:12] if lr
+                                    else (zero,) * 6)
 
     accs = [jnp.zeros(shape, jnp.float32) for _ in range(len(refs))]
     if lr:
         sq_v0dt = jnp.sqrt(jnp.maximum(v0, 1e-8) * dt)
         inv_v0 = 1.0 / jnp.maximum(v0, 1e-8)
         srho_g = jnp.maximum(srho, 1e-4)
-    for sign, x, st, sr in ((1.0, xa, sta, sra), (-1.0, xb, stb, srb)):
+    for sign, x, st, sr, ts in ((1.0, xa, sta, sra, tta),
+                                (-1.0, xb, stb, srb, ttb)):
         p = payoff(st, x)
         accs[0] += p
         accs[1] += p * p
@@ -1249,6 +1354,15 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             sc_v = -zvs * a_t - zos * (b_t - rho * a_t) / srho_g - inv_v0
             accs[4] += p * sc_v
             accs[5] += p * sr
+            accs[6] += p * ts
+            if kind == "autocall":
+                # DR: coupon/call legs (carried) + final-redemption leg
+                alive, ki = st[0], st[1]
+                df_t = jnp.exp(-rdt * float(n_steps))
+                loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
+                final = p_ref[_HX_E] * (1.0 - ki * loss)
+                t_total = dt * float(n_steps)
+                accs[7] += st[3] - alive * t_total * df_t * final
     for off in range(0, LANES, 128):
         for ref, a in zip(refs, accs):
             ref[:, :] += a[:, off:off + 128]
@@ -1260,7 +1374,7 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
 def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
                    cp: float, period: int = 1, sampler: str = "prng",
                    scheme: str = "euler", lr: bool = False):
-    n_out = 6 if lr else 2
+    n_out = (8 if kind == "autocall" else 7) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
@@ -1281,6 +1395,19 @@ def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
         ),
         interpret=interpret,
     )(seed, params)
+
+
+def _check_exotic_sampler(sampler: str, scheme: str, n_steps: int) -> None:
+    if sampler.startswith("sobol"):
+        if sampler != "sobol_bb":
+            raise ValidationError("the Heston exotic kernel samplers are "
+                                  "prng|hash|sobol_bb")
+        if scheme != "euler":
+            raise ValidationError("sobol_bb bridge QMC requires the Euler "
+                                  "scheme (QE consumes a third uniform "
+                                  "stream the bridge cannot pin)")
+        if n_steps < 2:
+            raise ValidationError("sobol_bb needs n_steps >= 2")
 
 
 def _exotic_params(spot, strike, maturity, rate, params, dividend, barrier,
@@ -1318,7 +1445,11 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     autocall have dedicated wrappers). Payoff conventions match the GBM
     exotic kernel exactly; scan parity: ``models/heston_exotics.py``.
     ``scheme``: ``euler`` (full truncation) or ``qe`` (Andersen — near-
-    unbiased at coarse step counts).
+    unbiased at coarse step counts). ``sampler="sobol_bb"`` (Euler,
+    n_steps ≥ 2): hybrid bridge QMC pinning 4 dyadic z-sum coordinates on
+    EACH of the variance and orthogonal-spot streams from one scrambled
+    8-dim Sobol point, hash residuals conditionally per segment — the
+    payoff statistics update inside the replay exactly as under plain MC.
     """
     if kind not in HESTON_EXOTIC_KINDS:
         raise ValidationError(
@@ -1326,10 +1457,7 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     if kind in ("cliquet", "autocall"):
         raise ValidationError(
             f"use pallas_heston_{kind}_price for structured params")
-    if sampler.startswith("sobol"):
-        raise ValidationError("the Heston exotic kernel samplers are "
-                              "prng|hash (bridge QMC rides the vanilla "
-                              "kernel)")
+    _check_exotic_sampler(sampler, scheme, n_steps)
     p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
                           barrier, n_steps, scheme)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
@@ -1359,6 +1487,7 @@ def pallas_heston_cliquet_price(spot, maturity, rate, params,
     ``models/heston_exotics.heston_cliquet_price``)."""
     if n_periods <= 0 or n_steps % n_periods:
         raise ValidationError("n_steps must be a positive multiple of n_periods")
+    _check_exotic_sampler(sampler, scheme, n_steps)
     p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
                           n_steps, scheme)
     p[_HX_A], p[_HX_B] = float(local_floor), float(local_cap)
@@ -1394,6 +1523,7 @@ def pallas_heston_autocall_price(spot, maturity, rate, params,
     RELATIVE to spot (compared in log space in-kernel)."""
     if n_obs <= 0 or n_steps % n_obs:
         raise ValidationError("n_steps must be a positive multiple of n_obs")
+    _check_exotic_sampler(sampler, scheme, n_steps)
     p, _t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
                            n_steps, scheme)
     p[_HX_A] = math.log(max(float(autocall_barrier), 1e-9))
@@ -1412,36 +1542,53 @@ def pallas_heston_autocall_price(spot, maturity, rate, params,
     return mean, jnp.sqrt(var / n), n
 
 
-def _combine_exotic_lr(outs, n: int, scalars) -> dict:
-    """LR moment tiles → price/stderr/delta/gamma/vega_v0/vega/rho.
-    ``scalars``: [spot, t, df, v0, dt, srho] (traced). Shared by the
+def _combine_exotic_lr(outs, n: int, scalars, n_steps: int,
+                       discounted: bool = False) -> dict:
+    """LR moment tiles → price/stderr/delta/gamma/vega_v0/vega/rho/theta.
+    ``scalars``: [spot, t, df, v0, dt, srho, rate] (traced). Shared by the
     single-device pipeline and the sharded (psum) path. The D1/DG moments
-    are zo₀-scores (joint-density LR) → the 1/(srho·√(v0 dt)) scaling."""
-    spot, t, df, v0, dt, srho = scalars[:6]
-    pay_m, pay2_m, d1_m, dg_m, dv_m, sr_m = [o.sum() / n for o in outs]
+    are zo₀-scores (joint-density LR) → the 1/(srho·√(v0 dt)) scaling;
+    theta = r·price − df·E[pay·TS]/n_steps (TS sums the per-step dt
+    scores; dt = T/n fixed-count rescaling, same identity as the GBM
+    ladder). ``discounted=True`` (autocall): payoff already discounted
+    in-kernel — df=1 and the 8th moment DR completes rho and theta."""
+    spot, t, df, v0, dt, srho, rate = scalars[:7]
+    if discounted:
+        df = jnp.float32(1.0)
+    pay_m, pay2_m, d1_m, dg_m, dv_m, sr_m, ts_m = [
+        o.sum() / n for o in outs[:7]]
     price = df * pay_m
     var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
     c = 1.0 / (jnp.maximum(srho, 1e-4) * jnp.sqrt(v0 * dt))
     dv0 = df * dv_m
-    return {
+    score_t_m = ts_m / n_steps
+    out = {
         "price": price,
         "std_error": df * jnp.sqrt(var / n),
         "delta": df * d1_m * c / spot,
         "gamma": df * (dg_m * c * c - d1_m * c) / (spot * spot),
         "vega_v0": dv0,
         "vega": 2.0 * jnp.sqrt(v0) * dv0,
-        "rho": df * sr_m - t * price,
     }
+    if discounted:
+        dr_m = outs[7].sum() / n
+        out["rho"] = sr_m + dr_m
+        out["theta"] = -score_t_m - rate / t * dr_m
+    else:
+        out["rho"] = df * sr_m - t * price
+        out["theta"] = rate * price - df * score_t_m
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
-                                             "cp", "sampler"))
+                                             "cp", "period", "sampler"))
 def _exotic_lr_pipeline(seed, p, scalars, *, kind, n_steps, n_blocks, cp,
-                        sampler):
+                        sampler, period=1):
     outs = _launch_exotic(seed, p, kind=kind, n_steps=n_steps,
-                          n_blocks=n_blocks, cp=cp, sampler=sampler,
-                          scheme="euler", lr=True)
-    return _combine_exotic_lr(outs, n_blocks * PATHS_PER_BLOCK, scalars)
+                          n_blocks=n_blocks, cp=cp, period=period,
+                          sampler=sampler, scheme="euler", lr=True)
+    return _combine_exotic_lr(outs, n_blocks * PATHS_PER_BLOCK, scalars,
+                              n_steps, discounted=(kind == "autocall"))
 
 
 def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
@@ -1451,37 +1598,130 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
                                    n_paths: int = 1_000_000,
                                    n_steps: int = 64, seed: int = 0,
                                    sampler: str = "prng") -> dict:
-    """Heston exotic price + likelihood-ratio delta/gamma/vega_v0/rho in
-    ONE kernel pass — for ANY payoff kind including barriers and touches
-    whose pathwise derivative is zero a.e.
+    """Heston exotic price + likelihood-ratio delta/gamma/vega_v0/rho/theta
+    in ONE kernel pass — for ANY payoff kind including barriers and
+    touches whose pathwise derivative is zero a.e.
 
     The scores differentiate the EULER transition densities (scheme-exact,
     unbiased for the simulated measure): spot scores use only the
     first-step shock (S0 enters one transition — Markov), the v0 score is
-    the exact ∂ln p/∂v0 of the two step-0 transitions, and the rate score
-    sums drift perturbations over steps, gated where v⁺ = 0 (full
-    truncation makes that transition deterministic; the gate drops a
-    rate-information-free term, so the estimator stays unbiased whenever
+    the exact ∂ln p/∂v0 of the two step-0 transitions, and the rate and
+    maturity scores sum per-step perturbations, gated where v⁺ = 0 (full
+    truncation makes that transition deterministic; the gate drops an
+    information-free term, so the estimator stays unbiased whenever
     P(v⁺ = 0) = 0 and degrades gracefully under heavy Feller violation).
-    ``vega`` is the spot-vol convention 2√v0·vega_v0. Euler scheme only.
+    ``vega`` is the spot-vol convention 2√v0·vega_v0; ``theta`` is −dV/dT
+    at fixed step COUNT (dt = T/n rescaling). Euler scheme only.
+
+    Structured kinds have dedicated wrappers with their product params:
+    :func:`pallas_heston_cliquet_lr_greeks` /
+    :func:`pallas_heston_autocall_lr_greeks`.
     """
     if kind not in HESTON_EXOTIC_KINDS or kind in ("cliquet", "autocall"):
         raise ValidationError(
-            f"LR greeks cover the non-structured kinds, got {kind!r}")
+            f"use pallas_heston_{{cliquet,autocall}}_lr_greeks for the "
+            f"structured kinds, got {kind!r}" if kind in
+            ("cliquet", "autocall") else
+            f"unknown heston exotic kind {kind!r}")
     if sampler.startswith("sobol"):
         raise ValidationError("LR scores assume iid normals — use prng/hash")
     p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
                           barrier, n_steps, "euler")
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    scalars = jnp.asarray(
-        [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
-         t / n_steps,
-         math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0))], jnp.float32)
     out = dict(_exotic_lr_pipeline(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        scalars, kind=kind, n_steps=n_steps, n_blocks=n_blocks,
-        cp=float(cp), sampler=sampler))
+        _lr_scalars(spot, t, rate, params, n_steps), kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
+def _lr_scalars(spot, t, rate, params, n_steps):
+    return jnp.asarray(
+        [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
+         t / n_steps, math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0)),
+         float(rate)], jnp.float32)
+
+
+def pallas_heston_cliquet_lr_greeks(spot, maturity, rate, params,
+                                    dividend: float = 0.0,
+                                    local_floor: float = -0.05,
+                                    local_cap: float = 0.05,
+                                    global_floor: float = 0.0,
+                                    global_cap: float = 1e9,
+                                    notional: float = 100.0,
+                                    n_periods: int = 12,
+                                    n_paths: int = 1_000_000,
+                                    n_steps: int = 252, seed: int = 0,
+                                    sampler: str = "prng") -> dict:
+    """Cliquet LR ladder under Heston in one pass: vega_v0/rho/theta are
+    the forward-smile sensitivities a flat-vol model cannot produce;
+    delta/gamma are FROZEN-FIXINGS hedge sensitivities (w.r.t. the
+    simulation start with the initial fixing held at its current level —
+    the payoff is scale-invariant, so the unconditional spot sensitivity
+    is 0 and the frozen-fixings delta is the quantity a desk hedges)."""
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError("n_steps must be a positive multiple of n_periods")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                          n_steps, "euler")
+    p[_HX_A], p[_HX_B] = float(local_floor), float(local_cap)
+    p[_HX_C], p[_HX_D] = float(global_floor), float(global_cap)
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    out = dict(_exotic_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        _lr_scalars(spot, t, rate, params, n_steps), kind="cliquet",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        period=n_steps // n_periods, sampler=sampler))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    out["delta_convention"] = ("frozen-fixings hedge delta: initial "
+                               "fixing held at its current level (the "
+                               "scale-invariant unconditional delta is 0)")
+    return out
+
+
+def pallas_heston_autocall_lr_greeks(spot, maturity, rate, params,
+                                     dividend: float = 0.0,
+                                     notional: float = 100.0,
+                                     autocall_barrier: float = 1.0,
+                                     coupon_barrier: float = 0.8,
+                                     ki_barrier: float = 0.7,
+                                     coupon_rate: float = 0.08,
+                                     n_obs: int = 4,
+                                     n_paths: int = 1_000_000,
+                                     n_steps: int = 252, seed: int = 0,
+                                     sampler: str = "prng") -> dict:
+    """Autocall LR ladder under Heston in one pass — THE stochastic-vol
+    ladder a desk needs (vega sign flips with the knock-in state; the
+    v0-vega here is smile-consistent, unlike a GBM reprice). Cashflows
+    discount in-kernel; the DR moment (−Σtᵢdfᵢcashᵢ incl. redemption)
+    completes rho and theta. Barrier levels are set from spot at
+    inception; delta/gamma are FROZEN-FIXINGS hedge sensitivities (the
+    barriers stay at their absolute levels as spot moves — the
+    unconditional scale-invariant delta is 0)."""
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                          n_steps, "euler")
+    p[_HX_A] = math.log(max(float(autocall_barrier), 1e-9))
+    p[_HX_B] = math.log(max(float(coupon_barrier), 1e-9))
+    p[_HX_C] = math.log(max(float(ki_barrier), 1e-9))
+    p[_HX_D] = float(notional) * float(coupon_rate) / n_obs
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    out = dict(_exotic_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        _lr_scalars(spot, t, rate, params, n_steps), kind="autocall",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        period=n_steps // n_obs, sampler=sampler))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    out["delta_convention"] = ("frozen-fixings hedge delta: barriers "
+                               "held at their inception levels (the "
+                               "scale-invariant unconditional delta is 0)")
     return out
 
 

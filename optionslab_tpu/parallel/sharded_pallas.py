@@ -482,7 +482,7 @@ def _sharded_heston_exotic_launch(seed, params, *, kind, n_steps, n_blocks,
                                   cp, period, sampler, scheme, lr, mesh):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
-    n_out = 6 if lr else 2
+    n_out = ((8 if kind == "autocall" else 7) if lr else 2)
 
     def local(seed_s, params_rep):
         d = _device_linear_index(mesh, names)
@@ -548,11 +548,8 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
         jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
         sampler=sampler, scheme="euler", lr=True, mesh=mesh)
-    scalars = jnp.asarray(
-        [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
-         t / n_steps,
-         math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0))], jnp.float32)
+    scalars = _hp._lr_scalars(spot, t, rate, params, n_steps)
     out = dict(_hp._combine_exotic_lr(outs, n_blocks * _hp.PATHS_PER_BLOCK,
-                                      scalars))
+                                      scalars, n_steps))
     out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
     return out

@@ -218,7 +218,9 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     import jax
 
     from .models import HestonParams
-    from .ops.heston_pallas import (pallas_heston_autocall_price,
+    from .ops.heston_pallas import (pallas_heston_autocall_lr_greeks,
+                                    pallas_heston_autocall_price,
+                                    pallas_heston_cliquet_lr_greeks,
                                     pallas_heston_cliquet_price,
                                     pallas_heston_exotic_lr_greeks,
                                     pallas_heston_exotic_price)
@@ -235,14 +237,30 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     kw = dict(n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
               seed=int(body.get("seed", 0)), sampler=sampler)
     base = {"model": model, "scheme": scheme, "dynamics": "heston"}
-    if kind == "autocallable":
-        pr, se, n = pallas_heston_autocall_price(
-            p["spot"], p["maturity"], p["rate"], par, scheme=scheme, **kw)
-        return {**base, "kind": kind, "price": _to_jsonable(pr),
-                "std_error": _to_jsonable(se), "paths": int(n)}
-    if kind == "cliquet":
-        pr, se, n = pallas_heston_cliquet_price(
-            p["spot"], p["maturity"], p["rate"], par, scheme=scheme, **kw)
+    greeks = bool(body.get("greeks"))
+    if greeks and scheme != "euler":
+        raise ValueError("greeks under heston use the Euler LR ladder; "
+                         "drop -qe")
+    if kind in ("autocallable", "cliquet"):
+        if kind == "autocallable":
+            skw = dict(n_obs=int(body.get("n_obs", 4)),
+                       coupon_rate=float(body.get("coupon_rate", 0.08)))
+        else:
+            skw = dict(n_periods=int(body.get("n_periods", 4)),
+                       local_floor=float(body.get("local_floor", -0.05)),
+                       local_cap=float(body.get("local_cap", 0.05)))
+        if greeks:
+            fn = (pallas_heston_autocall_lr_greeks if kind == "autocallable"
+                  else pallas_heston_cliquet_lr_greeks)
+            out = fn(p["spot"], p["maturity"], p["rate"], par, **skw, **kw)
+            res = {k: _to_jsonable(v) for k, v in out.items()}
+            res.update(base, kind=kind, greek_method="lr-joint-density",
+                       vega_convention="2*sqrt(v0)*vega_v0")
+            return res
+        fn = (pallas_heston_autocall_price if kind == "autocallable"
+              else pallas_heston_cliquet_price)
+        pr, se, n = fn(p["spot"], p["maturity"], p["rate"], par,
+                       scheme=scheme, **skw, **kw)
         return {**base, "kind": kind, "price": _to_jsonable(pr),
                 "std_error": _to_jsonable(se), "paths": int(n)}
     barrier = float(body.get("barrier", 120.0))
@@ -259,10 +277,7 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         raise ValueError(f"model=heston supports asian/barrier/lookback/"
                          f"one-touch/no-touch/autocallable/cliquet, "
                          f"not {kind!r}")
-    if body.get("greeks"):
-        if scheme != "euler":
-            raise ValueError("greeks under heston use the Euler LR ladder; "
-                             "drop -qe")
+    if greeks:
         out = pallas_heston_exotic_lr_greeks(
             kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
             cp, barrier=barrier, **kw)

@@ -199,10 +199,9 @@ class TestValidation:
         with pytest.raises(ValidationError):
             pallas_heston_exotic_lr_greeks("autocall", S, K, T, R, PAR)
 
-    def test_qmc_rejected(self):
-        with pytest.raises(ValidationError):
-            pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
-                                       sampler="sobol_bb")
+    def test_qmc_rejected_for_lr(self):
+        # the PRICE path supports sobol_bb (TestBridgeQMC); LR scores
+        # need iid normals and must keep rejecting it
         with pytest.raises(ValidationError):
             pallas_heston_exotic_lr_greeks("asian_arith", S, K, T, R, PAR,
                                            sampler="sobol_bb")
@@ -212,3 +211,120 @@ class TestValidation:
             heston_cliquet_price(S, T, R, PAR, KEY, n_periods=5, n_steps=16)
         with pytest.raises(ValidationError):
             pallas_heston_autocall_price(S, T, R, PAR, n_obs=5, n_steps=16)
+
+
+class TestLRTheta:
+    """theta from the per-step maturity score of the joint density:
+    oracle is CRN-FD in T of the kernel itself (hash counters are
+    step-indexed, so bumping T keeps the same normals — tight FD)."""
+
+    def _fd_theta(self, kind, b, h=0.01, **kw):
+        def pT(t):
+            p, _, _ = pallas_heston_exotic_price(
+                kind, S, K, t, R, PAR, barrier=b, n_paths=250_000,
+                n_steps=16, sampler="hash", **kw)
+            return float(p)
+        return -(pT(T + h) - pT(T - h)) / (2 * h)
+
+    def test_asian_theta(self):
+        g = pallas_heston_exotic_lr_greeks("asian_arith", S, K, T, R, PAR,
+                                           n_paths=500_000, n_steps=16,
+                                           sampler="hash")
+        # the chi^2 maturity-score term has sem ~0.04 at 500k paths
+        assert abs(g["theta"] - self._fd_theta("asian_arith", 0.0)) < 0.2
+
+    @pytest.mark.slow
+    def test_barrier_theta(self):
+        g = pallas_heston_exotic_lr_greeks(
+            "barrier_up-and-out", S, K, T, R, PAR, barrier=120.0,
+            n_paths=500_000, n_steps=16, sampler="hash")
+        assert abs(g["theta"] - self._fd_theta("barrier_up-and-out", 120.0)) < 0.25
+
+
+class TestStructuredLadders:
+    def test_cliquet_ladder_vs_crn_fd(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_cliquet_lr_greeks, pallas_heston_cliquet_price)
+        g = pallas_heston_cliquet_lr_greeks(S, T, R, PAR, n_periods=4,
+                                            n_paths=250_000, n_steps=16,
+                                            sampler="hash")
+
+        def price(rr=R, v0=0.04):
+            p = HestonParams.make(v0, 2.0, 0.04, 0.3, -0.7)
+            pk, _, _ = pallas_heston_cliquet_price(
+                S, T, rr, p, n_periods=4, n_paths=250_000, n_steps=16,
+                sampler="hash")
+            return float(pk)
+        fd_rho = (price(rr=R + 0.002) - price(rr=R - 0.002)) / 0.004
+        fd_v0 = (price(v0=0.042) - price(v0=0.038)) / 0.004
+        assert abs(g["rho"] - fd_rho) < 0.08 * abs(fd_rho) + 0.3
+        # the v0 score is the noisiest entry: 3-sigma-ish band
+        assert abs(g["vega_v0"] - fd_v0) < 0.3 * abs(fd_v0) + 1.0
+        assert "frozen-fixings" in g["delta_convention"]
+
+    def test_autocall_ladder_vs_crn_fd(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_autocall_lr_greeks, pallas_heston_autocall_price)
+        g = pallas_heston_autocall_lr_greeks(S, T, R, PAR, n_obs=4,
+                                             n_paths=250_000, n_steps=16,
+                                             sampler="hash")
+
+        def price(rr=R, t=T):
+            pk, _, _ = pallas_heston_autocall_price(
+                S, t, rr, PAR, n_obs=4, n_paths=250_000, n_steps=16,
+                sampler="hash")
+            return float(pk)
+        fd_rho = (price(rr=R + 0.002) - price(rr=R - 0.002)) / 0.004
+        fd_theta = -(price(t=T + 0.01) - price(t=T - 0.01)) / 0.02
+        # DR moment completes rho/theta for the in-kernel-discounted payoff
+        assert abs(g["rho"] - fd_rho) < 0.08 * abs(fd_rho) + 0.3
+        assert abs(g["theta"] - fd_theta) < 0.12 * abs(fd_theta) + 0.3
+        assert g["price"] == pytest.approx(price(), abs=1e-5)
+
+    def test_structured_reject_qmc_and_bad_period(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_autocall_lr_greeks, pallas_heston_cliquet_lr_greeks)
+        with pytest.raises(ValidationError):
+            pallas_heston_cliquet_lr_greeks(S, T, R, PAR, n_periods=5,
+                                            n_steps=16)
+        with pytest.raises(ValidationError):
+            pallas_heston_autocall_lr_greeks(S, T, R, PAR, sampler="sobol_bb")
+
+
+class TestBridgeQMC:
+    """sobol_bb on the stochastic-vol exotic kernel: 4+4 dyadic levels
+    over both streams, hash residuals, stats updated inside the replay."""
+
+    def test_parity_with_plain_mc(self):
+        ph, sh, _ = pallas_heston_exotic_price(
+            "asian_arith", S, K, T, R, PAR, n_paths=131072, n_steps=16,
+            sampler="hash")
+        pq, _, _ = pallas_heston_exotic_price(
+            "asian_arith", S, K, T, R, PAR, n_paths=131072, n_steps=16,
+            sampler="sobol_bb")
+        assert abs(float(ph) - float(pq)) < 6 * float(sh)
+
+    @pytest.mark.slow
+    def test_error_reduction_over_seeds(self):
+        def run(sampler):
+            vals = []
+            for s in range(6):
+                p, _, _ = pallas_heston_exotic_price(
+                    "asian_arith", S, K, T, R, PAR, n_paths=131072,
+                    n_steps=16, sampler=sampler, seed=s)
+                vals.append(float(p))
+            return np.array(vals)
+        vh, vq = run("hash"), run("sobol_bb")
+        # measured ~2.8x on this config; assert a conservative floor
+        assert vq.std() < 0.6 * vh.std()
+
+    def test_rejections(self):
+        with pytest.raises(ValidationError):  # QE cannot be bridged
+            pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
+                                       sampler="sobol_bb", scheme="qe")
+        with pytest.raises(ValidationError):  # plain sobol unsupported
+            pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
+                                       sampler="sobol")
+        with pytest.raises(ValidationError):  # n_steps >= 2
+            pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
+                                       sampler="sobol_bb", n_steps=1)

@@ -316,3 +316,11 @@ class TestHestonExoticEndpoint:
         status, body = _post(server, "/exotic", {
             "kind": "american", "model": "heston", "n_paths": 1})
         assert status == 400
+
+    def test_autocall_ladder_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "autocallable", "model": "heston", "greeks": True,
+            "n_paths": 1, "n_steps": 4, "n_obs": 4})
+        assert status == 200
+        assert {"vega_v0", "rho", "theta", "delta_convention"} <= body.keys()
+        assert "frozen-fixings" in body["delta_convention"]
