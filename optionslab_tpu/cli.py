@@ -161,7 +161,7 @@ def cmd_iv(args) -> dict:
 
 
 def cmd_exotic(args) -> dict:
-    if getattr(args, "model", "bs").startswith("heston"):
+    if getattr(args, "model", "bs").startswith(("heston", "bates")):
         return _exotic_heston(args)
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
@@ -235,15 +235,16 @@ def cmd_exotic(args) -> dict:
 
 
 def _exotic_heston(args) -> dict:
-    """--model heston[-qe]: exotics priced under Heston dynamics via the
-    fused stochastic-vol kernel (``ops.heston_pallas``); --greeks adds the
-    one-pass joint-density LR ladder (Euler scheme, non-structured kinds).
-    Smile-consistent prices for the products that need them (autocallable
-    vega flips sign with the knock-in state; a flat-vol GBM model cannot
-    see a cliquet's forward skew)."""
+    """--model heston[-qe] | bates[-qe]: exotics priced under stochastic
+    vol (optionally + compound-Poisson jumps) via the fused kernel
+    (``ops.heston_pallas``); --greeks adds the one-pass joint-density LR
+    ladder (Euler scheme). Smile-consistent prices for the products that
+    need them (autocallable vega flips sign with the knock-in state; a
+    flat-vol GBM model cannot see a cliquet's forward skew; jumps reprice
+    short-dated barriers/touches)."""
     import jax
 
-    from .models import HestonParams
+    from .models import BatesParams, HestonParams
     from .ops.heston_pallas import (pallas_heston_autocall_lr_greeks,
                                     pallas_heston_autocall_price,
                                     pallas_heston_cliquet_lr_greeks,
@@ -252,14 +253,21 @@ def _exotic_heston(args) -> dict:
                                     pallas_heston_exotic_price)
     from .utils.exceptions import ValidationError
 
-    par = HestonParams.make(args.v0, args.kappa, args.theta, args.sigma_v,
-                            args.rho_sv)
-    scheme = "qe" if args.model == "heston-qe" else "euler"
+    if args.model.startswith("bates"):
+        par = BatesParams.make(args.v0, args.kappa, args.theta, args.sigma_v,
+                               args.rho_sv, lam=args.lam, mu_j=args.mu_j,
+                               sigma_j=args.sigma_j)
+    else:
+        par = HestonParams.make(args.v0, args.kappa, args.theta,
+                                args.sigma_v, args.rho_sv)
+    scheme = "qe" if args.model.endswith("-qe") else "euler"
     sampler = "prng" if jax.default_backend() == "tpu" else "hash"
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
     kw = dict(n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
               seed=args.seed, sampler=sampler)
-    base = {"model": args.model, "scheme": scheme, "dynamics": "heston"}
+    base = {"model": args.model, "scheme": scheme,
+            "dynamics": ("bates" if args.model.startswith("bates")
+                         else "heston")}
     greeks = getattr(args, "greeks", False)
     if greeks and scheme != "euler":
         raise SystemExit("--greeks under heston uses the Euler LR ladder; "
@@ -298,8 +306,8 @@ def _exotic_heston(args) -> dict:
             kname = f"barrier_{args.barrier_type}"
         else:
             raise SystemExit(
-                f"--model heston supports asian/barrier/lookback/one-touch/"
-                f"no-touch/autocallable/cliquet, not {args.kind!r}")
+                f"--model {args.model} supports asian/barrier/lookback/"
+                f"one-touch/no-touch/autocallable/cliquet, not {args.kind!r}")
         if greeks:
             out = pallas_heston_exotic_lr_greeks(
                 kname, args.spot, args.strike, args.maturity, args.rate,
@@ -698,10 +706,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "lookback, likelihood-ratio for barrier/cliquet/"
                          "autocallable)")
     pe.add_argument("--model", default="bs",
-                    choices=["bs", "heston", "heston-qe"],
-                    help="heston[-qe]: price under stochastic vol via the "
-                         "fused Heston exotic kernel; --greeks adds the "
-                         "joint-density LR ladder (euler only)")
+                    choices=["bs", "heston", "heston-qe", "bates",
+                             "bates-qe"],
+                    help="heston[-qe] / bates[-qe]: price under stochastic "
+                         "vol (+ jumps for bates) via the fused exotic "
+                         "kernel; --greeks adds the joint-density LR "
+                         "ladder (euler only)")
+    pe.add_argument("--lam", type=float, default=0.5,
+                    help="bates jump intensity /yr")
+    pe.add_argument("--mu-j", type=float, default=-0.1)
+    pe.add_argument("--sigma-j", type=float, default=0.15)
     pe.add_argument("--v0", type=float, default=0.04)
     pe.add_argument("--kappa", type=float, default=2.0)
     pe.add_argument("--theta", type=float, default=0.04)

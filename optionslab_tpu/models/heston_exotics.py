@@ -40,12 +40,18 @@ HESTON_EXOTIC_KINDS = (
 
 
 def _heston_scan(key, spot, maturity, rate, dividend, params, n_paths,
-                 n_steps, init, update, scheme, antithetic):
+                 n_steps, init, update, scheme, antithetic, jumps=None):
     """Scan (x, v, stats) through ``n_steps``; returns (S_T, stats).
 
     ``init(s0_vec) -> stats``; ``update(stats, s, i) -> stats`` where ``s``
     is the spot vector AFTER step ``i`` (so averages include steps 1..n,
     matching ``models/exotics.py`` and the kernels).
+
+    ``jumps=(lam, mu_j, sigma_j)`` adds Bates compound-Poisson log-jumps
+    (exact in distribution per step: N ~ Poisson(lam·dt), jump sum
+    N·mu_j + sigma_j·√N·Z — same construction as ``bates.bates_mc_price``)
+    with the −lam·kbar·dt martingale compensator; composes with either
+    variance scheme (jumps are independent of the vol dynamics).
     """
     if scheme not in ("euler", "qe"):
         raise ValidationError(f"scheme must be euler|qe, got {scheme!r}")
@@ -61,6 +67,10 @@ def _heston_scan(key, spot, maturity, rate, dividend, params, n_paths,
     rho = jnp.float32(params.rho)
     srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     mu_dt = (jnp.float32(rate) - jnp.float32(dividend)) * dt
+    if jumps is not None:
+        lam, mu_j, sigma_j = (jnp.float32(x) for x in jumps)
+        kbar = jnp.exp(mu_j + 0.5 * sigma_j**2) - 1.0
+        mu_dt = mu_dt - lam * kbar * dt  # jump-martingale compensator
 
     if scheme == "qe":
         emkd = jnp.exp(-kap * dt)
@@ -77,9 +87,19 @@ def _heston_scan(key, spot, maturity, rate, dividend, params, n_paths,
     def step(carry, i):
         x, v, stats = carry
         kk = jax.random.fold_in(key, i)
-        z = jax.random.normal(kk, (2, half), dtype=jnp.float32)
+        z = jax.random.normal(kk, (3 if jumps is not None else 2, half),
+                              dtype=jnp.float32)
         zv = jnp.concatenate([z[0], -z[0]]) if antithetic else z[0]
         zo = jnp.concatenate([z[1], -z[1]]) if antithetic else z[1]
+        if jumps is not None:
+            zj = jnp.concatenate([z[2], -z[2]]) if antithetic else z[2]
+            # Poisson counts are NOT antithetic-mirrored (no sign symmetry)
+            n_jump = jax.random.poisson(
+                jax.random.fold_in(kk, 7), lam * dt, (n_eff,)
+            ).astype(jnp.float32)
+            jump = n_jump * mu_j + sigma_j * jnp.sqrt(n_jump) * zj
+        else:
+            jump = 0.0
         if scheme == "qe":
             uh = jax.random.uniform(jax.random.fold_in(kk, 1), (half,),
                                     jnp.float32, 1e-7, 1.0 - 1e-7)
@@ -101,13 +121,14 @@ def _heston_scan(key, spot, maturity, rate, dividend, params, n_paths,
             # QE folds correlation into the k-weights: the spot shock is
             # the INDEPENDENT normal zo (Andersen 2008, eq. 33)
             x = x + mu_dt + k0 + k1 * v + k2 * v_new \
-                + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zo
+                + jnp.sqrt(jnp.maximum(k3 * v + k4 * v_new, 0.0)) * zo \
+                + jump
             v = v_new
         else:
             zx = rho * zv + srho * zo
             vp = jnp.maximum(v, 0.0)
             sq = jnp.sqrt(vp)
-            x = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * zx
+            x = x + mu_dt - 0.5 * vp * dt + sq * sqrt_dt * zx + jump
             v = v + kap * (th - vp) * dt + sig * sq * sqrt_dt * zv
         stats = update(stats, spot * jnp.exp(x), i)
         return (x, v, stats), None
@@ -117,6 +138,14 @@ def _heston_scan(key, spot, maturity, rate, dividend, params, n_paths,
     stats0 = init(jnp.full((n_eff,), spot))
     (x, _, stats), _ = lax.scan(step, (x0, v0, stats0), jnp.arange(n_steps))
     return spot * jnp.exp(x), stats
+
+
+def _jumps_of(params):
+    """(lam, mu_j, sigma_j) when ``params`` is a BatesParams, else None —
+    every engine here accepts either HestonParams or BatesParams (the
+    jump component is independent of the variance dynamics)."""
+    return ((params.lam, params.mu_j, params.sigma_j)
+            if hasattr(params, "lam") else None)
 
 
 def _discounted_mean_stderr(pay, rate, maturity):
@@ -136,7 +165,10 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
                         n_paths: int = 100_000, n_steps: int = 64,
                         scheme: str = "euler", antithetic: bool = True,
                         return_stderr: bool = False):
-    """Price an exotic under Heston dynamics via the scan engine.
+    """Price an exotic under Heston (or Bates, if ``params`` is a
+    ``BatesParams`` — stochastic vol PLUS compound-Poisson jumps, the
+    dynamics that actually reprices short-dated barriers/touches)
+    via the scan engine.
 
     ``kind`` ∈ HESTON_EXOTIC_KINDS; conventions match the GBM engines
     exactly (Asian averages over steps 1..n; lookback extrema include S0;
@@ -175,7 +207,7 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
 
     s_t, stat = _heston_scan(key, spot, maturity, rate, dividend, params,
                              n_paths, n_steps, init, update, scheme,
-                             antithetic)
+                             antithetic, jumps=_jumps_of(params))
     if kind == "asian_arith":
         pay = jnp.maximum(cp * (stat / n_steps - strike), 0.0)
     elif kind == "asian_geo":
@@ -225,7 +257,7 @@ def heston_cliquet_price(spot, maturity, rate, params: HestonParams, key,
 
     _, (_, acc) = _heston_scan(key, spot, maturity, rate, dividend, params,
                                n_paths, n_steps, init, update, scheme,
-                               antithetic)
+                               antithetic, jumps=_jumps_of(params))
     pay = notional * jnp.clip(acc, global_floor, global_cap)
     price, stderr = _discounted_mean_stderr(pay, rate, maturity)
     return (price, stderr) if return_stderr else price
@@ -270,7 +302,7 @@ def heston_autocall_price(spot, maturity, rate, params: HestonParams, key,
 
     s_t, (alive, ki, pv) = _heston_scan(
         key, spot, maturity, rate, dividend, params, n_paths, n_steps, init,
-        update, scheme, antithetic)
+        update, scheme, antithetic, jumps=_jumps_of(params))
     df_t = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
     loss = jnp.minimum(s_t / spot, 1.0)
     final = jnp.where(ki, notional * loss, notional)

@@ -42,7 +42,7 @@ from ..utils.config import EPS_TIME
 from ..utils.exceptions import ValidationError
 from .exotic_pallas import _bridge_plan, _sobol_nd
 from .gbm_pallas import _QMC_BITS, _mix32
-from .kernel_rng import TWO_PI, draw_normals, draw_uniform
+from .kernel_rng import TWO_PI, draw_jump, draw_normals, draw_uniform
 
 ROWS = 128
 LANES = 512
@@ -1023,7 +1023,7 @@ HESTON_EXOTIC_KINDS = (
 
 def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                           cp: float, period: int, sampler: str, scheme: str,
-                          lr: bool = False):
+                          lr: bool = False, jumps: bool = False):
     """Exotic payoffs under Heston, fully fused: (x, v) plus the payoff's
     running statistics live in VMEM registers for the whole path.
 
@@ -1098,6 +1098,12 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         k2, k3 = p_ref[_HX_DYN + 7], p_ref[_HX_DYN + 8]
         k4, v0 = p_ref[_HX_DYN + 9], p_ref[_HX_DYN + 10]
         rho = srho = jnp.float32(0.0)  # correlation folded into k-weights
+    if jumps:
+        # Bates tail: inverse-CDF count thresholds (truncate at 3 jumps
+        # per step, bias O((lam*dt)^4)), size params, intensity
+        jb = _HX_DYN + (7 if scheme == "euler" else 11)
+        thr0, thr1, thr2 = p_ref[jb], p_ref[jb + 1], p_ref[jb + 2]
+        mu_j, sigma_j, lam_j = p_ref[jb + 3], p_ref[jb + 4], p_ref[jb + 5]
 
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
@@ -1297,6 +1303,22 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                 zxb = rho * zvb + srho * zob
                 xa, va, dsa, tsa = advance_euler(xa, va, zva, zxa, zoa)
                 xb, vb, dsb, tsb = advance_euler(xb, vb, zvb, zxb, zob)
+            if jumps:
+                # compound-Poisson log-jump: count shared across the
+                # antithetic pair (valid MC — marginals exact), size
+                # normal mirrored; x-only, independent of the vol scheme
+                uj, zj = draw_jump(residual, seed, block, i, n_steps, shape)
+                n_j = (jnp.where(uj > thr0, 1.0, 0.0)
+                       + jnp.where(uj > thr1, 1.0, 0.0)
+                       + jnp.where(uj > thr2, 1.0, 0.0))
+                jsz = sigma_j * jnp.sqrt(n_j)
+                xa = xa + n_j * mu_j + jsz * zj
+                xb = xb + n_j * mu_j - jsz * zj
+                if lr:
+                    # Poisson dt-score: d ln P(n | lam dt)/d dt = n/dt - lam
+                    tj = n_j / dt - lam_j
+                    tsa = tsa + tj
+                    tsb = tsb + tj
             sta = update_stat(sta, xa, i)
             stb = update_stat(stb, xb, i)
             if not lr:
@@ -1370,10 +1392,11 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
                                              "cp", "period", "sampler",
-                                             "scheme", "lr"))
+                                             "scheme", "lr", "jumps"))
 def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
                    cp: float, period: int = 1, sampler: str = "prng",
-                   scheme: str = "euler", lr: bool = False):
+                   scheme: str = "euler", lr: bool = False,
+                   jumps: bool = False):
     n_out = (8 if kind == "autocall" else 7) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -1382,7 +1405,7 @@ def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
     return pl.pallas_call(
         functools.partial(_heston_exotic_kernel, kind=kind, n_steps=n_steps,
                           cp=cp, period=period, sampler=sampler,
-                          scheme=scheme, lr=lr),
+                          scheme=scheme, lr=lr, jumps=jumps),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -1412,9 +1435,19 @@ def _check_exotic_sampler(sampler: str, scheme: str, n_steps: int) -> None:
 
 def _exotic_params(spot, strike, maturity, rate, params, dividend, barrier,
                    n_steps, scheme):
+    """SMEM param vector for the exotic kernel. ``params`` may be a
+    HestonParams or a BatesParams — the Bates jump tail (inverse-CDF count
+    thresholds + size params + intensity) is appended and the
+    −lam·kbar martingale compensator folds into the drift."""
     t = max(float(maturity), EPS_TIME)
     dt = t / n_steps
     mu = float(rate) - float(dividend)
+    bates = hasattr(params, "lam")
+    if bates:
+        lam = float(params.lam)
+        mu_j, sig_j = float(params.mu_j), float(params.sigma_j)
+        kbar = math.exp(mu_j + 0.5 * sig_j**2) - 1.0
+        mu -= lam * kbar
     log_b = (math.log(max(float(barrier), 1e-30) / float(spot))
              if float(barrier) > 0.0 else 0.0)
     head = [float(spot), float(strike), log_b, 1.0 / n_steps,
@@ -1430,6 +1463,13 @@ def _exotic_params(spot, strike, maturity, rate, params, dividend, barrier,
         tail = [mu * dt, float(params.kappa), float(params.theta),
                 float(params.sigma), rho,
                 math.sqrt(max(1.0 - rho * rho, 0.0)), float(params.v0)]
+    if bates:
+        # count CDF thresholds P(N <= k), k = 0..2 (count = #thresholds
+        # exceeded, truncated at 3)
+        ld = lam * dt
+        p0 = math.exp(-ld)
+        tail += [p0, p0 * (1.0 + ld), p0 * (1.0 + ld + 0.5 * ld * ld),
+                 mu_j, sig_j, lam]
     return head + tail, t
 
 
@@ -1464,7 +1504,7 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     pay, pay2 = _launch_exotic(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         kind=kind, n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
-        sampler=sampler, scheme=scheme)
+        sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
     n = n_blocks * PATHS_PER_BLOCK
     df = math.exp(-float(rate) * t)
     mean = pay.sum() / n
@@ -1497,7 +1537,8 @@ def pallas_heston_cliquet_price(spot, maturity, rate, params,
     pay, pay2 = _launch_exotic(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        period=n_steps // n_periods, sampler=sampler, scheme=scheme)
+        period=n_steps // n_periods, sampler=sampler, scheme=scheme,
+        jumps=hasattr(params, "lam"))
     n = n_blocks * PATHS_PER_BLOCK
     df = math.exp(-float(rate) * t)
     mean = pay.sum() / n
@@ -1535,7 +1576,8 @@ def pallas_heston_autocall_price(spot, maturity, rate, params,
     pay, pay2 = _launch_exotic(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        period=n_steps // n_obs, sampler=sampler, scheme=scheme)
+        period=n_steps // n_obs, sampler=sampler, scheme=scheme,
+        jumps=hasattr(params, "lam"))
     n = n_blocks * PATHS_PER_BLOCK
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
@@ -1581,12 +1623,14 @@ def _combine_exotic_lr(outs, n: int, scalars, n_steps: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
-                                             "cp", "period", "sampler"))
+                                             "cp", "period", "sampler",
+                                             "jumps"))
 def _exotic_lr_pipeline(seed, p, scalars, *, kind, n_steps, n_blocks, cp,
-                        sampler, period=1):
+                        sampler, period=1, jumps=False):
     outs = _launch_exotic(seed, p, kind=kind, n_steps=n_steps,
                           n_blocks=n_blocks, cp=cp, period=period,
-                          sampler=sampler, scheme="euler", lr=True)
+                          sampler=sampler, scheme="euler", lr=True,
+                          jumps=jumps)
     return _combine_exotic_lr(outs, n_blocks * PATHS_PER_BLOCK, scalars,
                               n_steps, discounted=(kind == "autocall"))
 
@@ -1631,7 +1675,8 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
     out = dict(_exotic_lr_pipeline(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind=kind,
-        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler))
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler,
+        jumps=hasattr(params, "lam")))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     return out
 
@@ -1674,7 +1719,8 @@ def pallas_heston_cliquet_lr_greeks(spot, maturity, rate, params,
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind="cliquet",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        period=n_steps // n_periods, sampler=sampler))
+        period=n_steps // n_periods, sampler=sampler,
+        jumps=hasattr(params, "lam")))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     out["delta_convention"] = ("frozen-fixings hedge delta: initial "
                                "fixing held at its current level (the "
@@ -1717,7 +1763,8 @@ def pallas_heston_autocall_lr_greeks(spot, maturity, rate, params,
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind="autocall",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        period=n_steps // n_obs, sampler=sampler))
+        period=n_steps // n_obs, sampler=sampler,
+        jumps=hasattr(params, "lam")))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     out["delta_convention"] = ("frozen-fixings hedge delta: barriers "
                                "held at their inception levels (the "

@@ -89,3 +89,26 @@ def draw_normals(sampler: str, seed, block, step, n_steps: int, shape):
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = TWO_PI * u2
     return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def draw_jump(sampler: str, seed, block, step, n_steps: int, shape):
+    """(u_count, z_size) for a compound-Poisson jump step, on streams
+    DISJOINT from both ``draw_normals`` and ``draw_uniform`` (distinct
+    hash salts). ``u_count`` drives the inverse-CDF jump count, ``z_size``
+    the N(mu_j, sigma_j^2)-sum size given the count (Bates kernels)."""
+    if sampler == "hash":
+        rows, lanes = shape
+        rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane_id = rid * lanes + cid
+        base = ((block * n_steps + step) * 2) * (rows * lanes)
+        u = hash_uniform(base + lane_id, seed ^ jnp.int32(0x11C98F2D))
+        u1 = hash_uniform(base + rows * lanes + lane_id,
+                          seed ^ jnp.int32(0x5BD1E995))
+        u2 = hash_uniform(base + lane_id, seed ^ jnp.int32(0x5BD1E995))
+    else:
+        u = prng_uniform(shape)
+        u1 = prng_uniform(shape)
+        u2 = prng_uniform(shape)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+    return u, z

@@ -477,9 +477,11 @@ def sharded_local_vol_greeks(pricer, strike, mesh: Mesh, cp: float = 1.0,
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
                                              "cp", "period", "sampler",
-                                             "scheme", "lr", "mesh"))
+                                             "scheme", "lr", "jumps",
+                                             "mesh"))
 def _sharded_heston_exotic_launch(seed, params, *, kind, n_steps, n_blocks,
-                                  cp, period, sampler, scheme, lr, mesh):
+                                  cp, period, sampler, scheme, lr, mesh,
+                                  jumps=False):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
     n_out = ((8 if kind == "autocall" else 7) if lr else 2)
@@ -490,7 +492,7 @@ def _sharded_heston_exotic_launch(seed, params, *, kind, n_steps, n_blocks,
         outs = _hp._launch_exotic(seed_vec, params_rep, kind=kind,
                                   n_steps=n_steps, n_blocks=bpd, cp=cp,
                                   period=period, sampler=sampler,
-                                  scheme=scheme, lr=lr)
+                                  scheme=scheme, lr=lr, jumps=jumps)
         return tuple(jax.lax.psum(o, names) for o in outs)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
@@ -519,7 +521,8 @@ def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     pay, pay2 = _sharded_heston_exotic_launch(
         jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
-        sampler=sampler, scheme=scheme, lr=False, mesh=mesh)
+        sampler=sampler, scheme=scheme, lr=False, mesh=mesh,
+        jumps=hasattr(params, "lam"))
     n = n_blocks * _hp.PATHS_PER_BLOCK
     return _ep._mean_stderr(pay, pay2, n, math.exp(-float(rate) * t))
 
@@ -547,7 +550,8 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
     outs = _sharded_heston_exotic_launch(
         jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32), kind=kind,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
-        sampler=sampler, scheme="euler", lr=True, mesh=mesh)
+        sampler=sampler, scheme="euler", lr=True, mesh=mesh,
+        jumps=hasattr(params, "lam"))
     scalars = _hp._lr_scalars(spot, t, rate, params, n_steps)
     out = dict(_hp._combine_exotic_lr(outs, n_blocks * _hp.PATHS_PER_BLOCK,
                                       scalars, n_steps))

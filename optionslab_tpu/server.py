@@ -9,8 +9,9 @@ same façade. Endpoints (all POST, JSON body, JSON response):
   /mc      {"n_paths": N, "method": "pallas|xla", contract fields...}
   /iv      {"price": P, contract fields...}
   /exotic  {"kind": "asian|barrier|lookback|american|cliquet|...",
-            "model": "bs|heston|heston-qe"}  → heston: stochastic-vol
-            kernel (+"greeks": joint-density LR ladder)
+            "model": "bs|heston[-qe]|bates[-qe]"}  → heston/bates:
+            stochastic-vol (+jumps) kernel ("greeks": joint-density LR
+            ladder)
   /american {"model": "bs|heston|lv", "option_type": "put", ...}
             → certified [lower, upper] bracket
   /basket  {"kind": "basket|basket_geo|rainbow_*|spread|basket_asian",
@@ -137,7 +138,7 @@ def handle_exotic(body: dict) -> dict:
     p, _ = _contract(body)
     kind = body.get("kind", "asian")
     n_paths = int(body.get("n_paths", 100_000))
-    if str(body.get("model", "bs")).startswith("heston"):
+    if str(body.get("model", "bs")).startswith(("heston", "bates")):
         return _exotic_heston(body, p, kind, n_paths)
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
@@ -211,13 +212,14 @@ def handle_exotic(body: dict) -> dict:
 
 
 def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
-    """model=heston[-qe]: exotics under stochastic vol at kernel speed
-    (mirrors CLI ``exotic --model heston``). Heston params come from the
-    body (v0/kappa/theta/sigma_v/rho_sv, CIR defaults); greeks=true adds
-    the one-pass joint-density LR ladder (Euler, non-structured kinds)."""
+    """model=heston[-qe] | bates[-qe]: exotics under stochastic vol
+    (optionally + compound-Poisson jumps) at kernel speed (mirrors CLI
+    ``exotic --model heston|bates``). Dynamics params come from the body
+    (v0/kappa/theta/sigma_v/rho_sv + lam/mu_j/sigma_j for bates);
+    greeks=true adds the one-pass joint-density LR ladder (Euler)."""
     import jax
 
-    from .models import HestonParams
+    from .models import BatesParams, HestonParams
     from .ops.heston_pallas import (pallas_heston_autocall_lr_greeks,
                                     pallas_heston_autocall_price,
                                     pallas_heston_cliquet_lr_greeks,
@@ -225,18 +227,26 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                                     pallas_heston_exotic_lr_greeks,
                                     pallas_heston_exotic_price)
 
-    par = HestonParams.make(float(body.get("v0", 0.04)),
-                            float(body.get("kappa", 2.0)),
-                            float(body.get("theta", 0.04)),
-                            float(body.get("sigma_v", 0.3)),
-                            float(body.get("rho_sv", -0.7)))
     model = str(body.get("model"))
-    scheme = "qe" if model == "heston-qe" else "euler"
+    heston_args = (float(body.get("v0", 0.04)),
+                   float(body.get("kappa", 2.0)),
+                   float(body.get("theta", 0.04)),
+                   float(body.get("sigma_v", 0.3)),
+                   float(body.get("rho_sv", -0.7)))
+    if model.startswith("bates"):
+        par = BatesParams.make(*heston_args,
+                               lam=float(body.get("lam", 0.5)),
+                               mu_j=float(body.get("mu_j", -0.1)),
+                               sigma_j=float(body.get("sigma_j", 0.15)))
+    else:
+        par = HestonParams.make(*heston_args)
+    scheme = "qe" if model.endswith("-qe") else "euler"
     sampler = "prng" if jax.default_backend() == "tpu" else "hash"
     cp = 1.0 if p["option_type"].startswith("c") else -1.0
     kw = dict(n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
               seed=int(body.get("seed", 0)), sampler=sampler)
-    base = {"model": model, "scheme": scheme, "dynamics": "heston"}
+    base = {"model": model, "scheme": scheme,
+            "dynamics": "bates" if model.startswith("bates") else "heston"}
     greeks = bool(body.get("greeks"))
     if greeks and scheme != "euler":
         raise ValueError("greeks under heston use the Euler LR ladder; "
@@ -274,7 +284,7 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     elif kind == "barrier":
         kname = f"barrier_{body.get('barrier_type', 'up-and-out')}"
     else:
-        raise ValueError(f"model=heston supports asian/barrier/lookback/"
+        raise ValueError(f"model={model} supports asian/barrier/lookback/"
                          f"one-touch/no-touch/autocallable/cliquet, "
                          f"not {kind!r}")
     if greeks:

@@ -328,3 +328,101 @@ class TestBridgeQMC:
         with pytest.raises(ValidationError):  # n_steps >= 2
             pallas_heston_exotic_price("asian_arith", S, K, T, R, PAR,
                                        sampler="sobol_bb", n_steps=1)
+
+
+class TestBatesExotics:
+    """Exotics under Bates (stochastic vol + compound-Poisson jumps):
+    the scan engine accepts BatesParams transparently; the kernel
+    truncates the per-step count at 3 (bias O((lam*dt)^4))."""
+    from optionslab_tpu.models.bates import BatesParams
+    BP = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.5, mu_j=-0.1,
+                          sigma_j=0.15)
+
+    def test_vanilla_limit_matches_bates_cf(self):
+        """Far up-and-out barrier == vanilla == Bates CF price."""
+        from optionslab_tpu.models.bates import BatesParams, bates_price
+        from optionslab_tpu.types import ContractBatch
+        pb, sb = heston_exotic_price(
+            "barrier_up-and-out", S, K, T, R, self.BP, KEY, barrier=1e6,
+            n_paths=200_000, n_steps=64, return_stderr=True)
+        bp64 = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.5,
+                                mu_j=-0.1, sigma_j=0.15, dtype=jnp.float64)
+        exact = float(bates_price(
+            ContractBatch.make(S, K, T, R, 0.2, "call", dtype=jnp.float64),
+            bp64))
+        assert abs(float(pb) - exact) < 4 * float(sb) + 0.05
+
+    def test_lam_zero_is_heston(self):
+        from optionslab_tpu.models.bates import BatesParams
+        b0 = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.0,
+                              mu_j=-0.1, sigma_j=0.15)
+        pa, sa = heston_exotic_price("asian_arith", S, K, T, R, b0, KEY,
+                                     n_paths=100_000, n_steps=16,
+                                     return_stderr=True)
+        ph, sh = heston_exotic_price("asian_arith", S, K, T, R, PAR,
+                                     jax.random.PRNGKey(2), n_paths=100_000,
+                                     n_steps=16, return_stderr=True)
+        assert abs(float(pa) - float(ph)) < 5 * float(jnp.sqrt(sa**2 + sh**2))
+
+    @pytest.mark.parametrize("kind,b,cp", [
+        ("asian_arith", 0.0, 1.0), ("barrier_down-and-in", 80.0, -1.0),
+        ("one_touch_down", 80.0, 1.0)])
+    def test_kernel_scan_parity(self, kind, b, cp):
+        ps, ss = heston_exotic_price(kind, S, K, T, R, self.BP, KEY, cp=cp,
+                                     barrier=b, n_paths=80_000, n_steps=16,
+                                     return_stderr=True)
+        pk, sk, _ = pallas_heston_exotic_price(
+            kind, S, K, T, R, self.BP, cp=cp, barrier=b, n_paths=80_000,
+            n_steps=16, sampler="hash")
+        tol = 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.01
+        assert abs(float(ps) - float(pk)) < tol
+
+    def test_qe_with_jumps_parity(self):
+        ps, ss = heston_exotic_price("asian_arith", S, K, T, R, self.BP, KEY,
+                                     scheme="qe", n_paths=80_000, n_steps=16,
+                                     return_stderr=True)
+        pk, sk, _ = pallas_heston_exotic_price(
+            "asian_arith", S, K, T, R, self.BP, scheme="qe", n_paths=80_000,
+            n_steps=16, sampler="hash")
+        assert abs(float(ps) - float(pk)) < 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.01
+
+    def test_jumps_fatten_left_tail(self):
+        """Down-and-in put must be worth MORE under negative-mean jumps."""
+        pj, _, _ = pallas_heston_exotic_price(
+            "barrier_down-and-in", S, K, T, R, self.BP, cp=-1.0,
+            barrier=80.0, n_paths=100_000, n_steps=16, sampler="hash")
+        pn, _, _ = pallas_heston_exotic_price(
+            "barrier_down-and-in", S, K, T, R, PAR, cp=-1.0, barrier=80.0,
+            n_paths=100_000, n_steps=16, sampler="hash")
+        assert float(pj) > float(pn) + 0.5
+
+    def test_lr_ladder_under_bates(self):
+        g = pallas_heston_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, self.BP, n_paths=250_000, n_steps=16,
+            sampler="hash")
+
+        def price(s=S, rr=R):
+            p, _, _ = pallas_heston_exotic_price(
+                "asian_arith", s, K, T, rr, self.BP, n_paths=250_000,
+                n_steps=16, sampler="hash")
+            return float(p)
+        fd_d = (price(s=S + 0.5) - price(s=S - 0.5)) / 1.0
+        fd_r = (price(rr=R + 0.002) - price(rr=R - 0.002)) / 0.004
+        assert abs(g["delta"] - fd_d) < 0.02
+        assert abs(g["rho"] - fd_r) < 0.05 * abs(fd_r) + 0.6
+
+    def test_autocall_under_bates(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_autocall_price)
+        ps, ss = heston_autocall_price(S, T, R, self.BP, KEY, n_obs=4,
+                                       n_paths=80_000, n_steps=16,
+                                       return_stderr=True)
+        pk, sk, _ = pallas_heston_autocall_price(
+            S, T, R, self.BP, n_obs=4, n_paths=80_000, n_steps=16,
+            sampler="hash")
+        assert abs(float(ps) - float(pk)) < 5 * float(jnp.sqrt(ss**2 + sk**2)) + 0.02
+        # jumps must cheapen the autocall (knock-in more likely)
+        ph, _, _ = pallas_heston_autocall_price(
+            S, T, R, PAR, n_obs=4, n_paths=80_000, n_steps=16,
+            sampler="hash")
+        assert float(pk) < float(ph)

@@ -324,3 +324,14 @@ class TestHestonExoticEndpoint:
         assert status == 200
         assert {"vega_v0", "rho", "theta", "delta_convention"} <= body.keys()
         assert "frozen-fixings" in body["delta_convention"]
+
+    def test_bates_exotic_over_wire(self, server):
+        base = {"kind": "barrier", "barrier": 80.0, "option_type": "put",
+                "barrier_type": "down-and-in", "n_paths": 20000,
+                "n_steps": 8}
+        _, bj = _post(server, "/exotic", {**base, "model": "bates",
+                                          "lam": 0.5, "mu_j": -0.1,
+                                          "sigma_j": 0.15})
+        _, bh = _post(server, "/exotic", {**base, "model": "heston"})
+        assert bj["dynamics"] == "bates" and bh["dynamics"] == "heston"
+        assert bj["price"] > bh["price"]  # jumps fatten the left tail
