@@ -61,6 +61,8 @@ from .dividends import (
     mc_price_discrete_dividends,
 )
 from .rbergomi import (
+    RBERGOMI_EXOTIC_KINDS,
+    rbergomi_exotic_price,
     RBergomiParams,
     rbergomi_greeks,
     rbergomi_price,
@@ -89,6 +91,7 @@ from .bates import (
     calibrate_bates,
 )
 from .var_swap import (
+    bates_variance_swap_strike,
     heston_expected_variance,
     heston_integrated_variance_laplace,
     heston_variance_of_variance,
@@ -219,6 +222,7 @@ __all__ = [
     "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
     "nig_mc_price",
     "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
+    "RBERGOMI_EXOTIC_KINDS", "rbergomi_exotic_price",
     "xi_curve_from_variance_swaps",
     "fdm_price_discrete_dividends", "mc_price_discrete_dividends",
     "dividend_parity_gap",
@@ -228,7 +232,7 @@ __all__ = [
     "vix_style_index", "heston_integrated_variance_laplace",
     "heston_expected_variance", "heston_variance_of_variance",
     "heston_variance_swap_strike", "heston_vol_swap_strike",
-    "heston_vol_swap_strike_brockhaus_long",
+    "heston_vol_swap_strike_brockhaus_long", "bates_variance_swap_strike",
     "SABRModel", "SABRParams", "sabr_implied_vol", "sabr_price", "calibrate_sabr",
     "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",
     "merton_mc_price", "kou_mc_price",

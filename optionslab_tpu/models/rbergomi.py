@@ -335,3 +335,122 @@ def rbergomi_greeks(spot, strike, maturity, rate, params: RBergomiParams,
         "vega_eta": d_eta,
         "corr_sens": d_rho,
     }
+
+
+RBERGOMI_EXOTIC_KINDS = (
+    "asian_arith", "asian_geo", "lookback_float", "lookback_fixed",
+    "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
+    "barrier_down-and-in",
+    "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
+)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "params", "maturity", "cp",
+                                    "n_paths", "n_steps", "return_stderr"))
+def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
+                          barrier, params, key, n_paths, n_steps,
+                          return_stderr):
+    """Path matrix under the exact Volterra law → vectorized payoff.
+
+    The Volterra construction already materializes every step's
+    (V~, dW) via one MXU matmul, so the full log-spot path is a cumsum —
+    path-dependent payoffs cost no extra simulation over the European
+    pricer. Monitoring conventions match the GBM/Heston engines exactly
+    (Asian averages steps 1..n; extrema/barriers/touches include S0)."""
+    n = n_steps
+    spot = jnp.float32(spot)
+    lmat = jnp.asarray(_volterra_chol(n, params.hurst, float(maturity)))
+    t_grid = jnp.linspace(maturity / n, maturity, n).astype(jnp.float32)
+    dt = jnp.float32(maturity / n)
+    half = n_paths // 2
+    eta = jnp.float32(params.eta)
+    rho = jnp.float32(params.rho)
+
+    k1, k2 = jax.random.split(key)
+    z = jax.random.normal(k1, (half, 2 * n), jnp.float32)
+    z = jnp.concatenate([z, -z], axis=0)
+    vw = jax.lax.dot_general(z, lmat, (((1,), (1,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    v_tilde = vw[:, :n]
+    w_lvl = vw[:, n:]
+    dw = jnp.diff(w_lvl, axis=1,
+                  prepend=jnp.zeros((n_paths, 1), jnp.float32))
+    expf = jnp.exp(eta * v_tilde
+                   - 0.5 * eta**2 * t_grid[None, :] ** (2 * params.hurst))
+    expf_left = jnp.concatenate(
+        [jnp.ones((n_paths, 1), jnp.float32), expf[:, :-1]], axis=1)
+    v_left = jnp.float32(params.xi0) * expf_left
+    sq_v = jnp.sqrt(v_left)
+    zp = jax.random.normal(k2, (half, n), jnp.float32)
+    zp = jnp.concatenate([zp, -zp], axis=0)
+    srho = jnp.sqrt(jnp.maximum(1.0 - rho**2, 0.0))
+    dz = rho * dw + srho * jnp.sqrt(dt) * zp
+
+    # full relative log-spot path: X_i = ln(S_{t_i}/S0) incl. drift
+    x = jnp.cumsum(sq_v * dz - 0.5 * v_left * dt, axis=1) \
+        + (jnp.float32(rate) - jnp.float32(dividend)) * t_grid[None, :]
+    s_path = spot * jnp.exp(x)          # (n_paths, n), steps 1..n
+    s_t = s_path[:, -1]
+
+    barrier_up = "up" in kind
+    knock_in = kind.endswith("in")
+    if kind == "asian_arith":
+        pay = jnp.maximum(cp * (s_path.mean(axis=1) - strike), 0.0)
+    elif kind == "asian_geo":
+        pay = jnp.maximum(
+            cp * (spot * jnp.exp(x.mean(axis=1)) - strike), 0.0)
+    elif kind == "lookback_float":
+        ext = (jnp.minimum(s_path.min(axis=1), spot) if cp > 0
+               else jnp.maximum(s_path.max(axis=1), spot))
+        pay = cp * (s_t - ext)
+    elif kind == "lookback_fixed":
+        ext = (jnp.maximum(s_path.max(axis=1), spot) if cp > 0
+               else jnp.minimum(s_path.min(axis=1), spot))
+        pay = jnp.maximum(cp * (ext - strike), 0.0)
+    else:
+        if barrier_up:
+            hit = jnp.maximum(s_path.max(axis=1), spot) >= barrier
+        else:
+            hit = jnp.minimum(s_path.min(axis=1), spot) <= barrier
+        hit = hit.astype(jnp.float32)
+        if "touch" in kind:
+            pay = hit if kind.startswith("one") else (1.0 - hit)
+        else:
+            vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
+            pay = vanilla * (hit if knock_in else (1.0 - hit))
+    df = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+    price = df * pay.mean()
+    if not return_stderr:
+        return price
+    stderr = df * pay.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+    return price, stderr
+
+
+def rbergomi_exotic_price(kind: str, spot, strike, maturity, rate,
+                          params: RBergomiParams, key, cp: float = 1.0,
+                          dividend: float = 0.0, barrier: float = 0.0,
+                          n_paths: int = 100_000, n_steps: int = 256,
+                          return_stderr: bool = False):
+    """Exotics under ROUGH volatility — the dynamics that actually match
+    short-dated skew term structure (H ~ 0.1), applied to the payoffs a
+    desk quotes daily. Completes the payoff x dynamics matrix's rough
+    column (GBM / local-vol / Heston / Bates elsewhere); the reference
+    has neither rough vol nor stochastic-vol exotics.
+
+    ``kind`` in RBERGOMI_EXOTIC_KINDS; conventions match the other
+    engines (discrete monitoring at every step incl. S0 for extrema /
+    barriers; one-touch pays unit cash at expiry). At eta -> 0 prices
+    reduce to the GBM engines with sigma = sqrt(xi0).
+    """
+    params.validate()
+    if kind not in RBERGOMI_EXOTIC_KINDS:
+        raise ValidationError(
+            f"unknown rbergomi exotic kind {kind!r}; "
+            f"choose {RBERGOMI_EXOTIC_KINDS}")
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (antithetic)")
+    return _rbergomi_exotic_core(kind, spot, jnp.float32(strike),
+                                 float(maturity), rate, dividend,
+                                 float(cp), jnp.float32(barrier), params,
+                                 key, n_paths, n_steps, return_stderr)

@@ -216,3 +216,24 @@ def heston_integrated_variance_mc(params: HestonParams, maturity, key,
     n = jnp.asarray(n_paths, dtype)
     return (jnp.mean(x), jnp.std(x) / jnp.sqrt(n),
             jnp.mean(rx), jnp.std(rx) / jnp.sqrt(n))
+
+
+def bates_variance_swap_strike(params, maturity):
+    """EXACT fair variance-swap strike under Bates (SVJ).
+
+    The payoff convention is realized QUADRATIC VARIATION of log returns:
+    [ln S]_T = integral v_t dt + sum J_i^2, so
+
+        K_var = E[(1/T) integral_0^T v_t dt] + lam * (mu_j^2 + sigma_j^2)
+
+    — the diffusive leg is the Heston closed form on the shared CIR
+    sub-parameters, the jump leg is the compound-Poisson second moment
+    (E[J^2] per unit time). ``params``: a ``bates.BatesParams``. Reduces
+    to :func:`heston_variance_swap_strike` at lam = 0.
+    """
+    from .heston import HestonParams
+
+    diff = heston_expected_variance(
+        HestonParams(v0=params.v0, kappa=params.kappa, theta=params.theta,
+                     sigma=params.sigma, rho=params.rho), maturity)
+    return diff + params.lam * (params.mu_j**2 + params.sigma_j**2)

