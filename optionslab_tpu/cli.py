@@ -163,6 +163,8 @@ def cmd_iv(args) -> dict:
 def cmd_exotic(args) -> dict:
     if getattr(args, "model", "bs").startswith(("heston", "bates")):
         return _exotic_heston(args)
+    if getattr(args, "model", "bs") == "rbergomi":
+        return _exotic_rbergomi(args)
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
     if getattr(args, "cv", False):
@@ -325,6 +327,40 @@ def _exotic_heston(args) -> dict:
         raise SystemExit(str(e)) from e
 
 
+def _exotic_rbergomi(args) -> dict:
+    """--model rbergomi: exotics under ROUGH volatility (exact Volterra
+    law, ``models/rbergomi.rbergomi_exotic_price``)."""
+    import jax
+
+    from .models import RBergomiParams, rbergomi_exotic_price
+    from .utils.exceptions import ValidationError
+
+    par = RBergomiParams(hurst=args.hurst, eta=args.eta, rho=args.rho_sv,
+                         xi0=args.xi0)
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
+                "barrier": f"barrier_{args.barrier_type}"}
+    if args.kind in ("one-touch", "no-touch"):
+        side = "up" if args.barrier >= args.spot else "down"
+        kname = f"{args.kind.replace('-', '_')}_{side}"
+    elif args.kind in kind_map:
+        kname = kind_map[args.kind]
+    else:
+        raise SystemExit("--model rbergomi supports asian/barrier/lookback/"
+                         f"one-touch/no-touch, not {args.kind!r}")
+    try:
+        p, se = rbergomi_exotic_price(
+            kname, args.spot, args.strike, args.maturity, args.rate, par,
+            jax.random.PRNGKey(args.seed), cp, barrier=args.barrier,
+            n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
+            return_stderr=True)
+    except ValidationError as e:
+        raise SystemExit(str(e)) from e
+    return {"model": "rbergomi", "dynamics": "rough-bergomi",
+            "kind": kname, "price": float(p), "std_error": float(se),
+            "hurst": args.hurst, "eta": args.eta}
+
+
 def _exotic_kernel_greeks(args) -> dict:
     """--greeks: the fused-kernel Greek ladders (dispatch lives in
     ``ops.exotic_pallas.exotic_kernel_ladder``; pathwise for asian/
@@ -368,17 +404,24 @@ def cmd_american(args) -> dict:
             dup, args.strike, args.maturity, cp=cp,
             n_dates=args.n_dates if args.n_dates <= 50 else 25)
         return {k: float(v) for k, v in out.items()}
-    if args.model == "heston":
-        from .models import HestonParams
+    if args.model in ("heston", "bates"):
+        from .models import BatesParams, HestonParams
         from .models.heston_american import heston_american_bracket
 
+        if args.model == "bates":
+            par = BatesParams.make(args.v0, args.kappa, args.theta,
+                                   args.sigma_v, args.rho_sv, lam=args.lam,
+                                   mu_j=args.mu_j, sigma_j=args.sigma_j)
+        else:
+            par = HestonParams.make(v0=args.v0, kappa=args.kappa,
+                                    theta=args.theta, sigma=args.sigma_v,
+                                    rho=args.rho_sv)
         out = heston_american_bracket(
-            args.spot, args.strike, args.maturity, args.rate,
-            HestonParams.make(v0=args.v0, kappa=args.kappa,
-                              theta=args.theta, sigma=args.sigma_v,
-                              rho=args.rho_sv),
-            cp=cp, n_dates=args.n_dates if args.n_dates <= 50 else 25,
-            method="adi")
+            args.spot, args.strike, args.maturity, args.rate, par, cp=cp,
+            n_dates=args.n_dates if args.n_dates <= 50 else 25,
+            # the ADI grid is diffusion-only: Bates certifies via LSM+dual
+            method="lsm" if args.model == "bates" else "adi",
+            use_cv=args.model == "bates")
         return {k: (float(v) if isinstance(v, (int, float)) else v)
                 for k, v in out.items()}
     from .models import american_price_interval
@@ -707,7 +750,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "autocallable)")
     pe.add_argument("--model", default="bs",
                     choices=["bs", "heston", "heston-qe", "bates",
-                             "bates-qe"],
+                             "bates-qe", "rbergomi"],
                     help="heston[-qe] / bates[-qe]: price under stochastic "
                          "vol (+ jumps for bates) via the fused exotic "
                          "kernel; --greeks adds the joint-density LR "
@@ -716,6 +759,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bates jump intensity /yr")
     pe.add_argument("--mu-j", type=float, default=-0.1)
     pe.add_argument("--sigma-j", type=float, default=0.15)
+    pe.add_argument("--hurst", type=float, default=0.1,
+                    help="rbergomi roughness H in (0, 0.5]")
+    pe.add_argument("--eta", type=float, default=1.9,
+                    help="rbergomi vol-of-vol")
+    pe.add_argument("--xi0", type=float, default=0.04,
+                    help="rbergomi flat forward variance")
     pe.add_argument("--v0", type=float, default=0.04)
     pe.add_argument("--kappa", type=float, default=2.0)
     pe.add_argument("--theta", type=float, default=0.04)
@@ -733,7 +782,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --model heston/lv: certified bracket under stochastic/local vol
     # (PDE-surface dual, puts only; lv uses the sample smile at --vol
     # ATM); n-dates above 50 is clamped to the PDE-friendly 25
-    pa.add_argument("--model", choices=["bs", "heston", "lv", "maxcall"],
+    pa.add_argument("--model",
+                    choices=["bs", "heston", "bates", "lv", "maxcall"],
                     default="bs")
     # --model maxcall: certified Bermudan max-call bracket on d assets
     # (--dividend comes from the common contract args; the Broadie-
@@ -745,6 +795,10 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--theta", type=float, default=0.04)
     pa.add_argument("--sigma-v", type=float, default=0.3)
     pa.add_argument("--rho-sv", type=float, default=-0.7)
+    pa.add_argument("--lam", type=float, default=0.5,
+                    help="bates jump intensity /yr (certifies via LSM+dual)")
+    pa.add_argument("--mu-j", type=float, default=-0.1)
+    pa.add_argument("--sigma-j", type=float, default=0.15)
 
     pk = sub.add_parser("basket")
     pk.add_argument("--spots", default="100,95,105")

@@ -25,6 +25,13 @@ Reference anchor: ``src/pricing_models/heston.py`` has no American
 machinery at all — this extends the GBM-American certification lead
 (``models/american.py:817``) to stochastic vol, and pins the ADI solver
 (``models/heston_fdm.py``) inside a certified interval.
+
+BATES (jumps): every function accepts a ``bates.BatesParams`` — the
+transitions gain an exact compound-Poisson log-jump (all pipelines share
+the law, so the duality argument is untouched), and the interest-on-
+strike pad stays valid (its derivation needs only that discounted S is a
+Q-martingale, which the compensator preserves). ``method="lsm"`` only —
+the ADI grid solves the pure-diffusion PDE.
 """
 
 from __future__ import annotations
@@ -83,22 +90,53 @@ def _qe_consts(params, dt):
     return emkd, c1, s2_v, s2_0, k0, k1, k2, k3, k4
 
 
-def _qe_substep(x, v, key, consts, mu_dt, dtype):
+def _jump_consts(params, dt):
+    """Bates jump tuple (lam*dt, mu_j, sigma_j) or None for pure Heston.
+    The duality machinery is valid for ANY shared Markov transition law —
+    lower, upper and policy-fit all route through the same substep."""
+    if not hasattr(params, "lam"):
+        return None
+    return (params.lam * dt, params.mu_j, params.sigma_j)
+
+
+def _jump_comp(params):
+    """lam*kbar drift compensator (0 for Heston) so discounted S stays a
+    martingale under jumps."""
+    if not hasattr(params, "lam"):
+        return 0.0
+    return params.lam * (jnp.exp(params.mu_j + 0.5 * params.sigma_j**2)
+                         - 1.0)
+
+
+def _apply_jump(x, key, jc, dtype):
+    """Exact compound-Poisson log-jump for one substep."""
+    lam_dt, mu_j, sigma_j = jc
+    kn, kz = jax.random.split(key)
+    n_j = jax.random.poisson(kn, lam_dt, x.shape).astype(dtype)
+    zj = jax.random.normal(kz, x.shape, dtype)
+    return x + n_j * mu_j + sigma_j * jnp.sqrt(n_j) * zj
+
+
+def _qe_substep(x, v, key, consts, mu_dt, dtype, jc=None):
     """Draw (z_v, z_x, u) and delegate to the single transition-law
     implementation (:func:`_qe_apply`) — lower/upper-bound dynamics must
-    share one copy of the psi-switched law by construction."""
+    share one copy of the psi-switched law by construction. ``jc``
+    (Bates) adds an exact compound-Poisson log-jump on top."""
     kz, ku = jax.random.split(key)
     z = jax.random.normal(kz, (2,) + x.shape, dtype)
     u = jax.random.uniform(ku, x.shape, dtype, 1e-7, 1.0 - 1e-7)
-    return _qe_apply(x, v, z[0], z[1], u, consts, mu_dt)
+    x, v = _qe_apply(x, v, z[0], z[1], u, consts, mu_dt)
+    if jc is not None:
+        x = _apply_jump(x, jax.random.fold_in(key, 13), jc, dtype)
+    return x, v
 
 
-def _date_step(x, v, key, consts, mu_dt, n_sub: int, dtype):
-    """One exercise-date transition = n_sub QE substeps."""
+def _date_step(x, v, key, consts, mu_dt, n_sub: int, dtype, jc=None):
+    """One exercise-date transition = n_sub QE substeps (+ jumps)."""
     def body(carry, j):
         xx, vv = carry
         xx, vv = _qe_substep(xx, vv, jax.random.fold_in(key, j), consts,
-                             mu_dt, dtype)
+                             mu_dt, dtype, jc)
         return (xx, vv), None
 
     (x, v), _ = lax.scan(body, (x, v), jnp.arange(n_sub))
@@ -112,14 +150,15 @@ def _simulate_dates(key, spot, params, rate, maturity, n_dates, n_sub,
     """(x, v) at every exercise date: arrays (n_dates+1, n_paths)."""
     dtype = jnp.dtype(dtype_name)
     dt = jnp.asarray(maturity / (n_dates * n_sub), dtype)
-    consts = _qe_consts(jax.tree.map(lambda a: jnp.asarray(a, dtype), params),
-                        dt)
-    mu_dt = jnp.asarray(rate, dtype) * dt
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    consts = _qe_consts(params, dt)
+    jc = _jump_consts(params, dt)
+    mu_dt = (jnp.asarray(rate, dtype) - _jump_comp(params)) * dt
 
     def body(carry, d):
         x, v = carry
         x, v = _date_step(x, v, jax.random.fold_in(key, d), consts, mu_dt,
-                          n_sub, dtype)
+                          n_sub, dtype, jc)
         return (x, v), (x, v)
 
     x0 = jnp.zeros((n_paths,), dtype)
@@ -323,9 +362,11 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
     """
     dt = maturity / n_dates
     dtype = jnp.float32
-    consts = _qe_consts(jax.tree.map(lambda a: jnp.asarray(a, dtype), params),
-                        jnp.asarray(maturity / (n_dates * n_sub), dtype))
-    mu_sub = jnp.asarray(rate, dtype) * maturity / (n_dates * n_sub)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+    dt_sub = jnp.asarray(maturity / (n_dates * n_sub), dtype)
+    consts = _qe_consts(params, dt_sub)
+    jc = _jump_consts(params, dt_sub)
+    mu_sub = (jnp.asarray(rate, dtype) - _jump_comp(params)) * dt_sub
 
     k_outer, k_dual = jax.random.split(jax.random.fold_in(key, 7))
     s_out, v_out = _simulate_dates(k_outer, spot, params, rate, maturity,
@@ -345,6 +386,15 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, params, cp,
                                  mu_sub)
             x_b, v_b = _qe_apply(xs_c[1], vs_c[1], -z[0], -z[1], 1.0 - u,
                                  consts, mu_sub)
+            if jc is not None:
+                # count shared across the antithetic pair, size mirrored
+                kn, kj = jax.random.split(jax.random.fold_in(key_tr, j + 31))
+                n_j = jax.random.poisson(kn, jc[0],
+                                         (x.shape[0], half)).astype(dtype)
+                zj = jax.random.normal(kj, (x.shape[0], half), dtype)
+                jsz = jc[2] * jnp.sqrt(n_j)
+                x_a = x_a + n_j * jc[1] + jsz * zj
+                x_b = x_b + n_j * jc[1] - jsz * zj
             return ((x_a, x_b), (v_a, v_b)), None
 
         ((x_a, x_b), (v_a, v_b)), _ = lax.scan(
@@ -474,15 +524,25 @@ def heston_american_bracket(spot, strike, maturity, rate,
         raise ValidationError(f"method must be 'lsm' or 'adi', got {method!r}")
     if use_cv is None:
         use_cv = False
+    bates = hasattr(params, "lam")
+    if bates and method == "adi":
+        raise ValidationError(
+            "the ADI method solves the pure-diffusion PDE; use "
+            "method='lsm' for Bates (jump) dynamics")
     c_euro = None
     if use_cv:
         from ..types import ContractBatch
         from .heston import heston_price
 
-        c_euro = float(heston_price(
-            ContractBatch.make(float(spot), float(strike), float(maturity),
-                               float(rate), 0.2,
-                               "put" if cp < 0 else "call"), params))
+        batch = ContractBatch.make(float(spot), float(strike),
+                                   float(maturity), float(rate), 0.2,
+                                   "put" if cp < 0 else "call")
+        if bates:
+            from .bates import bates_price
+
+            c_euro = float(bates_price(batch, params))
+        else:
+            c_euro = float(heston_price(batch, params))
     extra = {}
     if method == "adi":
         from .heston_fdm import _heston_adi_bermudan

@@ -140,6 +140,8 @@ def handle_exotic(body: dict) -> dict:
     n_paths = int(body.get("n_paths", 100_000))
     if str(body.get("model", "bs")).startswith(("heston", "bates")):
         return _exotic_heston(body, p, kind, n_paths)
+    if body.get("model") == "rbergomi":
+        return _exotic_rbergomi(body, p, kind, n_paths)
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
         # ratio (barrier/cliquet/autocall); ValidationError → 400
@@ -302,6 +304,38 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
             "std_error": _to_jsonable(se), "paths": int(n)}
 
 
+def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
+    """model=rbergomi: exotics under rough volatility (exact Volterra
+    law; mirrors CLI ``exotic --model rbergomi``)."""
+    import jax
+
+    from .models import RBergomiParams, rbergomi_exotic_price
+
+    par = RBergomiParams(hurst=float(body.get("hurst", 0.1)),
+                         eta=float(body.get("eta", 1.9)),
+                         rho=float(body.get("rho_sv", -0.9)),
+                         xi0=float(body.get("xi0", 0.04)))
+    cp = 1.0 if p["option_type"].startswith("c") else -1.0
+    barrier = float(body.get("barrier", 120.0))
+    kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
+                "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
+    if kind in ("one-touch", "no-touch"):
+        side = "up" if barrier >= p["spot"] else "down"
+        kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind in kind_map:
+        kname = kind_map[kind]
+    else:
+        raise ValueError("model=rbergomi supports asian/barrier/lookback/"
+                         f"one-touch/no-touch, not {kind!r}")
+    pr, se = rbergomi_exotic_price(
+        kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
+        jax.random.PRNGKey(int(body.get("seed", 0))), cp, barrier=barrier,
+        n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
+        return_stderr=True)
+    return {"model": "rbergomi", "dynamics": "rough-bergomi", "kind": kname,
+            "price": _to_jsonable(pr), "std_error": _to_jsonable(se)}
+
+
 def handle_basket(body: dict) -> dict:
     """Multi-asset kernel over the wire: price (any kind) or the full
     per-asset LR ladder (``greeks=true``). ``sampler="sobol"`` gives the
@@ -388,9 +422,10 @@ def handle_calibrate(body: dict) -> dict:
 
 
 def handle_american(body: dict) -> dict:
-    """Certified American-put bracket: {"model": "bs|heston|lv", contract
-    fields, optional n_dates / heston_params / smile params}. Returns the
-    bracket dict ({lower, upper, width, ...})."""
+    """Certified American-put bracket: {"model": "bs|heston|bates|lv",
+    contract fields, optional n_dates / heston_params / bates_params /
+    smile params}. Returns the bracket dict ({lower, upper, width, ...});
+    bates certifies via LSM+dual on the jump-augmented QE law."""
     p, cp = _contract(body)
     model = str(body.get("model", "bs")).lower()
     n_dates = int(body.get("n_dates", 25))
@@ -398,15 +433,23 @@ def handle_american(body: dict) -> dict:
     sizes = {k: min(int(body[k]), 1_000_000)
              for k in ("n_fit", "n_lower", "n_outer", "n_inner", "n_grid")
              if k in body}
-    if model == "heston":
+    if model in ("heston", "bates"):
         from .models.heston import HestonParams
         from .models.heston_american import heston_american_bracket
 
         kw = {k: v for k, v in sizes.items() if k != "n_grid"}
+        if model == "bates":
+            from .models.bates import BatesParams
+
+            par = BatesParams.make(**body.get("bates_params", {}))
+            # the ADI grid is diffusion-only: jumps certify via LSM+dual
+            kw.update(method="lsm", use_cv=True)
+        else:
+            par = HestonParams.make(**body.get("heston_params", {}))
+            kw.update(method="adi")
         out = heston_american_bracket(
-            p["spot"], p["strike"], p["maturity"], p["rate"],
-            HestonParams.make(**body.get("heston_params", {})), cp=cp,
-            n_dates=min(n_dates, 50), method="adi", **kw)
+            p["spot"], p["strike"], p["maturity"], p["rate"], par, cp=cp,
+            n_dates=min(n_dates, 50), **kw)
     elif model == "lv":
         from .models import local_vol_american_bracket
         from .models.local_vol import DupireLocalVol, sample_smile_iv_fn

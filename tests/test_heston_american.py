@@ -182,3 +182,51 @@ class TestBracketCertification:
         lo = bracket["lower"] - 3 * bracket["lower_se"]
         hi = bracket["continuous_upper"] + 3 * bracket["upper_se"]
         assert lo < adi < hi, (bracket, adi)
+
+
+class TestBatesBracket:
+    """Certified American bracket under jumps (LSM+dual on the shared
+    QE+compound-Poisson transition law)."""
+
+    KW = dict(n_dates=12, n_sub=2, n_fit=30_000, n_lower=40_000,
+              n_outer=192, n_inner=384, use_cv=True)
+
+    def test_lam_zero_identical_to_heston(self):
+        """Poisson(0) consumes keys on disjoint fold_in branches, so the
+        diffusion draws are untouched — lam=0 must match Heston to the
+        digit, not just statistically."""
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.models.heston import HestonParams
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+        b0 = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.0,
+                              mu_j=-0.1, sigma_j=0.15)
+        rh = heston_american_bracket(100.0, 100.0, 1.0, 0.05, hp, **self.KW)
+        r0 = heston_american_bracket(100.0, 100.0, 1.0, 0.05, b0, **self.KW)
+        assert rh["lower"] == pytest.approx(r0["lower"], abs=1e-6)
+        assert rh["upper"] == pytest.approx(r0["upper"], abs=1e-6)
+
+    def test_jumps_raise_put_value_with_valid_bracket(self):
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.models.heston import HestonParams
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+        bj = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.5,
+                              mu_j=-0.1, sigma_j=0.15)
+        rh = heston_american_bracket(100.0, 100.0, 1.0, 0.05, hp, **self.KW)
+        rj = heston_american_bracket(100.0, 100.0, 1.0, 0.05, bj, **self.KW)
+        assert rj["lower"] > rh["upper"]  # negative jumps add put value
+        assert rj["upper"] + 3 * rj["upper_se"] \
+            >= rj["lower"] - 3 * rj["lower_se"]
+        # the American exceeds the European (CF) under the same dynamics
+        from optionslab_tpu.models.bates import bates_price
+        from optionslab_tpu.types import ContractBatch
+        euro = float(bates_price(
+            ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "put"), bj))
+        assert rj["upper"] + 3 * rj["upper_se"] > euro
+
+    def test_adi_rejected_for_bates(self):
+        from optionslab_tpu.models.bates import BatesParams
+        bj = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.5,
+                              mu_j=-0.1, sigma_j=0.15)
+        with pytest.raises(ValidationError):
+            heston_american_bracket(100.0, 100.0, 1.0, 0.05, bj,
+                                    method="adi")

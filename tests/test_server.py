@@ -335,3 +335,27 @@ class TestHestonExoticEndpoint:
         _, bh = _post(server, "/exotic", {**base, "model": "heston"})
         assert bj["dynamics"] == "bates" and bh["dynamics"] == "heston"
         assert bj["price"] > bh["price"]  # jumps fatten the left tail
+
+    def test_rbergomi_exotic_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "asian", "model": "rbergomi", "n_paths": 20000,
+            "n_steps": 8})
+        assert status == 200 and body["dynamics"] == "rough-bergomi"
+        assert 0 < body["price"] < 10.45
+        status, body = _post(server, "/exotic", {
+            "kind": "cliquet", "model": "rbergomi", "n_paths": 2000})
+        assert status == 400
+
+
+class TestBatesAmericanEndpoint:
+    def test_bates_bracket_over_wire(self, server):
+        status, body = _post(server, "/american", {
+            "model": "bates", "option_type": "put", "n_dates": 8,
+            "n_fit": 20000, "n_lower": 20000, "n_outer": 128,
+            "n_inner": 128,
+            "bates_params": {"lam": 0.5, "mu_j": -0.1, "sigma_j": 0.15}})
+        assert status == 200
+        assert body["lower"] <= body["upper"] + 0.05
+        assert body["method"] == "lsm"
+        # negative jumps: put must exceed the pure-Heston ATM value band
+        assert body["lower"] > 6.2
