@@ -642,7 +642,27 @@ def cmd_report(args) -> dict:
 
 def cmd_xva(args) -> dict:
     """Counterparty exposure profile (EE/EPE/PFE) + CVA/DVA for a simple
-    netting set: one option position vs the counterparty."""
+    netting set: one option position vs the counterparty.
+    ``--exotic-kind``: the position is PATH-DEPENDENT and the profile
+    comes from the AMC (regression-revaluation) engine instead of the
+    closed-form one."""
+    kind = getattr(args, "exotic_kind", "")
+    if kind:
+        from .risk import ExoticPosition, amc_exposure_profile, cva_dva
+
+        prof = amc_exposure_profile(
+            [ExoticPosition(kind=kind, quantity=args.quantity,
+                            strike=args.strike, maturity=args.maturity,
+                            option_type=args.option_type,
+                            barrier=args.barrier, vol=args.vol)],
+            spot=args.spot, rate=args.rate, n_dates=args.dates,
+            n_paths=args.paths, quantile=args.quantile, seed=args.seed)
+        out = cva_dva(prof, hazard_rate=args.hazard, recovery=args.recovery)
+        return {"engine": "amc", "kind": kind,
+                "dates": [float(t) for t in prof.dates],
+                "ee": [float(x) for x in prof.ee],
+                "pfe": [float(x) for x in prof.pfe],
+                "epe": prof.epe, "max_pfe": prof.max_pfe, **out}
     from .risk import Position, xva_report
 
     pos = Position(quantity=args.quantity, spot=args.spot,
@@ -889,6 +909,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--no-xva", action="store_true")
 
     px = sub.add_parser("xva")
+    px.add_argument("--exotic-kind", default="",
+                    help="path-dependent position kind (AMC engine): "
+                         "asian_arith, lookback_float/fixed, "
+                         "barrier_{up,down}-and-{in,out}")
+    px.add_argument("--barrier", type=float, default=120.0)
     px.add_argument("--spot", type=float, default=100.0)
     px.add_argument("--strike", type=float, default=100.0)
     px.add_argument("--maturity", type=float, default=1.0)

@@ -1,0 +1,245 @@
+"""AMC exposure: EE/PFE/CVA profiles for PATH-DEPENDENT trades.
+
+The closed-form engine (``risk/exposure.py``) revalues vanillas/forwards
+analytically at every (path, date). Real netting sets also hold barriers,
+Asians and lookbacks, whose future value at an exposure date depends on
+the path's accumulated state — the industry answer is American Monte
+Carlo (Longstaff–Schwartz regression revaluation, Cesari et al.): regress
+the trade's discounted terminal cashflow on basis functions of the
+date-k Markov state (S_k plus the payoff's running statistic), and use
+the fitted conditional expectation as the mark.
+
+Honesty: the regression is fit on a TRAINING half of the paths and the
+exposure is computed on the other half OUT-OF-SAMPLE — the classic
+in-sample AMC look-ahead bias (regression noise correlated with the
+positive-part) is excluded by construction, so the martingale oracle
+E[df_t V̂_t] == V_0 holds within stderr rather than drifting high.
+
+TPU-first: ONE jitted program simulates the fine path (cumsum Brownian
+levels, no scan), reduces the running statistics (cumsum / cummax /
+cummin), solves every date's ridge normal equations as a batched
+(dates, F, F) ``jnp.linalg.solve``, and evaluates the marks on the
+valuation half — no per-date host loops.
+
+Scope: one underlying per netting set (the Markov state is
+(S, per-trade statistic)); quantities may be signed (netting). Knocked-
+OUT trades mark to zero; knocked-IN trades mark as the vanilla closed
+form after the hit (exact) and by regression before it.
+
+Reference anchor: the reference has no exposure/XVA machinery at all
+(``src/risk_analysis/`` stops at VaR/ES); this extends the repo's own
+closed-form exposure engine to the payoff families of
+``models/exotics.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.black_scholes import bs_price
+from ..utils.exceptions import ValidationError
+from .exposure import ExposureResult
+
+__all__ = ["ExoticPosition", "amc_exposure_profile"]
+
+AMC_KINDS = ("vanilla", "asian_arith", "lookback_float", "lookback_fixed",
+             "barrier_up-and-out", "barrier_up-and-in",
+             "barrier_down-and-out", "barrier_down-and-in")
+
+
+@dataclasses.dataclass(frozen=True)
+class ExoticPosition:
+    """One (possibly path-dependent) trade in an AMC netting set."""
+    kind: str = "vanilla"
+    quantity: float = 1.0
+    strike: float = 100.0
+    maturity: float = 1.0
+    option_type: str = "call"
+    barrier: float = 0.0
+    vol: float = 0.2
+
+    def validate(self):
+        if self.kind not in AMC_KINDS:
+            raise ValidationError(
+                f"kind must be one of {AMC_KINDS}, got {self.kind!r}")
+        if "barrier" in self.kind and self.barrier <= 0:
+            raise ValidationError("barrier kinds need barrier > 0")
+        if self.maturity <= 0 or self.vol <= 0:
+            raise ValidationError("need maturity > 0 and vol > 0")
+
+
+def _features(s, stat, spot, strike, cp):
+    """Regression basis in the normalized Markov state (s, stat), plus
+    the two INTRINSIC features max(cp(s−K),0) and max(cp(stat−K),0) —
+    the payoff kink that polynomials smooth over (same trick as the LSM
+    policy bases); a tight basis also shrinks the positive-part
+    convexity bias E[max(V̂,0)] − E[V̂] of noisy marks."""
+    x = s / spot
+    a = stat / spot
+    k = strike / spot
+    one = jnp.ones_like(x)
+    exs = jnp.maximum(cp * (x - k), 0.0)
+    exa = jnp.maximum(cp * (a - k), 0.0)
+    return jnp.stack([one, x, x * x, x * x * x, a, a * a, x * a,
+                      x * x * a, exs, exa], axis=-1)
+
+
+def _running_stat(s_fine, kind, cp):
+    """(paths, steps) running statistic AFTER each substep; S0 excluded
+    from averages (steps 1..n convention) but INCLUDED in extrema via the
+    caller seeding the cummax/cummin with S0."""
+    if kind == "asian_arith":
+        csum = jnp.cumsum(s_fine, axis=1)
+        cnt = jnp.arange(1, s_fine.shape[1] + 1, dtype=s_fine.dtype)
+        return csum / cnt[None, :]
+    if kind in ("lookback_float", "lookback_fixed"):
+        lo = (cp > 0) == (kind == "lookback_float")
+        return (jax.lax.cummin if lo else jax.lax.cummax)(s_fine, axis=1)
+    return s_fine  # vanilla / barrier: state is S itself
+
+
+def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
+                         vol: float | None = None, dividend: float = 0.0,
+                         horizon: float | None = None, n_dates: int = 24,
+                         n_sub: int = 8, n_paths: int = 65536,
+                         seed: int = 0, quantile: float = 0.95,
+                         ridge: float = 1e-6) -> ExposureResult:
+    """EE/EPE/PFE/ENE profile of a netting set of path-dependent trades.
+
+    ``book``: list of :class:`ExoticPosition` on ONE underlying.
+    Dynamics: risk-neutral GBM at ``vol`` (default: the first position's
+    vol); barrier/extrema monitoring and Asian averaging happen on the
+    FINE grid (``n_dates * n_sub`` substeps over the horizon) — state the
+    monitoring convention when comparing against pricers with a different
+    fixing schedule. Returns an :class:`~.exposure.ExposureResult`, so
+    :func:`~.exposure.cva_dva` composes unchanged.
+    """
+    pos = list(book)
+    if not pos:
+        raise ValidationError("amc_exposure_profile needs a non-empty book")
+    for p in pos:
+        p.validate()
+    if not 0.0 < quantile < 1.0:
+        raise ValidationError(f"quantile must be in (0,1): {quantile}")
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (train/valuation split)")
+    horizon = float(horizon if horizon is not None
+                    else max(p.maturity for p in pos))
+    vol = float(vol if vol is not None else pos[0].vol)
+    n_fine = n_dates * n_sub
+    dt = horizon / n_fine
+    # trade i's final monitoring substep (1-based index into the fine grid)
+    m_idx = [max(1, min(n_fine, int(round(p.maturity / dt)))) for p in pos]
+    d_idx = jnp.arange(n_sub - 1, n_fine, n_sub)  # date-grid substeps
+    dates = (jnp.asarray(d_idx, jnp.float32) + 1.0) * dt
+    half = n_paths // 2
+
+    @jax.jit
+    def run(key):
+        z = jax.random.normal(key, (n_paths, n_fine), jnp.float32)
+        w = jnp.cumsum(z, axis=1) * np.float32(np.sqrt(dt))
+        t_fine = (jnp.arange(1, n_fine + 1, dtype=jnp.float32)) * dt
+        s_fine = spot * jnp.exp((rate - dividend - 0.5 * vol * vol)
+                                * t_fine[None, :] + vol * w)
+        v_net = jnp.zeros((half, n_dates), jnp.float32)
+        for p, mi in zip(pos, m_idx):
+            cp = 1.0 if str(p.option_type).lower().startswith("c") else -1.0
+            t_mat = mi * dt
+            s_trade = s_fine[:, :mi]
+            stat = _running_stat(s_trade, p.kind, cp)
+            if p.kind.startswith("lookback"):
+                stat = (jnp.minimum(stat, spot) if (cp > 0) ==
+                        (p.kind == "lookback_float")
+                        else jnp.maximum(stat, spot))
+            if "barrier" in p.kind:
+                up = "up" in p.kind
+                ext = (jax.lax.cummax if up else jax.lax.cummin)(
+                    s_trade, axis=1)
+                ext = (jnp.maximum(ext, spot) if up
+                       else jnp.minimum(ext, spot))
+                hit = ((ext >= p.barrier) if up
+                       else (ext <= p.barrier)).astype(jnp.float32)
+            s_t = s_trade[:, -1]
+            if p.kind == "asian_arith":
+                pay = jnp.maximum(cp * (stat[:, -1] - p.strike), 0.0)
+            elif p.kind == "lookback_float":
+                pay = cp * (s_t - stat[:, -1])
+            elif p.kind == "lookback_fixed":
+                pay = jnp.maximum(cp * (stat[:, -1] - p.strike), 0.0)
+            elif "barrier" in p.kind:
+                vanilla = jnp.maximum(cp * (s_t - p.strike), 0.0)
+                pay = vanilla * (hit[:, -1] if p.kind.endswith("in")
+                                 else (1.0 - hit[:, -1]))
+            else:
+                pay = jnp.maximum(cp * (s_t - p.strike), 0.0)
+
+            # marks on the date grid (paths, n_dates)
+            sd = s_fine[:, d_idx]
+            statd = stat[:, jnp.minimum(d_idx, mi - 1)]
+            t_d = dates
+            tau = t_mat - t_d  # (n_dates,)
+            live = tau > 1e-9  # regression dates strictly before maturity
+            # y: cashflow discounted from maturity back to each date
+            y = pay[:, None] * jnp.exp(-rate * jnp.maximum(tau, 0.0))[None, :]
+            phi = _features(sd, statd, spot, p.strike, cp)  # (paths, dates, F)
+            if "barrier" in p.kind:
+                out_kind = p.kind.endswith("out")
+                hd = hit[:, jnp.minimum(d_idx, mi - 1)]
+                if out_kind:
+                    # knocked-out: worth 0; regress on surviving paths
+                    wgt = 1.0 - hd
+                else:
+                    # knocked-in: exactly a vanilla after the hit (closed
+                    # form); regress only the not-yet-in paths
+                    wgt = 1.0 - hd
+            else:
+                wgt = jnp.ones_like(sd)
+            wtr = wgt[:half] * live[None, :]
+            phi_tr = phi[:half]
+            # batched ridge normal equations per date: (dates, F, F)
+            g = jnp.einsum("pdf,pdg,pd->dfg", phi_tr, phi_tr, wtr)
+            b = jnp.einsum("pdf,pd,pd->df", phi_tr, y[:half], wtr)
+            f_dim = g.shape[-1]
+            g = g + ridge * half * jnp.eye(f_dim)[None, :, :]
+            coef = jnp.linalg.solve(g, b[..., None])[..., 0]  # (dates, F)
+            # out-of-sample marks on the valuation half
+            cont = jnp.einsum("pdf,df->pd", phi[half:], coef)
+            cont = jnp.clip(cont, 0.0, None) if p.kind != "lookback_float" \
+                else cont
+            if "barrier" in p.kind:
+                hv = hd[half:]
+                if p.kind.endswith("out"):
+                    cont = (1.0 - hv) * cont
+                else:
+                    van = bs_price(sd[half:], p.strike,
+                                   jnp.maximum(tau, 1e-8)[None, :], rate,
+                                   p.vol, cp, dividend)
+                    cont = (1.0 - hv) * cont + hv * van
+            # at/after maturity: the settled payoff is exposure THROUGH
+            # the payoff date (same convention as the closed-form engine),
+            # zero afterwards
+            at_or_after = ~live
+            settled = (t_d <= t_mat + 0.5 * dt * n_sub)
+            v_trade = jnp.where(at_or_after[None, :],
+                                jnp.where(settled[None, :],
+                                          y[half:], 0.0), cont)
+            v_net = v_net + p.quantity * v_trade
+
+        e_pos = jnp.maximum(v_net, 0.0)
+        e_neg = jnp.maximum(-v_net, 0.0)
+        df = jnp.exp(-rate * dates)[None, :]
+        return (jnp.mean(e_pos, axis=0), jnp.mean(df * e_pos, axis=0),
+                jnp.mean(e_neg, axis=0), jnp.mean(df * e_neg, axis=0),
+                jnp.quantile(e_pos, quantile, axis=0))
+
+    ee, ee_d, ene, ene_d, pfe = (np.asarray(x) for x in
+                                 run(jax.random.PRNGKey(seed)))
+    return ExposureResult(
+        dates=np.asarray(dates), ee=ee, ee_discounted=ee_d, ene=ene,
+        ene_discounted=ene_d, pfe=pfe, quantile=quantile,
+        epe=float(np.mean(ee)), max_pfe=float(pfe.max()), rate=rate,
+        n_paths=half)

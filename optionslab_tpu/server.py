@@ -481,6 +481,33 @@ def handle_xva(body: dict) -> dict:
     rate = float(body.get("rate", 0.05))
     vol = float(body.get("vol", 0.2))
     specs = body.get("positions") or [{}]
+    if any("kind" in s_ for s_ in specs):
+        # any path-dependent position routes the WHOLE set through the
+        # AMC (regression-revaluation) engine; kind="vanilla" mixes in
+        from .risk import ExoticPosition, amc_exposure_profile, cva_dva
+
+        book = [ExoticPosition(kind=str(s_.get("kind", "vanilla")),
+                               quantity=float(s_.get("quantity", 1.0)),
+                               strike=float(s_.get("strike", 100.0)),
+                               maturity=float(s_.get("maturity", 1.0)),
+                               option_type=str(s_.get("option_type",
+                                                      "call")),
+                               barrier=float(s_.get("barrier", 0.0)),
+                               vol=float(s_.get("vol", vol)))
+                for s_ in specs]
+        prof = amc_exposure_profile(
+            book, spot=spot, rate=rate,
+            n_dates=min(int(body.get("dates", 24)), 120),
+            n_paths=min(int(body.get("paths", 65536)), 524_288),
+            quantile=float(body.get("quantile", 0.95)),
+            seed=int(body.get("seed", 0)))
+        out = cva_dva(prof, hazard_rate=float(body.get("hazard", 0.02)),
+                      recovery=float(body.get("recovery", 0.4)))
+        return {"engine": "amc", "dates": [float(t) for t in prof.dates],
+                "ee": [float(x) for x in prof.ee],
+                "pfe": [float(x) for x in prof.pfe],
+                "epe": prof.epe, "max_pfe": prof.max_pfe,
+                **{k: _to_jsonable(v) for k, v in out.items()}}
     book = [Position(quantity=float(s.get("quantity", 1.0)), spot=spot,
                      strike=float(s.get("strike", 100.0)),
                      maturity=float(s.get("maturity", 1.0)), rate=rate,

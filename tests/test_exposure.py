@@ -11,6 +11,7 @@ Oracles:
     exposure; gross (non-netted) does not.
 """
 
+import jax
 import numpy as np
 import pytest
 from scipy.stats import norm
@@ -425,3 +426,83 @@ class TestBaselMetrics:
         assert prof.eepe >= float(np.mean(prof.ee)) - 1e-9
         d = prof.to_dict()
         assert "eepe" in d and len(d["effective_ee"]) == 10
+
+
+class TestAMCExposure:
+    """Regression (Longstaff-Schwartz) revaluation exposure for
+    path-dependent trades, out-of-sample split."""
+
+    def _cf_vanilla(self):
+        from optionslab_tpu.risk.exposure import exposure_profile
+        from optionslab_tpu.risk.portfolio import Position
+        return exposure_profile(
+            [Position(quantity=1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            horizon=1.0, n_dates=12, n_paths=65536, rate=0.05)
+
+    def test_vanilla_reproduces_closed_form_engine(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="vanilla", strike=100.0, maturity=1.0,
+                            vol=0.2)],
+            spot=100.0, rate=0.05, n_paths=65536, n_dates=12)
+        cf = self._cf_vanilla()
+        np.testing.assert_allclose(amc.ee, cf.ee, rtol=0.04)
+        np.testing.assert_allclose(amc.pfe, cf.pfe, rtol=0.06)
+
+    def test_asian_martingale_oracle(self):
+        """long-option E[df V-hat] == V0 at EVERY date (out-of-sample
+        split keeps the positive-part bias at basis-residual scale)."""
+        from optionslab_tpu.models.exotics import asian_price
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="asian_arith", strike=100.0, maturity=1.0,
+                            vol=0.2)],
+            spot=100.0, rate=0.05, n_paths=131072, n_dates=12, n_sub=8)
+        v0 = float(asian_price(100.0, 100.0, 1.0, 0.05, 0.2,
+                               jax.random.PRNGKey(9), n_paths=200_000,
+                               n_steps=96))
+        assert np.abs(amc.ee_discounted - v0).max() < 0.04 * v0
+
+    def test_barrier_in_out_parity_of_profiles(self):
+        """knock-in + knock-out EE == vanilla EE at every date (the hit
+        state routes each path to exactly one of the two marks)."""
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="barrier_up-and-in", strike=100.0,
+                            barrier=120.0, maturity=1.0, vol=0.2),
+             ExoticPosition(kind="barrier_up-and-out", strike=100.0,
+                            barrier=120.0, maturity=1.0, vol=0.2)],
+            spot=100.0, rate=0.05, n_paths=65536, n_dates=12)
+        cf = self._cf_vanilla()
+        np.testing.assert_allclose(amc.ee, cf.ee, rtol=0.05)
+
+    def test_netting_and_cva_compose(self):
+        """a short vanilla nets against a long barrier; the result feeds
+        cva_dva unchanged."""
+        from optionslab_tpu.risk import (ExoticPosition,
+                                         amc_exposure_profile, cva_dva)
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="barrier_up-and-out", strike=100.0,
+                            barrier=140.0, maturity=1.0, vol=0.2),
+             ExoticPosition(kind="vanilla", quantity=-1.0, strike=100.0,
+                            maturity=1.0, vol=0.2)],
+            spot=100.0, rate=0.05, n_paths=32768, n_dates=8)
+        # far barrier: the pair nearly cancels -> EE well below the
+        # standalone vanilla's
+        assert amc.ee.max() < 3.0
+        out = cva_dva(amc, hazard_rate=0.02)
+        assert 0.0 <= out["cva"] < 1.0
+
+    def test_validation(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.utils.exceptions import ValidationError
+        with pytest.raises(ValidationError):
+            amc_exposure_profile([])
+        with pytest.raises(ValidationError):
+            amc_exposure_profile([ExoticPosition(kind="rainbow")])
+        with pytest.raises(ValidationError):
+            amc_exposure_profile(
+                [ExoticPosition(kind="barrier_up-and-out", barrier=0.0)])
+        with pytest.raises(ValidationError):
+            amc_exposure_profile([ExoticPosition()], n_paths=12345)

@@ -359,3 +359,13 @@ class TestBatesAmericanEndpoint:
         assert body["method"] == "lsm"
         # negative jumps: put must exceed the pure-Heston ATM value band
         assert body["lower"] > 6.2
+
+
+class TestAMCXVAEndpoint:
+    def test_exotic_position_routes_to_amc(self, server):
+        status, body = _post(server, "/xva", {
+            "positions": [{"kind": "barrier_up-and-out", "barrier": 120.0},
+                          {"kind": "vanilla", "quantity": -0.2}],
+            "paths": 16384, "dates": 8})
+        assert status == 200 and body["engine"] == "amc"
+        assert 0 < body["epe"] < 5.0 and body["cva"] >= 0.0
