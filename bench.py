@@ -179,6 +179,39 @@ def main():
         extras["barrier_lr_greeks_path_steps_per_sec"] = round(
             g["paths"] * 64 / ((time.perf_counter() - t0) / 3), 1)
 
+        # round-3 (late): the payoff x dynamics matrix cell — exotics
+        # UNDER Heston (fused kernel) with the joint-density LR ladder
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_lr_greeks, pallas_heston_exotic_price)
+
+        hx, _, n_hx = pallas_heston_exotic_price(
+            "asian_arith", 100.0, 100.0, 1.0, 0.05, HestonParams.make(),
+            n_paths=8_388_608, n_steps=64, seed=0)
+        jax.block_until_ready(hx)
+        t0 = time.perf_counter()
+        for i in range(3):
+            hx, _, _ = pallas_heston_exotic_price(
+                "asian_arith", 100.0, 100.0, 1.0, 0.05, HestonParams.make(),
+                n_paths=8_388_608, n_steps=64, seed=50 + i)
+        jax.block_until_ready(hx)
+        extras["heston_exotic_path_steps_per_sec"] = round(
+            n_hx * 64 / ((time.perf_counter() - t0) / 3), 1)
+
+        hxg = pallas_heston_exotic_lr_greeks(
+            "barrier_up-and-out", 100.0, 100.0, 1.0, 0.05,
+            HestonParams.make(), barrier=120.0, n_paths=8_388_608,
+            n_steps=64, seed=0)
+        jax.block_until_ready(hxg["price"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            hxg = pallas_heston_exotic_lr_greeks(
+                "barrier_up-and-out", 100.0, 100.0, 1.0, 0.05,
+                HestonParams.make(), barrier=120.0, n_paths=8_388_608,
+                n_steps=64, seed=60 + i)
+            jax.block_until_ready(hxg["price"])
+        extras["heston_exotic_ladder_path_steps_per_sec"] = round(
+            hxg["paths"] * 64 / ((time.perf_counter() - t0) / 3), 1)
+
         # local-vol kernel under the calibrated sample smile
         from optionslab_tpu.models.local_vol import (DupireLocalVol,
                                                      sample_smile_iv_fn)

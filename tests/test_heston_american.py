@@ -191,6 +191,7 @@ class TestBatesBracket:
     KW = dict(n_dates=12, n_sub=2, n_fit=30_000, n_lower=40_000,
               n_outer=192, n_inner=384, use_cv=True)
 
+    @pytest.mark.slow
     def test_lam_zero_identical_to_heston(self):
         """Poisson(0) consumes keys on disjoint fold_in branches, so the
         diffusion draws are untouched — lam=0 must match Heston to the
