@@ -55,6 +55,28 @@ def main():
     print("CVA rho  :", round(g["cva_rho"], 5),
           " dCVA/dlambda:", round(g["cva_hazard_sens"], 5))
 
+    # --- AMC exposure: the barrier trade marks by REGRESSION -------------
+    # (path-dependent value has no closed form at future dates; the AMC
+    # engine regresses the discounted cashflow on the (S, state) basis,
+    # out-of-sample, and knocked-in trades mark as the exact vanilla)
+    from optionslab_tpu.risk import (AMC_KINDS, ExoticPosition,
+                                     amc_exposure_profile)
+
+    amc_book = [
+        ExoticPosition(kind="barrier_up-and-out", strike=100.0,
+                       barrier=130.0, maturity=1.0, vol=0.2),
+        ExoticPosition(kind="asian_arith", strike=100.0, maturity=1.0,
+                       vol=0.2),
+        ExoticPosition(kind="vanilla", quantity=-0.5, strike=100.0,
+                       maturity=1.0, vol=0.2),
+    ]
+    aprof = amc_exposure_profile(amc_book, spot=100.0, rate=0.05,
+                                 n_dates=12, n_paths=32768)
+    acva = cva_dva(aprof, hazard_rate=0.02)
+    print("AMC netting set (UO barrier + asian - 0.5 vanilla):")
+    print("  EPE:", round(aprof.epe, 4), " max PFE:",
+          round(aprof.max_pfe, 4), " CVA:", round(acva["cva"], 5))
+
     # --- certified multi-asset Bermudan bracket (Broadie-Glasserman) -----
     from optionslab_tpu.models import max_call_bracket
 
