@@ -11,6 +11,7 @@ import pytest
     "examples/risk_workflow.py",
     "examples/heston_workflow.py",
     "examples/xva_workflow.py",
+    "examples/exotics_workflow.py",
 ])
 @pytest.mark.slow
 def test_example_runs(script, capsys):
