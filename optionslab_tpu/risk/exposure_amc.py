@@ -72,20 +72,51 @@ class ExoticPosition:
             raise ValidationError("need maturity > 0 and vol > 0")
 
 
-def _features(s, stat, spot, strike, cp):
-    """Regression basis in the normalized Markov state (s, stat), plus
-    the two INTRINSIC features max(cp(s−K),0) and max(cp(stat−K),0) —
-    the payoff kink that polynomials smooth over (same trick as the LSM
-    policy bases); a tight basis also shrinks the positive-part
-    convexity bias E[max(V̂,0)] − E[V̂] of noisy marks."""
+def _features(s, stat, spot, strike, cp, v=None):
+    """Regression basis in the normalized Markov state (s, stat[, v]),
+    plus the two INTRINSIC features max(cp(s−K),0) and max(cp(stat−K),0)
+    — the payoff kink that polynomials smooth over (same trick as the
+    LSM policy bases); a tight basis also shrinks the positive-part
+    convexity bias E[max(V̂,0)] − E[V̂] of noisy marks. Under Heston
+    dynamics the instantaneous variance joins the state (the mark is a
+    function of (S, v, stat))."""
     x = s / spot
     a = stat / spot
     k = strike / spot
     one = jnp.ones_like(x)
     exs = jnp.maximum(cp * (x - k), 0.0)
     exa = jnp.maximum(cp * (a - k), 0.0)
-    return jnp.stack([one, x, x * x, x * x * x, a, a * a, x * a,
-                      x * x * a, exs, exa], axis=-1)
+    cols = [one, x, x * x, x * x * x, a, a * a, x * a, x * x * a, exs, exa]
+    if v is not None:
+        cols += [v, v * v, x * v, exs * v]
+    return jnp.stack(cols, axis=-1)
+
+
+def _sim_fine_heston(key, n_paths, n_fine, dt, spot, rate, dividend,
+                     params):
+    """(paths, n_fine) spot AND variance levels under Andersen-QE Heston
+    — the same transition law as the American-bracket machinery
+    (``models.heston_american._qe_apply``)."""
+    from ..models.heston_american import _qe_apply, _qe_consts
+
+    params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    consts = _qe_consts(params32, jnp.float32(dt))
+    mu_dt = jnp.float32((rate - dividend) * dt)
+
+    def body(carry, i):
+        x, v = carry
+        kk = jax.random.fold_in(key, i)
+        kz, ku = jax.random.split(kk)
+        z = jax.random.normal(kz, (2, n_paths), jnp.float32)
+        u = jax.random.uniform(ku, (n_paths,), jnp.float32, 1e-7,
+                               1.0 - 1e-7)
+        x, v = _qe_apply(x, v, z[0], z[1], u, consts, mu_dt)
+        return (x, v), (x, v)
+
+    x0 = jnp.zeros((n_paths,), jnp.float32)
+    v0 = jnp.full((n_paths,), jnp.float32(params.v0))
+    _, (xs, vs) = jax.lax.scan(body, (x0, v0), jnp.arange(n_fine))
+    return spot * jnp.exp(xs.T), vs.T
 
 
 def _running_stat(s_fine, kind, cp):
@@ -107,16 +138,23 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
                          horizon: float | None = None, n_dates: int = 24,
                          n_sub: int = 8, n_paths: int = 65536,
                          seed: int = 0, quantile: float = 0.95,
-                         ridge: float = 1e-6) -> ExposureResult:
+                         ridge: float = 1e-6,
+                         heston_params=None) -> ExposureResult:
     """EE/EPE/PFE/ENE profile of a netting set of path-dependent trades.
 
     ``book``: list of :class:`ExoticPosition` on ONE underlying.
     Dynamics: risk-neutral GBM at ``vol`` (default: the first position's
-    vol); barrier/extrema monitoring and Asian averaging happen on the
-    FINE grid (``n_dates * n_sub`` substeps over the horizon) — state the
-    monitoring convention when comparing against pricers with a different
-    fixing schedule. Returns an :class:`~.exposure.ExposureResult`, so
-    :func:`~.exposure.cva_dva` composes unchanged.
+    vol) — or, with ``heston_params`` (a
+    :class:`~..models.heston.HestonParams`), Andersen-QE Heston: the
+    SMILE-CONSISTENT exposure a desk actually wants for barrier books
+    (the regression state gains the instantaneous variance, and each
+    position's ``vol`` is ignored). Barrier/extrema monitoring and Asian
+    averaging happen on the FINE grid (``n_dates * n_sub`` substeps over
+    the horizon) — state the monitoring convention when comparing
+    against pricers with a different fixing schedule. Returns an
+    :class:`~.exposure.ExposureResult`, so :func:`~.exposure.cva_dva`
+    composes unchanged. Note: under Heston the knocked-in "exact
+    vanilla" mark uses the regression too (no flat-vol shortcut).
     """
     pos = list(book)
     if not pos:
@@ -140,11 +178,17 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
 
     @jax.jit
     def run(key):
-        z = jax.random.normal(key, (n_paths, n_fine), jnp.float32)
-        w = jnp.cumsum(z, axis=1) * np.float32(np.sqrt(dt))
-        t_fine = (jnp.arange(1, n_fine + 1, dtype=jnp.float32)) * dt
-        s_fine = spot * jnp.exp((rate - dividend - 0.5 * vol * vol)
-                                * t_fine[None, :] + vol * w)
+        if heston_params is not None:
+            s_fine, v_fine = _sim_fine_heston(key, n_paths, n_fine, dt,
+                                              spot, rate, dividend,
+                                              heston_params)
+        else:
+            z = jax.random.normal(key, (n_paths, n_fine), jnp.float32)
+            w = jnp.cumsum(z, axis=1) * np.float32(np.sqrt(dt))
+            t_fine = (jnp.arange(1, n_fine + 1, dtype=jnp.float32)) * dt
+            s_fine = spot * jnp.exp((rate - dividend - 0.5 * vol * vol)
+                                    * t_fine[None, :] + vol * w)
+            v_fine = None
         v_net = jnp.zeros((half, n_dates), jnp.float32)
         for p, mi in zip(pos, m_idx):
             cp = 1.0 if str(p.option_type).lower().startswith("c") else -1.0
@@ -171,8 +215,8 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
             elif p.kind == "lookback_fixed":
                 pay = jnp.maximum(cp * (stat[:, -1] - p.strike), 0.0)
             elif "barrier" in p.kind:
-                vanilla = jnp.maximum(cp * (s_t - p.strike), 0.0)
-                pay = vanilla * (hit[:, -1] if p.kind.endswith("in")
+                van_pay = jnp.maximum(cp * (s_t - p.strike), 0.0)
+                pay = van_pay * (hit[:, -1] if p.kind.endswith("in")
                                  else (1.0 - hit[:, -1]))
             else:
                 pay = jnp.maximum(cp * (s_t - p.strike), 0.0)
@@ -185,7 +229,8 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
             live = tau > 1e-9  # regression dates strictly before maturity
             # y: cashflow discounted from maturity back to each date
             y = pay[:, None] * jnp.exp(-rate * jnp.maximum(tau, 0.0))[None, :]
-            phi = _features(sd, statd, spot, p.strike, cp)  # (paths, dates, F)
+            vd = None if v_fine is None else v_fine[:, d_idx]
+            phi = _features(sd, statd, spot, p.strike, cp, vd)
             if "barrier" in p.kind:
                 out_kind = p.kind.endswith("out")
                 hd = hit[:, jnp.minimum(d_idx, mi - 1)]
@@ -214,10 +259,26 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
                 hv = hd[half:]
                 if p.kind.endswith("out"):
                     cont = (1.0 - hv) * cont
-                else:
+                elif v_fine is None:
                     van = bs_price(sd[half:], p.strike,
                                    jnp.maximum(tau, 1e-8)[None, :], rate,
                                    p.vol, cp, dividend)
+                    cont = (1.0 - hv) * cont + hv * van
+                else:
+                    # Heston: no flat-vol shortcut — a SECOND regression
+                    # on the knocked-in paths marks the vanilla leg
+                    wtr_in = hd[:half] * live[None, :]
+                    g_in = jnp.einsum("pdf,pdg,pd->dfg", phi_tr, phi_tr,
+                                      wtr_in)
+                    b_in = jnp.einsum("pdf,pd,pd->df", phi_tr,
+                                      (van_pay[:half, None]
+                                       * jnp.exp(-rate * jnp.maximum(
+                                           tau, 0.0))[None, :]), wtr_in)
+                    g_in = g_in + ridge * half * jnp.eye(f_dim)[None, :, :]
+                    c_in = jnp.linalg.solve(g_in, b_in[..., None])[..., 0]
+                    van = jnp.clip(
+                        jnp.einsum("pdf,df->pd", phi[half:], c_in),
+                        0.0, None)
                     cont = (1.0 - hv) * cont + hv * van
             # at/after maturity: the settled payoff is exposure THROUGH
             # the payoff date (same convention as the closed-form engine),

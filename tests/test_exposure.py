@@ -506,3 +506,59 @@ class TestAMCExposure:
                 [ExoticPosition(kind="barrier_up-and-out", barrier=0.0)])
         with pytest.raises(ValidationError):
             amc_exposure_profile([ExoticPosition()], n_paths=12345)
+
+
+class TestHestonAMCExposure:
+    """Smile-consistent AMC: the regression state gains the instantaneous
+    variance; knocked-in vanillas mark by a second regression."""
+    def _hp(self):
+        from optionslab_tpu.models.heston import HestonParams
+        return HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+
+    def test_vanilla_matches_cf_table_engine(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.risk.exposure_heston import (
+            heston_exposure_profile)
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="vanilla", strike=100.0, maturity=1.0)],
+            spot=100.0, rate=0.05, n_paths=65536, n_dates=12,
+            heston_params=self._hp())
+        cf = heston_exposure_profile(
+            [Position(quantity=1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            self._hp(), horizon=1.0, n_dates=12, n_paths=65536, rate=0.05,
+            spot=100.0)
+        np.testing.assert_allclose(amc.ee, cf.ee, rtol=0.04)
+
+    @pytest.mark.slow
+    def test_asian_martingale_under_heston(self):
+        from optionslab_tpu.models.heston_exotics import heston_exotic_price
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="asian_arith", strike=100.0,
+                            maturity=1.0)],
+            spot=100.0, rate=0.05, n_paths=131072, n_dates=12, n_sub=8,
+            heston_params=self._hp())
+        v0 = float(heston_exotic_price(
+            "asian_arith", 100.0, 100.0, 1.0, 0.05, self._hp(),
+            jax.random.PRNGKey(4), scheme="qe", n_paths=200_000,
+            n_steps=96))
+        assert np.abs(amc.ee_discounted - v0).max() < 0.04 * v0
+
+    def test_barrier_in_out_parity_under_heston(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.risk.exposure_heston import (
+            heston_exposure_profile)
+        amc = amc_exposure_profile(
+            [ExoticPosition(kind="barrier_up-and-in", strike=100.0,
+                            barrier=120.0, maturity=1.0),
+             ExoticPosition(kind="barrier_up-and-out", strike=100.0,
+                            barrier=120.0, maturity=1.0)],
+            spot=100.0, rate=0.05, n_paths=65536, n_dates=12,
+            heston_params=self._hp())
+        cf = heston_exposure_profile(
+            [Position(quantity=1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            self._hp(), horizon=1.0, n_dates=12, n_paths=65536, rate=0.05,
+            spot=100.0)
+        np.testing.assert_allclose(amc.ee, cf.ee, rtol=0.06)
