@@ -672,6 +672,8 @@ def cmd_xva(args) -> dict:
     return xva_report(
         [pos], hazard_rate=args.hazard, recovery=args.recovery,
         own_hazard_rate=args.own_hazard if args.own_hazard > 0 else None,
+        funding_spread=(args.funding_spread
+                        if args.funding_spread > 0 else None),
         n_dates=args.dates, n_paths=args.paths, quantile=args.quantile,
         collateral_threshold=(args.collateral_threshold
                               if args.collateral_threshold >= 0 else None),
@@ -923,6 +925,8 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--option-type", default="call",
                     choices=["call", "put", "forward"])
     px.add_argument("--hazard", type=float, default=0.02)
+    px.add_argument("--funding-spread", type=float, default=0.0,
+                    help="flat funding spread over OIS: adds FCA/FBA/FVA")
     px.add_argument("--own-hazard", type=float, default=0.0)
     px.add_argument("--recovery", type=float, default=0.4)
     px.add_argument("--quantile", type=float, default=0.95)

@@ -346,11 +346,11 @@ RBERGOMI_EXOTIC_KINDS = (
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kind", "params", "maturity", "cp",
+                   static_argnames=("kind", "hurst", "maturity", "cp",
                                     "n_paths", "n_steps", "return_stderr"))
 def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
-                          barrier, params, key, n_paths, n_steps,
-                          return_stderr):
+                          barrier, xi0, eta, rho, hurst, key, n_paths,
+                          n_steps, return_stderr):
     """Path matrix under the exact Volterra law → vectorized payoff.
 
     The Volterra construction already materializes every step's
@@ -360,12 +360,12 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
     (Asian averages steps 1..n; extrema/barriers/touches include S0)."""
     n = n_steps
     spot = jnp.float32(spot)
-    lmat = jnp.asarray(_volterra_chol(n, params.hurst, float(maturity)))
+    lmat = jnp.asarray(_volterra_chol(n, hurst, float(maturity)))
     t_grid = jnp.linspace(maturity / n, maturity, n).astype(jnp.float32)
     dt = jnp.float32(maturity / n)
     half = n_paths // 2
-    eta = jnp.float32(params.eta)
-    rho = jnp.float32(params.rho)
+    eta = jnp.float32(eta)
+    rho = jnp.float32(rho)
 
     k1, k2 = jax.random.split(key)
     z = jax.random.normal(k1, (half, 2 * n), jnp.float32)
@@ -377,10 +377,10 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
     dw = jnp.diff(w_lvl, axis=1,
                   prepend=jnp.zeros((n_paths, 1), jnp.float32))
     expf = jnp.exp(eta * v_tilde
-                   - 0.5 * eta**2 * t_grid[None, :] ** (2 * params.hurst))
+                   - 0.5 * eta**2 * t_grid[None, :] ** (2 * hurst))
     expf_left = jnp.concatenate(
         [jnp.ones((n_paths, 1), jnp.float32), expf[:, :-1]], axis=1)
-    v_left = jnp.float32(params.xi0) * expf_left
+    v_left = jnp.float32(xi0) * expf_left
     sq_v = jnp.sqrt(v_left)
     zp = jax.random.normal(k2, (half, n), jnp.float32)
     zp = jnp.concatenate([zp, -zp], axis=0)
@@ -452,5 +452,55 @@ def rbergomi_exotic_price(kind: str, spot, strike, maturity, rate,
         raise ValidationError("n_paths must be even (antithetic)")
     return _rbergomi_exotic_core(kind, spot, jnp.float32(strike),
                                  float(maturity), rate, dividend,
-                                 float(cp), jnp.float32(barrier), params,
-                                 key, n_paths, n_steps, return_stderr)
+                                 float(cp), jnp.float32(barrier),
+                                 params.xi0, params.eta, params.rho,
+                                 float(params.hurst), key, n_paths,
+                                 n_steps, return_stderr)
+
+
+def rbergomi_exotic_greeks(kind: str, spot, strike, maturity, rate,
+                           params: RBergomiParams, key, cp: float = 1.0,
+                           dividend: float = 0.0, n_paths: int = 100_000,
+                           n_steps: int = 256) -> dict:
+    """Pathwise-AD Greeks for CONTINUOUS rough-vol exotics (Asians and
+    lookbacks): delta / rate-rho / forward-variance vega (d xi0, and the
+    2*sqrt(xi0) spot-vol convention) / vol-of-vol vega (d eta) /
+    spot-vol-correlation sensitivity in ONE reverse pass through the
+    exact Volterra matmul; CRN gamma by central FD of the AD delta.
+
+    Barriers/touches have a.e.-zero pathwise derivatives — use the GBM/
+    Heston LR machinery or CRN-FD of :func:`rbergomi_exotic_price`.
+    """
+    params.validate()
+    if kind not in ("asian_arith", "asian_geo", "lookback_float",
+                    "lookback_fixed"):
+        raise ValidationError(
+            "pathwise AD covers asian/lookback kinds (continuous "
+            f"payoffs), got {kind!r}")
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (antithetic)")
+
+    def price_of(s0, r, xi0, eta, rho):
+        return _rbergomi_exotic_core(
+            kind, s0, jnp.float32(strike), float(maturity), r, dividend,
+            float(cp), jnp.float32(0.0), xi0, eta, rho,
+            float(params.hurst), key, n_paths, n_steps, False)
+
+    args = (jnp.float32(spot), jnp.float32(rate), jnp.float32(params.xi0),
+            jnp.float32(params.eta), jnp.float32(params.rho))
+    price, grads = jax.value_and_grad(price_of, argnums=(0, 1, 2, 3, 4))(
+        *args)
+    h = jnp.float32(0.5)
+    d_up = jax.grad(price_of, argnums=0)(args[0] + h, *args[1:])
+    d_dn = jax.grad(price_of, argnums=0)(args[0] - h, *args[1:])
+    d_xi0 = float(grads[2])
+    return {
+        "price": float(price),
+        "delta": float(grads[0]),
+        "gamma": float((d_up - d_dn) / (2.0 * h)),
+        "rho": float(grads[1]),
+        "vega_xi0": d_xi0,
+        "vega": d_xi0 * 2.0 * float(np.sqrt(params.xi0)),
+        "vega_eta": float(grads[3]),
+        "corr_sens": float(grads[4]),
+    }

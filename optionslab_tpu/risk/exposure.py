@@ -247,12 +247,22 @@ def exposure_profile(book, *, horizon: float | None = None,
 
 def cva_dva(exposure: ExposureResult, hazard_rate: float,
             recovery: float = 0.4, own_hazard_rate: float | None = None,
-            own_recovery: float = 0.4) -> dict:
-    """CVA (and DVA when ``own_hazard_rate`` is given) from a profile.
+            own_recovery: float = 0.4,
+            funding_spread: float | None = None) -> dict:
+    """CVA (and DVA when ``own_hazard_rate`` is given; and FVA when
+    ``funding_spread`` is given) from a profile.
 
     Flat-hazard survival SP(t) = exp(-lambda t); trapezoid in discounted
     EE between date-grid points (t=0 contributes EE*(0)=exposure today,
     taken as the first grid value for a conservative short-end).
+
+    FVA (symmetric, uncollateralized): the desk funds the uncollateral-
+    ized mark at a flat spread s over OIS —
+    FCA = s * int_0^T EE*(t) dt (cost of funding what they owe us),
+    FBA = s * int_0^T ENE*(t) dt (benefit of holding what we owe them),
+    FVA = FCA − FBA, trapezoid on the same grid. Survival adjustment is
+    deliberately omitted (the common desk convention for a flat-spread
+    quote; fold it in by passing a pre-multiplied effective spread).
     """
     if hazard_rate < 0 or recovery < 0 or recovery > 1:
         raise ValidationError("need hazard_rate >= 0 and recovery in [0,1]")
@@ -271,6 +281,19 @@ def cva_dva(exposure: ExposureResult, hazard_rate: float,
         out["dva"] = leg(exposure.ene_discounted, own_hazard_rate,
                          own_recovery)
         out["bcva"] = out["cva"] - out["dva"]
+    if funding_spread is not None:
+        if funding_spread < 0:
+            raise ValidationError("funding_spread must be >= 0")
+
+        def time_integral(profile):
+            prof = np.concatenate([[profile[0]], profile])
+            mid = 0.5 * (prof[:-1] + prof[1:])
+            return float(np.sum(mid * np.diff(t)))
+
+        fca = funding_spread * time_integral(exposure.ee_discounted)
+        fba = funding_spread * time_integral(exposure.ene_discounted)
+        out.update(fca=fca, fba=fba, fva=fca - fba,
+                   funding_spread=funding_spread)
     return out
 
 
@@ -484,8 +507,12 @@ def cva_wwr(book, hazard_rate: float, recovery: float = 0.4, *,
 
 
 def xva_report(book, *, hazard_rate: float = 0.02, recovery: float = 0.4,
-               own_hazard_rate: float | None = None, **exposure_kwargs) -> dict:
-    """One-call exposure profile + CVA/DVA summary for a netting set."""
+               own_hazard_rate: float | None = None,
+               funding_spread: float | None = None,
+               **exposure_kwargs) -> dict:
+    """One-call exposure profile + CVA/DVA (+ FVA) summary for a
+    netting set."""
     prof = exposure_profile(book, **exposure_kwargs)
-    adj = cva_dva(prof, hazard_rate, recovery, own_hazard_rate)
+    adj = cva_dva(prof, hazard_rate, recovery, own_hazard_rate,
+                  funding_spread=funding_spread)
     return {**prof.to_dict(), **adj}

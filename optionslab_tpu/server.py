@@ -518,6 +518,8 @@ def handle_xva(body: dict) -> dict:
     out = xva_report(
         book, hazard_rate=float(body.get("hazard", 0.02)),
         recovery=float(body.get("recovery", 0.4)),
+        funding_spread=(float(body["funding_spread"])
+                        if "funding_spread" in body else None),
         own_hazard_rate=(float(body["own_hazard"]) if "own_hazard" in body
                          else None),
         n_dates=min(int(body.get("dates", 24)), 120),

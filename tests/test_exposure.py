@@ -562,3 +562,36 @@ class TestHestonAMCExposure:
             self._hp(), horizon=1.0, n_dates=12, n_paths=65536, rate=0.05,
             spot=100.0)
         np.testing.assert_allclose(amc.ee, cf.ee, rtol=0.06)
+
+
+class TestFVA:
+    def test_fva_closed_form_for_long_option(self):
+        """long option: EE*(t) == V0 for all t (martingale), ENE == 0, so
+        FVA == s * V0 * T exactly up to profile noise."""
+        from optionslab_tpu.models.black_scholes import bs_price as _bs
+        prof = exposure_profile(
+            [Position(quantity=1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            horizon=1.0, n_dates=12, n_paths=65536, rate=0.05)
+        out = cva_dva(prof, hazard_rate=0.02, funding_spread=0.01)
+        v0 = float(_bs(100.0, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0))
+        assert out["fba"] == pytest.approx(0.0, abs=1e-6)
+        assert out["fva"] == pytest.approx(0.01 * v0 * 1.0, rel=0.02)
+        assert out["fca"] == out["fva"]
+
+    def test_fva_sign_flips_with_position(self):
+        prof = exposure_profile(
+            [Position(quantity=-1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            horizon=1.0, n_dates=12, n_paths=65536, rate=0.05)
+        out = cva_dva(prof, hazard_rate=0.02, funding_spread=0.01)
+        assert out["fva"] < 0  # pure benefit: we always owe them
+
+    def test_negative_spread_rejected(self):
+        prof = exposure_profile(
+            [Position(quantity=1.0, strike=100.0, maturity=1.0, vol=0.2,
+                      option_type="call", spot=100.0, rate=0.05)],
+            horizon=1.0, n_dates=6, n_paths=16384, rate=0.05)
+        from optionslab_tpu.utils.exceptions import ValidationError
+        with pytest.raises(ValidationError):
+            cva_dva(prof, hazard_rate=0.02, funding_spread=-0.01)

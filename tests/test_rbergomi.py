@@ -336,3 +336,45 @@ class TestRBergomiExotics:
             rbergomi_exotic_price("asian_arith", 100.0, 100.0, 1.0, 0.05,
                                   RBergomiParams(), jax.random.PRNGKey(0),
                                   n_paths=12345)
+
+
+class TestRBergomiExoticGreeks:
+    def test_asian_ad_ladder_vs_crn_fd(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_greeks,
+                                                    rbergomi_exotic_price)
+        par = RBergomiParams()
+        key = jax.random.PRNGKey(0)
+        g = rbergomi_exotic_greeks("asian_arith", 100.0, 100.0, 1.0, 0.05,
+                                   par, key, n_paths=60_000, n_steps=64)
+
+        def pr(s=100.0, xi0=0.04, eta=1.9):
+            p = RBergomiParams(hurst=0.1, eta=eta, rho=-0.9, xi0=xi0)
+            return float(rbergomi_exotic_price(
+                "asian_arith", s, 100.0, 1.0, 0.05, p, key,
+                n_paths=60_000, n_steps=64))
+        assert abs(g["delta"] - (pr(s=100.5) - pr(s=99.5))) < 0.01
+        fd_x = (pr(xi0=0.042) - pr(xi0=0.038)) / 0.004
+        assert abs(g["vega_xi0"] - fd_x) < 0.05 * abs(fd_x) + 0.3
+        fd_e = (pr(eta=1.95) - pr(eta=1.85)) / 0.1
+        assert abs(g["vega_eta"] - fd_e) < 0.1 * abs(fd_e) + 0.05
+        assert g["vega"] == pytest.approx(
+            g["vega_xi0"] * 2.0 * np.sqrt(0.04), rel=1e-6)
+
+    def test_lookback_delta_and_rejections(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_greeks,
+                                                    rbergomi_exotic_price)
+        par = RBergomiParams()
+        key = jax.random.PRNGKey(2)
+        g = rbergomi_exotic_greeks("lookback_float", 100.0, 0.0, 1.0, 0.05,
+                                   par, key, n_paths=40_000, n_steps=32)
+
+        def pr(s):
+            return float(rbergomi_exotic_price(
+                "lookback_float", s, 0.0, 1.0, 0.05, par, key,
+                n_paths=40_000, n_steps=32))
+        assert abs(g["delta"] - (pr(100.5) - pr(99.5))) < 0.02
+        with pytest.raises(ValidationError):
+            rbergomi_exotic_greeks("barrier_up-and-out", 100.0, 100.0, 1.0,
+                                   0.05, par, key)
