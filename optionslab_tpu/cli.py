@@ -197,6 +197,20 @@ def cmd_exotic(args) -> dict:
         LookbackOption,
     )
 
+    if args.kind == "range-accrual":
+        import jax
+
+        from .ops.exotic_pallas import pallas_range_accrual_price
+
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        p, se, n = pallas_range_accrual_price(
+            args.spot, args.lower, args.upper, args.maturity, args.rate,
+            args.vol, n_paths=args.n_paths,
+            n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+            sampler=sampler)
+        return {"kind": "range_accrual", "price": float(p),
+                "std_error": float(se), "paths": int(n),
+                "corridor": [args.lower, args.upper]}
     if args.kind in ("one-touch", "no-touch"):
         # digital barrier at kernel speed; direction inferred from the
         # barrier's side of the spot
@@ -252,7 +266,9 @@ def _exotic_heston(args) -> dict:
                                     pallas_heston_cliquet_lr_greeks,
                                     pallas_heston_cliquet_price,
                                     pallas_heston_exotic_lr_greeks,
-                                    pallas_heston_exotic_price)
+                                    pallas_heston_exotic_price,
+                                    pallas_heston_range_accrual_lr_greeks,
+                                    pallas_heston_range_accrual_price)
     from .utils.exceptions import ValidationError
 
     if args.model.startswith("bates"):
@@ -306,10 +322,27 @@ def _exotic_heston(args) -> dict:
             kname = "lookback_float"
         elif args.kind == "barrier":
             kname = f"barrier_{args.barrier_type}"
+        elif args.kind == "range-accrual":
+            if greeks:
+                out = pallas_heston_range_accrual_lr_greeks(
+                    args.spot, args.lower, args.upper, args.maturity,
+                    args.rate, par, **kw)
+                res = {k: (float(v) if not isinstance(v, str) else v)
+                       for k, v in out.items()}
+                res.update(base, kind="range_accrual",
+                           greek_method="lr-joint-density")
+                return res
+            p, se, n = pallas_heston_range_accrual_price(
+                args.spot, args.lower, args.upper, args.maturity,
+                args.rate, par, scheme=scheme, **kw)
+            return {**base, "kind": "range_accrual", "price": float(p),
+                    "std_error": float(se), "paths": int(n),
+                    "corridor": [args.lower, args.upper]}
         else:
             raise SystemExit(
                 f"--model {args.model} supports asian/barrier/lookback/"
-                f"one-touch/no-touch/autocallable/cliquet, not {args.kind!r}")
+                f"one-touch/no-touch/autocallable/cliquet/range-accrual, "
+                f"not {args.kind!r}")
         if greeks:
             out = pallas_heston_exotic_lr_greeks(
                 kname, args.spot, args.strike, args.maturity, args.rate,
@@ -757,7 +790,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--kind", default="asian",
                     choices=["asian", "barrier", "lookback", "american",
                              "autocallable", "cliquet", "one-touch",
-                             "no-touch"])
+                             "no-touch", "range-accrual"])
+    pe.add_argument("--lower", type=float, default=90.0,
+                    help="range-accrual corridor lower bound")
+    pe.add_argument("--upper", type=float, default=110.0,
+                    help="range-accrual corridor upper bound")
     pe.add_argument("--barrier", type=float, default=120.0)
     pe.add_argument("--barrier-type", default="up-and-out")
     pe.add_argument("--n-paths", type=int, default=100_000)

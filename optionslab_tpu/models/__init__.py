@@ -23,6 +23,8 @@ from .american import (
 )
 from .exotics import (
     AmericanOptionLSM,
+    range_accrual_closed_form,
+    range_accrual_price,
     AsianOption,
     AutocallableNote,
     BarrierOption,
@@ -108,6 +110,7 @@ from .heston_exotics import (
     heston_autocall_price,
     heston_cliquet_price,
     heston_exotic_price,
+    heston_range_accrual_price,
 )
 from .heston_fdm import heston_fdm_greeks, heston_fdm_price
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
@@ -216,7 +219,8 @@ __all__ = [
     "local_vol_american_bracket", "lv_bermudan_slices",
     "heston_lsm_lower", "heston_ab_upper",
     "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
-    "heston_autocall_price",
+    "heston_autocall_price", "heston_range_accrual_price",
+    "range_accrual_price", "range_accrual_closed_form",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",

@@ -706,3 +706,54 @@ def price_american_lsm(S, K, T, r, sigma, option_type="put", **kw):
 
 def price_lookback_option(S, K, T, r, sigma, option_type="call", floating=True, **kw):
     return LookbackOption(S, K, T, r, sigma, option_type, floating, **kw).price()
+
+
+def range_accrual_closed_form(spot, lower, upper, maturity, rate, vol,
+                              dividend=0.0, notional=100.0,
+                              n_steps: int = 252):
+    """EXACT price of the discretely-monitored range-accrual note under
+    GBM: each monitoring step contributes an independent-in-expectation
+    digital pair, so
+
+      V = df * N * (1/n) * sum_i [Phi(d2(L, t_i)) - Phi(d2(U, t_i))]
+
+    with d2(K, t) = (ln(S0/K) + (r - q - sigma^2/2) t) / (sigma sqrt(t))
+    (P(S_t >= K) = Phi(d2)). The kernel/scan engines must match this to
+    MC stderr — a rare exactly-priceable path-dependent payoff."""
+    from ..ops.math import norm_cdf
+
+    t_i = jnp.arange(1, n_steps + 1, dtype=jnp.float32) * (
+        jnp.float32(maturity) / n_steps)
+    mu = jnp.float32(rate) - jnp.float32(dividend) - 0.5 * vol * vol
+    sig_sq = vol * jnp.sqrt(t_i)
+
+    def d2(k):
+        return (jnp.log(spot / k) + mu * t_i) / sig_sq
+
+    p_in = norm_cdf(d2(jnp.float32(lower))) - norm_cdf(d2(jnp.float32(upper)))
+    return (jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+            * notional * jnp.mean(p_in))
+
+
+def range_accrual_price(spot, lower, upper, maturity, rate, vol, key,
+                        dividend=0.0, notional=100.0,
+                        n_paths: int = 100_000, n_steps: int = 252,
+                        antithetic: bool = True,
+                        return_stderr: bool = False):
+    """Range-accrual (corridor) note by the scan MC engine — the oracle
+    cross-check for :func:`range_accrual_closed_form` and the Pallas
+    kernel (`ops/exotic_pallas.pallas_range_accrual_price`)."""
+    if not 0.0 <= lower < upper:
+        raise ValidationError("need 0 <= lower < upper")
+
+    def init(s0):
+        return jnp.zeros_like(s0)
+
+    def update(stat, s, i):
+        return stat + jnp.where((s >= lower) & (s <= upper), 1.0, 0.0)
+
+    _, acc = _gbm_scan(key, spot, maturity, rate, dividend, vol, n_paths,
+                       n_steps, init, update, antithetic)
+    pay = notional * acc / n_steps
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price

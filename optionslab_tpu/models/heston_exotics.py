@@ -225,6 +225,41 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
     return (price, stderr) if return_stderr else price
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "scheme", "antithetic", "return_stderr"))
+def _range_accrual_scan(spot, lower, upper, maturity, rate, params, key,
+                        dividend, notional, n_paths, n_steps, scheme,
+                        antithetic, return_stderr):
+    def init(s0):
+        return jnp.zeros_like(s0)
+
+    def update(stat, s, i):
+        return stat + jnp.where((s >= lower) & (s <= upper), 1.0, 0.0)
+
+    _, acc = _heston_scan(key, spot, maturity, rate, dividend, params,
+                          n_paths, n_steps, init, update, scheme,
+                          antithetic, jumps=_jumps_of(params))
+    pay = notional * acc / n_steps
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+def heston_range_accrual_price(spot, lower, upper, maturity, rate, params,
+                               key, dividend: float = 0.0,
+                               notional: float = 100.0,
+                               n_paths: int = 100_000, n_steps: int = 252,
+                               scheme: str = "euler",
+                               antithetic: bool = True,
+                               return_stderr: bool = False):
+    """Range-accrual note under Heston (or Bates) via the scan engine —
+    the oracle for ``pallas_heston_range_accrual_price``."""
+    if not 0.0 < float(lower) < float(upper):
+        raise ValidationError("need 0 < lower < upper")
+    return _range_accrual_scan(spot, lower, upper, maturity, rate, params,
+                               key, dividend, notional, n_paths, n_steps,
+                               scheme, antithetic, return_stderr)
+
+
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps",
                                              "n_periods", "scheme",
                                              "antithetic", "return_stderr"))

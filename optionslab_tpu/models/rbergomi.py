@@ -342,6 +342,9 @@ RBERGOMI_EXOTIC_KINDS = (
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
+    # range accrual: barrier = LOWER bound, strike = UPPER bound, pays
+    # 100 * accrual fraction (notional fixed at 100 for this engine)
+    "range_accrual",
 )
 
 
@@ -395,7 +398,11 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
 
     barrier_up = "up" in kind
     knock_in = kind.endswith("in")
-    if kind == "asian_arith":
+    if kind == "range_accrual":
+        in_rng = ((s_path >= barrier) & (s_path <= strike)).astype(
+            jnp.float32)
+        pay = 100.0 * in_rng.mean(axis=1)
+    elif kind == "asian_arith":
         pay = jnp.maximum(cp * (s_path.mean(axis=1) - strike), 0.0)
     elif kind == "asian_geo":
         pay = jnp.maximum(

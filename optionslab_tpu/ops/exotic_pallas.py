@@ -116,6 +116,9 @@ PAYOFF_KINDS = (
     # internal: arithmetic-Asian payoff MINUS its geometric control
     # variate (exact closed-form mean added back host-side)
     "asian_arith_cv",
+    # range accrual: notional * (fraction of monitoring steps with
+    # L <= S <= U), paid at expiry (corridor / fairway note)
+    "range_accrual",
 )
 GREEK_KINDS = ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed")
 
@@ -212,6 +215,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                          jnp.zeros(shape, jnp.float32))
             return base_stat + ((jnp.zeros(shape, jnp.float32),)
                                 if lr else ())
+        if kind == "range_accrual":
+            # steps 1..n accrue (S0 excluded, the averages convention)
+            return (jnp.zeros(shape, jnp.float32),)
         hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
         return (hit0.astype(jnp.float32),)
 
@@ -257,6 +263,10 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                 t_i = dt * (i + 1).astype(jnp.float32)
                 return (alive, ki, pv, stat[3] - t_i * df_i * cash)
             return (alive, ki, pv)
+        if kind == "range_accrual":
+            acc = jnp.where((s_or_log >= param_ref[_P_A])
+                            & (s_or_log <= param_ref[_P_B]), 1.0, 0.0)
+            return (stat[0] + acc,)
         hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -292,6 +302,8 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         if "touch" in kind:
             # unit cash at expiry on the hit / no-hit event (host-side df)
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
+        if kind == "range_accrual":
+            return param_ref[_P_E] * stat[0] * inv_n
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
@@ -553,7 +565,7 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
         kind = "asian_arith_cv"
     if kind not in PAYOFF_KINDS:
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
-    if kind in ("cliquet", "autocall"):
+    if kind in ("cliquet", "autocall", "range_accrual"):
         raise ValidationError(f"use pallas_{kind}_price for structured params")
     if sampler.startswith("sobol") and n_steps < 2:
         raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
@@ -706,7 +718,7 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
     """
     if kind not in PAYOFF_KINDS or kind == "asian_arith_cv":
         raise ValidationError(f"unknown exotic kind {kind!r}; choose {PAYOFF_KINDS}")
-    if kind in ("cliquet", "autocall"):
+    if kind in ("cliquet", "autocall", "range_accrual"):
         raise ValidationError(f"use pallas_{kind}_lr_greeks for structured params")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier,
                         n_steps)
@@ -784,6 +796,63 @@ def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
                             n_blocks=n_blocks, cp=1.0,
                             period=n_steps // n_obs, sampler=sampler,
                             discounted=True))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
+    return out
+
+
+def pallas_range_accrual_price(spot, lower, upper, maturity, rate, vol,
+                               dividend: float = 0.0,
+                               notional: float = 100.0,
+                               n_paths: int = 1_000_000, n_steps: int = 252,
+                               seed: int = 0, sampler: str = "prng"):
+    """Fused range-accrual (corridor) note: notional × fraction of
+    monitoring steps with ``lower <= S <= upper``, paid at expiry.
+    Returns (price, stderr, actual_paths). EXACT closed-form oracle under
+    GBM: ``models/exotics.range_accrual_closed_form`` (a sum of digital
+    pairs) — used by the tests."""
+    if not 0.0 <= lower < upper:
+        raise ValidationError("need 0 <= lower < upper")
+    p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0,
+                        n_steps)
+    p[_P_A], p[_P_B] = float(lower), float(upper)
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
+                        jnp.asarray(p, jnp.float32), kind="range_accrual",
+                        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+                        sampler=sampler)
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
+                        math.exp(-float(rate) * t))
+
+
+def pallas_range_accrual_lr_greeks(spot, lower, upper, maturity, rate, vol,
+                                   dividend: float = 0.0,
+                                   notional: float = 100.0,
+                                   n_paths: int = 1_000_000,
+                                   n_steps: int = 252, seed: int = 0,
+                                   sampler: str = "prng") -> dict:
+    """Range-accrual price + LR delta/gamma/vega/rho/theta in one pass —
+    the payoff is a sum of indicators (pathwise derivative zero a.e.), so
+    the LR scores are the only kernel-speed Greeks. Oracle: AD of the
+    closed form."""
+    if not 0.0 <= lower < upper:
+        raise ValidationError("need 0 <= lower < upper")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _base_params(spot, 0.0, maturity, rate, vol, dividend, 0.0,
+                        n_steps)
+    p[_P_A], p[_P_B] = float(lower), float(upper)
+    p[_P_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    scalars = jnp.asarray([float(spot), float(vol), t,
+                           math.exp(-float(rate) * t), mu, float(rate)],
+                          jnp.float32)
+    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
+                            jnp.asarray(p, jnp.float32), scalars,
+                            kind="range_accrual", n_steps=n_steps,
+                            n_blocks=n_blocks, cp=1.0, period=1,
+                            sampler=sampler, discounted=False))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     return out
 

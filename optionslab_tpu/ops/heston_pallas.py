@@ -1011,7 +1011,7 @@ HESTON_EXOTIC_KINDS = (
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
-    "cliquet", "autocall",
+    "cliquet", "autocall", "range_accrual",
 )
 
 # exotic param vector layout (SMEM f32): common head + dynamics tail
@@ -1121,6 +1121,8 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         if kind == "autocall":
             # (alive, knocked-in, pv[, discount-derivative moment])
             return (one, zero, zero, zero) if lr else (one, zero, zero)
+        if kind == "range_accrual":
+            return (zero,)  # accrual counter, steps 1..n
         # x0 = 0: S0 already beyond the barrier counts as hit
         hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                          1.0, 0.0)
@@ -1157,6 +1159,11 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                 dr = stat[3] - steps * dt * df_i * cash
                 return (alive, ki, pv, dr)
             return (alive, ki, pv)
+        if kind == "range_accrual":
+            # corridor in RELATIVE log space: A=log(L/S0), B=log(U/S0)
+            acc = jnp.where((x >= p_ref[_HX_A]) & (x <= p_ref[_HX_B]),
+                            1.0, 0.0)
+            return (stat[0] + acc,)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -1183,6 +1190,8 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return pv + alive * df_t * final  # discounted in-kernel
         if "touch" in kind:
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
+        if kind == "range_accrual":
+            return p_ref[_HX_E] * stat[0] * inv_n
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
@@ -1494,7 +1503,7 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     if kind not in HESTON_EXOTIC_KINDS:
         raise ValidationError(
             f"unknown heston exotic kind {kind!r}; choose {HESTON_EXOTIC_KINDS}")
-    if kind in ("cliquet", "autocall"):
+    if kind in ("cliquet", "autocall", "range_accrual"):
         raise ValidationError(
             f"use pallas_heston_{kind}_price for structured params")
     _check_exotic_sampler(sampler, scheme, n_steps)
@@ -1661,12 +1670,12 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
     :func:`pallas_heston_cliquet_lr_greeks` /
     :func:`pallas_heston_autocall_lr_greeks`.
     """
-    if kind not in HESTON_EXOTIC_KINDS or kind in ("cliquet", "autocall"):
+    structured = ("cliquet", "autocall", "range_accrual")
+    if kind not in HESTON_EXOTIC_KINDS or kind in structured:
         raise ValidationError(
-            f"use pallas_heston_{{cliquet,autocall}}_lr_greeks for the "
-            f"structured kinds, got {kind!r}" if kind in
-            ("cliquet", "autocall") else
-            f"unknown heston exotic kind {kind!r}")
+            f"use pallas_heston_{kind}_lr_greeks for structured params"
+            if kind in structured
+            else f"unknown heston exotic kind {kind!r}")
     if sampler.startswith("sobol"):
         raise ValidationError("LR scores assume iid normals — use prng/hash")
     p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
@@ -1769,6 +1778,66 @@ def pallas_heston_autocall_lr_greeks(spot, maturity, rate, params,
     out["delta_convention"] = ("frozen-fixings hedge delta: barriers "
                                "held at their inception levels (the "
                                "scale-invariant unconditional delta is 0)")
+    return out
+
+
+def pallas_heston_range_accrual_price(spot, lower, upper, maturity, rate,
+                                      params, dividend: float = 0.0,
+                                      notional: float = 100.0,
+                                      n_paths: int = 1_000_000,
+                                      n_steps: int = 252, seed: int = 0,
+                                      sampler: str = "prng",
+                                      scheme: str = "euler"):
+    """Range-accrual (corridor) note under Heston/Bates dynamics — the
+    smile-consistent accrual probability a flat-vol model misstates.
+    Corridor compared in relative log space in-kernel. Returns
+    (price, stderr, actual_paths); scan parity via the generic engine."""
+    if not 0.0 < lower < upper:
+        raise ValidationError("need 0 < lower < upper")
+    _check_exotic_sampler(sampler, scheme, n_steps)
+    p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                          n_steps, scheme)
+    p[_HX_A] = math.log(float(lower) / float(spot))
+    p[_HX_B] = math.log(float(upper) / float(spot))
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    pay, pay2 = _launch_exotic(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        kind="range_accrual", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
+    n = n_blocks * PATHS_PER_BLOCK
+    df = math.exp(-float(rate) * t)
+    mean = pay.sum() / n
+    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    return df * mean, df * jnp.sqrt(var / n), n
+
+
+def pallas_heston_range_accrual_lr_greeks(spot, lower, upper, maturity,
+                                          rate, params,
+                                          dividend: float = 0.0,
+                                          notional: float = 100.0,
+                                          n_paths: int = 1_000_000,
+                                          n_steps: int = 252, seed: int = 0,
+                                          sampler: str = "prng") -> dict:
+    """Range-accrual LR ladder under Heston/Bates (Euler): the payoff is
+    pure indicators, so the joint-density scores are the only
+    kernel-speed Greeks. Same moments/combine as every other kind."""
+    if not 0.0 < lower < upper:
+        raise ValidationError("need 0 < lower < upper")
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use prng/hash")
+    p, t = _exotic_params(spot, 0.0, maturity, rate, params, dividend, 0.0,
+                          n_steps, "euler")
+    p[_HX_A] = math.log(float(lower) / float(spot))
+    p[_HX_B] = math.log(float(upper) / float(spot))
+    p[_HX_E] = float(notional)
+    n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+    out = dict(_exotic_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        _lr_scalars(spot, t, rate, params, n_steps), kind="range_accrual",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0, sampler=sampler,
+        jumps=hasattr(params, "lam")))
+    out["paths"] = n_blocks * PATHS_PER_BLOCK
     return out
 
 

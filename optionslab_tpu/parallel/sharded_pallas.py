@@ -165,7 +165,7 @@ def sharded_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     if kind not in _ep.PAYOFF_KINDS:
         raise ValidationError(
             f"unknown exotic kind {kind!r}; choose {_ep.PAYOFF_KINDS}")
-    if kind in ("cliquet", "autocall"):
+    if kind in ("cliquet", "autocall", "range_accrual"):
         raise ValidationError(f"use the pallas_{kind}_price wrapper (its "
                               "structured params) on a mesh-local basis")
     p, t = _ep._base_params(spot, strike, maturity, rate, vol, dividend,

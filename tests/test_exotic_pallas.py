@@ -511,3 +511,62 @@ class TestTouchKinds:
         # CRN FD of the hit indicator is itself noisy at O(flip fraction);
         # bound by the combined scale of both estimators at one block
         assert abs(float(g["delta"]) - fd) < 5e-3, (float(g["delta"]), fd)
+
+
+class TestRangeAccrual:
+    """Corridor note: one of the rare exactly-priceable path-dependent
+    payoffs (sum of digital pairs) — closed form is the oracle for the
+    kernel, the scan engine AND the full LR ladder (via AD)."""
+    S, L, U, T, R, V = 100.0, 90.0, 110.0, 1.0, 0.05, 0.2
+
+    def _cf(self, s=None, r=None, v=None, t=None):
+        from optionslab_tpu.models.exotics import range_accrual_closed_form
+        return range_accrual_closed_form(
+            self.S if s is None else s, self.L, self.U,
+            self.T if t is None else t, self.R if r is None else r,
+            self.V if v is None else v, n_steps=16)
+
+    def test_kernel_and_scan_match_closed_form(self):
+        from optionslab_tpu.models.exotics import range_accrual_price
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_range_accrual_price)
+        cf = float(self._cf())
+        ps, ss = range_accrual_price(self.S, self.L, self.U, self.T, self.R,
+                                     self.V, jax.random.PRNGKey(0),
+                                     n_paths=100_000, n_steps=16,
+                                     return_stderr=True)
+        pk, sk, _ = pallas_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, self.V,
+            n_paths=100_000, n_steps=16, sampler="hash")
+        assert abs(float(ps) - cf) < 4 * float(ss)
+        assert abs(float(pk) - cf) < 4 * float(sk)
+
+    def test_lr_ladder_vs_ad_of_closed_form(self):
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_range_accrual_lr_greeks)
+        g = pallas_range_accrual_lr_greeks(
+            self.S, self.L, self.U, self.T, self.R, self.V,
+            n_paths=500_000, n_steps=16, sampler="hash")
+        d = jax.grad(lambda s: self._cf(s=s))(self.S)
+        ve = jax.grad(lambda v: self._cf(v=v))(self.V)
+        rh = jax.grad(lambda r: self._cf(r=r))(self.R)
+        th = -jax.grad(lambda t: self._cf(t=t))(self.T)
+        ga = jax.grad(jax.grad(lambda s: self._cf(s=s)))(self.S)
+        assert abs(g["delta"] - float(d)) < 0.03
+        assert abs(g["gamma"] - float(ga)) < 0.01
+        assert abs(g["vega"] - float(ve)) < 0.05 * abs(float(ve)) + 0.5
+        assert abs(g["rho"] - float(rh)) < 0.05 * abs(float(rh)) + 0.5
+        assert abs(g["theta"] - float(th)) < 0.08 * abs(float(th)) + 0.5
+
+    def test_degenerate_corridors(self):
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_range_accrual_price)
+        from optionslab_tpu.utils.exceptions import ValidationError
+        # all-encompassing corridor accrues every step: price == df * N
+        p, _, _ = pallas_range_accrual_price(
+            self.S, 1e-6, 1e9, self.T, self.R, self.V, n_paths=1,
+            n_steps=8, sampler="hash")
+        assert float(p) == pytest.approx(100.0 * np.exp(-0.05), rel=1e-5)
+        with pytest.raises(ValidationError):
+            pallas_range_accrual_price(self.S, 110.0, 90.0, self.T, self.R,
+                                       self.V)

@@ -426,3 +426,60 @@ class TestBatesExotics:
             S, T, R, PAR, n_obs=4, n_paths=80_000, n_steps=16,
             sampler="hash")
         assert float(pk) < float(ph)
+
+
+class TestRangeAccrualUnderSV:
+    S, L, U, T, R = 100.0, 90.0, 110.0, 1.0, 0.05
+
+    def test_scan_kernel_parity_and_gbm_limit(self):
+        from optionslab_tpu.models.exotics import range_accrual_closed_form
+        from optionslab_tpu.models.heston_exotics import (
+            heston_range_accrual_price)
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_range_accrual_price)
+        ps, ss = heston_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, PAR, KEY,
+            n_paths=80_000, n_steps=16, return_stderr=True)
+        pk, sk, _ = pallas_heston_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, PAR, n_paths=80_000,
+            n_steps=16, sampler="hash")
+        assert abs(float(ps) - float(pk)) < 5 * float(
+            jnp.sqrt(ss**2 + sk**2))
+        lim = HestonParams.make(0.04, 2.0, 0.04, 1e-7, -0.7)
+        cf = float(range_accrual_closed_form(self.S, self.L, self.U, self.T,
+                                             self.R, 0.2, n_steps=16))
+        pl, sl, _ = pallas_heston_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, lim, n_paths=200_000,
+            n_steps=16, sampler="hash")
+        assert abs(float(pl) - cf) < 4 * float(sl) + 0.05
+
+    def test_jumps_reduce_accrual(self):
+        """Negative-mean jumps kick paths out of the corridor."""
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_range_accrual_price)
+        bp = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.5,
+                              mu_j=-0.1, sigma_j=0.15)
+        pj, _, _ = pallas_heston_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, bp, n_paths=80_000,
+            n_steps=16, sampler="hash")
+        ph, _, _ = pallas_heston_range_accrual_price(
+            self.S, self.L, self.U, self.T, self.R, PAR, n_paths=80_000,
+            n_steps=16, sampler="hash")
+        assert float(pj) < float(ph) - 1.0
+
+    def test_lr_delta_vs_crn_fd(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_range_accrual_lr_greeks,
+            pallas_heston_range_accrual_price)
+        g = pallas_heston_range_accrual_lr_greeks(
+            self.S, self.L, self.U, self.T, self.R, PAR, n_paths=400_000,
+            n_steps=16, sampler="hash")
+
+        def price(s):
+            p, _, _ = pallas_heston_range_accrual_price(
+                s, self.L, self.U, self.T, self.R, PAR, n_paths=400_000,
+                n_steps=16, sampler="hash")
+            return float(p)
+        fd = (price(self.S + 0.5) - price(self.S - 0.5)) / 1.0
+        assert abs(g["delta"] - fd) < 0.025
