@@ -179,8 +179,24 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
     if kind not in HESTON_EXOTIC_KINDS:
         raise ValidationError(
             f"unknown heston exotic kind {kind!r}; choose {HESTON_EXOTIC_KINDS}")
+    init, update = exotic_stat_fns(kind, cp, barrier)
+    s_t, stat = _heston_scan(key, spot, maturity, rate, dividend, params,
+                             n_paths, n_steps, init, update, scheme,
+                             antithetic, jumps=_jumps_of(params))
+    pay = exotic_payoff(kind, cp, strike, n_steps, s_t, stat)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+def exotic_stat_fns(kind: str, cp, barrier):
+    """(init, update) running-statistic pair for ``kind``.
+
+    Shared by the Heston scan engine here and the SLV engine
+    (``models/slv.py``) — the statistics are dynamics-independent:
+    ``init(s0_vec) -> stat``; ``update(stat, s, i) -> stat`` with ``s``
+    the spot vector after step ``i``.
+    """
     barrier_up = "up" in kind
-    knock_in = kind.endswith("in")
     b = jnp.float32(barrier)
 
     def init(s0):
@@ -205,24 +221,25 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
         hit = (s >= b) if barrier_up else (s <= b)
         return jnp.maximum(stat, hit.astype(jnp.float32))
 
-    s_t, stat = _heston_scan(key, spot, maturity, rate, dividend, params,
-                             n_paths, n_steps, init, update, scheme,
-                             antithetic, jumps=_jumps_of(params))
+    return init, update
+
+
+def exotic_payoff(kind: str, cp, strike, n_steps: int, s_t, stat):
+    """Terminal payoff from (S_T, running stat) — the counterpart of
+    :func:`exotic_stat_fns`, same conventions as the GBM engines."""
+    knock_in = kind.endswith("in")
     if kind == "asian_arith":
-        pay = jnp.maximum(cp * (stat / n_steps - strike), 0.0)
-    elif kind == "asian_geo":
-        pay = jnp.maximum(cp * (jnp.exp(stat / n_steps) - strike), 0.0)
-    elif kind == "lookback_float":
-        pay = jnp.where(cp > 0, s_t - stat, stat - s_t)
-    elif kind == "lookback_fixed":
-        pay = jnp.maximum(cp * (stat - strike), 0.0)
-    elif "touch" in kind:
-        pay = stat if kind.startswith("one") else (1.0 - stat)
-    else:
-        vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
-        pay = vanilla * (stat if knock_in else (1.0 - stat))
-    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
-    return (price, stderr) if return_stderr else price
+        return jnp.maximum(cp * (stat / n_steps - strike), 0.0)
+    if kind == "asian_geo":
+        return jnp.maximum(cp * (jnp.exp(stat / n_steps) - strike), 0.0)
+    if kind == "lookback_float":
+        return jnp.where(cp > 0, s_t - stat, stat - s_t)
+    if kind == "lookback_fixed":
+        return jnp.maximum(cp * (stat - strike), 0.0)
+    if "touch" in kind:
+        return stat if kind.startswith("one") else (1.0 - stat)
+    vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
+    return vanilla * (stat if knock_in else (1.0 - stat))
 
 
 @functools.partial(jax.jit, static_argnames=(
