@@ -113,6 +113,12 @@ from .heston_exotics import (
     heston_range_accrual_price,
 )
 from .heston_fdm import heston_fdm_greeks, heston_fdm_price
+from .slv import (
+    SLV_KINDS,
+    SLVModel,
+    slv_calibrate_leverage,
+    slv_exotic_price,
+)
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
 from .heston_american import (
     fit_heston_lsm,
@@ -220,6 +226,7 @@ __all__ = [
     "heston_lsm_lower", "heston_ab_upper",
     "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
     "heston_autocall_price", "heston_range_accrual_price",
+    "SLV_KINDS", "SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
     "range_accrual_price", "range_accrual_closed_form",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",

@@ -1,0 +1,266 @@
+"""Stochastic local volatility (SLV): Heston variance x Dupire leverage.
+
+    dS/S = (r - q) dt + L(t, S) sqrt(v) dW_S
+    dv   = kappa (theta - v) dt + eta * sigma sqrt(v) dW_v,
+    d<W_S, W_v> = rho dt
+
+The desk-standard exotics model: local vol alone reprices vanillas but has
+the wrong forward smile (deterministic future vol); stochastic vol alone
+has the right dynamics but misses the market smile. SLV does both — by
+Gyongy's lemma the vanillas reprice EXACTLY iff the leverage satisfies
+
+    L^2(t, S) = sigma_LV^2(t, S) / E[v_t | S_t = S].
+
+``mixing`` (eta) interpolates: eta -> 0 collapses to pure local vol
+(deterministic v_t, L^2 v_t == sigma_LV^2 by calibration), eta = 1 is the
+full Heston vol-of-vol. Vanillas reprice at EVERY eta; exotics (cliquets,
+autocalls, barriers) move — exactly the knob a desk marks to forward-smile
+products.
+
+Calibration is the particle method of Guyon & Henry-Labordere (2012),
+re-designed for XLA: one ``lax.scan`` carries the particle cloud
+(log-spot, variance); at each step the conditional expectation
+E[v | S] is a fixed-width BINNED regression — particles are bucketed into
+``n_bins`` standardized-log-moneyness bins (static shape), ``segment_sum``
+accumulates (count, v)-tiles, a counts-weighted 3-tap smoother fills thin
+bins, and the leverage row L_i(x) is read back per-particle by linear
+interpolation. No dynamic shapes, no host round-trips — the whole
+calibrate-and-price program is a single jitted scan.
+
+The reference has no SLV at all (its local vol is ``src/models/
+local_vol.py``, vanillas only; its Heston is ``src/pricing_models/
+heston.py``) — this module is a beyond-reference capability, but it reuses
+the reference-parity payoff conventions (``heston_exotics.exotic_stat_fns``
+/ ``exotic_payoff``: Asian averages over steps 1..n, lookback extrema
+include S0, discrete barrier monitoring).
+
+Oracles (tests/test_slv.py): (1) the Gyongy check — calibrated-SLV
+European prices match the Dupire PDE across strikes at eta = 1;
+(2) the eta -> 0 limit reproduces the pure-LV MC engine and the leverage
+rows converge to sigma_LV itself; (3) flat-surface SLV with v0 = theta
+degrades to plain Heston-with-unit-leverage (cross-checked vs the Lewis
+closed form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.config import EPS_TIME
+from ..utils.exceptions import ValidationError
+from .heston import HestonParams
+from .heston_exotics import (HESTON_EXOTIC_KINDS, _discounted_mean_stderr,
+                             exotic_payoff, exotic_stat_fns)
+from .local_vol import DupireLocalVol, LocalVolSurface, _bilinear
+
+__all__ = ["SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
+           "SLV_KINDS"]
+
+SLV_KINDS = ("european",) + HESTON_EXOTIC_KINDS
+
+_Z_MAX = 4.0          # bin grid spans mean +/- 4 cross-sectional stds
+_COND_FLOOR = 1e-6    # floor on E[v|S] before the sqrt
+_LEV_MAX = 50.0       # leverage cap (guards empty-tail pathologies)
+
+
+def _conditional_variance(x, vp, n_bins):
+    """Binned Nadaraya-Watson estimate of E[v | x] on the particle cloud.
+
+    Returns (x_centers (n_bins,), cond (n_bins,)): bin centers in log-spot
+    space and the smoothed conditional expectation, thin/empty bins filled
+    with progressively wider information (3-tap counts-weighted smoothing,
+    then the global mean).
+    """
+    m = jnp.mean(x)
+    s = jnp.maximum(jnp.std(x), 1e-6)
+    width = 2.0 * _Z_MAX / n_bins
+    z = (x - m) / s
+    idx = jnp.clip(jnp.floor((z + _Z_MAX) / width), 0, n_bins - 1)
+    idx = idx.astype(jnp.int32)
+    counts = jax.ops.segment_sum(jnp.ones_like(vp), idx, num_segments=n_bins)
+    vsum = jax.ops.segment_sum(vp, idx, num_segments=n_bins)
+    # counts-weighted 3-tap smoother: thin bins borrow neighbours' mass
+    def tap3(a):
+        return a + jnp.concatenate([a[:1], a[:-1]]) \
+                 + jnp.concatenate([a[1:], a[-1:]])
+    counts_s = tap3(counts)
+    vsum_s = tap3(vsum)
+    mean_v = jnp.mean(vp)
+    cond = jnp.where(counts_s > 0, vsum_s / jnp.maximum(counts_s, 1.0),
+                     mean_v)
+    z_centers = -_Z_MAX + (jnp.arange(n_bins, dtype=x.dtype) + 0.5) * width
+    return m + s * z_centers, cond
+
+
+def _slv_scan(key, spot, maturity, rate, dividend, params, mixing,
+              lv_grids, n_paths, n_steps, n_bins, init, update,
+              antithetic, leverage_rows=None):
+    """Particle scan: calibrate the leverage (``leverage_rows=None``) or
+    replay stored rows; always carries the payoff statistics.
+
+    Returns (S_T, stats, (x_rows, l_rows)) with rows of shape
+    (n_steps, n_bins) — row i is the leverage in force on [t_i, t_{i+1}).
+    """
+    k_grid, t_grid, vol_grid = lv_grids
+    spot = jnp.float32(spot)
+    half = n_paths // 2 if antithetic else n_paths
+    n_eff = half * 2 if antithetic else n_paths
+    t = jnp.maximum(jnp.float32(maturity), EPS_TIME)
+    dt = t / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    kap = jnp.float32(params.kappa)
+    th = jnp.float32(params.theta)
+    sig = jnp.float32(mixing) * jnp.float32(params.sigma)
+    rho = jnp.float32(params.rho)
+    srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    rq_dt = (jnp.float32(rate) - jnp.float32(dividend)) * dt
+
+    def sigma_lv(x, t_now):
+        # x = log(S/S0); surface indexed by forward log-moneyness
+        kq = x - (jnp.float32(rate) - jnp.float32(dividend)) * t_now
+        return _bilinear(k_grid, t_grid, vol_grid, kq, t_now)
+
+    def step(carry, xs):
+        x, v, stats = carry
+        if leverage_rows is None:
+            i = xs
+        else:
+            i, x_row, l_row = xs
+        kk = jax.random.fold_in(key, i)
+        z = jax.random.normal(kk, (2, half), dtype=jnp.float32)
+        zv = jnp.concatenate([z[0], -z[0]]) if antithetic else z[0]
+        zo = jnp.concatenate([z[1], -z[1]]) if antithetic else z[1]
+        zx = rho * zv + srho * zo
+        vp = jnp.maximum(v, 0.0)
+        t_now = i.astype(jnp.float32) * dt
+        if leverage_rows is None:
+            x_row, cond = _conditional_variance(x, vp, n_bins)
+            l_row = sigma_lv(x_row, t_now) / jnp.sqrt(
+                jnp.maximum(cond, _COND_FLOOR))
+            l_row = jnp.clip(l_row, 0.0, _LEV_MAX)
+        lev = jnp.interp(x, x_row, l_row)
+        lv2 = lev * lev * vp
+        x = x + rq_dt - 0.5 * lv2 * dt + lev * jnp.sqrt(vp) * sqrt_dt * zx
+        v = v + kap * (th - vp) * dt + sig * jnp.sqrt(vp) * sqrt_dt * zv
+        stats = update(stats, spot * jnp.exp(x), i)
+        return (x, v, stats), (x_row, l_row)
+
+    x0 = jnp.zeros((n_eff,), jnp.float32)
+    v0 = jnp.full((n_eff,), jnp.float32(params.v0))
+    stats0 = init(jnp.full((n_eff,), spot))
+    steps = jnp.arange(n_steps)
+    xs = steps if leverage_rows is None else (steps,) + tuple(leverage_rows)
+    (x, _, stats), rows = lax.scan(step, (x0, v0, stats0), xs)
+    return spot * jnp.exp(x), stats, rows
+
+
+def _stat_payoff(kind, cp, strike, barrier, n_steps):
+    if kind == "european":
+        def init(s0):
+            return jnp.zeros_like(s0)
+
+        def update(stat, s, i):
+            return stat
+
+        def payoff(s_t, stat):
+            return jnp.maximum(cp * (s_t - strike), 0.0)
+
+        return init, update, payoff
+    init, update = exotic_stat_fns(kind, cp, barrier)
+    return init, update, functools.partial(exotic_payoff, kind, cp, strike,
+                                           n_steps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kind", "n_paths", "n_steps", "n_bins", "antithetic", "return_stderr",
+    "return_leverage"))
+def slv_exotic_price(kind: str, spot, strike, maturity, rate,
+                     params: HestonParams, key, lv_k_grid, lv_t_grid,
+                     lv_vol_grid, cp: float = 1.0, dividend: float = 0.0,
+                     barrier: float = 0.0, mixing: float = 1.0,
+                     n_paths: int = 131_072, n_steps: int = 64,
+                     n_bins: int = 31, antithetic: bool = True,
+                     return_stderr: bool = False,
+                     return_leverage: bool = False):
+    """Calibrate the SLV leverage AND price ``kind`` in one jitted scan.
+
+    ``lv_*_grid`` are a ``LocalVolSurface``'s (k_grid, t_grid, grid) —
+    the market-calibrated Dupire surface the leverage must reproduce.
+    Payoff conventions match the Heston/GBM engines exactly.
+    ``return_leverage=True`` additionally returns the per-step
+    (x_rows, l_rows) for diagnostics / replay.
+    """
+    if kind not in SLV_KINDS:
+        raise ValidationError(
+            f"unknown SLV kind {kind!r}; choose {SLV_KINDS}")
+    init, update, payoff = _stat_payoff(kind, cp, strike, barrier, n_steps)
+    s_t, stat, rows = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    pay = payoff(s_t, stat)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    out = (price, stderr) if return_stderr else price
+    return (out, rows) if return_leverage else out
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "n_bins",
+                                             "antithetic"))
+def slv_calibrate_leverage(spot, maturity, rate, params: HestonParams, key,
+                           lv_k_grid, lv_t_grid, lv_vol_grid,
+                           dividend: float = 0.0, mixing: float = 1.0,
+                           n_paths: int = 131_072, n_steps: int = 64,
+                           n_bins: int = 31, antithetic: bool = True):
+    """Run the particle calibration alone; returns (x_rows, l_rows), each
+    (n_steps, n_bins) — row i is L(t_i, .) on its particle-adapted
+    log-spot grid, linearly interpolable (edge-clamped by jnp.interp)."""
+    init, update, _ = _stat_payoff("european", 1.0, spot, 0.0, n_steps)
+    _, _, rows = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    return rows
+
+
+class SLVModel:
+    """Facade: Dupire surface + Heston params + mixing -> exotic prices.
+
+    >>> dup = DupireLocalVol(iv_fn, spot, rate)
+    >>> slv = SLVModel(dup, HestonParams(...), mixing=0.7)
+    >>> slv.price("barrier_up-and-out", strike=105, maturity=1.0,
+    ...           barrier=130, key=key)
+    """
+
+    def __init__(self, surface, params: HestonParams, mixing: float = 1.0):
+        if isinstance(surface, DupireLocalVol):
+            surface = surface.surface
+        if not isinstance(surface, LocalVolSurface):
+            raise ValidationError(
+                "surface must be a DupireLocalVol or LocalVolSurface")
+        self.surface = surface
+        self.params = params
+        self.mixing = float(mixing)
+
+    def price(self, kind, strike, maturity, key, cp: float = 1.0,
+              barrier: float = 0.0, n_paths: int = 131_072,
+              n_steps: int = 64, n_bins: int = 31,
+              return_stderr: bool = False):
+        return slv_exotic_price(
+            kind, self.surface.spot, strike, maturity, self.surface.rate,
+            self.params, key, self.surface.k_grid, self.surface.t_grid,
+            self.surface.grid, cp=cp, dividend=self.surface.dividend,
+            barrier=barrier, mixing=self.mixing, n_paths=n_paths,
+            n_steps=n_steps, n_bins=n_bins, return_stderr=return_stderr)
+
+    def leverage(self, maturity, key, n_paths: int = 131_072,
+                 n_steps: int = 64, n_bins: int = 31):
+        return slv_calibrate_leverage(
+            self.surface.spot, maturity, self.surface.rate, self.params,
+            key, self.surface.k_grid, self.surface.t_grid,
+            self.surface.grid, dividend=self.surface.dividend,
+            mixing=self.mixing, n_paths=n_paths, n_steps=n_steps,
+            n_bins=n_bins)

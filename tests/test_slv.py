@@ -1,0 +1,137 @@
+"""Stochastic local vol: Gyongy reprice, limit cases, mixing sensitivity.
+
+Oracles (all independent of the particle engine):
+ 1. Gyongy lemma — the calibrated SLV reprices European vanillas to the
+    Dupire PDE across strikes at full vol-of-vol (eta = 1), even though
+    the dynamics are completely different from pure LV;
+ 2. mixing -> 0 collapses to the pure local-vol MC engine
+    (``models/local_vol._lv_mc``), and the calibrated leverage rows
+    converge to sigma_LV / sqrt(v_t) with v_t deterministic;
+ 3. a flat surface reprices flat-vol Black-Scholes (Gyongy again, with a
+    closed-form oracle);
+ 4. vanillas are mixing-INVARIANT while forward-smile exotics move — the
+    defining property of the model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optionslab_tpu.models.black_scholes import bs_price
+from optionslab_tpu.models.heston import HestonParams
+from optionslab_tpu.models.local_vol import (DupireLocalVol,
+                                             LocalVolSurface,
+                                             local_vol_mc_price,
+                                             sample_smile_iv_fn)
+from optionslab_tpu.models.slv import (SLV_KINDS, SLVModel,
+                                       slv_calibrate_leverage,
+                                       slv_exotic_price)
+from optionslab_tpu.utils.exceptions import ValidationError
+
+SPOT, RATE, T = 100.0, 0.03, 1.0
+PAR = HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7)
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def dupire():
+    return DupireLocalVol(sample_smile_iv_fn(), SPOT, RATE)
+
+
+class TestGyongyReprice:
+    @pytest.mark.parametrize("strike", [90.0, 100.0, 110.0])
+    def test_european_matches_dupire_pde(self, dupire, strike):
+        slv = SLVModel(dupire, PAR, mixing=1.0)
+        p, se = slv.price("european", strike, T, KEY, n_paths=131_072,
+                          n_steps=64, return_stderr=True)
+        pde = dupire.price(SPOT, strike, T)
+        # 5 se + a small allowance for Euler/binning bias
+        assert abs(float(p) - float(pde)) < 5 * float(se) + 0.03
+
+    def test_flat_surface_reprices_bs(self):
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), SPOT, RATE)
+        p, se = slv_exotic_price(
+            "european", SPOT, 100.0, T, RATE, PAR, KEY,
+            flat.k_grid, flat.t_grid, flat.grid, return_stderr=True)
+        oracle = bs_price(SPOT, 100.0, T, RATE, 0.2)
+        assert abs(float(p) - float(oracle)) < 4 * float(se) + 0.01
+
+
+class TestMixingZeroLimit:
+    def test_matches_pure_lv_mc(self, dupire):
+        slv = SLVModel(dupire, PAR, mixing=0.0)
+        p, se = slv.price("european", 100.0, T, KEY, return_stderr=True)
+        plv, selv = local_vol_mc_price(dupire, 100.0, T)
+        tol = 4 * float(jnp.sqrt(se**2 + selv**2)) + 0.02
+        assert abs(float(p) - float(plv)) < tol
+
+    def test_leverage_rows_are_sigma_lv_over_sqrt_v(self, dupire):
+        # v0 = theta and eta = 0 make v_t == theta deterministically, so
+        # the calibrated leverage must be exactly sigma_LV / sqrt(theta).
+        x_rows, l_rows = slv_calibrate_leverage(
+            SPOT, T, RATE, PAR, KEY, dupire.surface.k_grid,
+            dupire.surface.t_grid, dupire.surface.grid, mixing=0.0,
+            n_paths=32_768, n_steps=32)
+        i = 16
+        t_now = i * T / 32
+        s_row = SPOT * jnp.exp(x_rows[i])
+        expected = dupire.surface(s_row, t_now) / jnp.sqrt(PAR.theta)
+        got = l_rows[i]
+        # interior bins (tails can be count-starved)
+        sl = slice(5, 27)
+        np.testing.assert_allclose(np.asarray(got[sl]),
+                                   np.asarray(expected[sl]), rtol=5e-3)
+
+
+class TestMixingSensitivity:
+    def test_exotics_move_vanillas_do_not(self, dupire):
+        prices, ses = {}, {}
+        for mix in (0.0, 1.0):
+            slv = SLVModel(dupire, PAR, mixing=mix)
+            prices[mix], ses[mix] = slv.price(
+                "barrier_up-and-out", 100.0, T, KEY, barrier=120.0,
+                return_stderr=True)
+        joint = float(jnp.sqrt(ses[0.0]**2 + ses[1.0]**2))
+        # the forward-smile exotic moves by many stderrs...
+        assert abs(float(prices[1.0]) - float(prices[0.0])) > 10 * joint
+        # ...while the European is mixing-invariant (Gyongy: both ends
+        # reprice the same vanilla surface)
+        v0, s0 = SLVModel(dupire, PAR, 0.0).price(
+            "european", 100.0, T, KEY, return_stderr=True)
+        v1, s1 = SLVModel(dupire, PAR, 1.0).price(
+            "european", 100.0, T, KEY, return_stderr=True)
+        tol = 4 * float(jnp.sqrt(s0**2 + s1**2)) + 0.03
+        assert abs(float(v1) - float(v0)) < tol
+
+
+class TestAPI:
+    def test_bad_kind_raises(self, dupire):
+        slv = SLVModel(dupire, PAR)
+        with pytest.raises(ValidationError):
+            slv.price("nope", 100.0, T, KEY)
+
+    def test_bad_surface_raises(self):
+        with pytest.raises(ValidationError):
+            SLVModel(object(), PAR)
+
+    def test_return_leverage_shapes(self, dupire):
+        (p, se), (x_rows, l_rows) = slv_exotic_price(
+            "asian_arith", SPOT, 100.0, T, RATE, PAR, KEY,
+            dupire.surface.k_grid, dupire.surface.t_grid,
+            dupire.surface.grid, n_paths=16_384, n_steps=16, n_bins=21,
+            return_stderr=True, return_leverage=True)
+        assert x_rows.shape == (16, 21) and l_rows.shape == (16, 21)
+        assert np.isfinite(float(p)) and np.isfinite(float(se))
+        assert bool(jnp.all(jnp.isfinite(l_rows)))
+        assert bool(jnp.all(l_rows >= 0.0))
+
+    def test_all_kinds_finite(self, dupire):
+        slv = SLVModel(dupire, PAR, mixing=0.7)
+        for kind in SLV_KINDS:
+            b = 120.0 if "up" in kind else (80.0 if "down" in kind else 0.0)
+            p = slv.price(kind, 100.0, T, KEY, barrier=b,
+                          n_paths=16_384, n_steps=16)
+            assert np.isfinite(float(p)), kind
