@@ -165,6 +165,8 @@ def cmd_exotic(args) -> dict:
         return _exotic_heston(args)
     if getattr(args, "model", "bs") == "rbergomi":
         return _exotic_rbergomi(args)
+    if getattr(args, "model", "bs") == "slv":
+        return _exotic_slv(args)
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
     if getattr(args, "cv", False):
@@ -392,6 +394,49 @@ def _exotic_rbergomi(args) -> dict:
     return {"model": "rbergomi", "dynamics": "rough-bergomi",
             "kind": kname, "price": float(p), "std_error": float(se),
             "hurst": args.hurst, "eta": args.eta}
+
+
+def _exotic_slv(args) -> dict:
+    """--model slv: stochastic LOCAL vol — Heston dynamics with a Dupire
+    leverage calibrated on-the-fly (``models/slv.py``). Vanillas reprice
+    the smile at every ``--mixing``; the knob marks forward-smile exotics
+    between pure local vol (0) and full Heston vol-of-vol (1)."""
+    import jax
+
+    from .models import HestonParams, SLVModel
+    from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+    from .utils.exceptions import ValidationError
+
+    dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
+                         args.spot, args.rate)
+    par = HestonParams.make(args.v0, args.kappa, args.theta, args.sigma_v,
+                            args.rho_sv)
+    slv = SLVModel(dup, par, mixing=args.mixing)
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
+                "barrier": f"barrier_{args.barrier_type}",
+                "european": "european"}
+    if args.kind in ("one-touch", "no-touch"):
+        side = "up" if args.barrier >= args.spot else "down"
+        kname = f"{args.kind.replace('-', '_')}_{side}"
+    elif args.kind in kind_map:
+        kname = kind_map[args.kind]
+    else:
+        raise SystemExit("--model slv supports asian/barrier/lookback/"
+                         f"one-touch/no-touch, not {args.kind!r}")
+    try:
+        p, se = slv.price(kname, args.strike, args.maturity,
+                          jax.random.PRNGKey(args.seed), cp=cp,
+                          barrier=args.barrier, n_paths=args.n_paths,
+                          n_steps=getattr(args, "n_steps", 64),
+                          return_stderr=True)
+    except ValidationError as e:
+        raise SystemExit(str(e)) from e
+    return {"model": "slv", "dynamics": "heston-x-dupire-leverage",
+            "kind": kname, "price": float(p), "std_error": float(se),
+            "mixing": args.mixing,
+            "note": "vanillas reprice the smile at every mixing (Gyongy); "
+                    "exotics interpolate pure-LV (0) to full Heston (1)"}
 
 
 def _exotic_kernel_greeks(args) -> dict:
@@ -809,11 +854,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "autocallable)")
     pe.add_argument("--model", default="bs",
                     choices=["bs", "heston", "heston-qe", "bates",
-                             "bates-qe", "rbergomi"],
+                             "bates-qe", "rbergomi", "slv"],
                     help="heston[-qe] / bates[-qe]: price under stochastic "
                          "vol (+ jumps for bates) via the fused exotic "
                          "kernel; --greeks adds the joint-density LR "
-                         "ladder (euler only)")
+                         "ladder (euler only); slv: Heston x Dupire "
+                         "leverage (see --mixing)")
+    pe.add_argument("--mixing", type=float, default=1.0,
+                    help="slv vol-of-vol mixing in [0, 1]: 0 = pure local "
+                         "vol, 1 = full Heston (vanillas reprice either "
+                         "way)")
     pe.add_argument("--lam", type=float, default=0.5,
                     help="bates jump intensity /yr")
     pe.add_argument("--mu-j", type=float, default=-0.1)

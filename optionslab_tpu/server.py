@@ -142,6 +142,8 @@ def handle_exotic(body: dict) -> dict:
         return _exotic_heston(body, p, kind, n_paths)
     if body.get("model") == "rbergomi":
         return _exotic_rbergomi(body, p, kind, n_paths)
+    if body.get("model") == "slv":
+        return _exotic_slv(body, p, kind, n_paths)
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
         # ratio (barrier/cliquet/autocall); ValidationError → 400
@@ -334,6 +336,47 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         return_stderr=True)
     return {"model": "rbergomi", "dynamics": "rough-bergomi", "kind": kname,
             "price": _to_jsonable(pr), "std_error": _to_jsonable(se)}
+
+
+def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
+    """model=slv: stochastic local vol — Heston dynamics x Dupire leverage
+    calibrated in the same jitted scan (mirrors CLI ``exotic --model
+    slv``). ``mixing`` in [0, 1] marks exotics between pure local vol and
+    full Heston vol-of-vol; vanillas reprice the smile at every value."""
+    import jax
+
+    from .models import HestonParams, SLVModel
+    from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+    dup = DupireLocalVol(sample_smile_iv_fn(base_vol=p["vol"]),
+                         p["spot"], p["rate"])
+    par = HestonParams.make(float(body.get("v0", 0.04)),
+                            float(body.get("kappa", 2.0)),
+                            float(body.get("theta", 0.04)),
+                            float(body.get("sigma_v", 0.5)),
+                            float(body.get("rho_sv", -0.7)))
+    mixing = float(body.get("mixing", 1.0))
+    slv = SLVModel(dup, par, mixing=mixing)
+    cp = 1.0 if p["option_type"].startswith("c") else -1.0
+    barrier = float(body.get("barrier", 120.0))
+    kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
+                "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
+    if kind in ("one-touch", "no-touch"):
+        side = "up" if barrier >= p["spot"] else "down"
+        kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind in kind_map:
+        kname = kind_map[kind]
+    else:
+        raise ValueError("model=slv supports asian/barrier/lookback/"
+                         f"one-touch/no-touch, not {kind!r}")
+    pr, se = slv.price(kname, p["strike"], p["maturity"],
+                       jax.random.PRNGKey(int(body.get("seed", 0))), cp=cp,
+                       barrier=barrier, n_paths=n_paths,
+                       n_steps=int(body.get("n_steps", 64)),
+                       return_stderr=True)
+    return {"model": "slv", "dynamics": "heston-x-dupire-leverage",
+            "kind": kname, "price": _to_jsonable(pr),
+            "std_error": _to_jsonable(se), "mixing": mixing}
 
 
 def handle_basket(body: dict) -> dict:

@@ -346,6 +346,20 @@ class TestHestonExoticEndpoint:
             "kind": "cliquet", "model": "rbergomi", "n_paths": 2000})
         assert status == 400
 
+    def test_slv_exotic_over_wire(self, server):
+        base = {"kind": "barrier", "barrier": 120.0, "model": "slv",
+                "n_paths": 20000, "n_steps": 16}
+        status, b1 = _post(server, "/exotic", {**base, "mixing": 1.0})
+        assert status == 200
+        assert b1["dynamics"] == "heston-x-dupire-leverage"
+        assert b1["mixing"] == 1.0 and 0 < b1["price"] < 10.45
+        _, b0 = _post(server, "/exotic", {**base, "mixing": 0.0})
+        # full vol-of-vol prices the UO barrier above pure local vol
+        assert b1["price"] > b0["price"]
+        status, body = _post(server, "/exotic", {
+            "kind": "cliquet", "model": "slv", "n_paths": 2000})
+        assert status == 400
+
 
 class TestBatesAmericanEndpoint:
     def test_bates_bracket_over_wire(self, server):

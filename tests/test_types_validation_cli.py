@@ -153,6 +153,19 @@ class TestCLI:
         assert out["greek_method"] == "pathwise"
         assert 0.0 < out["delta"] < 1.0
 
+    def test_exotic_slv_routes(self, capsys):
+        """--model slv calibrates the Dupire leverage on-the-fly and
+        prices under Heston-x-leverage dynamics."""
+        cli_main(["exotic", "--kind", "asian", "--model", "slv",
+                  "--mixing", "0.5", "--n-paths", "16384", "--n-steps",
+                  "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["dynamics"] == "heston-x-dupire-leverage"
+        assert out["mixing"] == 0.5
+        assert 0.0 < out["price"] < 10.45
+        with pytest.raises(SystemExit):
+            cli_main(["exotic", "--kind", "cliquet", "--model", "slv"])
+
 
 class TestCLIBasketKernel:
     """--engine kernel routes to the fused multi-asset Pallas kernel,
