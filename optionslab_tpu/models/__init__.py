@@ -118,6 +118,7 @@ from .slv import (
     SLVModel,
     slv_calibrate_leverage,
     slv_exotic_price,
+    slv_replay_price,
 )
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
 from .heston_american import (
@@ -227,6 +228,7 @@ __all__ = [
     "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
     "heston_autocall_price", "heston_range_accrual_price",
     "SLV_KINDS", "SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
+    "slv_replay_price",
     "range_accrual_price", "range_accrual_closed_form",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",

@@ -58,7 +58,7 @@ from .heston_exotics import (HESTON_EXOTIC_KINDS, _discounted_mean_stderr,
 from .local_vol import DupireLocalVol, LocalVolSurface, _bilinear
 
 __all__ = ["SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
-           "SLV_KINDS"]
+           "slv_replay_price", "SLV_KINDS"]
 
 SLV_KINDS = ("european",) + HESTON_EXOTIC_KINDS
 
@@ -224,6 +224,42 @@ def slv_calibrate_leverage(spot, maturity, rate, params: HestonParams, key,
         (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
         init, update, antithetic)
     return rows
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kind", "n_paths", "n_steps", "antithetic", "return_stderr"))
+def slv_replay_price(kind: str, spot, strike, maturity, rate,
+                     params: HestonParams, key, x_rows, l_rows,
+                     cp: float = 1.0, dividend: float = 0.0,
+                     barrier: float = 0.0, mixing: float = 1.0,
+                     n_paths: int = 131_072, n_steps: int = 64,
+                     antithetic: bool = True,
+                     return_stderr: bool = False):
+    """Price ``kind`` by REPLAYING stored leverage rows (the
+    ``slv_calibrate_leverage`` output) instead of re-calibrating —
+    calibrate once, price many strikes/kinds on independent paths.
+    ``n_steps`` must equal the calibration's (one row per step). This is
+    also the scan-side parity oracle for the fused kernel
+    (``ops/slv_pallas``), which replays the SAME rows through its
+    polynomial table."""
+    if kind not in SLV_KINDS:
+        raise ValidationError(
+            f"unknown SLV kind {kind!r}; choose {SLV_KINDS}")
+    if x_rows.shape[0] != n_steps:
+        raise ValidationError(
+            f"leverage rows have {x_rows.shape[0]} steps, n_steps={n_steps}")
+    init, update, payoff = _stat_payoff(kind, cp, strike, barrier, n_steps)
+    # the surface grids are unused when rows are supplied; pass trivial
+    # placeholders with valid shapes
+    dummy = (jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32),
+             jnp.zeros((2, 2), jnp.float32))
+    s_t, stat, _ = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing, dummy,
+        n_paths, n_steps, x_rows.shape[1], init, update, antithetic,
+        leverage_rows=(x_rows, l_rows))
+    pay = payoff(s_t, stat)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
 
 
 class SLVModel:

@@ -8,7 +8,8 @@ from .sharded_pallas import (sharded_exotic_greeks, sharded_exotic_price,
                              sharded_local_vol_price,
                              sharded_multi_asset_greeks,
                              sharded_multi_asset_price,
-                             sharded_pallas_greeks)
+                             sharded_pallas_greeks,
+                             sharded_slv_greeks, sharded_slv_price)
 from .sharded_risk import sharded_historical_var_es, sharded_mc_var
 
 __all__ = [
@@ -31,6 +32,8 @@ __all__ = [
     "sharded_multi_asset_greeks",
     "sharded_local_vol_price",
     "sharded_local_vol_greeks",
+    "sharded_slv_price",
+    "sharded_slv_greeks",
     "sharded_historical_var_es",
     "sharded_mc_var",
 ]

@@ -41,6 +41,7 @@ from ..ops import exotic_pallas as _ep
 from ..ops import heston_pallas as _hp
 from ..ops import local_vol_pallas as _lv
 from ..ops import multi_asset_pallas as _mp
+from ..ops import slv_pallas as _slv
 from ..ops.gbm_pallas import _combine, _lanes_for, _launch, _prepare
 from ..types import ContractBatch
 from ..utils.exceptions import ValidationError
@@ -557,3 +558,76 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
                                       scalars, n_steps))
     out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
     return out
+
+
+# ---------------------------------------------------------------------------
+# SLV: the fused stochastic-local-vol kernel under shard_map (the particle
+# calibration runs once on any device; only the replay fans out)
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "lr", "mesh"))
+def _sharded_slv_launch(seed, params, *, kind, n_steps, n_blocks, cp,
+                        sampler, lr, mesh):
+    names, n_dev = _mesh_axes(mesh)
+    bpd = n_blocks // n_dev
+    n_out = ((9 if kind.startswith("lookback") else 7) if lr else 2)
+
+    def local(seed_s, params_rep):
+        d = _device_linear_index(mesh, names)
+        seed_vec = jnp.stack([seed_s.astype(jnp.int32), d * bpd])
+        outs = _slv._launch(seed_vec, params_rep, kind=kind,
+                            n_steps=n_steps, n_blocks=bpd, cp=cp,
+                            sampler=sampler, lr=lr)
+        return tuple(jax.lax.psum(o, names) for o in outs)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=(P(),) * n_out, check_vma=False)
+    return fn(seed, params)
+
+
+def sharded_slv_price(pricer, kind: str, strike, mesh: Mesh,
+                      cp: float = 1.0, barrier: float = 0.0,
+                      n_paths: int = 1_000_000, seed: int = 0,
+                      sampler: str = "prng"):
+    """``ops/slv_pallas.SLVKernelPricer.price`` — exotics under
+    Heston-x-Dupire-leverage dynamics — with path blocks sharded over
+    ``mesh`` (global-block ownership: the same topology-invariant path
+    set as every kernel family here). ``pricer`` is a calibrated
+    :class:`~..ops.slv_pallas.SLVKernelPricer`; the leverage table rides
+    replicated in SMEM. Returns (price, stderr, actual_paths)."""
+    if sampler not in ("prng", "hash"):
+        raise ValidationError("SLV kernel samplers are prng|hash")
+    p = pricer._params_vec(kind, strike, barrier)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _slv.PATHS_PER_BLOCK, n_dev)
+    pay, pay2 = _sharded_slv_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32),
+        kind=kind, n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
+        sampler=sampler, lr=False, mesh=mesh)
+    return _ep._mean_stderr(pay, pay2, n_blocks * _slv.PATHS_PER_BLOCK,
+                            math.exp(-pricer.rate * pricer.t_total))
+
+
+def sharded_slv_greeks(pricer, kind: str, strike, mesh: Mesh,
+                       cp: float = 1.0, barrier: float = 0.0,
+                       n_paths: int = 1_000_000, seed: int = 0,
+                       sampler: str = "prng") -> dict:
+    """``SLVKernelPricer.greeks`` (sticky-strike LR delta/gamma +
+    frozen-leverage v0-vega/rho, one pass) sharded over ``mesh``: the 7
+    (9 for lookbacks) moment tiles psum over ICI and the ladder is
+    assembled once host-side — identical estimate to the single-device
+    launch on the same global path set."""
+    if sampler not in ("prng", "hash"):
+        raise ValidationError("LR scores assume iid normals; SLV kernel "
+                              "samplers are prng|hash")
+    if pricer.mixing * float(pricer.params.sigma) < 1e-3:
+        raise ValidationError("LR v0 score diverges at mixing ~ 0 — use "
+                              "sharded_local_vol_greeks instead")
+    p = pricer._params_vec(kind, strike, barrier)
+    _names, n_dev = _mesh_axes(mesh)
+    n_blocks = _round_blocks(n_paths, _slv.PATHS_PER_BLOCK, n_dev)
+    outs = _sharded_slv_launch(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32),
+        kind=kind, n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
+        sampler=sampler, lr=True, mesh=mesh)
+    return pricer._combine_lr(outs, n_blocks * _slv.PATHS_PER_BLOCK, kind)

@@ -217,3 +217,67 @@ class TestShardedHestonExotic:
             sharded_heston_exotic_greeks("asian_arith", 100.0, 100.0, 1.0,
                                          0.05, self._par(), mesh,
                                          sampler="sobol_bb")
+
+
+class TestShardedSLV:
+    """The stochastic-local-vol replay kernel under shard_map: the
+    leverage table rides replicated; path blocks shard by global-block
+    ownership — sharded == unsharded on the identical path set."""
+
+    def _pricer(self, n_steps=4):
+        import jax.numpy as jnp
+
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.models.local_vol import LocalVolSurface
+        from optionslab_tpu.ops.slv_pallas import SLVKernelPricer
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), 100.0, 0.05)
+        return SLVKernelPricer(flat, HestonParams.make(0.04, 2.0, 0.04,
+                                                       0.3, -0.7),
+                               1.0, mixing=1.0, n_steps=n_steps,
+                               n_cal_paths=16_384)
+
+    def test_price_matches_unsharded(self):
+        from optionslab_tpu.ops.slv_pallas import PATHS_PER_BLOCK
+        from optionslab_tpu.parallel import sharded_slv_price
+
+        pr = self._pricer()
+        mesh = make_mesh(4)
+        p_s, se_s, n_s = sharded_slv_price(pr, "asian_arith", 100.0, mesh,
+                                           n_paths=1, sampler="hash")
+        assert n_s == 4 * PATHS_PER_BLOCK
+        p_u, se_u, n_u = pr.price("asian_arith", 100.0, n_paths=n_s,
+                                  sampler="hash")
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
+        np.testing.assert_allclose(float(se_s), float(se_u), rtol=1e-4)
+
+    def test_greeks_match_unsharded(self):
+        from optionslab_tpu.parallel import sharded_slv_greeks
+
+        pr = self._pricer()
+        mesh = make_mesh(4)
+        out_s = sharded_slv_greeks(pr, "barrier_up-and-out", 100.0, mesh,
+                                   barrier=130.0, n_paths=1, sampler="hash")
+        out_u = pr.greeks("barrier_up-and-out", 100.0, barrier=130.0,
+                          n_paths=out_s["paths"], sampler="hash")
+        assert out_u["paths"] == out_s["paths"]
+        for k in ("price", "delta", "gamma", "vega_v0", "rho"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-5, atol=1e-7, err_msg=k)
+
+    def test_rejects_qmc_and_mixing_zero(self):
+        from optionslab_tpu.parallel import sharded_slv_greeks, sharded_slv_price
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        pr = self._pricer()
+        mesh = make_mesh(2)
+        with pytest.raises(ValidationError):
+            sharded_slv_price(pr, "asian_arith", 100.0, mesh,
+                              sampler="sobol_bb")
+        pr0 = self._pricer()
+        pr0.mixing = 0.0
+        with pytest.raises(ValidationError):
+            sharded_slv_greeks(pr0, "asian_arith", 100.0, mesh)
