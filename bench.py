@@ -229,6 +229,26 @@ def main():
         extras["local_vol_path_steps_per_sec"] = round(
             n_lv * 100 / ((time.perf_counter() - t0) / 3), 1)
 
+        # round-3: SLV replay kernel (Heston variance x Dupire leverage,
+        # particle-calibrated) — smile-pinned forward-smile exotics
+        from optionslab_tpu.ops.slv_pallas import SLVKernelPricer
+
+        slvp = SLVKernelPricer(
+            DupireLocalVol(sample_smile_iv_fn(), 100.0, 0.05),
+            HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7), 1.0,
+            mixing=1.0, n_steps=64)
+        sp, _, n_slv = slvp.price("barrier_up-and-out", 100.0,
+                                  barrier=125.0, n_paths=8_000_000, seed=0)
+        jax.block_until_ready(sp)
+        t0 = time.perf_counter()
+        for i in range(3):
+            sp, _, _ = slvp.price("barrier_up-and-out", 100.0,
+                                  barrier=125.0, n_paths=8_000_000,
+                                  seed=80 + i)
+        jax.block_until_ready(sp)
+        extras["slv_path_steps_per_sec"] = round(
+            n_slv * 64 / ((time.perf_counter() - t0) / 3), 1)
+
         # multi-asset kernel: 3 correlated assets, basket Asian
         from optionslab_tpu.ops.multi_asset_pallas import pallas_multi_asset_price
 

@@ -411,7 +411,6 @@ def _exotic_slv(args) -> dict:
                          args.spot, args.rate)
     par = HestonParams.make(args.v0, args.kappa, args.theta, args.sigma_v,
                             args.rho_sv)
-    slv = SLVModel(dup, par, mixing=args.mixing)
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}",
@@ -424,7 +423,29 @@ def _exotic_slv(args) -> dict:
     else:
         raise SystemExit("--model slv supports asian/barrier/lookback/"
                          f"one-touch/no-touch, not {args.kind!r}")
+    base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
+            "kind": kname, "mixing": args.mixing,
+            "note": "vanillas reprice the smile at every mixing (Gyongy); "
+                    "exotics interpolate pure-LV (0) to full Heston (1)"}
     try:
+        if getattr(args, "greeks", False):
+            # fused replay kernel: one-pass LR ladder (sticky-strike
+            # delta/gamma, frozen-leverage v0-vega/rho)
+            from .ops.slv_pallas import SLVKernelPricer
+
+            sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+            pricer = SLVKernelPricer(dup, par, args.maturity,
+                                     mixing=args.mixing,
+                                     n_steps=getattr(args, "n_steps", 64))
+            out = pricer.greeks(kname, args.strike, cp=cp,
+                                barrier=args.barrier, n_paths=args.n_paths,
+                                seed=args.seed, sampler=sampler)
+            res = {k: (float(v) if not isinstance(v, (str, int)) else v)
+                   for k, v in out.items()}
+            res.update(base, greek_method="lr-joint-density",
+                       engine="kernel")
+            return res
+        slv = SLVModel(dup, par, mixing=args.mixing)
         p, se = slv.price(kname, args.strike, args.maturity,
                           jax.random.PRNGKey(args.seed), cp=cp,
                           barrier=args.barrier, n_paths=args.n_paths,
@@ -432,11 +453,7 @@ def _exotic_slv(args) -> dict:
                           return_stderr=True)
     except ValidationError as e:
         raise SystemExit(str(e)) from e
-    return {"model": "slv", "dynamics": "heston-x-dupire-leverage",
-            "kind": kname, "price": float(p), "std_error": float(se),
-            "mixing": args.mixing,
-            "note": "vanillas reprice the smile at every mixing (Gyongy); "
-                    "exotics interpolate pure-LV (0) to full Heston (1)"}
+    return {**base, "price": float(p), "std_error": float(se)}
 
 
 def _exotic_kernel_greeks(args) -> dict:

@@ -369,6 +369,21 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     else:
         raise ValueError("model=slv supports asian/barrier/lookback/"
                          f"one-touch/no-touch, not {kind!r}")
+    if body.get("greeks"):
+        from .ops.slv_pallas import SLVKernelPricer
+
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        pricer = SLVKernelPricer(dup, par, p["maturity"], mixing=mixing,
+                                 n_steps=int(body.get("n_steps", 64)))
+        out = pricer.greeks(kname, p["strike"], cp=cp, barrier=barrier,
+                            n_paths=n_paths,
+                            seed=int(body.get("seed", 0)), sampler=sampler)
+        res = {k: _to_jsonable(v) if not isinstance(v, (str, int)) else v
+               for k, v in out.items()}
+        res.update(model="slv", dynamics="heston-x-dupire-leverage",
+                   kind=kname, mixing=mixing,
+                   greek_method="lr-joint-density")
+        return res
     pr, se = slv.price(kname, p["strike"], p["maturity"],
                        jax.random.PRNGKey(int(body.get("seed", 0))), cp=cp,
                        barrier=barrier, n_paths=n_paths,

@@ -12,6 +12,7 @@ import pytest
     "examples/heston_workflow.py",
     "examples/xva_workflow.py",
     "examples/exotics_workflow.py",
+    "examples/slv_workflow.py",
 ])
 @pytest.mark.slow
 def test_example_runs(script, capsys):

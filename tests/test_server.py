@@ -360,6 +360,15 @@ class TestHestonExoticEndpoint:
             "kind": "cliquet", "model": "slv", "n_paths": 2000})
         assert status == 400
 
+    def test_slv_kernel_greeks_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "asian", "model": "slv", "greeks": True, "mixing": 0.8,
+            "n_paths": 1, "n_steps": 4})
+        assert status == 200
+        assert body["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "vega_v0", "rho"} <= body.keys()
+        assert 0.0 < body["delta"] < 1.0
+
 
 class TestBatesAmericanEndpoint:
     def test_bates_bracket_over_wire(self, server):

@@ -166,6 +166,17 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli_main(["exotic", "--kind", "cliquet", "--model", "slv"])
 
+    def test_exotic_slv_kernel_greeks(self, capsys):
+        """--model slv --greeks routes to the fused replay kernel's
+        one-pass LR ladder."""
+        cli_main(["exotic", "--kind", "barrier", "--model", "slv",
+                  "--greeks", "--n-paths", "1", "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "vega_v0", "rho",
+                "delta_convention"} <= out.keys()
+        assert "sticky-strike" in out["delta_convention"]
+
 
 class TestCLIBasketKernel:
     """--engine kernel routes to the fused multi-asset Pallas kernel,
