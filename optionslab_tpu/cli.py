@@ -415,6 +415,37 @@ def _exotic_slv(args) -> dict:
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}",
                 "european": "european"}
+    if args.kind in ("autocallable", "cliquet"):
+        # structured kinds go straight to the replay kernel (price or
+        # the frozen-fixings LR ladder)
+        from .ops.slv_pallas import SLVKernelPricer
+
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
+                "kind": args.kind, "mixing": args.mixing,
+                "engine": "kernel"}
+        try:
+            pricer = SLVKernelPricer(dup, par, args.maturity,
+                                     mixing=args.mixing,
+                                     n_steps=getattr(args, "n_steps", 64))
+            kw = (dict(n_obs=getattr(args, "n_obs", 4))
+                  if args.kind == "autocallable"
+                  else dict(n_periods=getattr(args, "n_periods", 8)))
+            fn = (pricer.autocall if args.kind == "autocallable"
+                  else pricer.cliquet)
+            if getattr(args, "greeks", False):
+                out = fn(**kw, n_paths=args.n_paths, seed=args.seed,
+                         sampler=sampler, greeks=True)
+                res = {k: (float(v) if not isinstance(v, (str, int)) else v)
+                       for k, v in out.items()}
+                res.update(base, greek_method="lr-joint-density")
+                return res
+            p, se, n = fn(**kw, n_paths=args.n_paths, seed=args.seed,
+                          sampler=sampler)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+        return {**base, "price": float(p), "std_error": float(se),
+                "paths": int(n)}
     if args.kind in ("one-touch", "no-touch"):
         side = "up" if args.barrier >= args.spot else "down"
         kname = f"{args.kind.replace('-', '_')}_{side}"
@@ -422,7 +453,8 @@ def _exotic_slv(args) -> dict:
         kname = kind_map[args.kind]
     else:
         raise SystemExit("--model slv supports asian/barrier/lookback/"
-                         f"one-touch/no-touch, not {args.kind!r}")
+                         "one-touch/no-touch/cliquet/autocallable, "
+                         f"not {args.kind!r}")
     base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
             "kind": kname, "mixing": args.mixing,
             "note": "vanillas reprice the smile at every mixing (Gyongy); "

@@ -116,7 +116,9 @@ from .heston_fdm import heston_fdm_greeks, heston_fdm_price
 from .slv import (
     SLV_KINDS,
     SLVModel,
+    slv_autocall_price,
     slv_calibrate_leverage,
+    slv_cliquet_price,
     slv_exotic_price,
     slv_replay_price,
 )
@@ -228,7 +230,7 @@ __all__ = [
     "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
     "heston_autocall_price", "heston_range_accrual_price",
     "SLV_KINDS", "SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
-    "slv_replay_price",
+    "slv_replay_price", "slv_cliquet_price", "slv_autocall_price",
     "range_accrual_price", "range_accrual_closed_form",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",

@@ -58,7 +58,8 @@ from .heston_exotics import (HESTON_EXOTIC_KINDS, _discounted_mean_stderr,
 from .local_vol import DupireLocalVol, LocalVolSurface, _bilinear
 
 __all__ = ["SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
-           "slv_replay_price", "SLV_KINDS"]
+           "slv_replay_price", "slv_cliquet_price", "slv_autocall_price",
+           "SLV_KINDS"]
 
 SLV_KINDS = ("european",) + HESTON_EXOTIC_KINDS
 
@@ -227,6 +228,101 @@ def slv_calibrate_leverage(spot, maturity, rate, params: HestonParams, key,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "n_bins", "n_periods", "antithetic",
+    "return_stderr"))
+def slv_cliquet_price(spot, maturity, rate, params: HestonParams, key,
+                      lv_k_grid, lv_t_grid, lv_vol_grid,
+                      dividend: float = 0.0, mixing: float = 1.0,
+                      local_floor: float = -0.05, local_cap: float = 0.05,
+                      global_floor: float = 0.0, global_cap: float = 1e9,
+                      notional: float = 100.0, n_periods: int = 12,
+                      n_paths: int = 131_072, n_steps: int = 252,
+                      n_bins: int = 31, antithetic: bool = True,
+                      return_stderr: bool = False):
+    """Cliquet under SLV — THE use case for the model: the product's
+    value lives in the forward smile, which pure local vol flattens and
+    pure Heston decouples from today's smile; ``mixing`` marks between
+    them with every vanilla still repriced. Conventions match
+    ``heston_exotics.heston_cliquet_price``."""
+    per = n_steps // n_periods
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError(
+            "n_steps must be a positive multiple of n_periods")
+
+    def init(s0):
+        return (s0, jnp.zeros_like(s0))
+
+    def update(stats, s, i):
+        s_start, acc = stats
+        is_end = ((i + 1) % per == 0)
+        capped = jnp.clip(s / s_start - 1.0, local_floor, local_cap)
+        acc = acc + jnp.where(is_end, capped, 0.0)
+        s_start = jnp.where(is_end, s, s_start)
+        return (s_start, acc)
+
+    _, (_, acc), _rows = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    pay = notional * jnp.clip(acc, global_floor, global_cap)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "n_bins", "n_obs", "antithetic",
+    "return_stderr"))
+def slv_autocall_price(spot, maturity, rate, params: HestonParams, key,
+                       lv_k_grid, lv_t_grid, lv_vol_grid,
+                       dividend: float = 0.0, mixing: float = 1.0,
+                       notional: float = 100.0,
+                       autocall_barrier: float = 1.0,
+                       coupon_barrier: float = 0.8, ki_barrier: float = 0.7,
+                       coupon_rate: float = 0.08, n_obs: int = 4,
+                       n_paths: int = 131_072, n_steps: int = 252,
+                       n_bins: int = 31, antithetic: bool = True,
+                       return_stderr: bool = False):
+    """Autocallable under SLV: the knock-in barrier needs the market
+    smile (local vol), the vega-sign flip needs stochastic vol — SLV is
+    the model desks actually book these on. Coupons/redemptions discount
+    at their dates; conventions match ``heston_autocall_price``."""
+    obs_every = n_steps // n_obs
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    dt = jnp.maximum(jnp.float32(maturity), EPS_TIME) / n_steps
+
+    def init(s0):
+        return (jnp.ones_like(s0, dtype=bool),
+                jnp.zeros_like(s0, dtype=bool), jnp.zeros_like(s0))
+
+    def update(stats, s, i):
+        alive, ki, pv = stats
+        ki = ki | (s <= ki_barrier * spot)
+        is_obs = ((i + 1) % obs_every == 0)
+        df = jnp.exp(-rate * (i + 1).astype(jnp.float32) * dt)
+        called = alive & is_obs & (s >= autocall_barrier * spot)
+        couponed = alive & is_obs & (s >= coupon_barrier * spot)
+        pv = pv + jnp.where(couponed, df * notional * coupon_rate / n_obs,
+                            0.0)
+        pv = pv + jnp.where(called, df * notional, 0.0)
+        alive = alive & ~called
+        return (alive, ki, pv)
+
+    s_t, (alive, ki, pv), _rows = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    df_t = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+    loss = jnp.minimum(s_t / spot, 1.0)
+    final = jnp.where(ki, notional * loss, notional)
+    pay = pv + jnp.where(alive, df_t * final, 0.0)
+    n = pay.shape[0]
+    price = pay.mean()
+    stderr = pay.std(ddof=1) / jnp.sqrt(n * 1.0)
+    return (price, stderr) if return_stderr else price
+
+
+@functools.partial(jax.jit, static_argnames=(
     "kind", "n_paths", "n_steps", "antithetic", "return_stderr"))
 def slv_replay_price(kind: str, spot, strike, maturity, rate,
                      params: HestonParams, key, x_rows, l_rows,
@@ -291,6 +387,24 @@ class SLVModel:
             self.surface.grid, cp=cp, dividend=self.surface.dividend,
             barrier=barrier, mixing=self.mixing, n_paths=n_paths,
             n_steps=n_steps, n_bins=n_bins, return_stderr=return_stderr)
+
+    def cliquet(self, maturity, key, **kw):
+        """Cliquet under this surface/params/mixing; kwargs forward to
+        :func:`slv_cliquet_price` (floors/caps, n_periods, paths)."""
+        return slv_cliquet_price(
+            self.surface.spot, maturity, self.surface.rate, self.params,
+            key, self.surface.k_grid, self.surface.t_grid,
+            self.surface.grid, dividend=self.surface.dividend,
+            mixing=self.mixing, **kw)
+
+    def autocall(self, maturity, key, **kw):
+        """Autocallable note; kwargs forward to
+        :func:`slv_autocall_price` (barriers, coupon, n_obs, paths)."""
+        return slv_autocall_price(
+            self.surface.spot, maturity, self.surface.rate, self.params,
+            key, self.surface.k_grid, self.surface.t_grid,
+            self.surface.grid, dividend=self.surface.dividend,
+            mixing=self.mixing, **kw)
 
     def leverage(self, maturity, key, n_paths: int = 131_072,
                  n_steps: int = 64, n_bins: int = 31):

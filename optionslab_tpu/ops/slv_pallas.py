@@ -79,10 +79,13 @@ PATHS_PER_BLOCK = 2 * ROWS * LANES  # antithetic pair per draw
 DEGREE = 6
 
 # scalar head before the per-step leverage table; each step row is
-# [x_lo_i, x_hi_i, c_deg, ..., c_0]
+# [x_lo_i, x_hi_i, c_deg, ..., c_0]. _S_A.._S_E are the structured-kind
+# product params (cliquet floors/caps/notional; autocall barriers in
+# relative log space + coupon + notional), zero otherwise.
 (_S_S0, _S_K, _S_LOGB, _S_INVN, _S_RDT, _S_DT, _S_SQDT, _S_MUDT,
- _S_KAPPA, _S_THETA, _S_SIGV, _S_RHO, _S_SRHO, _S_V0) = range(14)
-_N_SCALARS = 14
+ _S_KAPPA, _S_THETA, _S_SIGV, _S_RHO, _S_SRHO, _S_V0,
+ _S_A, _S_B, _S_C, _S_D, _S_E) = range(19)
+_N_SCALARS = 19
 _ROW = DEGREE + 3
 
 KINDS = (
@@ -92,10 +95,11 @@ KINDS = (
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
 )
+STRUCTURED_KINDS = ("cliquet", "autocall")
 
 
 def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
-                sampler: str, lr: bool = False):
+                sampler: str, lr: bool = False, period: int = 1):
     """Statistics are carried in RELATIVE-log space (the fast-exp
     discipline, cf. ``heston_pallas``): extrema/barriers compare x
     against log(level/S0) directly; only the arithmetic Asian pays a
@@ -118,7 +122,7 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
     seed = seed_ref[0]
 
     s0, strike, log_b = p_ref[_S_S0], p_ref[_S_K], p_ref[_S_LOGB]
-    inv_n = p_ref[_S_INVN]
+    inv_n, rdt = p_ref[_S_INVN], p_ref[_S_RDT]
     dt, sqrt_dt, mu_dt = p_ref[_S_DT], p_ref[_S_SQDT], p_ref[_S_MUDT]
     kappa, theta_v = p_ref[_S_KAPPA], p_ref[_S_THETA]
     sigma_v, rho = p_ref[_S_SIGV], p_ref[_S_RHO]
@@ -126,6 +130,7 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
 
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
     barrier_up = "up" in kind
     knock_in = kind.endswith("in")
 
@@ -145,6 +150,11 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             return (zero,)
         if kind == "european":
             return ()
+        if kind == "cliquet":
+            return (zero, zero)  # (period-start x, capped-return acc)
+        if kind == "autocall":
+            # (alive, knocked-in, pv[, discount-derivative moment])
+            return (one, zero, zero, zero) if lr else (one, zero, zero)
         hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                          1.0, 0.0)
         return (zero + hit0,)
@@ -159,6 +169,30 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             return ((jnp.minimum if lo else jnp.maximum)(stat[0], x),)
         if kind == "european":
             return stat
+        if kind == "cliquet":
+            x_start, acc = stat
+            is_end = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            capped = jnp.clip(jnp.exp(x - x_start) - 1.0,
+                              p_ref[_S_A], p_ref[_S_B])
+            acc = acc + is_end * capped
+            x_start = x_start + is_end * (x - x_start)
+            return (x_start, acc)
+        if kind == "autocall":
+            alive, ki, pv = stat[:3]
+            ki = jnp.maximum(ki, jnp.where(x <= p_ref[_S_C], 1.0, 0.0))
+            is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
+            steps = (i + 1).astype(jnp.float32)
+            df_i = jnp.exp(-rdt * steps)
+            called = alive * is_obs * jnp.where(x >= p_ref[_S_A], 1.0, 0.0)
+            couponed = alive * is_obs * jnp.where(x >= p_ref[_S_B], 1.0,
+                                                  0.0)
+            cash = p_ref[_S_D] * couponed + p_ref[_S_E] * called
+            pv = pv + df_i * cash
+            alive = alive * (1.0 - called)
+            if lr:  # DR = -sum t_i df_i cash_i (coupon/call legs)
+                dr = stat[3] - steps * dt * df_i * cash
+                return (alive, ki, pv, dr)
+            return (alive, ki, pv)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -176,6 +210,14 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             return jnp.maximum(cp * (s0 * jnp.exp(stat[0]) - strike), 0.0)
         if kind == "european":
             return jnp.maximum(cp * (s_t - strike), 0.0)
+        if kind == "cliquet":
+            return p_ref[_S_E] * jnp.clip(stat[1], p_ref[_S_C], p_ref[_S_D])
+        if kind == "autocall":
+            alive, ki, pv = stat[:3]
+            df_t = jnp.exp(-rdt * float(n_steps))
+            loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
+            final = p_ref[_S_E] * (1.0 - ki * loss)
+            return pv + alive * df_t * final  # discounted in-kernel
         if "touch" in kind:
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
@@ -258,6 +300,14 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             sc_v = -zvs * a_t - zos * (b_t - rho * a_t) / srho_g - inv_v0
             accs[5] += p * sc_v
             accs[6] += p * sr
+            if kind == "autocall":
+                # DR: coupon/call legs (carried) + final-redemption leg
+                alive, ki = st[0], st[1]
+                df_t = jnp.exp(-rdt * float(n_steps))
+                loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
+                final = p_ref[_S_E] * (1.0 - ki * loss)
+                t_total = dt * float(n_steps)
+                accs[7] += st[3] - alive * t_total * df_t * final
             if lb:
                 # extremum includes the start state: direct d pay/d x0
                 # when the extremum is attained at t = 0 (stat == 0)
@@ -286,17 +336,20 @@ def _horner0(p_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
-                                             "cp", "sampler", "lr"))
+                                             "cp", "sampler", "lr",
+                                             "period"))
 def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int,
-            cp: float, sampler: str = "prng", lr: bool = False):
-    n_out = ((9 if kind.startswith("lookback") else 7) if lr else 2)
+            cp: float, sampler: str = "prng", lr: bool = False,
+            period: int = 1):
+    n_out = ((9 if kind.startswith("lookback")
+              else (8 if kind == "autocall" else 7)) if lr else 2)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
                  else pltpu.InterpretParams())
     return pl.pallas_call(
         functools.partial(_slv_kernel, kind=kind, n_steps=n_steps, cp=cp,
-                          sampler=sampler, lr=lr),
+                          sampler=sampler, lr=lr, period=period),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -390,7 +443,8 @@ class SLVKernelPricer:
              (self.rate - self.dividend) * dt,
              float(params.kappa), float(params.theta),
              self.mixing * float(params.sigma), rho,
-             math.sqrt(max(1.0 - rho * rho, 0.0)), float(params.v0)],
+             math.sqrt(max(1.0 - rho * rho, 0.0)), float(params.v0),
+             0.0, 0.0, 0.0, 0.0, 0.0],  # _S_A.._S_E (structured kinds)
             np.float64)
 
     def _params_vec(self, kind, strike, barrier):
@@ -447,10 +501,77 @@ class SLVKernelPricer:
                        cp=float(cp), sampler=sampler, lr=True)
         return self._combine_lr(outs, n_blocks * PATHS_PER_BLOCK, kind)
 
+    def cliquet(self, local_floor: float = -0.05, local_cap: float = 0.05,
+                global_floor: float = 0.0, global_cap: float = 1e9,
+                notional: float = 100.0, n_periods: int = 12,
+                n_paths: int = 1_000_000, seed: int = 0,
+                sampler: str = "prng", greeks: bool = False):
+        """Cliquet on the calibrated leverage — the forward-smile product
+        SLV exists for. ``greeks=True`` returns the one-pass LR ladder
+        (delta/gamma are FROZEN-FIXINGS: the first baseline IS spot, so
+        the scale-invariant unconditional delta is 0 and the frozen-
+        fixings delta is what a desk hedges); else (price, stderr, n).
+        Conventions match ``models/slv.slv_cliquet_price``."""
+        if n_periods <= 0 or self.n_steps % n_periods:
+            raise ValidationError(
+                "n_steps must be a positive multiple of n_periods")
+        return self._structured(
+            "cliquet", (float(local_floor), float(local_cap),
+                        float(global_floor), float(global_cap),
+                        float(notional)),
+            self.n_steps // n_periods, n_paths, seed, sampler, greeks)
+
+    def autocall(self, notional: float = 100.0,
+                 autocall_barrier: float = 1.0, coupon_barrier: float = 0.8,
+                 ki_barrier: float = 0.7, coupon_rate: float = 0.08,
+                 n_obs: int = 4, n_paths: int = 1_000_000, seed: int = 0,
+                 sampler: str = "prng", greeks: bool = False):
+        """Autocallable on the calibrated leverage: the knock-in barrier
+        needs the market smile, the vega flip needs stochastic vol — the
+        product SLV is booked on in practice. Cashflows discount
+        in-kernel; ``greeks=True`` adds the LR ladder (the DR moment
+        completes rho; frozen-fixings delta). Barrier levels are RELATIVE
+        to spot. Conventions match ``models/slv.slv_autocall_price``."""
+        if n_obs <= 0 or self.n_steps % n_obs:
+            raise ValidationError(
+                "n_steps must be a positive multiple of n_obs")
+        return self._structured(
+            "autocall", (math.log(max(float(autocall_barrier), 1e-9)),
+                         math.log(max(float(coupon_barrier), 1e-9)),
+                         math.log(max(float(ki_barrier), 1e-9)),
+                         float(notional) * float(coupon_rate) / n_obs,
+                         float(notional)),
+            self.n_steps // n_obs, n_paths, seed, sampler, greeks)
+
+    def _structured(self, kind, abcde, period, n_paths, seed, sampler,
+                    greeks):
+        if sampler not in ("prng", "hash"):
+            raise ValidationError("SLV kernel samplers are prng|hash")
+        if greeks and self.mixing * float(self.params.sigma) < 1e-3:
+            raise ValidationError("the LR v0 score diverges as "
+                                  "mixing*sigma -> 0; see greeks()")
+        head = self._head.copy()
+        head[_S_A:_S_E + 1] = abcde
+        p = np.concatenate([head, self.rows.ravel()])
+        n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
+        outs = _launch(jnp.asarray([seed, 0], jnp.int32),
+                       jnp.asarray(p, jnp.float32), kind=kind,
+                       n_steps=self.n_steps, n_blocks=n_blocks, cp=1.0,
+                       sampler=sampler, lr=greeks, period=period)
+        n = n_blocks * PATHS_PER_BLOCK
+        if greeks:
+            return self._combine_lr(outs, n, kind)
+        df = (1.0 if kind == "autocall"
+              else math.exp(-self.rate * self.t_total))
+        return _mean_stderr(outs[0], outs[1], n, df)
+
     def _combine_lr(self, outs, n: int, kind: str) -> dict:
         """Moment tiles -> ladder dict (kept separate so a sharded path
-        can psum the tiles first, cf. the other kernel families)."""
-        df = math.exp(-self.rate * self.t_total)
+        can psum the tiles first, cf. the other kernel families).
+        ``kind == "autocall"``: the payoff is discounted in-kernel, so
+        df = 1 and the DR moment completes rho."""
+        discounted = kind == "autocall"
+        df = 1.0 if discounted else math.exp(-self.rate * self.t_total)
         t = self.t_total
         dt = t / self.n_steps
         price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
@@ -483,13 +604,23 @@ class SLVKernelPricer:
             delta = delta + df * m_b0
             gamma = gamma + 2.0 * df * m_b1 / (self.spot * s_cond)
         dv0 = df * m_v
+        if discounted:
+            dr_m = float(outs[7].sum()) / n
+            rho_rate = m_sr + dr_m
+        else:
+            rho_rate = df * m_sr - t * price
+        delta_conv = ("frozen-fixings hedge delta: barriers/baselines set "
+                      "from spot at inception held fixed (the scale-"
+                      "invariant unconditional delta is 0)"
+                      if kind in STRUCTURED_KINDS else
+                      "sticky-strike: physical leverage surface fixed "
+                      "under the spot bump")
         return {"price": price, "std_error": se,
                 "delta": delta, "gamma": gamma,
                 "vega_v0": dv0, "vega": 2.0 * math.sqrt(v0) * dv0,
-                "rho": df * m_sr - t * price, "paths": n,
+                "rho": rho_rate, "paths": n,
                 "fit_residual": self.fit_residual,
-                "delta_convention": ("sticky-strike: physical leverage "
-                                     "surface fixed under the spot bump"),
+                "delta_convention": delta_conv,
                 "vega_convention": ("frozen-leverage dynamics "
                                     "sensitivity, 2*sqrt(v0)*vega_v0")}
 

@@ -356,6 +356,31 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                             float(body.get("sigma_v", 0.5)),
                             float(body.get("rho_sv", -0.7)))
     mixing = float(body.get("mixing", 1.0))
+    if kind in ("autocallable", "cliquet"):
+        # structured kinds: replay kernel (price or frozen-fixings ladder)
+        from .ops.slv_pallas import SLVKernelPricer
+
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        pricer = SLVKernelPricer(dup, par, p["maturity"], mixing=mixing,
+                                 n_steps=int(body.get("n_steps", 64)))
+        kw = (dict(n_obs=int(body.get("n_obs", 4)))
+              if kind == "autocallable"
+              else dict(n_periods=int(body.get("n_periods", 8))))
+        fn = pricer.autocall if kind == "autocallable" else pricer.cliquet
+        base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
+                "kind": kind, "mixing": mixing, "engine": "kernel"}
+        if body.get("greeks"):
+            out = fn(**kw, n_paths=n_paths,
+                     seed=int(body.get("seed", 0)), sampler=sampler,
+                     greeks=True)
+            res = {k: _to_jsonable(v) if not isinstance(v, (str, int))
+                   else v for k, v in out.items()}
+            res.update(base, greek_method="lr-joint-density")
+            return res
+        pr, se, n = fn(**kw, n_paths=n_paths,
+                       seed=int(body.get("seed", 0)), sampler=sampler)
+        return {**base, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se), "paths": int(n)}
     slv = SLVModel(dup, par, mixing=mixing)
     cp = 1.0 if p["option_type"].startswith("c") else -1.0
     barrier = float(body.get("barrier", 120.0))

@@ -23,8 +23,32 @@ jax.config.update("jax_enable_x64", True)
 # ~2x on compile-heavy tests). Keyed by HLO hash, so code changes recompile
 # automatically; programs with host callbacks (interpret-mode Pallas) are
 # excluded by jax itself. Directory is gitignored.
+#
+# The directory is ALSO keyed by the host CPU's feature flags: the cache
+# stores XLA:CPU AOT machine code, and this box's virtual CPU feature set
+# can change between sessions (cpu_aot_loader then warns about mismatched
+# machine features and loading the stale executable SEGFAULTS — observed
+# as exit 139 inside compilation_cache.get_executable_and_time). A feature
+# change now simply starts a fresh cache dir.
+import hashlib  # noqa: E402
+
+
+def _cpu_signature() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               f".jax_cache-{_cpu_signature()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

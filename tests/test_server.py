@@ -357,7 +357,7 @@ class TestHestonExoticEndpoint:
         # full vol-of-vol prices the UO barrier above pure local vol
         assert b1["price"] > b0["price"]
         status, body = _post(server, "/exotic", {
-            "kind": "cliquet", "model": "slv", "n_paths": 2000})
+            "kind": "american", "model": "slv", "n_paths": 2000})
         assert status == 400
 
     def test_slv_kernel_greeks_over_wire(self, server):
@@ -368,6 +368,18 @@ class TestHestonExoticEndpoint:
         assert body["greek_method"] == "lr-joint-density"
         assert {"delta", "gamma", "vega_v0", "rho"} <= body.keys()
         assert 0.0 < body["delta"] < 1.0
+
+    def test_slv_structured_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "autocallable", "model": "slv", "n_paths": 1,
+            "n_steps": 4, "n_obs": 2})
+        assert status == 200
+        assert body["engine"] == "kernel" and 50.0 < body["price"] < 120.0
+        status, body = _post(server, "/exotic", {
+            "kind": "cliquet", "model": "slv", "greeks": True,
+            "n_paths": 1, "n_steps": 4, "n_periods": 2})
+        assert status == 200
+        assert "frozen-fixings" in body["delta_convention"]
 
 
 class TestBatesAmericanEndpoint:

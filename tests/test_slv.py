@@ -107,6 +107,74 @@ class TestMixingSensitivity:
         assert abs(float(v1) - float(v0)) < tol
 
 
+class TestStructuredKinds:
+    """Cliquet/autocall under SLV. Oracles: the mixing -> 0 + flat-
+    surface + v0 = theta limit makes the leverage EXACTLY 1 and the
+    variance constant, so prices must match the GBM structured engines
+    at sigma = sqrt(theta); and the forward-smile products must MOVE
+    with mixing while (TestMixingSensitivity) vanillas do not."""
+
+    def _flat(self):
+        return LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), SPOT, RATE)
+
+    def test_cliquet_gbm_limit(self):
+        from optionslab_tpu.models.exotics import cliquet_price
+        from optionslab_tpu.models.slv import slv_cliquet_price
+
+        flat = self._flat()
+        p, se = slv_cliquet_price(
+            SPOT, T, RATE, PAR, KEY, flat.k_grid, flat.t_grid, flat.grid,
+            mixing=0.0, n_periods=4, n_paths=65_536, n_steps=32,
+            return_stderr=True)
+        pg, sg = cliquet_price(SPOT, T, RATE, 0.2, jax.random.PRNGKey(9),
+                               n_periods=4, n_paths=65_536, n_steps=32,
+                               return_stderr=True)
+        tol = 5 * float(jnp.sqrt(se**2 + sg**2)) + 0.02
+        assert abs(float(p) - float(pg)) < tol, (float(p), float(pg))
+
+    def test_autocall_gbm_limit(self):
+        from optionslab_tpu.models.exotics import autocallable_price
+        from optionslab_tpu.models.slv import slv_autocall_price
+
+        flat = self._flat()
+        p, se = slv_autocall_price(
+            SPOT, T, RATE, PAR, KEY, flat.k_grid, flat.t_grid, flat.grid,
+            mixing=0.0, n_obs=4, n_paths=65_536, n_steps=32,
+            return_stderr=True)
+        pg, sg = autocallable_price(SPOT, T, RATE, 0.2,
+                                    jax.random.PRNGKey(9), n_obs=4,
+                                    n_paths=65_536, n_steps=32,
+                                    return_stderr=True)
+        tol = 5 * float(jnp.sqrt(se**2 + sg**2)) + 0.05
+        assert abs(float(p) - float(pg)) < tol, (float(p), float(pg))
+
+    def test_cliquet_sees_the_forward_smile(self, dupire):
+        slv0 = SLVModel(dupire, PAR, mixing=0.0)
+        slv1 = SLVModel(dupire, PAR, mixing=1.0)
+        p0, s0 = slv0.cliquet(T, KEY, n_periods=4, n_paths=65_536,
+                              n_steps=32, return_stderr=True)
+        p1, s1 = slv1.cliquet(T, KEY, n_periods=4, n_paths=65_536,
+                              n_steps=32, return_stderr=True)
+        joint = float(jnp.sqrt(s0**2 + s1**2))
+        assert abs(float(p1) - float(p0)) > 5 * joint
+
+    def test_autocall_facade(self, dupire):
+        slv = SLVModel(dupire, PAR, mixing=0.7)
+        p = slv.autocall(T, KEY, n_obs=4, n_paths=32_768, n_steps=32)
+        assert 50.0 < float(p) < 120.0
+
+    def test_bad_periods_raise(self, dupire):
+        from optionslab_tpu.models.slv import slv_cliquet_price
+
+        with pytest.raises(ValidationError):
+            slv_cliquet_price(SPOT, T, RATE, PAR, KEY,
+                              dupire.surface.k_grid, dupire.surface.t_grid,
+                              dupire.surface.grid, n_periods=7,
+                              n_steps=32)
+
+
 class TestAPI:
     def test_bad_kind_raises(self, dupire):
         slv = SLVModel(dupire, PAR)

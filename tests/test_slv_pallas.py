@@ -187,6 +187,82 @@ class TestLadderOracles:
         assert abs(out["rho"] - fd) < 0.06 * abs(fd) + 0.5, (out["rho"], fd)
 
 
+class TestStructuredKernel:
+    """Cliquet/autocall on the replay kernel: scan parity on the same
+    model, CRN-FD oracles for the structured LR ladder (frozen-fixings
+    delta; the autocall DR moment completes rho)."""
+
+    def test_cliquet_matches_scan(self, smile_dupire, pricer):
+        from optionslab_tpu.models.slv import slv_cliquet_price
+
+        pk, sk, _ = pricer.cliquet(n_periods=4, n_paths=1, sampler="hash")
+        ps, ss = slv_cliquet_price(
+            S, T, R, PAR, jax.random.PRNGKey(5),
+            smile_dupire.surface.k_grid, smile_dupire.surface.t_grid,
+            smile_dupire.surface.grid, mixing=1.0, n_periods=4,
+            n_paths=65_536, n_steps=N_STEPS, return_stderr=True)
+        tol = 5 * float(jnp.sqrt(sk**2 + ss**2)) + 0.05
+        assert abs(float(pk) - float(ps)) < tol, (float(pk), float(ps))
+
+    def test_autocall_matches_scan(self, smile_dupire, pricer):
+        from optionslab_tpu.models.slv import slv_autocall_price
+
+        pk, sk, _ = pricer.autocall(n_obs=4, n_paths=1, sampler="hash")
+        ps, ss = slv_autocall_price(
+            S, T, R, PAR, jax.random.PRNGKey(5),
+            smile_dupire.surface.k_grid, smile_dupire.surface.t_grid,
+            smile_dupire.surface.grid, mixing=1.0, n_obs=4,
+            n_paths=65_536, n_steps=N_STEPS, return_stderr=True)
+        tol = 5 * float(jnp.sqrt(sk**2 + ss**2)) + 0.1
+        assert abs(float(pk) - float(ps)) < tol, (float(pk), float(ps))
+
+    def test_autocall_ladder_vs_crn_fd(self, smile_dupire):
+        """rho (DR-completed) and v0-vega vs CRN-FD of the kernel in the
+        gated-score valid regime (sigma_v = 0.3, 16 steps)."""
+        par = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+        base = SLVKernelPricer(smile_dupire, par, T, mixing=1.0,
+                               n_steps=16, n_cal_paths=65_536)
+        g = base.autocall(n_obs=4, n_paths=500_000, sampler="hash",
+                          greeks=True)
+        assert "frozen-fixings" in g["delta_convention"]
+
+        def reprice(dr=0.0, dv=0.0):
+            pr = copy.copy(base)
+            pr.rate = R + dr
+            pr._head = base._head.copy()
+            dt = T / 16
+            pr._head[_S_RDT] = (R + dr) * dt
+            pr._head[_S_MUDT] = (R + dr) * dt
+            pr._head[_S_V0] = 0.04 + dv
+            if dv:
+                pr.params = HestonParams.make(0.04 + dv, 2.0, 0.04, 0.3,
+                                              -0.7)
+            p, _, _ = pr.autocall(n_obs=4, n_paths=500_000,
+                                  sampler="hash")
+            return float(p)
+
+        h = 1e-3
+        fd_rho = (reprice(dr=h) - reprice(dr=-h)) / (2 * h)
+        assert abs(g["rho"] - fd_rho) < 0.08 * abs(fd_rho) + 0.6, \
+            (g["rho"], fd_rho)
+        hv = 0.004
+        fd_v0 = (reprice(dv=hv) - reprice(dv=-hv)) / (2 * hv)
+        assert abs(g["vega_v0"] - fd_v0) < 0.12 * abs(fd_v0) + 1.0, \
+            (g["vega_v0"], fd_v0)
+
+    def test_cliquet_ladder_finite(self, pricer):
+        g = pricer.cliquet(n_periods=4, n_paths=1, sampler="hash",
+                           greeks=True)
+        for k in ("price", "delta", "gamma", "vega_v0", "rho"):
+            assert np.isfinite(float(g[k])), k
+
+    def test_bad_period_raises(self, pricer):
+        with pytest.raises(ValidationError):
+            pricer.cliquet(n_periods=3)  # 8 % 3 != 0
+        with pytest.raises(ValidationError):
+            pricer.autocall(n_obs=5)
+
+
 class TestValidation:
     def test_bad_kind(self, pricer):
         with pytest.raises(ValidationError):

@@ -164,7 +164,7 @@ class TestCLI:
         assert out["mixing"] == 0.5
         assert 0.0 < out["price"] < 10.45
         with pytest.raises(SystemExit):
-            cli_main(["exotic", "--kind", "cliquet", "--model", "slv"])
+            cli_main(["exotic", "--kind", "american", "--model", "slv"])
 
     def test_exotic_slv_kernel_greeks(self, capsys):
         """--model slv --greeks routes to the fused replay kernel's
@@ -176,6 +176,19 @@ class TestCLI:
         assert {"delta", "gamma", "vega_v0", "rho",
                 "delta_convention"} <= out.keys()
         assert "sticky-strike" in out["delta_convention"]
+
+    def test_exotic_slv_structured(self, capsys):
+        """cliquet/autocallable under slv route to the replay kernel."""
+        cli_main(["exotic", "--kind", "autocallable", "--model", "slv",
+                  "--n-paths", "1", "--n-steps", "4", "--n-obs", "2"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["engine"] == "kernel" and 50.0 < out["price"] < 120.0
+        cli_main(["exotic", "--kind", "cliquet", "--model", "slv",
+                  "--greeks", "--n-paths", "1", "--n-steps", "4",
+                  "--n-periods", "2"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "lr-joint-density"
+        assert "frozen-fixings" in out["delta_convention"]
 
 
 class TestCLIBasketKernel:
