@@ -531,6 +531,20 @@ def cmd_american(args) -> dict:
             dup, args.strike, args.maturity, cp=cp,
             n_dates=args.n_dates if args.n_dates <= 50 else 25)
         return {k: float(v) for k, v in out.items()}
+    if args.model == "slv":
+        from .models import HestonParams
+        from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+        from .models.slv_american import slv_american_bracket
+
+        dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
+                             args.spot, args.rate)
+        par = HestonParams.make(args.v0, args.kappa, args.theta,
+                                args.sigma_v, args.rho_sv)
+        out = slv_american_bracket(
+            dup, par, args.strike, args.maturity, cp=cp,
+            mixing=getattr(args, "mixing", 1.0),
+            n_dates=args.n_dates if args.n_dates <= 50 else 25)
+        return {k: float(v) for k, v in out.items()}
     if args.model in ("heston", "bates"):
         from .models import BatesParams, HestonParams
         from .models.heston_american import heston_american_bracket
@@ -941,8 +955,11 @@ def build_parser() -> argparse.ArgumentParser:
     # (PDE-surface dual, puts only; lv uses the sample smile at --vol
     # ATM); n-dates above 50 is clamped to the PDE-friendly 25
     pa.add_argument("--model",
-                    choices=["bs", "heston", "bates", "lv", "maxcall"],
+                    choices=["bs", "heston", "bates", "lv", "slv",
+                             "maxcall"],
                     default="bs")
+    pa.add_argument("--mixing", type=float, default=1.0,
+                    help="slv vol-of-vol mixing in [0, 1]")
     # --model maxcall: certified Bermudan max-call bracket on d assets
     # (--dividend comes from the common contract args; the Broadie-
     # Glasserman benchmark uses --dividend 0.10 --maturity 3 --n-dates 9)

@@ -123,6 +123,7 @@ from .slv import (
     slv_replay_price,
 )
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
+from .slv_american import fit_slv_lsm, slv_american_bracket
 from .heston_american import (
     fit_heston_lsm,
     heston_ab_upper,
@@ -226,6 +227,7 @@ __all__ = [
     "heston_simulate_paths", "calibrate_heston", "calibrate_heston_mc",
     "heston_fdm_price", "heston_fdm_greeks", "heston_american_bracket", "fit_heston_lsm",
     "local_vol_american_bracket", "lv_bermudan_slices",
+    "slv_american_bracket", "fit_slv_lsm",
     "heston_lsm_lower", "heston_ab_upper",
     "HESTON_EXOTIC_KINDS", "heston_exotic_price", "heston_cliquet_price",
     "heston_autocall_price", "heston_range_accrual_price",

@@ -193,6 +193,16 @@ def fit_heston_lsm(spot, strike, maturity, rate, params: HestonParams, key,
     s_paths, v_paths = _simulate_dates(key, float(spot), params, float(rate),
                                        float(maturity), n_dates, n_sub,
                                        n_paths)
+    return _fit_lsm_from_paths(s_paths, v_paths, strike, maturity, rate, cp,
+                               n_dates)
+
+
+def _fit_lsm_from_paths(s_paths, v_paths, strike, maturity, rate, cp,
+                        n_dates):
+    """Transition-law-agnostic LSM backward induction on precomputed
+    (S, v) date paths — shared by the Heston/Bates QE bracket and the
+    SLV (Euler + leverage) bracket, which differ only in how the paths
+    are simulated."""
     s = np.asarray(s_paths, np.float64)
     v = np.asarray(v_paths, np.float64)
     k_ = float(strike)

@@ -177,6 +177,16 @@ class TestCLI:
                 "delta_convention"} <= out.keys()
         assert "sticky-strike" in out["delta_convention"]
 
+    @pytest.mark.slow
+    def test_american_slv_bracket(self, capsys):
+        """--model slv routes to the certified SLV LSM+dual bracket."""
+        cli_main(["american", "--type", "put", "--model", "slv",
+                  "--mixing", "0.5", "--n-dates", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["lower"] <= out["upper"] + 3 * (out["lower_se"]
+                                                   + out["upper_se"])
+        assert out["mixing"] == 0.5
+
     def test_exotic_slv_structured(self, capsys):
         """cliquet/autocallable under slv route to the replay kernel."""
         cli_main(["exotic", "--kind", "autocallable", "--model", "slv",
