@@ -12,7 +12,7 @@ same façade. Endpoints (all POST, JSON body, JSON response):
             "model": "bs|heston[-qe]|bates[-qe]"}  → heston/bates:
             stochastic-vol (+jumps) kernel ("greeks": joint-density LR
             ladder)
-  /american {"model": "bs|heston|lv", "option_type": "put", ...}
+  /american {"model": "bs|heston|bates|lv|slv", "option_type": "put", ...}
             → certified [lower, upper] bracket
   /basket  {"kind": "basket|basket_geo|rainbow_*|spread|basket_asian",
             "spots": [...], "vols": [...], "corr"|"rho", "greeks": bool,
@@ -505,7 +505,7 @@ def handle_calibrate(body: dict) -> dict:
 
 
 def handle_american(body: dict) -> dict:
-    """Certified American-put bracket: {"model": "bs|heston|bates|lv",
+    """Certified American-put bracket: {"model": "bs|heston|bates|lv|slv",
     contract fields, optional n_dates / heston_params / bates_params /
     smile params}. Returns the bracket dict ({lower, upper, width, ...});
     bates certifies via LSM+dual on the jump-augmented QE law."""
@@ -543,6 +543,19 @@ def handle_american(body: dict) -> dict:
         out = local_vol_american_bracket(dup, p["strike"], p["maturity"],
                                          cp=cp, n_dates=min(n_dates, 50),
                                          **kw)
+    elif model == "slv":
+        from .models import HestonParams
+        from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+        from .models.slv_american import slv_american_bracket
+
+        dup = DupireLocalVol(sample_smile_iv_fn(base_vol=p["vol"]),
+                             p["spot"], p["rate"])
+        par = HestonParams.make(**body.get("heston_params", {}))
+        kw = {k: v for k, v in sizes.items() if k != "n_grid"}
+        out = slv_american_bracket(
+            dup, par, p["strike"], p["maturity"], cp=cp,
+            mixing=float(body.get("mixing", 1.0)),
+            n_dates=min(n_dates, 50), **kw)
     else:
         from .models import american_price_interval
 

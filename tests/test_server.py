@@ -151,6 +151,19 @@ class TestAmericanEndpoint:
         assert 4.0 < body["lv_bermudan"] < 8.0
 
 
+class TestSLVAmericanEndpoint:
+    @pytest.mark.slow
+    def test_slv_bracket_over_wire(self, server):
+        status, body = _post(server, "/american", {
+            "model": "slv", "option_type": "put", "mixing": 0.5,
+            "n_dates": 4, "n_fit": 20000, "n_lower": 20000,
+            "n_outer": 128, "n_inner": 128})
+        assert status == 200
+        assert body["lower"] <= body["upper"] + 3 * (body["lower_se"]
+                                                     + body["upper_se"])
+        assert body["mixing"] == 0.5
+
+
 class TestExoticEndpoint:
     def test_asian(self, server):
         status, body = _post(server, "/exotic", {"kind": "asian", "n_paths": 20000})
