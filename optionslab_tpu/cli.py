@@ -213,6 +213,43 @@ def cmd_exotic(args) -> dict:
         return {"kind": "range_accrual", "price": float(p),
                 "std_error": float(se), "paths": int(n),
                 "corridor": [args.lower, args.upper]}
+    if args.kind in ("double-barrier", "double-touch"):
+        # two-sided band at kernel speed; exact continuous-monitoring
+        # closed form (image series) reported alongside for reference
+        import jax
+
+        from .models.exotics import (double_barrier_closed_form,
+                                     double_no_touch_closed_form)
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        if args.kind == "double-barrier":
+            kname = f"barrier_double-{args.knock}"
+            cf = double_barrier_closed_form(
+                args.spot, args.strike, args.lower, args.upper,
+                args.maturity, args.rate, args.vol, cp, args.dividend,
+                knock=args.knock)
+        else:
+            kname = f"{args.touch}_touch_double"
+            import math as _math
+
+            dnt = double_no_touch_closed_form(
+                args.spot, args.lower, args.upper, args.maturity, args.rate,
+                args.vol, args.dividend)
+            cf = (dnt if args.touch == "no"
+                  else _math.exp(-args.rate * args.maturity) - float(dnt))
+        p, se, n = pallas_exotic_price(
+            kname, args.spot, args.strike, args.maturity, args.rate,
+            args.vol, cp, args.dividend, lower=args.lower, upper=args.upper,
+            n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
+            seed=args.seed, sampler=sampler)
+        return {"kind": kname, "price": float(p), "std_error": float(se),
+                "paths": int(n), "band": [args.lower, args.upper],
+                "closed_form_continuous": float(cf),
+                "note": "MC monitors discretely at n_steps; the closed "
+                        "form is continuous monitoring (BGK-shift the "
+                        "band to reconcile)"}
     if args.kind in ("one-touch", "no-touch"):
         # digital barrier at kernel speed; direction inferred from the
         # barrier's side of the spot
@@ -496,11 +533,18 @@ def _exotic_kernel_greeks(args) -> dict:
     from .utils.exceptions import ValidationError
 
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    btype = args.barrier_type
+    if args.kind == "double-barrier":
+        btype = getattr(args, "knock", "out")
+    elif args.kind == "double-touch":
+        btype = getattr(args, "touch", "no")
     try:
         return exotic_kernel_ladder(
             args.kind, args.spot, args.strike, args.maturity, args.rate,
             args.vol, cp, getattr(args, "dividend", 0.0),
-            barrier=args.barrier, barrier_type=args.barrier_type,
+            barrier=args.barrier, barrier_type=btype,
+            lower=getattr(args, "lower", 0.0),
+            upper=getattr(args, "upper", 0.0),
             n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
             seed=args.seed)
     except ValidationError as e:
@@ -898,11 +942,18 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--kind", default="asian",
                     choices=["asian", "barrier", "lookback", "american",
                              "autocallable", "cliquet", "one-touch",
-                             "no-touch", "range-accrual"])
+                             "no-touch", "range-accrual", "double-barrier",
+                             "double-touch"])
     pe.add_argument("--lower", type=float, default=90.0,
-                    help="range-accrual corridor lower bound")
+                    help="range-accrual corridor / double-barrier band "
+                         "lower bound")
     pe.add_argument("--upper", type=float, default=110.0,
-                    help="range-accrual corridor upper bound")
+                    help="range-accrual corridor / double-barrier band "
+                         "upper bound")
+    pe.add_argument("--knock", default="out", choices=["out", "in"],
+                    help="double-barrier knock direction")
+    pe.add_argument("--touch", default="no", choices=["one", "no"],
+                    help="double-touch digital flavor")
     pe.add_argument("--barrier", type=float, default=120.0)
     pe.add_argument("--barrier-type", default="up-and-out")
     pe.add_argument("--n-paths", type=int, default=100_000)

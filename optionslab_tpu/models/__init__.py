@@ -35,6 +35,10 @@ from .exotics import (
     autocallable_price,
     barrier_price,
     cliquet_price,
+    double_barrier_closed_form,
+    double_barrier_price,
+    double_no_touch_closed_form,
+    double_touch_price,
     exotic_greeks,
     geometric_asian_closed_form,
     lookback_price,
@@ -234,6 +238,8 @@ __all__ = [
     "SLV_KINDS", "SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
     "slv_replay_price", "slv_cliquet_price", "slv_autocall_price",
     "range_accrual_price", "range_accrual_closed_form",
+    "double_barrier_price", "double_barrier_closed_form",
+    "double_touch_price", "double_no_touch_closed_form",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",

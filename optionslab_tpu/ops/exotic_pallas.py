@@ -119,6 +119,12 @@ PAYOFF_KINDS = (
     # range accrual: notional * (fraction of monitoring steps with
     # L <= S <= U), paid at expiry (corridor / fairway note)
     "range_accrual",
+    # double barrier: knock band (lower, upper) monitored every step;
+    # vanilla payoff killed (out) / activated (in) on first exit, plus the
+    # digital pair (unit cash at expiry on exit / no-exit). Continuous-
+    # monitoring closed-form oracle: models/exotics.double_barrier_closed_form
+    "barrier_double-out", "barrier_double-in",
+    "one_touch_double", "no_touch_double",
 )
 GREEK_KINDS = ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed")
 
@@ -218,6 +224,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         if kind == "range_accrual":
             # steps 1..n accrue (S0 excluded, the averages convention)
             return (jnp.zeros(shape, jnp.float32),)
+        if "double" in kind:
+            hit0 = (s_like <= param_ref[_P_A]) | (s_like >= param_ref[_P_B])
+            return (hit0.astype(jnp.float32),)
         hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
         return (hit0.astype(jnp.float32),)
 
@@ -267,6 +276,10 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             acc = jnp.where((s_or_log >= param_ref[_P_A])
                             & (s_or_log <= param_ref[_P_B]), 1.0, 0.0)
             return (stat[0] + acc,)
+        if "double" in kind:
+            hit = ((s_or_log <= param_ref[_P_A])
+                   | (s_or_log >= param_ref[_P_B]))
+            return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
         hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -527,7 +540,8 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                         barrier: float = 0.0, n_paths: int = 1_000_000,
                         n_steps: int = 64, seed: int = 0,
                         sampler: str = "prng",
-                        control_variate: bool = False):
+                        control_variate: bool = False,
+                        lower: float = 0.0, upper: float = 0.0):
     """Fused exotic pricing: (price, stderr, actual_paths).
 
     ``kind`` ∈ PAYOFF_KINDS (cliquet/autocall have dedicated wrappers with
@@ -571,6 +585,10 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
         raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
                               "midpoint coordinates)")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier, n_steps)
+    if "double" in kind:
+        if not 0.0 < lower < upper:
+            raise ValidationError("double kinds need 0 < lower < upper")
+        p[_P_A], p[_P_B] = float(lower), float(upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind=kind, n_steps=n_steps, n_blocks=n_blocks,
@@ -704,7 +722,8 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
                             cp: float = 1.0, dividend: float = 0.0,
                             barrier: float = 0.0, n_paths: int = 1_000_000,
                             n_steps: int = 64, seed: int = 0,
-                            sampler: str = "prng") -> dict:
+                            sampler: str = "prng",
+                            lower: float = 0.0, upper: float = 0.0) -> dict:
     """Exotic price + likelihood-ratio delta/gamma/vega/rho in ONE kernel
     pass — for ANY payoff kind, including barriers whose pathwise
     derivative is zero a.e. (the reference prices these Greeks by FD
@@ -722,6 +741,10 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
         raise ValidationError(f"use pallas_{kind}_lr_greeks for structured params")
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, barrier,
                         n_steps)
+    if "double" in kind:
+        if not 0.0 < lower < upper:
+            raise ValidationError("double kinds need 0 < lower < upper")
+        p[_P_A], p[_P_B] = float(lower), float(upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
     scalars = jnp.asarray([float(spot), float(vol), t,
@@ -863,7 +886,8 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
                          barrier_type: str = "up-and-out",
                          averaging: str = "arithmetic", floating: bool = True,
                          n_paths: int = 1_000_000, n_steps: int = 64,
-                         seed: int = 0, sampler: str | None = None) -> dict:
+                         seed: int = 0, sampler: str | None = None,
+                         lower: float = 0.0, upper: float = 0.0) -> dict:
     """User-facing dispatch to the fused-kernel Greek ladders (used by the
     CLI and the HTTP server): pathwise for asian/lookback, likelihood-ratio
     for barrier/cliquet/autocallable. ``sampler=None`` auto-selects the
@@ -891,6 +915,18 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
                                       maturity, rate, vol, cp, dividend,
                                       barrier=barrier, **kw)
         method = "likelihood-ratio"
+    elif kind in ("double-barrier", "double_barrier"):
+        knock = "in" if barrier_type.endswith("in") else "out"
+        out = pallas_exotic_lr_greeks(f"barrier_double-{knock}", spot, strike,
+                                      maturity, rate, vol, cp, dividend,
+                                      lower=lower, upper=upper, **kw)
+        method = "likelihood-ratio"
+    elif kind in ("double-touch", "double_touch"):
+        touch = "one" if barrier_type.startswith("one") else "no"
+        out = pallas_exotic_lr_greeks(f"{touch}_touch_double", spot, strike,
+                                      maturity, rate, vol, cp, dividend,
+                                      lower=lower, upper=upper, **kw)
+        method = "likelihood-ratio"
     elif kind == "cliquet":
         if kw["n_steps"] % 12:  # 12 monthly resets need n_steps % 12 == 0
             kw["n_steps"] = max(12, -(-kw["n_steps"] // 12) * 12)
@@ -906,7 +942,8 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
     else:
         raise ValidationError(
             f"kernel Greek ladder not available for kind {kind!r}; choose "
-            "asian|lookback|barrier|cliquet|autocallable")
+            "asian|lookback|barrier|double-barrier|double-touch|cliquet|"
+            "autocallable")
     res = {k2: float(v) for k2, v in out.items() if k2 != "paths"}
     res.update(kind=kind, greek_method=method, paths=int(out["paths"]),
                n_steps=kw["n_steps"])

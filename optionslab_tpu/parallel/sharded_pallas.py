@@ -156,7 +156,8 @@ def sharded_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                          mesh: Mesh, cp: float = 1.0, dividend: float = 0.0,
                          barrier: float = 0.0, n_paths: int = 1_000_000,
                          n_steps: int = 64, seed: int = 0,
-                         sampler: str = "prng"):
+                         sampler: str = "prng",
+                         lower: float = 0.0, upper: float = 0.0):
     """``ops/exotic_pallas.pallas_exotic_price`` with path blocks sharded
     over every device of ``mesh`` (global-block ownership — same
     topology-invariant path set as :func:`sharded_pallas_greeks`).
@@ -171,6 +172,10 @@ def sharded_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                               "structured params) on a mesh-local basis")
     p, t = _ep._base_params(spot, strike, maturity, rate, vol, dividend,
                             barrier, n_steps)
+    if "double" in kind:
+        if not 0.0 < lower < upper:
+            raise ValidationError("double kinds need 0 < lower < upper")
+        p[_ep._P_A], p[_ep._P_B] = float(lower), float(upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _ep.PATHS_PER_BLOCK, n_dev)
     pay, pay2 = _sharded_exotic_launch(

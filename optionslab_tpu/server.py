@@ -150,16 +150,58 @@ def handle_exotic(body: dict) -> dict:
         from .ops.exotic_pallas import exotic_kernel_ladder
 
         cp = 1.0 if p["option_type"].startswith("c") else -1.0
+        btype = body.get("barrier_type", "up-and-out")
+        if kind == "double-barrier":
+            btype = body.get("knock", "out")
+        elif kind == "double-touch":
+            btype = body.get("touch", "no")
         return exotic_kernel_ladder(
             kind, p["spot"], p["strike"], p["maturity"], p["rate"],
             p["vol"], cp, p["dividend"],
             barrier=float(body.get("barrier", 120.0)),
-            barrier_type=body.get("barrier_type", "up-and-out"),
+            barrier_type=btype,
+            lower=float(body.get("lower", 0.0)),
+            upper=float(body.get("upper", 0.0)),
             averaging=body.get("averaging", "arithmetic"),
             floating=bool(body.get("floating", True)),
             n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
             seed=int(body.get("seed", 0)))
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
+    if kind in ("double-barrier", "double-touch"):
+        import jax
+
+        from .models.exotics import (double_barrier_closed_form,
+                                     double_no_touch_closed_form)
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        lower = float(body.get("lower", 90.0))
+        upper = float(body.get("upper", 110.0))
+        cp = 1.0 if p["option_type"].startswith("c") else -1.0
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        if kind == "double-barrier":
+            knock = body.get("knock", "out")
+            kname = f"barrier_double-{knock}"
+            cf = double_barrier_closed_form(
+                p["spot"], p["strike"], lower, upper, p["maturity"],
+                p["rate"], p["vol"], cp, p["dividend"], knock=knock)
+        else:
+            import math
+
+            touch = body.get("touch", "no")
+            kname = f"{touch}_touch_double"
+            dnt = double_no_touch_closed_form(
+                p["spot"], lower, upper, p["maturity"], p["rate"], p["vol"],
+                p["dividend"])
+            cf = (dnt if touch == "no"
+                  else math.exp(-p["rate"] * p["maturity"]) - float(dnt))
+        pr, se, n = pallas_exotic_price(
+            kname, *common, cp, p["dividend"], lower=lower, upper=upper,
+            n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
+            seed=int(body.get("seed", 0)), sampler=sampler)
+        return {"kind": kname, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se), "paths": int(n),
+                "band": [lower, upper],
+                "closed_form_continuous": _to_jsonable(cf)}
     if kind in ("one-touch", "no-touch"):
         import jax
 
@@ -556,13 +598,16 @@ def handle_american(body: dict) -> dict:
             dup, par, p["strike"], p["maturity"], cp=cp,
             mixing=float(body.get("mixing", 1.0)),
             n_dates=min(n_dates, 50), **kw)
-    else:
+    elif model == "bs":
         from .models import american_price_interval
 
         out = american_price_interval(p["spot"], p["strike"], p["maturity"],
                                       p["rate"], p["vol"], cp=cp,
                                       n_dates=n_dates, method="grid",
                                       **sizes)
+    else:
+        raise ValueError(f"unknown american model {model!r}; choose "
+                         "bs|heston|bates|lv|slv")
     return {k: _to_jsonable(v) for k, v in out.items()}
 
 

@@ -151,6 +151,12 @@ class TestAmericanEndpoint:
         assert 4.0 < body["lv_bermudan"] < 8.0
 
 
+class TestAmericanModelValidation:
+    def test_unknown_model_400(self, server):
+        status, body = _post(server, "/american", {"model": "nope"})
+        assert status == 400 and "error" in body
+
+
 class TestSLVAmericanEndpoint:
     @pytest.mark.slow
     def test_slv_bracket_over_wire(self, server):
@@ -178,6 +184,34 @@ class TestExoticEndpoint:
     def test_unknown_kind_400(self, server):
         status, body = _post(server, "/exotic", {"kind": "rainbow"})
         assert status == 400
+
+    def test_double_barrier(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "double-barrier", "lower": 80.0, "upper": 130.0,
+            "n_paths": 20000, "n_steps": 16})
+        assert status == 200 and body["kind"] == "barrier_double-out"
+        assert 0 < body["price"] < 10.45
+        assert 0 < body["closed_form_continuous"] < 10.45
+
+    def test_double_touch_complement(self, server):
+        import math
+
+        one = _post(server, "/exotic", {
+            "kind": "double-touch", "touch": "one", "lower": 80.0,
+            "upper": 130.0, "n_paths": 20000, "n_steps": 16})[1]
+        no = _post(server, "/exotic", {
+            "kind": "double-touch", "touch": "no", "lower": 80.0,
+            "upper": 130.0, "n_paths": 20000, "n_steps": 16})[1]
+        # same seed => shared paths => exact complement
+        assert abs(one["price"] + no["price"] - math.exp(-0.05)) < 1e-5
+
+    def test_double_barrier_greeks_route(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "double-barrier", "knock": "out", "lower": 80.0,
+            "upper": 130.0, "greeks": True, "n_paths": 1, "n_steps": 4})
+        assert status == 200
+        assert body["greek_method"] == "likelihood-ratio"
+        assert {"delta", "gamma", "vega", "rho", "theta"} <= body.keys()
 
     def test_kernel_greeks_route(self, server):
         status, body = _post(server, "/exotic", {

@@ -122,6 +122,18 @@ class TestShardedPallas:
         np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
         np.testing.assert_allclose(float(se_s), float(se_u), rtol=1e-4)
 
+    def test_sharded_double_barrier_matches_unsharded(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_price
+        from optionslab_tpu.parallel import sharded_exotic_price
+
+        mesh = make_mesh(4)
+        args = ("barrier_double-out", 100.0, 100.0, 1.0, 0.05, 0.2)
+        kw = dict(n_steps=4, sampler="hash", lower=80.0, upper=130.0)
+        p_s, se_s, n_s = sharded_exotic_price(*args, mesh, n_paths=1, **kw)
+        p_u, se_u, n_u = pallas_exotic_price(*args, n_paths=n_s, **kw)
+        assert n_u == n_s
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
+
     def test_sharded_exotic_greeks_matches_unsharded(self):
         from optionslab_tpu.ops.exotic_pallas import (PATHS_PER_BLOCK_G,
                                                       pallas_exotic_greeks)
