@@ -355,6 +355,10 @@ def _exotic_heston(args) -> dict:
         if args.kind in ("one-touch", "no-touch"):
             side = "up" if args.barrier >= args.spot else "down"
             kname = f"{args.kind.replace('-', '_')}_{side}"
+        elif args.kind == "double-barrier":
+            kname = f"barrier_double-{args.knock}"
+        elif args.kind == "double-touch":
+            kname = f"{args.touch}_touch_double"
         elif args.kind == "asian":
             kname = "asian_arith"
         elif args.kind == "lookback":
@@ -382,17 +386,19 @@ def _exotic_heston(args) -> dict:
                 f"--model {args.model} supports asian/barrier/lookback/"
                 f"one-touch/no-touch/autocallable/cliquet/range-accrual, "
                 f"not {args.kind!r}")
+        band = (dict(lower=args.lower, upper=args.upper)
+                if "double" in kname else {})
         if greeks:
             out = pallas_heston_exotic_lr_greeks(
                 kname, args.spot, args.strike, args.maturity, args.rate,
-                par, cp, barrier=args.barrier, **kw)
+                par, cp, barrier=args.barrier, **band, **kw)
             res = {k: float(v) for k, v in out.items()}
             res.update(base, kind=kname, greek_method="lr-joint-density",
                        vega_convention="2*sqrt(v0)*vega_v0")
             return res
         p, se, n = pallas_heston_exotic_price(
             kname, args.spot, args.strike, args.maturity, args.rate, par,
-            cp, barrier=args.barrier, scheme=scheme, **kw)
+            cp, barrier=args.barrier, scheme=scheme, **band, **kw)
         return {**base, "kind": kname, "price": float(p),
                 "std_error": float(se), "paths": int(n)}
     except ValidationError as e:
@@ -412,18 +418,26 @@ def _exotic_rbergomi(args) -> dict:
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}"}
+    barrier = args.barrier
     if args.kind in ("one-touch", "no-touch"):
         side = "up" if args.barrier >= args.spot else "down"
         kname = f"{args.kind.replace('-', '_')}_{side}"
+    elif args.kind == "double-barrier":
+        kname = f"barrier_double-{args.knock}"
+        barrier = (args.lower, args.upper)
+    elif args.kind == "double-touch":
+        kname = f"{args.touch}_touch_double"
+        barrier = (args.lower, args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
     else:
         raise SystemExit("--model rbergomi supports asian/barrier/lookback/"
-                         f"one-touch/no-touch, not {args.kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch, "
+                         f"not {args.kind!r}")
     try:
         p, se = rbergomi_exotic_price(
             kname, args.spot, args.strike, args.maturity, args.rate, par,
-            jax.random.PRNGKey(args.seed), cp, barrier=args.barrier,
+            jax.random.PRNGKey(args.seed), cp, barrier=barrier,
             n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
             return_stderr=True)
     except ValidationError as e:
@@ -483,15 +497,26 @@ def _exotic_slv(args) -> dict:
             raise SystemExit(str(e)) from e
         return {**base, "price": float(p), "std_error": float(se),
                 "paths": int(n)}
+    barrier = args.barrier
     if args.kind in ("one-touch", "no-touch"):
         side = "up" if args.barrier >= args.spot else "down"
         kname = f"{args.kind.replace('-', '_')}_{side}"
+    elif args.kind == "double-barrier":
+        kname = f"barrier_double-{args.knock}"
+        barrier = (args.lower, args.upper)
+    elif args.kind == "double-touch":
+        kname = f"{args.touch}_touch_double"
+        barrier = (args.lower, args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
     else:
         raise SystemExit("--model slv supports asian/barrier/lookback/"
-                         "one-touch/no-touch/cliquet/autocallable, "
+                         "one-touch/no-touch/double-barrier/double-touch/"
+                         "cliquet/autocallable, "
                          f"not {args.kind!r}")
+    if getattr(args, "greeks", False) and "double" in kname:
+        raise SystemExit("--greeks under slv uses the replay kernel, which "
+                         "does not cover double kinds yet — drop --greeks")
     base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
             "kind": kname, "mixing": args.mixing,
             "note": "vanillas reprice the smile at every mixing (Gyongy); "
@@ -517,7 +542,7 @@ def _exotic_slv(args) -> dict:
         slv = SLVModel(dup, par, mixing=args.mixing)
         p, se = slv.price(kname, args.strike, args.maturity,
                           jax.random.PRNGKey(args.seed), cp=cp,
-                          barrier=args.barrier, n_paths=args.n_paths,
+                          barrier=barrier, n_paths=args.n_paths,
                           n_steps=getattr(args, "n_steps", 64),
                           return_stderr=True)
     except ValidationError as e:

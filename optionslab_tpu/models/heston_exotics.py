@@ -36,6 +36,9 @@ HESTON_EXOTIC_KINDS = (
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
+    # double kinds take barrier=(lower, upper)
+    "barrier_double-out", "barrier_double-in",
+    "one_touch_double", "no_touch_double",
 )
 
 
@@ -197,15 +200,23 @@ def exotic_stat_fns(kind: str, cp, barrier):
     the spot vector after step ``i``.
     """
     barrier_up = "up" in kind
-    b = jnp.float32(barrier)
+    double = "double" in kind
+    if double:
+        b_lo, b_hi = (jnp.float32(barrier[0]), jnp.float32(barrier[1]))
+    else:
+        b = jnp.float32(barrier)
+
+    def _hit(s):
+        if double:
+            return (s <= b_lo) | (s >= b_hi)
+        return (s >= b) if barrier_up else (s <= b)
 
     def init(s0):
         if kind.startswith("asian"):
             return jnp.zeros_like(s0)
         if kind.startswith("lookback"):
             return s0
-        hit0 = (s0 >= b) if barrier_up else (s0 <= b)
-        return hit0.astype(jnp.float32)
+        return _hit(s0).astype(jnp.float32)
 
     def update(stat, s, i):
         if kind == "asian_arith":
@@ -218,8 +229,7 @@ def exotic_stat_fns(kind: str, cp, barrier):
         if kind == "lookback_fixed":  # fixed call: max; fixed put: min
             return jnp.where(cp > 0, jnp.maximum(stat, s),
                              jnp.minimum(stat, s))
-        hit = (s >= b) if barrier_up else (s <= b)
-        return jnp.maximum(stat, hit.astype(jnp.float32))
+        return jnp.maximum(stat, _hit(s).astype(jnp.float32))
 
     return init, update
 

@@ -345,6 +345,9 @@ RBERGOMI_EXOTIC_KINDS = (
     # range accrual: barrier = LOWER bound, strike = UPPER bound, pays
     # 100 * accrual fraction (notional fixed at 100 for this engine)
     "range_accrual",
+    # double kinds take barrier=(lower, upper)
+    "barrier_double-out", "barrier_double-in",
+    "one_touch_double", "no_touch_double",
 )
 
 
@@ -416,7 +419,10 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
                else jnp.minimum(s_path.min(axis=1), spot))
         pay = jnp.maximum(cp * (ext - strike), 0.0)
     else:
-        if barrier_up:
+        if "double" in kind:
+            hit = ((jnp.minimum(s_path.min(axis=1), spot) <= barrier[0])
+                   | (jnp.maximum(s_path.max(axis=1), spot) >= barrier[1]))
+        elif barrier_up:
             hit = jnp.maximum(s_path.max(axis=1), spot) >= barrier
         else:
             hit = jnp.minimum(s_path.min(axis=1), spot) <= barrier
@@ -457,9 +463,13 @@ def rbergomi_exotic_price(kind: str, spot, strike, maturity, rate,
             f"choose {RBERGOMI_EXOTIC_KINDS}")
     if n_paths % 2:
         raise ValidationError("n_paths must be even (antithetic)")
+    if "double" in kind:
+        b = (jnp.float32(barrier[0]), jnp.float32(barrier[1]))
+    else:
+        b = jnp.float32(barrier)
     return _rbergomi_exotic_core(kind, spot, jnp.float32(strike),
                                  float(maturity), rate, dividend,
-                                 float(cp), jnp.float32(barrier),
+                                 float(cp), b,
                                  params.xi0, params.eta, params.rho,
                                  float(params.hurst), key, n_paths,
                                  n_steps, return_stderr)

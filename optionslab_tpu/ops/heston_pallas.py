@@ -1012,6 +1012,9 @@ HESTON_EXOTIC_KINDS = (
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
     "cliquet", "autocall", "range_accrual",
+    # double kinds: band (lower, upper) in relative-log slots _HX_A/_HX_B
+    "barrier_double-out", "barrier_double-in",
+    "one_touch_double", "no_touch_double",
 )
 
 # exotic param vector layout (SMEM f32): common head + dynamics tail
@@ -1123,6 +1126,11 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return (one, zero, zero, zero) if lr else (one, zero, zero)
         if kind == "range_accrual":
             return (zero,)  # accrual counter, steps 1..n
+        if "double" in kind:
+            # x0 = 0 outside the log band [A, B] counts as hit
+            hit0 = jnp.where((p_ref[_HX_A] >= 0.0) | (p_ref[_HX_B] <= 0.0),
+                             1.0, 0.0)
+            return (zero + hit0,)
         # x0 = 0: S0 already beyond the barrier counts as hit
         hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                          1.0, 0.0)
@@ -1164,6 +1172,9 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             acc = jnp.where((x >= p_ref[_HX_A]) & (x <= p_ref[_HX_B]),
                             1.0, 0.0)
             return (stat[0] + acc,)
+        if "double" in kind:
+            hit = (x <= p_ref[_HX_A]) | (x >= p_ref[_HX_B])
+            return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -1487,7 +1498,8 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
                                dividend: float = 0.0, barrier: float = 0.0,
                                n_paths: int = 1_000_000, n_steps: int = 64,
                                seed: int = 0, sampler: str = "prng",
-                               scheme: str = "euler"):
+                               scheme: str = "euler",
+                               lower: float = 0.0, upper: float = 0.0):
     """Fused exotic pricing under Heston: (price, stderr, actual_paths).
 
     ``kind`` ∈ HESTON_EXOTIC_KINDS minus the structured kinds (cliquet/
@@ -1509,6 +1521,8 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     _check_exotic_sampler(sampler, scheme, n_steps)
     p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
                           barrier, n_steps, scheme)
+    if "double" in kind:
+        _set_double_band(p, spot, lower, upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     pay, pay2 = _launch_exotic(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
@@ -1519,6 +1533,14 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
     return df * mean, df * jnp.sqrt(var / n), n
+
+
+def _set_double_band(p, spot, lower, upper):
+    """Write the double-barrier band into the relative-log A/B slots."""
+    if not 0.0 < lower < upper:
+        raise ValidationError("double kinds need 0 < lower < upper")
+    p[_HX_A] = math.log(float(lower) / float(spot))
+    p[_HX_B] = math.log(float(upper) / float(spot))
 
 
 def pallas_heston_cliquet_price(spot, maturity, rate, params,
@@ -1650,7 +1672,9 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
                                    barrier: float = 0.0,
                                    n_paths: int = 1_000_000,
                                    n_steps: int = 64, seed: int = 0,
-                                   sampler: str = "prng") -> dict:
+                                   sampler: str = "prng",
+                                   lower: float = 0.0,
+                                   upper: float = 0.0) -> dict:
     """Heston exotic price + likelihood-ratio delta/gamma/vega_v0/rho/theta
     in ONE kernel pass — for ANY payoff kind including barriers and
     touches whose pathwise derivative is zero a.e.
@@ -1680,6 +1704,8 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
         raise ValidationError("LR scores assume iid normals — use prng/hash")
     p, t = _exotic_params(spot, strike, maturity, rate, params, dividend,
                           barrier, n_steps, "euler")
+    if "double" in kind:
+        _set_double_band(p, spot, lower, upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     out = dict(_exotic_lr_pipeline(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),

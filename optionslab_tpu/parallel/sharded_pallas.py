@@ -511,7 +511,8 @@ def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
                                 dividend: float = 0.0, barrier: float = 0.0,
                                 n_paths: int = 1_000_000, n_steps: int = 64,
                                 seed: int = 0, sampler: str = "prng",
-                                scheme: str = "euler"):
+                                scheme: str = "euler",
+                                lower: float = 0.0, upper: float = 0.0):
     """``ops/heston_pallas.pallas_heston_exotic_price`` with path blocks
     sharded over ``mesh`` (global-block ownership — the same topology-
     invariant path set as every kernel family here). Euler or Andersen-QE
@@ -522,6 +523,8 @@ def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
             f"{kind!r}")
     p, t = _hp._exotic_params(spot, strike, maturity, rate, params, dividend,
                               barrier, n_steps, scheme)
+    if "double" in kind:
+        _hp._set_double_band(p, spot, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
     pay, pay2 = _sharded_heston_exotic_launch(
@@ -538,7 +541,9 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
                                  dividend: float = 0.0, barrier: float = 0.0,
                                  n_paths: int = 1_000_000, n_steps: int = 64,
                                  seed: int = 0,
-                                 sampler: str = "prng") -> dict:
+                                 sampler: str = "prng",
+                                 lower: float = 0.0,
+                                 upper: float = 0.0) -> dict:
     """``pallas_heston_exotic_lr_greeks`` (price + joint-density LR
     delta/gamma/v0-vega/rho, one pass, Euler scheme) sharded over
     ``mesh``: six moment tiles psum over ICI, ladder combined once
@@ -551,6 +556,8 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
         raise ValidationError("LR scores assume iid normals — use prng/hash")
     p, t = _hp._exotic_params(spot, strike, maturity, rate, params, dividend,
                               barrier, n_steps, "euler")
+    if "double" in kind:
+        _hp._set_double_band(p, spot, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _hp.PATHS_PER_BLOCK, n_dev)
     outs = _sharded_heston_exotic_launch(

@@ -320,9 +320,18 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         return {**base, "kind": kind, "price": _to_jsonable(pr),
                 "std_error": _to_jsonable(se), "paths": int(n)}
     barrier = float(body.get("barrier", 120.0))
+    band = {}
     if kind in ("one-touch", "no-touch"):
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind == "double-barrier":
+        kname = f"barrier_double-{body.get('knock', 'out')}"
+        band = dict(lower=float(body.get("lower", 90.0)),
+                    upper=float(body.get("upper", 110.0)))
+    elif kind == "double-touch":
+        kname = f"{body.get('touch', 'no')}_touch_double"
+        band = dict(lower=float(body.get("lower", 90.0)),
+                    upper=float(body.get("upper", 110.0)))
     elif kind == "asian":
         kname = "asian_arith"
     elif kind == "lookback":
@@ -331,19 +340,19 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         kname = f"barrier_{body.get('barrier_type', 'up-and-out')}"
     else:
         raise ValueError(f"model={model} supports asian/barrier/lookback/"
-                         f"one-touch/no-touch/autocallable/cliquet, "
-                         f"not {kind!r}")
+                         f"one-touch/no-touch/double-barrier/double-touch/"
+                         f"autocallable/cliquet, not {kind!r}")
     if greeks:
         out = pallas_heston_exotic_lr_greeks(
             kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
-            cp, barrier=barrier, **kw)
+            cp, barrier=barrier, **band, **kw)
         res = {k: _to_jsonable(v) for k, v in out.items()}
         res.update(base, kind=kname, greek_method="lr-joint-density",
                    vega_convention="2*sqrt(v0)*vega_v0")
         return res
     pr, se, n = pallas_heston_exotic_price(
         kname, p["spot"], p["strike"], p["maturity"], p["rate"], par, cp,
-        barrier=barrier, scheme=scheme, **kw)
+        barrier=barrier, scheme=scheme, **band, **kw)
     return {**base, "kind": kname, "price": _to_jsonable(pr),
             "std_error": _to_jsonable(se), "paths": int(n)}
 
@@ -366,11 +375,20 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     if kind in ("one-touch", "no-touch"):
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind == "double-barrier":
+        kname = f"barrier_double-{body.get('knock', 'out')}"
+        barrier = (float(body.get("lower", 90.0)),
+                   float(body.get("upper", 110.0)))
+    elif kind == "double-touch":
+        kname = f"{body.get('touch', 'no')}_touch_double"
+        barrier = (float(body.get("lower", 90.0)),
+                   float(body.get("upper", 110.0)))
     elif kind in kind_map:
         kname = kind_map[kind]
     else:
         raise ValueError("model=rbergomi supports asian/barrier/lookback/"
-                         f"one-touch/no-touch, not {kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch, "
+                         f"not {kind!r}")
     pr, se = rbergomi_exotic_price(
         kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
         jax.random.PRNGKey(int(body.get("seed", 0))), cp, barrier=barrier,
@@ -431,11 +449,23 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     if kind in ("one-touch", "no-touch"):
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind == "double-barrier":
+        kname = f"barrier_double-{body.get('knock', 'out')}"
+        barrier = (float(body.get("lower", 90.0)),
+                   float(body.get("upper", 110.0)))
+    elif kind == "double-touch":
+        kname = f"{body.get('touch', 'no')}_touch_double"
+        barrier = (float(body.get("lower", 90.0)),
+                   float(body.get("upper", 110.0)))
     elif kind in kind_map:
         kname = kind_map[kind]
     else:
         raise ValueError("model=slv supports asian/barrier/lookback/"
-                         f"one-touch/no-touch, not {kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch, "
+                         f"not {kind!r}")
+    if body.get("greeks") and "double" in kname:
+        raise ValueError("slv greeks use the replay kernel, which does not "
+                         "cover double kinds yet — drop greeks")
     if body.get("greeks"):
         from .ops.slv_pallas import SLVKernelPricer
 

@@ -34,11 +34,22 @@ import hashlib  # noqa: E402
 
 
 def _cpu_signature() -> str:
+    # Hash the IDENTITY lines, not just flags: XLA picks codegen
+    # preferences (+prefer-no-gather/scatter) from the CPU MODEL, so two
+    # virtual CPUs with identical flags can still produce incompatible
+    # AOT executables (cpu_aot_loader warns, then may SIGILL/segfault).
+    keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
+            "flags")
     try:
+        parts, seen = [], set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
+                k = line.split(":")[0].strip()
+                if k in keys and k not in seen:
+                    seen.add(k)
+                    parts.append(line)
+        if parts:
+            return hashlib.md5("".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform

@@ -254,3 +254,166 @@ class TestKernel:
         with pytest.raises(ValidationError):
             pallas_exotic_lr_greeks("one_touch_double", S, K, T, R, SIG,
                                     1.0, Q, lower=0.0, upper=0.0, **KW)
+
+
+class TestStochVolDynamics:
+    """Double kinds under stochastic(-local) vol: Heston scan vs fused
+    kernel, LR ladder vs CRN-FD, the exact sigma_v->0 collapse onto the
+    GBM engine, rough-Bergomi/SLV parity and complement identities.
+
+    All beyond-reference: the reference prices single barriers under
+    GBM only (``src/pricing_models/exotic_options.py:174``)."""
+
+    def _par(self, sigma=0.3):
+        from optionslab_tpu.models.heston import HestonParams
+        return HestonParams.make(0.04, 1.5, 0.04, sigma, -0.5)
+
+    def test_heston_scan_vs_kernel_and_parity(self):
+        from optionslab_tpu.models.heston_exotics import heston_exotic_price
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_price)
+
+        par = self._par()
+        kw = dict(n_paths=65_536, n_steps=16, seed=3, sampler="hash")
+        ko, se_k, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S, K, T, R, par, 1.0, lower=L, upper=U,
+            **kw)
+        ki, _, _ = pallas_heston_exotic_price(
+            "barrier_double-in", S, K, T, R, par, 1.0, lower=L, upper=U,
+            **kw)
+        sko, se_s = heston_exotic_price(
+            "barrier_double-out", S, K, T, R, par, KEY, barrier=(L, U),
+            n_paths=65_536, n_steps=16, return_stderr=True)
+        ski, _ = heston_exotic_price(
+            "barrier_double-in", S, K, T, R, par, KEY, barrier=(L, U),
+            n_paths=65_536, n_steps=16, return_stderr=True)
+        # kernel vs scan, independent samplers
+        assert abs(float(ko - sko)) < 4 * math.hypot(float(se_k),
+                                                     float(se_s)) + 1e-3
+        # in-out parity on SHARED paths (scan): KO + KI == vanilla MC
+        van, _ = heston_exotic_price(
+            "barrier_double-out", S, K, T, R, par, KEY,
+            barrier=(1e-6, 1e9), n_paths=65_536, n_steps=16,
+            return_stderr=True)
+        np.testing.assert_allclose(float(sko + ski), float(van), rtol=1e-5)
+        # kernel in-out parity holds statistically too
+        assert abs(float(ko + ki) - float(van)) < 0.15
+
+    def test_heston_touch_complement_exact(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_price)
+
+        kw = dict(n_paths=65_536, n_steps=16, seed=3, sampler="hash")
+        one, _, _ = pallas_heston_exotic_price(
+            "one_touch_double", S, K, T, R, self._par(), 1.0, lower=L,
+            upper=U, **kw)
+        no, _, _ = pallas_heston_exotic_price(
+            "no_touch_double", S, K, T, R, self._par(), 1.0, lower=L,
+            upper=U, **kw)
+        np.testing.assert_allclose(float(one + no), math.exp(-R * T),
+                                   atol=1e-6)
+
+    def test_heston_sigma_v_to_zero_matches_gbm(self):
+        """sigma_v -> 0 with v0 == theta freezes variance at v0: the
+        Heston kernel must reproduce the GBM scan engine at the same
+        discrete monitoring (statistical, independent samplers)."""
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_price)
+
+        par = self._par(sigma=1e-6)
+        p_h, se_h, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S, K, T, R, par, 1.0, lower=L, upper=U,
+            n_paths=131_072, n_steps=16, seed=5, sampler="hash")
+        p_g, se_g = double_barrier_price(
+            S, K, L, U, T, R, 0.2, jax.random.PRNGKey(7), 1.0, 0.0,
+            n_paths=131_072, n_steps=16, knock="out", return_stderr=True)
+        assert abs(float(p_h - p_g)) < 4 * math.hypot(float(se_h),
+                                                      float(se_g)) + 1e-3
+
+    def test_heston_lr_ladder_vs_crn_fd(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_lr_greeks, pallas_heston_exotic_price)
+
+        par = self._par()
+        kw = dict(n_paths=131_072, n_steps=16, seed=3, sampler="hash")
+        g = pallas_heston_exotic_lr_greeks(
+            "barrier_double-out", S, K, T, R, par, 1.0, lower=L, upper=U,
+            **kw)
+        base, _, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S, K, T, R, par, 1.0, lower=L, upper=U,
+            **kw)
+        np.testing.assert_allclose(float(g["price"]), float(base),
+                                   rtol=1e-5)
+        h = 0.5  # LR delta holds the ABSOLUTE band fixed under the bump
+        up, _, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S + h, K, T, R, par, 1.0, lower=L,
+            upper=U, **kw)
+        dn, _, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S - h, K, T, R, par, 1.0, lower=L,
+            upper=U, **kw)
+        fd_delta = float(up - dn) / (2 * h)
+        assert abs(float(g["delta"]) - fd_delta) < 0.03
+        hr = 0.002
+        upr, _, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S, K, T, R + hr, par, 1.0, lower=L,
+            upper=U, **kw)
+        dnr, _, _ = pallas_heston_exotic_price(
+            "barrier_double-out", S, K, T, R - hr, par, 1.0, lower=L,
+            upper=U, **kw)
+        fd_rho = float(upr - dnr) / (2 * hr)
+        assert abs(float(g["rho"]) - fd_rho) < max(0.05 * abs(fd_rho), 0.5)
+
+    def test_rbergomi_parity_and_complement(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price)
+
+        par = RBergomiParams(xi0=0.04, eta=1.5, rho=-0.7, hurst=0.1)
+        kw = dict(n_paths=32_768, n_steps=16, return_stderr=True)
+        key = jax.random.PRNGKey(0)
+        ko, _ = rbergomi_exotic_price("barrier_double-out", S, K, T, R,
+                                      par, key, 1.0, barrier=(L, U), **kw)
+        ki, _ = rbergomi_exotic_price("barrier_double-in", S, K, T, R,
+                                      par, key, 1.0, barrier=(L, U), **kw)
+        van, _ = rbergomi_exotic_price("barrier_double-out", S, K, T, R,
+                                       par, key, 1.0, barrier=(1e-6, 1e9),
+                                       **kw)
+        np.testing.assert_allclose(float(ko + ki), float(van), rtol=1e-5)
+        one, _ = rbergomi_exotic_price("one_touch_double", S, K, T, R,
+                                       par, key, 1.0, barrier=(L, U), **kw)
+        no, _ = rbergomi_exotic_price("no_touch_double", S, K, T, R,
+                                      par, key, 1.0, barrier=(L, U), **kw)
+        np.testing.assert_allclose(float(one + no), math.exp(-R * T),
+                                   atol=1e-6)
+
+    def test_slv_mixing_zero_flat_matches_gbm(self):
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.models.local_vol import LocalVolSurface
+        from optionslab_tpu.models.slv import slv_exotic_price
+
+        rate = 0.03
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), S, rate)
+        par = HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7)
+        p0, se0 = slv_exotic_price(
+            "barrier_double-out", S, K, T, rate, par, KEY, flat.k_grid,
+            flat.t_grid, flat.grid, barrier=(L, U), mixing=0.0,
+            n_paths=65_536, n_steps=16, return_stderr=True)
+        mc, se_mc = double_barrier_price(
+            S, K, L, U, T, rate, 0.2, jax.random.PRNGKey(1), 1.0, 0.0,
+            n_paths=65_536, n_steps=16, knock="out", return_stderr=True)
+        assert abs(float(p0 - mc)) < 4 * math.hypot(float(se0),
+                                                    float(se_mc)) + 1e-3
+
+    def test_validation(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_price)
+
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_price("barrier_double-out", S, K, T, R,
+                                       self._par(), 1.0, lower=U, upper=L,
+                                       n_paths=1, n_steps=4)
+        with pytest.raises(ValidationError):
+            pallas_heston_exotic_price("one_touch_double", S, K, T, R,
+                                       self._par(), 1.0, n_paths=1,
+                                       n_steps=4)

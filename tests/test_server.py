@@ -372,6 +372,35 @@ class TestHestonExoticEndpoint:
         assert {"vega_v0", "rho", "theta", "delta_convention"} <= body.keys()
         assert "frozen-fixings" in body["delta_convention"]
 
+    def test_double_kinds_over_wire(self, server):
+        import numpy as np
+
+        base = {"model": "heston", "lower": 80.0, "upper": 130.0,
+                "n_paths": 1, "n_steps": 4}
+        status, ko = _post(server, "/exotic", {
+            **base, "kind": "double-barrier", "knock": "out"})
+        assert status == 200 and ko["kind"] == "barrier_double-out"
+        assert 0 < ko["price"] < 10.45
+        _, one = _post(server, "/exotic", {
+            **base, "kind": "double-touch", "touch": "one"})
+        _, no = _post(server, "/exotic", {
+            **base, "kind": "double-touch", "touch": "no"})
+        assert one["kind"] == "one_touch_double"
+        assert abs(one["price"] + no["price"] - np.exp(-0.05)) < 1e-5
+        status, g = _post(server, "/exotic", {
+            **base, "kind": "double-barrier", "knock": "out",
+            "greeks": True})
+        assert status == 200 and g["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "theta"} <= g.keys()
+        # rbergomi + slv routes; slv greeks on double kinds are a 400
+        status, rb = _post(server, "/exotic", {
+            **base, "kind": "double-barrier", "model": "rbergomi",
+            "n_paths": 20000, "n_steps": 8})
+        assert status == 200 and rb["dynamics"] == "rough-bergomi"
+        status, body = _post(server, "/exotic", {
+            **base, "kind": "double-touch", "model": "slv", "greeks": True})
+        assert status == 400 and "error" in body
+
     def test_bates_exotic_over_wire(self, server):
         base = {"kind": "barrier", "barrier": 80.0, "option_type": "put",
                 "barrier_type": "down-and-in", "n_paths": 20000,

@@ -216,6 +216,30 @@ class TestShardedHestonExotic:
             np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
                                        rtol=5e-5, atol=1e-7, err_msg=k)
 
+    def test_double_kinds_match_unsharded(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_lr_greeks, pallas_heston_exotic_price)
+        from optionslab_tpu.parallel import (sharded_heston_exotic_greeks,
+                                             sharded_heston_exotic_price)
+
+        mesh = make_mesh(4)
+        args = ("barrier_double-out", 100.0, 100.0, 1.0, 0.05, self._par())
+        band = dict(lower=80.0, upper=130.0)
+        p_s, _, n_s = sharded_heston_exotic_price(
+            *args, mesh, n_paths=1, n_steps=4, sampler="hash", **band)
+        p_u, _, _ = pallas_heston_exotic_price(
+            *args, n_paths=n_s, n_steps=4, sampler="hash", **band)
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
+        out_s = sharded_heston_exotic_greeks(
+            "no_touch_double", 100.0, 100.0, 1.0, 0.05, self._par(), mesh,
+            n_paths=1, n_steps=4, sampler="hash", **band)
+        out_u = pallas_heston_exotic_lr_greeks(
+            "no_touch_double", 100.0, 100.0, 1.0, 0.05, self._par(),
+            n_paths=out_s["paths"], n_steps=4, sampler="hash", **band)
+        for k in ("price", "delta", "gamma", "vega_v0", "rho", "theta"):
+            np.testing.assert_allclose(float(out_s[k]), float(out_u[k]),
+                                       rtol=5e-5, atol=1e-7, err_msg=k)
+
     def test_rejects_structured_and_qmc(self):
         from optionslab_tpu.parallel import (sharded_heston_exotic_greeks,
                                              sharded_heston_exotic_price)

@@ -199,7 +199,11 @@ class TestAPI:
     def test_all_kinds_finite(self, dupire):
         slv = SLVModel(dupire, PAR, mixing=0.7)
         for kind in SLV_KINDS:
-            b = 120.0 if "up" in kind else (80.0 if "down" in kind else 0.0)
+            if "double" in kind:
+                b = (80.0, 120.0)
+            else:
+                b = 120.0 if "up" in kind else (80.0 if "down" in kind
+                                                else 0.0)
             p = slv.price(kind, 100.0, T, KEY, barrier=b,
                           n_paths=16_384, n_steps=16)
             assert np.isfinite(float(p)), kind

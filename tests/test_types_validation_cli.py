@@ -177,6 +177,25 @@ class TestCLI:
                 "delta_convention"} <= out.keys()
         assert "sticky-strike" in out["delta_convention"]
 
+    def test_exotic_double_kinds(self, capsys):
+        """double-barrier/double-touch route across every dynamics."""
+        cli_main(["exotic", "--kind", "double-barrier", "--model",
+                  "heston", "--knock", "out", "--lower", "80", "--upper",
+                  "130", "--n-paths", "1", "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "barrier_double-out"
+        assert 0.0 < out["price"] < 10.45
+        cli_main(["exotic", "--kind", "double-touch", "--model", "heston",
+                  "--touch", "no", "--lower", "80", "--upper", "130",
+                  "--greeks", "--n-paths", "1", "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "no_touch_double"
+        assert out["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "theta", "rho"} <= out.keys()
+        with pytest.raises(SystemExit):
+            cli_main(["exotic", "--kind", "double-barrier", "--model",
+                      "slv", "--greeks"])
+
     @pytest.mark.slow
     def test_american_slv_bracket(self, capsys):
         """--model slv routes to the certified SLV LSM+dual bracket."""
