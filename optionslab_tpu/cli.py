@@ -167,6 +167,8 @@ def cmd_exotic(args) -> dict:
         return _exotic_rbergomi(args)
     if getattr(args, "model", "bs") == "slv":
         return _exotic_slv(args)
+    if getattr(args, "model", "bs") == "lv":
+        return _exotic_lv(args)
     if getattr(args, "greeks", False):
         return _exotic_kernel_greeks(args)
     if getattr(args, "cv", False):
@@ -447,6 +449,63 @@ def _exotic_rbergomi(args) -> dict:
             "hurst": args.hurst, "eta": args.eta}
 
 
+def _exotic_lv(args) -> dict:
+    """--model lv: smile-consistent exotics under the calibrated Dupire
+    local vol on the fused kernel (``ops/local_vol_pallas``). --greeks
+    adds the one-pass LR ladder (sticky-strike delta/gamma, parallel-
+    shift vega). The reference's local vol prices vanillas only
+    (``src/models/local_vol.py``)."""
+    import jax
+
+    from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+    from .ops.local_vol_pallas import LocalVolKernelPricer
+    from .utils.exceptions import ValidationError
+
+    cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    kind_map = {"asian": "asian", "lookback": "lookback_float",
+                "barrier": f"barrier_{args.barrier_type}",
+                "european": "european"}
+    barrier, band = args.barrier, {}
+    if args.kind in ("one-touch", "no-touch"):
+        side = "up" if args.barrier >= args.spot else "down"
+        kname = f"{args.kind.replace('-', '_')}_{side}"
+    elif args.kind == "double-barrier":
+        kname = f"barrier_double-{args.knock}"
+        band = dict(lower=args.lower, upper=args.upper)
+    elif args.kind == "double-touch":
+        kname = f"{args.touch}_touch_double"
+        band = dict(lower=args.lower, upper=args.upper)
+    elif args.kind in kind_map:
+        kname = kind_map[args.kind]
+    else:
+        raise SystemExit("--model lv supports european/asian/barrier/"
+                         "lookback/one-touch/no-touch/double-barrier/"
+                         f"double-touch, not {args.kind!r}")
+    dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
+                         args.spot, args.rate)
+    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    base = {"model": "lv", "dynamics": "dupire-local-vol", "kind": kname,
+            "engine": "kernel"}
+    try:
+        pricer = LocalVolKernelPricer(dup, args.maturity,
+                                      n_steps=getattr(args, "n_steps", 64))
+        if getattr(args, "greeks", False):
+            out = pricer.greeks(args.strike, cp=cp, payoff=kname,
+                                barrier=barrier, n_paths=args.n_paths,
+                                seed=args.seed, sampler=sampler, **band)
+            res = {k: float(v) for k, v in out.items()}
+            res.update(base, greek_method="lr-sticky-strike",
+                       vega_convention="parallel surface shift")
+            return res
+        p, se, n = pricer.price(args.strike, cp=cp, payoff=kname,
+                                barrier=barrier, n_paths=args.n_paths,
+                                seed=args.seed, sampler=sampler, **band)
+    except ValidationError as e:
+        raise SystemExit(str(e)) from e
+    return {**base, "price": float(p), "std_error": float(se),
+            "paths": int(n), "fit_residual": float(pricer.fit_residual)}
+
+
 def _exotic_slv(args) -> dict:
     """--model slv: stochastic LOCAL vol — Heston dynamics with a Dupire
     leverage calibrated on-the-fly (``models/slv.py``). Vanillas reprice
@@ -514,9 +573,6 @@ def _exotic_slv(args) -> dict:
                          "one-touch/no-touch/double-barrier/double-touch/"
                          "cliquet/autocallable, "
                          f"not {args.kind!r}")
-    if getattr(args, "greeks", False) and "double" in kname:
-        raise SystemExit("--greeks under slv uses the replay kernel, which "
-                         "does not cover double kinds yet — drop --greeks")
     base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
             "kind": kname, "mixing": args.mixing,
             "note": "vanillas reprice the smile at every mixing (Gyongy); "
@@ -531,9 +587,11 @@ def _exotic_slv(args) -> dict:
             pricer = SLVKernelPricer(dup, par, args.maturity,
                                      mixing=args.mixing,
                                      n_steps=getattr(args, "n_steps", 64))
+            band = (dict(lower=args.lower, upper=args.upper)
+                    if "double" in kname else {})
             out = pricer.greeks(kname, args.strike, cp=cp,
                                 barrier=args.barrier, n_paths=args.n_paths,
-                                seed=args.seed, sampler=sampler)
+                                seed=args.seed, sampler=sampler, **band)
             res = {k: (float(v) if not isinstance(v, (str, int)) else v)
                    for k, v in out.items()}
             res.update(base, greek_method="lr-joint-density",
@@ -993,11 +1051,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "autocallable)")
     pe.add_argument("--model", default="bs",
                     choices=["bs", "heston", "heston-qe", "bates",
-                             "bates-qe", "rbergomi", "slv"],
+                             "bates-qe", "rbergomi", "lv", "slv"],
                     help="heston[-qe] / bates[-qe]: price under stochastic "
                          "vol (+ jumps for bates) via the fused exotic "
                          "kernel; --greeks adds the joint-density LR "
-                         "ladder (euler only); slv: Heston x Dupire "
+                         "ladder (euler only); lv: smile-consistent Dupire "
+                         "local vol on the fused kernel (sticky-strike LR "
+                         "greeks); slv: Heston x Dupire "
                          "leverage (see --mixing)")
     pe.add_argument("--mixing", type=float, default=1.0,
                     help="slv vol-of-vol mixing in [0, 1]: 0 = pure local "

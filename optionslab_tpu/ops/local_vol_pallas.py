@@ -51,9 +51,11 @@ PATHS_PER_BLOCK = 4 * ROWS * LANES
 DEGREE = 6  # polynomial degree of the per-step sigma(x) fit
 
 # scalar params before the per-step table; each step row is
-# [x_lo_i, x_hi_i, c_deg, ..., c_0]
-_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT, _P_BARRIER = range(6)
-_N_SCALARS = 6
+# [x_lo_i, x_hi_i, c_deg, ..., c_0]. Single barrier/touch kinds use
+# _P_BARRIER; double kinds put the (lower, upper) band in relative-log
+# space into (_P_BARRIER, _P_BARRIER2).
+_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT, _P_BARRIER, _P_BARRIER2 = range(7)
+_N_SCALARS = 7
 _ROW = DEGREE + 3
 
 
@@ -112,7 +114,9 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
     shape = (ROWS, LANES)
     zero = jnp.zeros(shape, jnp.float32)
     xs = (zero, zero, zero, zero)  # log(S/S0) per antithetic branch
-    barrier_kind = payoff.startswith("barrier")
+    touch_kind = "touch" in payoff
+    barrier_kind = payoff.startswith("barrier") or touch_kind
+    double = "double" in payoff
     lookback_kind = payoff.startswith("lookback")
     up = "up" in payoff
     # float call / fixed put track the running MINIMUM (cf. exotic kernel)
@@ -122,11 +126,15 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
     elif lookback_kind:
         aux = (zero, zero, zero, zero)  # running extremum of x (x0 = 0)
     elif barrier_kind:
-        # crossed-flag per branch; barrier passed in log(S/S0) space
-        b_log = p_ref[_P_BARRIER]
-        z0 = jnp.zeros(shape, jnp.float32)
-        h0 = jnp.where(z0 >= b_log, 1.0, 0.0) if up else \
-            jnp.where(z0 <= b_log, 1.0, 0.0)
+        # crossed-flag per branch; levels passed in log(S/S0) space
+        if double:
+            h0 = jnp.where((p_ref[_P_BARRIER] >= 0.0)
+                           | (p_ref[_P_BARRIER2] <= 0.0), 1.0, 0.0) + zero
+        else:
+            b_log = p_ref[_P_BARRIER]
+            z0 = jnp.zeros(shape, jnp.float32)
+            h0 = jnp.where(z0 >= b_log, 1.0, 0.0) if up else \
+                jnp.where(z0 <= b_log, 1.0, 0.0)
         aux = (h0, h0, h0, h0)
     else:
         aux = ()
@@ -218,11 +226,18 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
                 ext = jnp.minimum if lb_min else jnp.maximum
                 aux = tuple(ext(a, x) for a, x in zip(aux, new_xs))
             elif barrier_kind:  # discrete monitoring at every step
-                b_log = p_ref[_P_BARRIER]
-                if up:
+                if double:
+                    lo, hi = p_ref[_P_BARRIER], p_ref[_P_BARRIER2]
+                    aux = tuple(
+                        jnp.maximum(h, jnp.where((x <= lo) | (x >= hi),
+                                                 1.0, 0.0))
+                        for h, x in zip(aux, new_xs))
+                elif up:
+                    b_log = p_ref[_P_BARRIER]
                     aux = tuple(jnp.maximum(h, jnp.where(x >= b_log, 1.0, 0.0))
                                 for h, x in zip(aux, new_xs))
                 else:
+                    b_log = p_ref[_P_BARRIER]
                     aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
                                 for h, x in zip(aux, new_xs))
             return new_xs, aux, gz1, gvs
@@ -261,6 +276,9 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
         elif payoff == "lookback_fixed":
             ext_s = s0 * jnp.exp(aux[b])
             pay = jnp.maximum(cp * (ext_s - strike), 0.0)
+        elif touch_kind:
+            # unit cash paid AT EXPIRY on the hit event (host discounts)
+            pay = aux[b] if payoff.startswith("one") else (1.0 - aux[b])
         elif barrier_kind:
             vanilla = jnp.maximum(cp * (s0 * jnp.exp(xs[b]) - strike), 0.0)
             pay = vanilla * (aux[b] if knock_in else (1.0 - aux[b]))
@@ -391,19 +409,29 @@ class LocalVolKernelPricer:
         dt = self.t_total / self.n_steps
         self._head = np.asarray(
             [self.spot, 0.0, (self.rate - self.dividend) * dt, dt,
-             math.sqrt(dt), 0.0], np.float64)
+             math.sqrt(dt), 0.0, 0.0], np.float64)
 
     PAYOFFS = ("european", "asian", "barrier_up-and-out", "barrier_up-and-in",
                "barrier_down-and-out", "barrier_down-and-in",
-               "lookback_float", "lookback_fixed")
+               "lookback_float", "lookback_fixed",
+               "one_touch_up", "one_touch_down", "no_touch_up",
+               "no_touch_down",
+               # double kinds take (lower, upper) via the lower/upper kwargs
+               "barrier_double-out", "barrier_double-in",
+               "one_touch_double", "no_touch_double")
 
-    def _params(self, strike, payoff, barrier):
+    def _params(self, strike, payoff, barrier, lower=0.0, upper=0.0):
         if payoff not in self.PAYOFFS:
             raise ValidationError(
                 f"payoff must be one of {self.PAYOFFS}, got {payoff!r}")
         head = self._head.copy()
         head[_P_K] = float(strike)
-        if payoff.startswith("barrier"):
+        if "double" in payoff:
+            if not 0.0 < float(lower) < float(upper):
+                raise ValidationError("double kinds need 0 < lower < upper")
+            head[_P_BARRIER] = math.log(float(lower) / self.spot)
+            head[_P_BARRIER2] = math.log(float(upper) / self.spot)
+        elif payoff.startswith("barrier") or "touch" in payoff:
             if barrier <= 0.0:
                 raise ValidationError("barrier level must be positive")
             head[_P_BARRIER] = math.log(barrier / self.spot)
@@ -411,7 +439,8 @@ class LocalVolKernelPricer:
 
     def price(self, strike, cp: float = 1.0, payoff: str = "european",
               barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
-              sampler: str = "prng"):
+              sampler: str = "prng", lower: float = 0.0,
+              upper: float = 0.0):
         """(price, stderr, actual_paths) for one contract on the
         precomputed surface table. Barrier kinds monitor discretely at
         every step and price CONSISTENTLY with the vanilla smile — the
@@ -421,7 +450,7 @@ class LocalVolKernelPricer:
         ``sampler="sobol_bb"`` enables the 8-level hybrid bridge QMC
         (needs ``n_steps >= 2``); the reported stderr then uses the
         plain-MC formula and is indicative only (see exotic_pallas)."""
-        p = self._params(strike, payoff, barrier)
+        p = self._params(strike, payoff, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32),
@@ -434,7 +463,8 @@ class LocalVolKernelPricer:
 
     def greeks(self, strike, cp: float = 1.0, payoff: str = "european",
                barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
-               sampler: str = "prng") -> dict:
+               sampler: str = "prng", lower: float = 0.0,
+               upper: float = 0.0) -> dict:
         """Price + stderr + likelihood-ratio delta/gamma/vega in the same
         kernel pass, for ANY payoff kind (LR differentiates the transition
         densities, so barrier/lookback discontinuities cost nothing).
@@ -454,7 +484,7 @@ class LocalVolKernelPricer:
         (= sticky-strike) and with every step's c₀ bumped (= parallel
         shift).
         """
-        p = self._params(strike, payoff, barrier)
+        p = self._params(strike, payoff, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         outs = _launch(jnp.asarray([seed, 0], jnp.int32),
                        jnp.asarray(p, jnp.float32),

@@ -94,6 +94,9 @@ KINDS = (
     "barrier_up-and-out", "barrier_up-and-in", "barrier_down-and-out",
     "barrier_down-and-in",
     "one_touch_up", "one_touch_down", "no_touch_up", "no_touch_down",
+    # double kinds: band (lower, upper) in relative-log slots _S_A/_S_B
+    "barrier_double-out", "barrier_double-in",
+    "one_touch_double", "no_touch_double",
 )
 STRUCTURED_KINDS = ("cliquet", "autocall")
 
@@ -155,6 +158,11 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
         if kind == "autocall":
             # (alive, knocked-in, pv[, discount-derivative moment])
             return (one, zero, zero, zero) if lr else (one, zero, zero)
+        if "double" in kind:
+            # x0 = 0 outside the log band [A, B] counts as hit
+            hit0 = jnp.where((p_ref[_S_A] >= 0.0) | (p_ref[_S_B] <= 0.0),
+                             1.0, 0.0)
+            return (zero + hit0,)
         hit0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                          1.0, 0.0)
         return (zero + hit0,)
@@ -193,6 +201,9 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
                 dr = stat[3] - steps * dt * df_i * cash
                 return (alive, ki, pv, dr)
             return (alive, ki, pv)
+        if "double" in kind:
+            hit = (x <= p_ref[_S_A]) | (x >= p_ref[_S_B])
+            return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
 
@@ -447,13 +458,18 @@ class SLVKernelPricer:
              0.0, 0.0, 0.0, 0.0, 0.0],  # _S_A.._S_E (structured kinds)
             np.float64)
 
-    def _params_vec(self, kind, strike, barrier):
+    def _params_vec(self, kind, strike, barrier, lower=0.0, upper=0.0):
         if kind not in KINDS:
             raise ValidationError(
                 f"unknown SLV kernel kind {kind!r}; choose {KINDS}")
         head = self._head.copy()
         head[_S_K] = float(strike)
-        if "barrier" in kind or "touch" in kind:
+        if "double" in kind:
+            if not 0.0 < float(lower) < float(upper):
+                raise ValidationError("double kinds need 0 < lower < upper")
+            head[_S_A] = math.log(float(lower) / self.spot)
+            head[_S_B] = math.log(float(upper) / self.spot)
+        elif "barrier" in kind or "touch" in kind:
             if float(barrier) <= 0.0:
                 raise ValidationError("barrier level must be positive")
             head[_S_LOGB] = math.log(float(barrier) / self.spot)
@@ -461,14 +477,15 @@ class SLVKernelPricer:
 
     def price(self, kind, strike, cp: float = 1.0, barrier: float = 0.0,
               n_paths: int = 1_000_000, seed: int = 0,
-              sampler: str = "prng"):
+              sampler: str = "prng", lower: float = 0.0,
+              upper: float = 0.0):
         """(price, stderr, actual_paths) for one contract on the
         calibrated leverage. Barriers/touches monitor discretely at every
         step; payoff conventions match ``models/slv.slv_exotic_price``
         (scan parity asserted in the tests)."""
         if sampler not in ("prng", "hash"):
             raise ValidationError("SLV kernel samplers are prng|hash")
-        p = self._params_vec(kind, strike, barrier)
+        p = self._params_vec(kind, strike, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32), kind=kind,
@@ -479,7 +496,8 @@ class SLVKernelPricer:
 
     def greeks(self, kind, strike, cp: float = 1.0, barrier: float = 0.0,
                n_paths: int = 1_000_000, seed: int = 0,
-               sampler: str = "prng") -> dict:
+               sampler: str = "prng", lower: float = 0.0,
+               upper: float = 0.0) -> dict:
         """Price + stderr + LR delta/gamma (sticky-strike), v0-vega and
         rate-rho (frozen-leverage) in ONE kernel pass, any kind. See the
         module docstring for the exact conventions; ``vega`` is the
@@ -493,7 +511,7 @@ class SLVKernelPricer:
                 "variance transition degenerates); at mixing ~ 0 the "
                 "model IS local vol — use ops.local_vol_pallas."
                 "LocalVolKernelPricer.greeks instead")
-        p = self._params_vec(kind, strike, barrier)
+        p = self._params_vec(kind, strike, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         outs = _launch(jnp.asarray([seed, 0], jnp.int32),
                        jnp.asarray(p, jnp.float32), kind=kind,
@@ -629,7 +647,8 @@ def pallas_slv_exotic_price(dupire, params, kind, strike, maturity,
                             cp: float = 1.0, barrier: float = 0.0,
                             mixing: float = 1.0, n_paths: int = 1_000_000,
                             n_steps: int = 64, seed: int = 0,
-                            sampler: str = "prng"):
+                            sampler: str = "prng", lower: float = 0.0,
+                            upper: float = 0.0):
     """One-shot convenience: calibrate the leverage (XLA particle scan),
     fit the polynomial table, price ``kind`` on the fused kernel.
     Returns (price, stderr, actual_paths, fit_residual). For repeated
@@ -637,5 +656,6 @@ def pallas_slv_exotic_price(dupire, params, kind, strike, maturity,
     pricer = SLVKernelPricer(dupire, params, maturity, mixing=mixing,
                              n_steps=n_steps)
     price, se, n = pricer.price(kind, strike, cp=cp, barrier=barrier,
-                                n_paths=n_paths, seed=seed, sampler=sampler)
+                                n_paths=n_paths, seed=seed, sampler=sampler,
+                                lower=lower, upper=upper)
     return price, se, n, pricer.fit_residual

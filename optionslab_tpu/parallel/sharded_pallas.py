@@ -439,14 +439,15 @@ def _sharded_lv_launch(seed, params, *, n_steps, n_blocks, cp, payoff,
 def sharded_local_vol_price(pricer, strike, mesh: Mesh, cp: float = 1.0,
                             payoff: str = "european", barrier: float = 0.0,
                             n_paths: int = 1_000_000, seed: int = 0,
-                            sampler: str = "prng"):
+                            sampler: str = "prng", lower: float = 0.0,
+                            upper: float = 0.0):
     """``ops/local_vol_pallas.LocalVolKernelPricer.price`` — smile-
     consistent exotics on the precomputed per-step σ-polynomial table —
     with path blocks sharded over ``mesh`` (global-block ownership, same
     topology-invariant path set as every kernel family here). ``pricer``
     is a fitted :class:`~..ops.local_vol_pallas.LocalVolKernelPricer`.
     Returns (price, stderr, actual_paths)."""
-    p = pricer._params(strike, payoff, barrier)
+    p = pricer._params(strike, payoff, barrier, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _lv.PATHS_PER_BLOCK, n_dev)
     pay, pay2 = _sharded_lv_launch(
@@ -460,13 +461,14 @@ def sharded_local_vol_price(pricer, strike, mesh: Mesh, cp: float = 1.0,
 def sharded_local_vol_greeks(pricer, strike, mesh: Mesh, cp: float = 1.0,
                              payoff: str = "european", barrier: float = 0.0,
                              n_paths: int = 1_000_000, seed: int = 0,
-                             sampler: str = "prng") -> dict:
+                             sampler: str = "prng", lower: float = 0.0,
+                             upper: float = 0.0) -> dict:
     """``LocalVolKernelPricer.greeks`` (sticky-strike LR delta/gamma +
     parallel-shift vega, one kernel pass) sharded over ``mesh``: the 5
     (7 for lookbacks) moment tiles psum over ICI and the ladder is
     assembled once host-side — identical estimate to the single-device
     launch over the same global path set."""
-    p = pricer._params(strike, payoff, barrier)
+    p = pricer._params(strike, payoff, barrier, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _lv.PATHS_PER_BLOCK, n_dev)
     outs = _sharded_lv_launch(
@@ -600,7 +602,8 @@ def _sharded_slv_launch(seed, params, *, kind, n_steps, n_blocks, cp,
 def sharded_slv_price(pricer, kind: str, strike, mesh: Mesh,
                       cp: float = 1.0, barrier: float = 0.0,
                       n_paths: int = 1_000_000, seed: int = 0,
-                      sampler: str = "prng"):
+                      sampler: str = "prng", lower: float = 0.0,
+                      upper: float = 0.0):
     """``ops/slv_pallas.SLVKernelPricer.price`` — exotics under
     Heston-x-Dupire-leverage dynamics — with path blocks sharded over
     ``mesh`` (global-block ownership: the same topology-invariant path
@@ -609,7 +612,7 @@ def sharded_slv_price(pricer, kind: str, strike, mesh: Mesh,
     replicated in SMEM. Returns (price, stderr, actual_paths)."""
     if sampler not in ("prng", "hash"):
         raise ValidationError("SLV kernel samplers are prng|hash")
-    p = pricer._params_vec(kind, strike, barrier)
+    p = pricer._params_vec(kind, strike, barrier, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _slv.PATHS_PER_BLOCK, n_dev)
     pay, pay2 = _sharded_slv_launch(
@@ -623,7 +626,8 @@ def sharded_slv_price(pricer, kind: str, strike, mesh: Mesh,
 def sharded_slv_greeks(pricer, kind: str, strike, mesh: Mesh,
                        cp: float = 1.0, barrier: float = 0.0,
                        n_paths: int = 1_000_000, seed: int = 0,
-                       sampler: str = "prng") -> dict:
+                       sampler: str = "prng", lower: float = 0.0,
+                       upper: float = 0.0) -> dict:
     """``SLVKernelPricer.greeks`` (sticky-strike LR delta/gamma +
     frozen-leverage v0-vega/rho, one pass) sharded over ``mesh``: the 7
     (9 for lookbacks) moment tiles psum over ICI and the ladder is
@@ -635,7 +639,7 @@ def sharded_slv_greeks(pricer, kind: str, strike, mesh: Mesh,
     if pricer.mixing * float(pricer.params.sigma) < 1e-3:
         raise ValidationError("LR v0 score diverges at mixing ~ 0 — use "
                               "sharded_local_vol_greeks instead")
-    p = pricer._params_vec(kind, strike, barrier)
+    p = pricer._params_vec(kind, strike, barrier, lower, upper)
     _names, n_dev = _mesh_axes(mesh)
     n_blocks = _round_blocks(n_paths, _slv.PATHS_PER_BLOCK, n_dev)
     outs = _sharded_slv_launch(

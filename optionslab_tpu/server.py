@@ -144,6 +144,8 @@ def handle_exotic(body: dict) -> dict:
         return _exotic_rbergomi(body, p, kind, n_paths)
     if body.get("model") == "slv":
         return _exotic_slv(body, p, kind, n_paths)
+    if body.get("model") == "lv":
+        return _exotic_lv(body, p, kind, n_paths)
     if body.get("greeks"):
         # fused-kernel ladders: pathwise (asian/lookback) or likelihood-
         # ratio (barrier/cliquet/autocall); ValidationError → 400
@@ -398,6 +400,63 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
             "price": _to_jsonable(pr), "std_error": _to_jsonable(se)}
 
 
+def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
+    """model=lv: smile-consistent exotics under the calibrated Dupire
+    local vol on the fused kernel (mirrors CLI ``exotic --model lv``).
+    ``greeks=true`` adds the one-pass LR ladder (sticky-strike
+    delta/gamma, parallel-shift vega)."""
+    import jax
+
+    from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+    from .ops.local_vol_pallas import LocalVolKernelPricer
+
+    cp = 1.0 if p["option_type"].startswith("c") else -1.0
+    barrier = float(body.get("barrier", 120.0))
+    band = {}
+    kind_map = {"asian": "asian", "lookback": "lookback_float",
+                "european": "european",
+                "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
+    if kind in ("one-touch", "no-touch"):
+        side = "up" if barrier >= p["spot"] else "down"
+        kname = f"{kind.replace('-', '_')}_{side}"
+    elif kind == "double-barrier":
+        kname = f"barrier_double-{body.get('knock', 'out')}"
+        band = dict(lower=float(body.get("lower", 90.0)),
+                    upper=float(body.get("upper", 110.0)))
+    elif kind == "double-touch":
+        kname = f"{body.get('touch', 'no')}_touch_double"
+        band = dict(lower=float(body.get("lower", 90.0)),
+                    upper=float(body.get("upper", 110.0)))
+    elif kind in kind_map:
+        kname = kind_map[kind]
+    else:
+        raise ValueError("model=lv supports european/asian/barrier/"
+                         "lookback/one-touch/no-touch/double-barrier/"
+                         f"double-touch, not {kind!r}")
+    dup = DupireLocalVol(sample_smile_iv_fn(base_vol=p["vol"]),
+                         p["spot"], p["rate"])
+    sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+    pricer = LocalVolKernelPricer(dup, p["maturity"],
+                                  n_steps=int(body.get("n_steps", 64)))
+    base = {"model": "lv", "dynamics": "dupire-local-vol", "kind": kname,
+            "engine": "kernel"}
+    if body.get("greeks"):
+        out = pricer.greeks(p["strike"], cp=cp, payoff=kname,
+                            barrier=barrier, n_paths=n_paths,
+                            seed=int(body.get("seed", 0)), sampler=sampler,
+                            **band)
+        res = {k: _to_jsonable(v) for k, v in out.items()}
+        res.update(base, greek_method="lr-sticky-strike",
+                   vega_convention="parallel surface shift")
+        return res
+    pr, se, n = pricer.price(p["strike"], cp=cp, payoff=kname,
+                             barrier=barrier, n_paths=n_paths,
+                             seed=int(body.get("seed", 0)), sampler=sampler,
+                             **band)
+    return {**base, "price": _to_jsonable(pr), "std_error": _to_jsonable(se),
+            "paths": int(n), "fit_residual": float(pricer.fit_residual)}
+
+
 def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     """model=slv: stochastic local vol — Heston dynamics x Dupire leverage
     calibrated in the same jitted scan (mirrors CLI ``exotic --model
@@ -463,18 +522,21 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         raise ValueError("model=slv supports asian/barrier/lookback/"
                          "one-touch/no-touch/double-barrier/double-touch, "
                          f"not {kind!r}")
-    if body.get("greeks") and "double" in kname:
-        raise ValueError("slv greeks use the replay kernel, which does not "
-                         "cover double kinds yet — drop greeks")
     if body.get("greeks"):
         from .ops.slv_pallas import SLVKernelPricer
 
         sampler = "prng" if jax.default_backend() == "tpu" else "hash"
         pricer = SLVKernelPricer(dup, par, p["maturity"], mixing=mixing,
                                  n_steps=int(body.get("n_steps", 64)))
+        if "double" in kname:
+            band = dict(lower=barrier[0], upper=barrier[1])
+            barrier = 0.0
+        else:
+            band = {}
         out = pricer.greeks(kname, p["strike"], cp=cp, barrier=barrier,
                             n_paths=n_paths,
-                            seed=int(body.get("seed", 0)), sampler=sampler)
+                            seed=int(body.get("seed", 0)), sampler=sampler,
+                            **band)
         res = {k: _to_jsonable(v) if not isinstance(v, (str, int)) else v
                for k, v in out.items()}
         res.update(model="slv", dynamics="heston-x-dupire-leverage",

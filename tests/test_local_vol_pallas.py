@@ -326,3 +326,92 @@ class TestBridgeQMC:
         pr1 = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=1)
         with pytest.raises(ValidationError):
             pr1.price(100.0, n_paths=1, sampler="sobol_bb")
+
+
+class TestTouchAndDoubleUnderLV:
+    """Digital touches and two-sided bands under the calibrated smile —
+    beyond-reference (the reference's LV prices vanillas only) and new
+    payoff kinds for this kernel family.  Oracles: exact complement
+    identities on shared paths, the flat-surface collapse onto the GBM
+    exotic kernel / scan engine, CRN-FD delta."""
+
+    L, U = 80.0, 130.0
+
+    def _pricer(self, dup=None, n_steps=16):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+        return LocalVolKernelPricer(dup or _flat_dupire(), 1.0, n_steps)
+
+    def test_touch_complements_exact(self):
+        import math
+        pr = self._pricer()
+        kw = dict(n_paths=1, seed=3, sampler="hash")
+        one, _, _ = pr.price(100.0, 1.0, "one_touch_up", barrier=130.0, **kw)
+        no, _, _ = pr.price(100.0, 1.0, "no_touch_up", barrier=130.0, **kw)
+        np.testing.assert_allclose(float(one + no), math.exp(-R), atol=1e-6)
+        od, _, _ = pr.price(100.0, 1.0, "one_touch_double", lower=self.L,
+                            upper=self.U, **kw)
+        nd, _, _ = pr.price(100.0, 1.0, "no_touch_double", lower=self.L,
+                            upper=self.U, **kw)
+        np.testing.assert_allclose(float(od + nd), math.exp(-R), atol=1e-6)
+
+    def test_flat_touch_matches_gbm_kernel(self):
+        import math
+
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_price
+        pr = self._pricer()
+        p, se, _ = pr.price(100.0, 1.0, "one_touch_down", barrier=85.0,
+                            n_paths=1, seed=3, sampler="hash")
+        g, seg, _ = pallas_exotic_price("one_touch_down", S, 100.0, 1.0, R,
+                                        0.2, 1.0, 0.0, barrier=85.0,
+                                        n_paths=262_144, n_steps=16,
+                                        seed=7, sampler="hash")
+        assert abs(float(p - g)) < 4 * math.hypot(float(se), float(seg)) + 1e-3
+
+    def test_flat_double_matches_gbm_scan(self):
+        import math
+
+        import jax
+
+        from optionslab_tpu.models.exotics import double_barrier_price
+        pr = self._pricer()
+        p, se, _ = pr.price(100.0, 1.0, "barrier_double-out", lower=self.L,
+                            upper=self.U, n_paths=1, seed=3, sampler="hash")
+        mc, sem = double_barrier_price(S, 100.0, self.L, self.U, 1.0, R,
+                                       0.2, jax.random.PRNGKey(1), 1.0, 0.0,
+                                       n_paths=262_144, n_steps=16,
+                                       knock="out", return_stderr=True)
+        assert abs(float(p - mc)) < 4 * math.hypot(float(se), float(sem)) + 1e-3
+        # in + out == vanilla on shared kernel paths
+        pin, _, _ = pr.price(100.0, 1.0, "barrier_double-in", lower=self.L,
+                             upper=self.U, n_paths=1, seed=3, sampler="hash")
+        van, _, _ = pr.price(100.0, 1.0, "european", n_paths=1, seed=3,
+                             sampler="hash")
+        np.testing.assert_allclose(float(p + pin), float(van), rtol=1e-5)
+
+    def test_double_delta_vs_crn_fd(self):
+        pr = self._pricer()
+        kw = dict(n_paths=1, seed=3, sampler="hash")
+        g = pr.greeks(100.0, 1.0, "barrier_double-out", lower=self.L,
+                      upper=self.U, **kw)
+        h = 0.5
+        ups, dns = [], []
+        for s_b in (S + h, S - h):
+            kg = np.linspace(-1.0, 1.0, 21)
+            tg = np.linspace(0.01, 2.0, 9)
+            surf = LocalVolSurface(kg, tg, np.full((9, 21), 0.2), s_b, R)
+            dup = SimpleNamespace(surface=surf, spot=s_b, rate=R,
+                                  dividend=0.0)
+            p_b, _, _ = self._pricer(dup).price(
+                100.0, 1.0, "barrier_double-out", lower=self.L,
+                upper=self.U, **kw)
+            (ups if s_b > S else dns).append(float(p_b))
+        fd = (ups[0] - dns[0]) / (2 * h)
+        assert abs(g["delta"] - fd) < 0.02
+
+    def test_validation(self):
+        pr = self._pricer()
+        with pytest.raises(ValidationError):
+            pr.price(100.0, 1.0, "barrier_double-out", lower=self.U,
+                     upper=self.L)
+        with pytest.raises(ValidationError):
+            pr.price(100.0, 1.0, "one_touch_up", barrier=0.0)

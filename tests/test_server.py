@@ -392,14 +392,38 @@ class TestHestonExoticEndpoint:
             "greeks": True})
         assert status == 200 and g["greek_method"] == "lr-joint-density"
         assert {"delta", "gamma", "theta"} <= g.keys()
-        # rbergomi + slv routes; slv greeks on double kinds are a 400
+        # rbergomi + slv + lv routes, incl. the slv/lv double LR ladders
         status, rb = _post(server, "/exotic", {
             **base, "kind": "double-barrier", "model": "rbergomi",
             "n_paths": 20000, "n_steps": 8})
         assert status == 200 and rb["dynamics"] == "rough-bergomi"
         status, body = _post(server, "/exotic", {
-            **base, "kind": "double-touch", "model": "slv", "greeks": True})
-        assert status == 400 and "error" in body
+            **base, "kind": "double-touch", "model": "slv", "greeks": True,
+            "n_steps": 8})
+        assert status == 200 and body["kind"] == "no_touch_double"
+        assert "sticky-strike" in body["delta_convention"]
+        status, body = _post(server, "/exotic", {
+            **base, "kind": "double-barrier", "model": "lv", "greeks": True,
+            "n_steps": 8})
+        assert status == 200 and body["greek_method"] == "lr-sticky-strike"
+        assert {"delta", "gamma", "vega"} <= body.keys()
+
+    def test_lv_exotic_over_wire(self, server):
+        import numpy as np
+
+        base = {"model": "lv", "n_paths": 1, "n_steps": 8}
+        status, body = _post(server, "/exotic", {**base, "kind": "asian"})
+        assert status == 200 and body["dynamics"] == "dupire-local-vol"
+        assert 0 < body["price"] < 10.45 and body["fit_residual"] < 0.05
+        _, one = _post(server, "/exotic", {
+            **base, "kind": "one-touch", "barrier": 130.0})
+        _, no = _post(server, "/exotic", {
+            **base, "kind": "no-touch", "barrier": 130.0})
+        assert one["kind"] == "one_touch_up"
+        assert abs(one["price"] + no["price"] - np.exp(-0.05)) < 1e-5
+        status, body = _post(server, "/exotic", {
+            **base, "kind": "american"})
+        assert status == 400
 
     def test_bates_exotic_over_wire(self, server):
         base = {"kind": "barrier", "barrier": 80.0, "option_type": "put",

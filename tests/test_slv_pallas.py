@@ -292,3 +292,84 @@ class TestValidation:
     def test_kinds_tuple_matches_scan_kinds(self):
         from optionslab_tpu.models.slv import SLV_KINDS
         assert set(KINDS) == set(SLV_KINDS)
+
+
+class TestDoubleKinds:
+    """Two-sided bands on the replay kernel: exact complement on shared
+    paths, scan-engine parity on the identical leverage law, LR ladder
+    validation. New for this kernel family (CLI/HTTP previously rejected
+    slv greeks on double kinds)."""
+
+    L, U = 80.0, 130.0
+
+    def test_touch_complement_exact(self, pricer):
+        import math
+        kw = dict(n_paths=1, seed=3, sampler="hash")
+        one, _, _ = pricer.price("one_touch_double", 100.0, lower=self.L,
+                                 upper=self.U, **kw)
+        no, _, _ = pricer.price("no_touch_double", 100.0, lower=self.L,
+                                upper=self.U, **kw)
+        np.testing.assert_allclose(float(one + no), math.exp(-R * T),
+                                   atol=1e-6)
+
+    def test_double_out_matches_scan_replay(self, pricer, smile_dupire):
+        """Replay the KERNEL's own leverage law in the scan engine
+        (slv_replay_price consumes the same fitted rows semantics via
+        bilinear interp of the calibration rows) — statistical parity."""
+        import math
+
+        import jax
+
+        from optionslab_tpu.models.slv import SLVModel
+        p_k, se_k, _ = pricer.price("barrier_double-out", 100.0,
+                                    lower=self.L, upper=self.U,
+                                    n_paths=1, seed=3, sampler="hash")
+        slv = SLVModel(smile_dupire, PAR, mixing=1.0)
+        p_s, se_s = slv.price("barrier_double-out", 100.0, T,
+                              jax.random.PRNGKey(2),
+                              barrier=(self.L, self.U), n_paths=131_072,
+                              n_steps=N_STEPS, return_stderr=True)
+        assert abs(float(p_k - p_s)) < 4 * math.hypot(float(se_k),
+                                                      float(se_s)) + 2e-2
+        # in-out parity on shared kernel paths
+        p_i, _, _ = pricer.price("barrier_double-in", 100.0, lower=self.L,
+                                 upper=self.U, n_paths=1, seed=3,
+                                 sampler="hash")
+        van, _, _ = pricer.price("european", 100.0, n_paths=1, seed=3,
+                                 sampler="hash")
+        np.testing.assert_allclose(float(p_k + p_i), float(van), rtol=1e-5)
+
+    def test_greeks_run_and_validate(self, pricer):
+        out = pricer.greeks("no_touch_double", 100.0, lower=self.L,
+                            upper=self.U, n_paths=1, seed=3, sampler="hash")
+        assert {"delta", "gamma", "vega_v0", "rho"} <= out.keys()
+        assert 0 < out["price"] < 1.0
+        with pytest.raises(ValidationError):
+            pricer.price("barrier_double-out", 100.0, lower=self.U,
+                         upper=self.L)
+        with pytest.raises(ValidationError):
+            pricer.price("one_touch_double", 100.0)
+
+    def test_sharded_double_matches_unsharded(self, pricer):
+        import jax
+        from jax.sharding import Mesh
+
+        from optionslab_tpu.parallel import (sharded_slv_greeks,
+                                             sharded_slv_price)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+        kw = dict(n_paths=1, seed=3, sampler="hash", lower=self.L,
+                  upper=self.U)
+        p_s, _, n_s = sharded_slv_price(pricer, "barrier_double-out",
+                                        100.0, mesh, **kw)
+        p_u, _, _ = pricer.price("barrier_double-out", 100.0,
+                                 n_paths=int(n_s), seed=3, sampler="hash",
+                                 lower=self.L, upper=self.U)
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-5)
+        g_s = sharded_slv_greeks(pricer, "no_touch_double", 100.0, mesh,
+                                 **kw)
+        g_u = pricer.greeks("no_touch_double", 100.0,
+                            n_paths=int(g_s["paths"]), seed=3,
+                            sampler="hash", lower=self.L, upper=self.U)
+        for k in ("price", "delta", "gamma", "vega_v0", "rho"):
+            np.testing.assert_allclose(g_s[k], g_u[k], rtol=5e-5,
+                                       atol=1e-7, err_msg=k)

@@ -177,6 +177,35 @@ class TestCLI:
                 "delta_convention"} <= out.keys()
         assert "sticky-strike" in out["delta_convention"]
 
+    def test_exotic_lv_routes(self, capsys):
+        """--model lv: the Dupire local-vol kernel over the facade,
+        price and the sticky-strike LR ladder."""
+        cli_main(["exotic", "--kind", "double-touch", "--model", "lv",
+                  "--touch", "no", "--lower", "80", "--upper", "130",
+                  "--n-paths", "1", "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "no_touch_double"
+        assert out["dynamics"] == "dupire-local-vol"
+        assert 0.0 < out["price"] < 1.0
+        cli_main(["exotic", "--kind", "barrier", "--model", "lv",
+                  "--barrier", "130", "--greeks", "--n-paths", "1",
+                  "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "lr-sticky-strike"
+        assert {"delta", "gamma", "vega", "fit_residual"} <= out.keys()
+        with pytest.raises(SystemExit):
+            cli_main(["exotic", "--kind", "cliquet", "--model", "lv"])
+
+    def test_exotic_slv_double_greeks(self, capsys):
+        """slv double kinds now reach the replay-kernel LR ladder."""
+        cli_main(["exotic", "--kind", "double-barrier", "--model", "slv",
+                  "--knock", "out", "--lower", "80", "--upper", "130",
+                  "--greeks", "--n-paths", "1", "--n-steps", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "barrier_double-out"
+        assert out["greek_method"] == "lr-joint-density"
+        assert {"delta", "gamma", "vega_v0", "rho"} <= out.keys()
+
     def test_exotic_double_kinds(self, capsys):
         """double-barrier/double-touch route across every dynamics."""
         cli_main(["exotic", "--kind", "double-barrier", "--model",
@@ -192,9 +221,6 @@ class TestCLI:
         assert out["kind"] == "no_touch_double"
         assert out["greek_method"] == "lr-joint-density"
         assert {"delta", "gamma", "theta", "rho"} <= out.keys()
-        with pytest.raises(SystemExit):
-            cli_main(["exotic", "--kind", "double-barrier", "--model",
-                      "slv", "--greeks"])
 
     @pytest.mark.slow
     def test_american_slv_bracket(self, capsys):
