@@ -233,43 +233,126 @@ def cmd_exotic(args) -> dict:
                 args.maturity, args.rate, args.vol, cp, args.dividend,
                 knock=args.knock)
         else:
-            kname = f"{args.touch}_touch_double"
+            if args.pay == "hit" and args.touch != "one":
+                raise SystemExit("a no-touch pays at expiry by definition")
+            kname = (f"one_touch_double_hit" if args.pay == "hit"
+                     else f"{args.touch}_touch_double")
             import math as _math
 
             dnt = double_no_touch_closed_form(
                 args.spot, args.lower, args.upper, args.maturity, args.rate,
                 args.vol, args.dividend)
-            cf = (dnt if args.touch == "no"
+            cf = (float(dnt) if args.touch == "no"
                   else _math.exp(-args.rate * args.maturity) - float(dnt))
+            if args.pay == "hit":
+                cf = None  # no closed form for the first-EXIT-time leg
+        kw = dict(n_paths=args.n_paths,
+                  n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+                  sampler=sampler)
         p, se, n = pallas_exotic_price(
             kname, args.spot, args.strike, args.maturity, args.rate,
             args.vol, cp, args.dividend, lower=args.lower, upper=args.upper,
-            n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
-            seed=args.seed, sampler=sampler)
+            **kw)
+        extra = {}
+        if args.kind == "double-barrier" and args.rebate:
+            # KO: rebate at first band exit; KI: rebate at expiry if never
+            # knocked in — legs share the kernel's global path set (same
+            # seed), so the composition is consistent
+            if args.knock == "out":
+                leg, se_l, _ = pallas_exotic_price(
+                    "one_touch_double_hit", args.spot, args.strike,
+                    args.maturity, args.rate, args.vol, cp, args.dividend,
+                    lower=args.lower, upper=args.upper, **kw)
+            else:
+                leg, se_l, _ = pallas_exotic_price(
+                    "no_touch_double", args.spot, args.strike,
+                    args.maturity, args.rate, args.vol, cp, args.dividend,
+                    lower=args.lower, upper=args.upper, **kw)
+            p = float(p) + args.rebate * float(leg)
+            se = float(np.hypot(float(se), args.rebate * float(se_l)))
+            extra = {"rebate": args.rebate,
+                     "rebate_pays": ("at first hit" if args.knock == "out"
+                                     else "at expiry if never knocked in")}
         return {"kind": kname, "price": float(p), "std_error": float(se),
-                "paths": int(n), "band": [args.lower, args.upper],
-                "closed_form_continuous": float(cf),
+                "paths": int(n), "band": [args.lower, args.upper], **extra,
+                "closed_form_continuous": (None if cf is None
+                                           else float(cf)),
                 "note": "MC monitors discretely at n_steps; the closed "
                         "form is continuous monitoring (BGK-shift the "
                         "band to reconcile)"}
     if args.kind in ("one-touch", "no-touch"):
         # digital barrier at kernel speed; direction inferred from the
-        # barrier's side of the spot
+        # barrier's side of the spot. --pay hit: cash AT the first hit
+        # (American binary), discounted in-kernel; exact continuous-
+        # monitoring closed form reported alongside.
         import jax
 
+        from .models.exotics import one_touch_closed_form
         from .ops.exotic_pallas import pallas_exotic_price
+        from .utils.exceptions import ValidationError
 
+        if args.pay == "hit" and args.kind == "no-touch":
+            raise SystemExit("a no-touch pays at expiry by definition")
         side = "up" if args.barrier >= args.spot else "down"
         kname = f"{args.kind.replace('-', '_')}_{side}"
+        if args.pay == "hit":
+            kname += "_hit"
         sampler = "prng" if jax.default_backend() == "tpu" else "hash"
         p, se, n = pallas_exotic_price(
             kname, args.spot, args.strike, args.maturity, args.rate,
             args.vol, barrier=args.barrier, n_paths=args.n_paths,
             n_steps=getattr(args, "n_steps", 64), seed=args.seed,
             sampler=sampler)
-        return {"kind": kname, "price": float(p), "std_error": float(se),
-                "paths": int(n), "pays": "unit cash at expiry"}
+        if args.kind == "one-touch":
+            cf = float(one_touch_closed_form(
+                args.spot, args.barrier, args.maturity, args.rate,
+                args.vol, args.dividend, pay=args.pay))
+        else:
+            import math as _math
 
+            cf = _math.exp(-args.rate * args.maturity) - float(
+                one_touch_closed_form(args.spot, args.barrier,
+                                      args.maturity, args.rate, args.vol,
+                                      args.dividend, pay="expiry"))
+        return {"kind": kname, "price": float(p), "std_error": float(se),
+                "paths": int(n),
+                "pays": ("unit cash at the first hit" if args.pay == "hit"
+                         else "unit cash at expiry"),
+                "closed_form_continuous": cf,
+                "note": "MC monitors discretely at n_steps; the closed "
+                        "form is continuous monitoring (BGK-shift the "
+                        "barrier to reconcile)"}
+
+    if args.kind == "barrier" and args.rebate:
+        # market-standard rebate legs on the kernel's shared path set:
+        # knock-out pays at the first hit, knock-in at expiry if never in
+        import jax
+
+        import numpy as _np
+
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        kw = dict(barrier=args.barrier, n_paths=args.n_paths,
+                  n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+                  sampler=sampler)
+        p, se, n = pallas_exotic_price(
+            f"barrier_{args.barrier_type}", args.spot, args.strike,
+            args.maturity, args.rate, args.vol, cp, args.dividend, **kw)
+        side = "up" if args.barrier >= args.spot else "down"
+        out = args.barrier_type.endswith("out")
+        leg_kind = (f"one_touch_{side}_hit" if out else f"no_touch_{side}")
+        leg, se_l, _ = pallas_exotic_price(
+            leg_kind, args.spot, args.strike, args.maturity, args.rate,
+            args.vol, cp, args.dividend, **kw)
+        return {"kind": f"barrier_{args.barrier_type}",
+                "price": float(p) + args.rebate * float(leg),
+                "std_error": float(_np.hypot(float(se),
+                                             args.rebate * float(se_l))),
+                "paths": int(n), "rebate": args.rebate,
+                "rebate_pays": ("at first hit" if out
+                                else "at expiry if never knocked in")}
     common = (args.spot, args.strike, args.maturity, args.rate, args.vol)
     if args.kind == "asian":
         opt = AsianOption(*common, option_type=args.option_type, n_paths=args.n_paths)
@@ -1039,6 +1122,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="double-touch digital flavor")
     pe.add_argument("--barrier", type=float, default=120.0)
     pe.add_argument("--barrier-type", default="up-and-out")
+    pe.add_argument("--pay", default="expiry", choices=["expiry", "hit"],
+                    help="one-touch/double-touch payment convention: cash "
+                         "at expiry (default) or AT the first hit (the "
+                         "market-standard American binary)")
+    pe.add_argument("--rebate", type=float, default=0.0,
+                    help="barrier/double-barrier rebate: knock-out pays "
+                         "this AT the first hit; knock-in pays it at "
+                         "expiry if never knocked in")
     pe.add_argument("--n-paths", type=int, default=100_000)
     pe.add_argument("--seed", type=int, default=0)
     pe.add_argument("--n-steps", type=int, default=64)

@@ -39,6 +39,9 @@ from .exotics import (
     double_barrier_price,
     double_no_touch_closed_form,
     double_touch_price,
+    one_touch_closed_form,
+    one_touch_price,
+    barrier_rebate_price,
     exotic_greeks,
     geometric_asian_closed_form,
     lookback_price,
@@ -240,6 +243,7 @@ __all__ = [
     "range_accrual_price", "range_accrual_closed_form",
     "double_barrier_price", "double_barrier_closed_form",
     "double_touch_price", "double_no_touch_closed_form",
+    "one_touch_closed_form", "one_touch_price", "barrier_rebate_price",
     "BatesParams", "BatesPricer", "bates_price", "bates_price_cos",
     "bates_mc_price", "calibrate_bates",
     "forward_start_price", "forward_start_mc_price", "forward_smile_iv",

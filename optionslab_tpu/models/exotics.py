@@ -908,30 +908,45 @@ def double_barrier_price(spot, strike, lower, upper, maturity, rate, vol, key,
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "touch",
-                                             "return_stderr"))
+                                             "pay", "return_stderr"))
 def double_touch_price(spot, lower, upper, maturity, rate, vol, key,
                        dividend=0.0, cash: float = 1.0,
                        n_paths: int = 100_000, n_steps: int = 64,
-                       touch: str = "no", return_stderr: bool = False):
-    """Double one-touch / no-touch digital (cash at expiry), discrete
-    monitoring. Complement identity on shared paths: one + no == df*cash
-    EXACTLY. Continuous-monitoring oracle:
-    :func:`double_no_touch_closed_form` (BGK-shift both barriers for the
-    discrete comparison)."""
+                       touch: str = "no", pay: str = "expiry",
+                       return_stderr: bool = False):
+    """Double one-touch / no-touch digital, discrete monitoring.
+    ``pay="expiry"`` (default): cash at expiry on the hit / no-hit event;
+    complement identity on shared paths: one + no == df*cash EXACTLY.
+    ``pay="hit"`` (one-touch only): cash AT the first band exit.
+    Continuous-monitoring oracle: :func:`double_no_touch_closed_form`
+    (BGK-shift both barriers for the discrete comparison)."""
     if touch not in ("one", "no"):
         raise ValidationError("touch must be 'one' or 'no'")
+    if pay not in ("expiry", "hit"):
+        raise ValidationError("pay must be 'expiry' or 'hit'")
+    if pay == "hit" and touch == "no":
+        raise ValidationError("a no-touch pays at expiry by definition")
+    rdt = rate * maturity / n_steps
 
     def init(s0):
-        return (s0 <= lower) | (s0 >= upper)
+        h = ((s0 <= lower) | (s0 >= upper)).astype(jnp.float32)
+        return (h, h)  # (hit flag, df-at-first-hit; df(0)=1)
 
-    def update(crossed, s, i):
-        return crossed | (s <= lower) | (s >= upper)
+    def update(stats, s, i):
+        h, dfh = stats
+        now = ((s <= lower) | (s >= upper)).astype(jnp.float32)
+        newly = (1.0 - h) * now
+        dfh = dfh + newly * jnp.exp(-rdt * (i + 1.0))
+        return (jnp.maximum(h, now), dfh)
 
-    _, crossed = _gbm_scan(key, spot, maturity, rate, dividend, vol,
-                           n_paths, n_steps, init, update)
-    hit = crossed.astype(jnp.float32)
-    pay = cash * (hit if touch == "one" else (1.0 - hit))
-    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    _, (hit, dfh) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                              n_paths, n_steps, init, update)
+    if pay == "hit":
+        pay_arr = cash * dfh
+        price, stderr = _discounted_mean_stderr(pay_arr, 0.0, maturity)
+    else:
+        pay_arr = cash * (hit if touch == "one" else (1.0 - hit))
+        price, stderr = _discounted_mean_stderr(pay_arr, rate, maturity)
     return (price, stderr) if return_stderr else price
 
 
@@ -956,4 +971,149 @@ def range_accrual_price(spot, lower, upper, maturity, rate, vol, key,
                        n_steps, init, update, antithetic)
     pay = notional * acc / n_steps
     price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+# ---------------------------------------------------------------------------
+# Digital touches: at-expiry and AT-HIT (American binary) conventions,
+# plus proper at-hit knock-out rebates. Beyond reference: the reference's
+# barrier pricer has no rebate or touch contracts at all
+# (``src/pricing_models/exotic_options.py:174-224``).
+# ---------------------------------------------------------------------------
+def one_touch_closed_form(spot, barrier, maturity, rate, vol, dividend=0.0,
+                          cash: float = 1.0, pay: str = "expiry"):
+    """EXACT continuously-monitored one-touch digital under GBM.
+
+    ``pay="expiry"``: cash at expiry if the barrier was touched
+    (``df * P(hit)`` via the reflection formula). ``pay="hit"``: cash AT
+    the first hit time (the American binary / Rubinstein–Reiner
+    rebate-at-hit formula — the market-standard one-touch convention):
+
+        V = cash * [ (B/S)^(mu+lam) * N(eta z)
+                     + (B/S)^(mu-lam) * N(eta z - 2 eta lam sig sqrt(T)) ]
+        mu = (r - q - sig^2/2)/sig^2,  lam = sqrt(mu^2 + 2 r/sig^2),
+        z = ln(B/S)/(sig sqrt(T)) + lam sig sqrt(T),
+        eta = +1 for a down barrier (S > B), -1 for up.
+
+    At r = 0 both conventions coincide (cash paid whenever, undiscounted).
+    A spot already at/through the barrier pays immediately (cash; df*cash
+    for the expiry convention).
+    """
+    if pay not in ("expiry", "hit"):
+        raise ValidationError("pay must be 'expiry' or 'hit'")
+    s = jnp.asarray(spot, jnp.result_type(float))
+    b = jnp.asarray(barrier, s.dtype)
+    t = jnp.asarray(maturity, s.dtype)
+    sig = jnp.asarray(vol, s.dtype)
+    sqt = sig * jnp.sqrt(t)
+    up = b >= s
+    m = jnp.log(b / s)
+    hit0 = jnp.where(up, m <= 0.0, m >= 0.0)
+    if pay == "expiry":
+        nu = rate - dividend - 0.5 * sig * sig
+        # P(hit): reflection formula for the running extremum of BM+drift
+        arg1 = jnp.where(up, (-m + nu * t), (m - nu * t)) / sqt
+        arg2 = (-jnp.abs(m) - jnp.sign(m) * 0.0 - nu * t * jnp.where(up, 1.0, -1.0)) / sqt
+        p_hit = norm_cdf(arg1) + jnp.exp(2.0 * nu * m / (sig * sig)) \
+            * norm_cdf(jnp.where(up, (-m - nu * t), (m + nu * t)) / sqt)
+        del arg2
+        df = jnp.exp(-rate * t)
+        return df * cash * jnp.where(hit0, 1.0, jnp.clip(p_hit, 0.0, 1.0))
+    mu = (rate - dividend - 0.5 * sig * sig) / (sig * sig)
+    lam = jnp.sqrt(mu * mu + 2.0 * rate / (sig * sig))
+    eta = jnp.where(up, -1.0, 1.0)
+    z = m / sqt + lam * sqt
+    ratio = b / s
+    val = (ratio ** (mu + lam) * norm_cdf(eta * z)
+           + ratio ** (mu - lam) * norm_cdf(eta * z - 2.0 * eta * lam * sqt))
+    return cash * jnp.where(hit0, 1.0, jnp.clip(val, 0.0, 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "touch",
+                                             "pay", "return_stderr"))
+def one_touch_price(spot, barrier, maturity, rate, vol, key, dividend=0.0,
+                    cash: float = 1.0, n_paths: int = 100_000,
+                    n_steps: int = 64, touch: str = "one",
+                    pay: str = "expiry", return_stderr: bool = False):
+    """Single one-touch/no-touch digital by the scan engine, discrete
+    monitoring; ``pay="hit"`` (one-touch only) carries the discount factor
+    AT the first hit step. Oracle: :func:`one_touch_closed_form` with both
+    barriers BGK-shifted for the discrete comparison."""
+    if touch not in ("one", "no"):
+        raise ValidationError("touch must be 'one' or 'no'")
+    if pay not in ("expiry", "hit"):
+        raise ValidationError("pay must be 'expiry' or 'hit'")
+    if pay == "hit" and touch == "no":
+        raise ValidationError("a no-touch pays at expiry by definition")
+    up = jnp.asarray(barrier) >= jnp.asarray(spot)  # traced-safe side pick
+    rdt = rate * maturity / n_steps
+
+    def _hit(s):
+        return jnp.where(up, s >= barrier, s <= barrier)
+
+    def init(s0):
+        h = _hit(s0).astype(jnp.float32)
+        return (h, h)  # (hit flag, df-at-first-hit; df(0)=1)
+
+    def update(stats, s, i):
+        h, dfh = stats
+        now = _hit(s).astype(jnp.float32)
+        newly = (1.0 - h) * now
+        dfh = dfh + newly * jnp.exp(-rdt * (i + 1.0))
+        return (jnp.maximum(h, now), dfh)
+
+    _, (hit, dfh) = _gbm_scan(key, spot, maturity, rate, dividend, vol,
+                              n_paths, n_steps, init, update)
+    if pay == "hit":
+        pay_arr = cash * dfh  # already discounted: no terminal df
+        price, stderr = _discounted_mean_stderr(pay_arr, 0.0, maturity)
+    else:
+        pay_arr = cash * (hit if touch == "one" else (1.0 - hit))
+        price, stderr = _discounted_mean_stderr(pay_arr, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps",
+                                             "barrier_type",
+                                             "return_stderr"))
+def barrier_rebate_price(spot, strike, barrier, maturity, rate, vol, key,
+                         cp=1.0, dividend=0.0, rebate: float = 1.0,
+                         n_paths: int = 100_000, n_steps: int = 64,
+                         barrier_type: str = "up-and-out",
+                         return_stderr: bool = False):
+    """Barrier option with the MARKET-STANDARD rebate conventions on
+    shared paths: knock-out pays ``rebate`` AT the first hit; knock-in
+    pays ``rebate`` at EXPIRY if never knocked in. (``barrier_price``'s
+    ``rebate`` kwarg discounts both legs at expiry — kept for
+    reference parity.) Discrete monitoring."""
+    parts = barrier_type.split("-")
+    if len(parts) != 3 or parts[0] not in ("up", "down") \
+            or parts[2] not in ("in", "out"):
+        raise ValidationError(f"unknown barrier type {barrier_type!r}")
+    up = parts[0] == "up"
+    knock_in = parts[2] == "in"
+    rdt = rate * maturity / n_steps
+
+    def init(s0):
+        hit0 = (s0 >= barrier) if up else (s0 <= barrier)
+        h = hit0.astype(jnp.float32)
+        return (h, h)
+
+    def update(stats, s, i):
+        h, dfh = stats
+        now = ((s >= barrier) if up else (s <= barrier)).astype(jnp.float32)
+        newly = (1.0 - h) * now
+        dfh = dfh + newly * jnp.exp(-rdt * (i + 1.0))
+        return (jnp.maximum(h, now), dfh)
+
+    terminal, (hit, dfh) = _gbm_scan(key, spot, maturity, rate, dividend,
+                                     vol, n_paths, n_steps, init, update)
+    df_t = jnp.exp(-rate * maturity)
+    vanilla = jnp.maximum(cp * (terminal - strike), 0.0)
+    if knock_in:
+        pay = df_t * (vanilla * hit + rebate * (1.0 - hit))
+    else:
+        pay = df_t * vanilla * (1.0 - hit) + rebate * dfh
+    price = pay.mean()
+    stderr = jnp.std(pay) / jnp.sqrt(pay.shape[0])
     return (price, stderr) if return_stderr else price

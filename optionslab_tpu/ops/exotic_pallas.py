@@ -125,6 +125,12 @@ PAYOFF_KINDS = (
     # monitoring closed-form oracle: models/exotics.double_barrier_closed_form
     "barrier_double-out", "barrier_double-in",
     "one_touch_double", "no_touch_double",
+    # PAY-AT-HIT one-touches (American binaries, the market-standard
+    # convention): unit cash discounted at the FIRST hit step, carried
+    # in-kernel (host df = 1, like autocall). Closed-form oracle:
+    # models/exotics.one_touch_closed_form(pay="hit") (Rubinstein-Reiner
+    # rebate-at-hit). KO rebates compose: KO + R * one_touch_*_hit.
+    "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
 GREEK_KINDS = ("asian_arith", "asian_geo", "lookback_float", "lookback_fixed")
 
@@ -157,8 +163,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     #   D2 = Σ pay·Σᵢ(zᵢ²−1)     (→ vega, theta)
     #   DR = Σ ∂pv/∂r|explicit   (autocall only: the in-kernel coupon
     #        discount derivative −Σ tᵢ·dfᵢ·cashᵢ → rho and theta)
+    hit_pay = kind.endswith("_hit")  # cash discounted at first hit
     if lr:
-        if kind == "autocall":
+        if kind == "autocall" or hit_pay:
             (pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref,
              dr_ref) = refs
         else:
@@ -224,6 +231,16 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         if kind == "range_accrual":
             # steps 1..n accrue (S0 excluded, the averages convention)
             return (jnp.zeros(shape, jnp.float32),)
+        if hit_pay:
+            if "double" in kind:
+                h0 = (s_like <= param_ref[_P_A]) | (s_like >= param_ref[_P_B])
+            else:
+                h0 = (s_like >= barrier) if barrier_up \
+                    else (s_like <= barrier)
+            h0 = h0.astype(jnp.float32)
+            # (hit flag, pv = df-at-first-hit; df(0) = 1 [, dr])
+            return (h0, h0) + ((jnp.zeros(shape, jnp.float32),)
+                               if lr else ())
         if "double" in kind:
             hit0 = (s_like <= param_ref[_P_A]) | (s_like >= param_ref[_P_B])
             return (hit0.astype(jnp.float32),)
@@ -276,6 +293,24 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             acc = jnp.where((s_or_log >= param_ref[_P_A])
                             & (s_or_log <= param_ref[_P_B]), 1.0, 0.0)
             return (stat[0] + acc,)
+        if hit_pay:
+            h, pv = stat[:2]
+            if "double" in kind:
+                now = ((s_or_log <= param_ref[_P_A])
+                       | (s_or_log >= param_ref[_P_B]))
+            else:
+                now = (s_or_log >= barrier) if barrier_up \
+                    else (s_or_log <= barrier)
+            now = now.astype(jnp.float32)
+            newly = (1.0 - h) * now
+            steps = (i + 1).astype(jnp.float32)
+            df_i = jnp.exp(-rdt * steps)
+            pv = pv + newly * df_i
+            if lr:  # ∂pv/∂r = −t_hit·df_hit on the newly-hit event
+                dt = param_ref[_P_SQDT] * param_ref[_P_SQDT]
+                return (jnp.maximum(h, now), pv,
+                        stat[2] - steps * dt * newly * df_i)
+            return (jnp.maximum(h, now), pv)
         if "double" in kind:
             hit = ((s_or_log <= param_ref[_P_A])
                    | (s_or_log >= param_ref[_P_B]))
@@ -312,6 +347,8 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             loss = jnp.maximum(1.0 - s_t / s0, 0.0)
             final = param_ref[_P_E] * (1.0 - ki * loss)
             return pv + alive * df_t * final  # already discounted in-kernel
+        if hit_pay:
+            return stat[1]  # df-at-hit carried in-kernel (host df = 1)
         if "touch" in kind:
             # unit cash at expiry on the hit / no-hit event (host-side df)
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
@@ -467,7 +504,9 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             acc_lr[1] += p * (zf * zf - 1.0)
             acc_lr[2] += p * sz
             acc_lr[3] += p * szz
-            if kind == "autocall":
+            if hit_pay:
+                acc_dr += st[2]
+            elif kind == "autocall":
                 # explicit ∂pv/∂r: coupon part carried in the stat, plus
                 # the −T·df_T·(final redemption) term for surviving paths
                 alive, ki = st[0], st[1]
@@ -482,7 +521,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         if lr:
             for ref, a in zip((d1_ref, dg_ref, dz_ref, d2_ref), acc_lr):
                 ref[:, :] += a[:, off:off + 128]
-            if kind == "autocall":
+            if kind == "autocall" or hit_pay:
                 dr_ref[:, :] += acc_dr[:, off:off + 128]
 
 
@@ -493,7 +532,8 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
     if sampler.startswith("sobol") and n_steps < 2:
         raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
                               "midpoint coordinates)")
-    n_out = (7 if kind == "autocall" else 6) if lr else 2
+    n_out = (7 if (kind == "autocall" or kind.endswith("_hit"))
+             else 6) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     return pl.pallas_call(
@@ -593,8 +633,9 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind=kind, n_steps=n_steps, n_blocks=n_blocks,
                         cp=float(cp), sampler=sampler)
-    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                                math.exp(-float(rate) * t))
+    # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
+    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
     if kind == "asian_arith_cv":
         from ..models.exotics import geometric_asian_closed_form
 
@@ -747,13 +788,15 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
         p[_P_A], p[_P_B] = float(lower), float(upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    hit_pay = kind.endswith("_hit")  # in-kernel discounting + DR moment
     scalars = jnp.asarray([float(spot), float(vol), t,
-                           math.exp(-float(rate) * t), mu, float(rate)],
-                          jnp.float32)
+                           1.0 if hit_pay else math.exp(-float(rate) * t),
+                           mu, float(rate)], jnp.float32)
     out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
                             jnp.asarray(p, jnp.float32), scalars, kind=kind,
                             n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
-                            period=1, sampler=sampler, discounted=False))
+                            period=1, sampler=sampler,
+                            discounted=hit_pay))
     out["paths"] = n_blocks * PATHS_PER_BLOCK
     return out
 
@@ -887,7 +930,8 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
                          averaging: str = "arithmetic", floating: bool = True,
                          n_paths: int = 1_000_000, n_steps: int = 64,
                          seed: int = 0, sampler: str | None = None,
-                         lower: float = 0.0, upper: float = 0.0) -> dict:
+                         lower: float = 0.0, upper: float = 0.0,
+                         pay: str = "expiry") -> dict:
     """User-facing dispatch to the fused-kernel Greek ladders (used by the
     CLI and the HTTP server): pathwise for asian/lookback, likelihood-ratio
     for barrier/cliquet/autocallable. ``sampler=None`` auto-selects the
@@ -923,9 +967,27 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
         method = "likelihood-ratio"
     elif kind in ("double-touch", "double_touch"):
         touch = "one" if barrier_type.startswith("one") else "no"
-        out = pallas_exotic_lr_greeks(f"{touch}_touch_double", spot, strike,
-                                      maturity, rate, vol, cp, dividend,
-                                      lower=lower, upper=upper, **kw)
+        if pay == "hit":
+            if touch != "one":
+                raise ValidationError(
+                    "a no-touch pays at expiry by definition")
+            k = "one_touch_double_hit"
+        else:
+            k = f"{touch}_touch_double"
+        out = pallas_exotic_lr_greeks(k, spot, strike, maturity, rate, vol,
+                                      cp, dividend, lower=lower,
+                                      upper=upper, **kw)
+        method = "likelihood-ratio"
+    elif kind in ("one-touch", "no-touch", "one_touch", "no_touch"):
+        one = kind.replace("_", "-").startswith("one")
+        if pay == "hit" and not one:
+            raise ValidationError("a no-touch pays at expiry by definition")
+        side = "up" if barrier >= spot else "down"
+        k = f"{'one' if one else 'no'}_touch_{side}"
+        if pay == "hit":
+            k += "_hit"
+        out = pallas_exotic_lr_greeks(k, spot, strike, maturity, rate, vol,
+                                      cp, dividend, barrier=barrier, **kw)
         method = "likelihood-ratio"
     elif kind == "cliquet":
         if kw["n_steps"] % 12:  # 12 monthly resets need n_steps % 12 == 0
@@ -942,8 +1004,8 @@ def exotic_kernel_ladder(kind: str, spot, strike=0.0, maturity=1.0,
     else:
         raise ValidationError(
             f"kernel Greek ladder not available for kind {kind!r}; choose "
-            "asian|lookback|barrier|double-barrier|double-touch|cliquet|"
-            "autocallable")
+            "asian|lookback|barrier|one-touch|no-touch|double-barrier|"
+            "double-touch|cliquet|autocallable")
     res = {k2: float(v) for k2, v in out.items() if k2 != "paths"}
     res.update(kind=kind, greek_method=method, paths=int(out["paths"]),
                n_steps=kw["n_steps"])

@@ -166,6 +166,7 @@ def handle_exotic(body: dict) -> dict:
             upper=float(body.get("upper", 0.0)),
             averaging=body.get("averaging", "arithmetic"),
             floating=bool(body.get("floating", True)),
+            pay=str(body.get("pay", "expiry")),
             n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
             seed=int(body.get("seed", 0)))
     common = (p["spot"], p["strike"], p["maturity"], p["rate"], p["vol"])
@@ -180,6 +181,8 @@ def handle_exotic(body: dict) -> dict:
         upper = float(body.get("upper", 110.0))
         cp = 1.0 if p["option_type"].startswith("c") else -1.0
         sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        pay = str(body.get("pay", "expiry"))
+        rebate = float(body.get("rebate", 0.0))
         if kind == "double-barrier":
             knock = body.get("knock", "out")
             kname = f"barrier_double-{knock}"
@@ -190,36 +193,90 @@ def handle_exotic(body: dict) -> dict:
             import math
 
             touch = body.get("touch", "no")
-            kname = f"{touch}_touch_double"
+            if pay == "hit" and touch != "one":
+                raise ValueError("a no-touch pays at expiry by definition")
+            kname = ("one_touch_double_hit" if pay == "hit"
+                     else f"{touch}_touch_double")
             dnt = double_no_touch_closed_form(
                 p["spot"], lower, upper, p["maturity"], p["rate"], p["vol"],
                 p["dividend"])
             cf = (dnt if touch == "no"
                   else math.exp(-p["rate"] * p["maturity"]) - float(dnt))
+            if pay == "hit":
+                cf = None
+        kw = dict(n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
+                  seed=int(body.get("seed", 0)), sampler=sampler)
         pr, se, n = pallas_exotic_price(
             kname, *common, cp, p["dividend"], lower=lower, upper=upper,
-            n_paths=n_paths, n_steps=int(body.get("n_steps", 64)),
-            seed=int(body.get("seed", 0)), sampler=sampler)
+            **kw)
+        extra = {}
+        if kind == "double-barrier" and rebate:
+            leg_kind = ("one_touch_double_hit" if kname.endswith("out")
+                        else "no_touch_double")
+            leg, se_l, _ = pallas_exotic_price(
+                leg_kind, *common, cp, p["dividend"], lower=lower,
+                upper=upper, **kw)
+            pr = float(pr) + rebate * float(leg)
+            se = float(np.hypot(float(se), rebate * float(se_l)))
+            extra = {"rebate": rebate,
+                     "rebate_pays": ("at first hit" if kname.endswith("out")
+                                     else "at expiry if never knocked in")}
         return {"kind": kname, "price": _to_jsonable(pr),
                 "std_error": _to_jsonable(se), "paths": int(n),
-                "band": [lower, upper],
-                "closed_form_continuous": _to_jsonable(cf)}
+                "band": [lower, upper], **extra,
+                "closed_form_continuous": (None if cf is None
+                                           else _to_jsonable(cf))}
     if kind in ("one-touch", "no-touch"):
         import jax
 
         from .ops.exotic_pallas import pallas_exotic_price
 
         barrier = float(body.get("barrier", 120.0))
+        pay = str(body.get("pay", "expiry"))
+        if pay == "hit" and kind == "no-touch":
+            raise ValueError("a no-touch pays at expiry by definition")
         side = "up" if barrier >= p["spot"] else "down"
+        kname = f"{kind.replace('-', '_')}_{side}"
+        if pay == "hit":
+            kname += "_hit"
         sampler = "prng" if jax.default_backend() == "tpu" else "hash"
         pr, se, n = pallas_exotic_price(
-            f"{kind.replace('-', '_')}_{side}", *common,
-            barrier=barrier, n_paths=n_paths,
+            kname, *common, barrier=barrier, n_paths=n_paths,
             n_steps=int(body.get("n_steps", 64)),
             seed=int(body.get("seed", 0)), sampler=sampler)
-        return {"kind": f"{kind.replace('-', '_')}_{side}",
+        return {"kind": kname,
                 "price": _to_jsonable(pr), "std_error": _to_jsonable(se),
-                "paths": int(n), "pays": "unit cash at expiry"}
+                "paths": int(n),
+                "pays": ("unit cash at the first hit" if pay == "hit"
+                         else "unit cash at expiry")}
+    if kind == "barrier" and float(body.get("rebate", 0.0)):
+        import jax
+
+        from .ops.exotic_pallas import pallas_exotic_price
+
+        cp = 1.0 if p["option_type"].startswith("c") else -1.0
+        barrier = float(body.get("barrier", 120.0))
+        btype = body.get("barrier_type", "up-and-out")
+        rebate = float(body.get("rebate"))
+        sampler = "prng" if jax.default_backend() == "tpu" else "hash"
+        kw = dict(barrier=barrier, n_paths=n_paths,
+                  n_steps=int(body.get("n_steps", 64)),
+                  seed=int(body.get("seed", 0)), sampler=sampler)
+        pr, se, n = pallas_exotic_price(f"barrier_{btype}", *common, cp,
+                                        p["dividend"], **kw)
+        side = "up" if barrier >= p["spot"] else "down"
+        out_leg = btype.endswith("out")
+        leg_kind = (f"one_touch_{side}_hit" if out_leg
+                    else f"no_touch_{side}")
+        leg, se_l, _ = pallas_exotic_price(leg_kind, *common, cp,
+                                           p["dividend"], **kw)
+        return {"kind": f"barrier_{btype}",
+                "price": float(pr) + rebate * float(leg),
+                "std_error": float(np.hypot(float(se),
+                                            rebate * float(se_l))),
+                "paths": int(n), "rebate": rebate,
+                "rebate_pays": ("at first hit" if out_leg
+                                else "at expiry if never knocked in")}
     if kind == "asian" and body.get("control_variate"):
         import jax
 

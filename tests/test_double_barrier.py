@@ -154,9 +154,11 @@ class TestScanMC:
 
     def test_touch_complement_exact(self):
         one, _ = double_touch_price(S, L, U, T, R, SIG, KEY, Q, 1.0,
-                                    50_000, 16, "one", True)
+                                    50_000, 16, touch="one",
+                                    return_stderr=True)
         no, _ = double_touch_price(S, L, U, T, R, SIG, KEY, Q, 1.0,
-                                   50_000, 16, "no", True)
+                                   50_000, 16, touch="no",
+                                   return_stderr=True)
         np.testing.assert_allclose(float(one + no), math.exp(-R * T),
                                    atol=1e-6)
 
@@ -194,7 +196,8 @@ class TestKernel:
                                                     float(se_mc)) + 1e-3
         mn, se_mn = double_touch_price(S, L, U, T, R, SIG,
                                        jax.random.PRNGKey(1), Q, 1.0,
-                                       262_144, 32, "no", True)
+                                       262_144, 32, touch="no",
+                                       return_stderr=True)
         assert abs(float(mn - no)) < 4 * math.hypot(float(se_no),
                                                     float(se_mn)) + 1e-3
         # KO + KI == vanilla on shared kernel paths (exact identity up to

@@ -331,6 +331,45 @@ class TestTouchEndpoint:
         assert one["kind"] == "one_touch_up"
 
 
+class TestPayAtHitAndRebate:
+    def test_one_touch_at_hit_over_wire(self, server):
+        base = {"spot": 100.0, "maturity": 1.0, "rate": 0.05, "vol": 0.2,
+                "barrier": 125.0, "n_paths": 1, "n_steps": 8}
+        _, hit = _post(server, "/exotic", {**base, "kind": "one-touch",
+                                           "pay": "hit"})
+        _, exp = _post(server, "/exotic", {**base, "kind": "one-touch"})
+        assert hit["kind"] == "one_touch_up_hit"
+        assert hit["pays"] == "unit cash at the first hit"
+        # cash earlier under r > 0: at-hit strictly dominates at-expiry
+        assert hit["price"] > exp["price"]
+        status, body = _post(server, "/exotic", {
+            **base, "kind": "no-touch", "pay": "hit"})
+        assert status == 400
+
+    def test_barrier_rebate_over_wire(self, server):
+        base = {"spot": 100.0, "maturity": 1.0, "rate": 0.05, "vol": 0.2,
+                "barrier": 130.0, "barrier_type": "up-and-out",
+                "n_paths": 1, "n_steps": 8}
+        _, plain = _post(server, "/exotic", {
+            **base, "kind": "barrier", "n_paths": 20000})
+        status, reb = _post(server, "/exotic", {
+            **base, "kind": "barrier", "rebate": 5.0})
+        assert status == 200 and reb["rebate_pays"] == "at first hit"
+        assert reb["price"] > plain["price"]
+        status, dreb = _post(server, "/exotic", {
+            "kind": "double-barrier", "knock": "out", "lower": 80.0,
+            "upper": 130.0, "rebate": 2.0, "n_paths": 1, "n_steps": 8})
+        assert status == 200 and dreb["rebate"] == 2.0
+
+    def test_touch_ladder_at_hit_over_wire(self, server):
+        status, g = _post(server, "/exotic", {
+            "kind": "one-touch", "barrier": 125.0, "pay": "hit",
+            "greeks": True, "n_paths": 1, "n_steps": 8})
+        assert status == 200
+        assert g["greek_method"] == "likelihood-ratio"
+        assert {"delta", "gamma", "rho", "theta"} <= g.keys()
+
+
 class TestHestonExoticEndpoint:
     def test_asian_under_heston(self, server):
         status, body = _post(server, "/exotic", {

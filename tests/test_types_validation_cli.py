@@ -177,6 +177,23 @@ class TestCLI:
                 "delta_convention"} <= out.keys()
         assert "sticky-strike" in out["delta_convention"]
 
+    def test_exotic_pay_at_hit_and_rebate(self, capsys):
+        """one-touch --pay hit (American binary) and barrier --rebate."""
+        cli_main(["exotic", "--kind", "one-touch", "--barrier", "125",
+                  "--pay", "hit", "--n-paths", "1", "--n-steps", "8"])
+        hit = json.loads(capsys.readouterr().out)
+        assert hit["kind"] == "one_touch_up_hit"
+        cli_main(["exotic", "--kind", "one-touch", "--barrier", "125",
+                  "--n-paths", "1", "--n-steps", "8"])
+        exp = json.loads(capsys.readouterr().out)
+        assert hit["price"] > exp["price"]  # cash earlier under r > 0
+        cli_main(["exotic", "--kind", "barrier", "--barrier", "130",
+                  "--rebate", "5", "--n-paths", "1", "--n-steps", "8"])
+        reb = json.loads(capsys.readouterr().out)
+        assert reb["rebate_pays"] == "at first hit"
+        with pytest.raises(SystemExit):
+            cli_main(["exotic", "--kind", "no-touch", "--pay", "hit"])
+
     def test_exotic_lv_routes(self, capsys):
         """--model lv: the Dupire local-vol kernel over the facade,
         price and the sticky-strike LR ladder."""
