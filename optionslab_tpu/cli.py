@@ -438,12 +438,23 @@ def _exotic_heston(args) -> dict:
             return {**base, "kind": args.kind, "price": float(p),
                     "std_error": float(se), "paths": int(n)}
         if args.kind in ("one-touch", "no-touch"):
+            if getattr(args, "pay", "expiry") == "hit" \
+                    and args.kind == "no-touch":
+                raise SystemExit("a no-touch pays at expiry by definition")
             side = "up" if args.barrier >= args.spot else "down"
             kname = f"{args.kind.replace('-', '_')}_{side}"
+            if getattr(args, "pay", "expiry") == "hit":
+                kname += "_hit"
         elif args.kind == "double-barrier":
             kname = f"barrier_double-{args.knock}"
         elif args.kind == "double-touch":
-            kname = f"{args.touch}_touch_double"
+            if getattr(args, "pay", "expiry") == "hit":
+                if args.touch != "one":
+                    raise SystemExit(
+                        "a no-touch pays at expiry by definition")
+                kname = "one_touch_double_hit"
+            else:
+                kname = f"{args.touch}_touch_double"
         elif args.kind == "asian":
             kname = "asian_arith"
         elif args.kind == "lookback":
@@ -505,13 +516,20 @@ def _exotic_rbergomi(args) -> dict:
                 "barrier": f"barrier_{args.barrier_type}"}
     barrier = args.barrier
     if args.kind in ("one-touch", "no-touch"):
+        if getattr(args, "pay", "expiry") == "hit" \
+                and args.kind == "no-touch":
+            raise SystemExit("a no-touch pays at expiry by definition")
         side = "up" if args.barrier >= args.spot else "down"
         kname = f"{args.kind.replace('-', '_')}_{side}"
+        if getattr(args, "pay", "expiry") == "hit":
+            kname += "_hit"
     elif args.kind == "double-barrier":
         kname = f"barrier_double-{args.knock}"
         barrier = (args.lower, args.upper)
     elif args.kind == "double-touch":
-        kname = f"{args.touch}_touch_double"
+        kname = (f"one_touch_double_hit"
+                 if getattr(args, "pay", "expiry") == "hit"
+                 else f"{args.touch}_touch_double")
         barrier = (args.lower, args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
@@ -549,14 +567,20 @@ def _exotic_lv(args) -> dict:
                 "barrier": f"barrier_{args.barrier_type}",
                 "european": "european"}
     barrier, band = args.barrier, {}
+    hit_sfx = "_hit" if getattr(args, "pay", "expiry") == "hit" else ""
+    if hit_sfx and (args.kind == "no-touch"
+                    or (args.kind == "double-touch"
+                        and args.touch != "one")):
+        raise SystemExit("a no-touch pays at expiry by definition")
     if args.kind in ("one-touch", "no-touch"):
         side = "up" if args.barrier >= args.spot else "down"
-        kname = f"{args.kind.replace('-', '_')}_{side}"
+        kname = f"{args.kind.replace('-', '_')}_{side}{hit_sfx}"
     elif args.kind == "double-barrier":
         kname = f"barrier_double-{args.knock}"
         band = dict(lower=args.lower, upper=args.upper)
     elif args.kind == "double-touch":
-        kname = f"{args.touch}_touch_double"
+        kname = (f"one_touch_double{hit_sfx}" if hit_sfx
+                 else f"{args.touch}_touch_double")
         band = dict(lower=args.lower, upper=args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
@@ -640,14 +664,20 @@ def _exotic_slv(args) -> dict:
         return {**base, "price": float(p), "std_error": float(se),
                 "paths": int(n)}
     barrier = args.barrier
+    hit_sfx = "_hit" if getattr(args, "pay", "expiry") == "hit" else ""
+    if hit_sfx and (args.kind == "no-touch"
+                    or (args.kind == "double-touch"
+                        and args.touch != "one")):
+        raise SystemExit("a no-touch pays at expiry by definition")
     if args.kind in ("one-touch", "no-touch"):
         side = "up" if args.barrier >= args.spot else "down"
-        kname = f"{args.kind.replace('-', '_')}_{side}"
+        kname = f"{args.kind.replace('-', '_')}_{side}{hit_sfx}"
     elif args.kind == "double-barrier":
         kname = f"barrier_double-{args.knock}"
         barrier = (args.lower, args.upper)
     elif args.kind == "double-touch":
-        kname = f"{args.touch}_touch_double"
+        kname = (f"one_touch_double{hit_sfx}" if hit_sfx
+                 else f"{args.touch}_touch_double")
         barrier = (args.lower, args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
@@ -711,6 +741,7 @@ def _exotic_kernel_greeks(args) -> dict:
             barrier=args.barrier, barrier_type=btype,
             lower=getattr(args, "lower", 0.0),
             upper=getattr(args, "upper", 0.0),
+            pay=getattr(args, "pay", "expiry"),
             n_paths=args.n_paths, n_steps=getattr(args, "n_steps", 64),
             seed=args.seed)
     except ValidationError as e:

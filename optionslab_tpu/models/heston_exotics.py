@@ -39,6 +39,9 @@ HESTON_EXOTIC_KINDS = (
     # double kinds take barrier=(lower, upper)
     "barrier_double-out", "barrier_double-in",
     "one_touch_double", "no_touch_double",
+    # pay-at-hit one-touches: unit cash discounted AT the first hit
+    # (single kinds: scalar barrier; double: barrier=(lower, upper))
+    "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
 
 
@@ -182,25 +185,30 @@ def heston_exotic_price(kind: str, spot, strike, maturity, rate,
     if kind not in HESTON_EXOTIC_KINDS:
         raise ValidationError(
             f"unknown heston exotic kind {kind!r}; choose {HESTON_EXOTIC_KINDS}")
-    init, update = exotic_stat_fns(kind, cp, barrier)
+    init, update = exotic_stat_fns(kind, cp, barrier,
+                                   rdt=rate * maturity / n_steps)
     s_t, stat = _heston_scan(key, spot, maturity, rate, dividend, params,
                              n_paths, n_steps, init, update, scheme,
                              antithetic, jumps=_jumps_of(params))
     pay = exotic_payoff(kind, cp, strike, n_steps, s_t, stat)
-    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    # pay-at-hit kinds carry the discount in the stat: no terminal df
+    price, stderr = _discounted_mean_stderr(
+        pay, 0.0 if kind.endswith("_hit") else rate, maturity)
     return (price, stderr) if return_stderr else price
 
 
-def exotic_stat_fns(kind: str, cp, barrier):
+def exotic_stat_fns(kind: str, cp, barrier, rdt=0.0):
     """(init, update) running-statistic pair for ``kind``.
 
     Shared by the Heston scan engine here and the SLV engine
     (``models/slv.py``) — the statistics are dynamics-independent:
     ``init(s0_vec) -> stat``; ``update(stat, s, i) -> stat`` with ``s``
-    the spot vector after step ``i``.
+    the spot vector after step ``i``. Pay-at-hit kinds (``*_hit``) carry
+    (hit flag, df-at-first-hit) and need ``rdt`` = rate * dt.
     """
     barrier_up = "up" in kind
     double = "double" in kind
+    hit_pay = kind.endswith("_hit")
     if double:
         b_lo, b_hi = (jnp.float32(barrier[0]), jnp.float32(barrier[1]))
     else:
@@ -216,6 +224,9 @@ def exotic_stat_fns(kind: str, cp, barrier):
             return jnp.zeros_like(s0)
         if kind.startswith("lookback"):
             return s0
+        if hit_pay:
+            h = _hit(s0).astype(jnp.float32)
+            return (h, h)  # (hit, df-at-first-hit; df(0) = 1)
         return _hit(s0).astype(jnp.float32)
 
     def update(stat, s, i):
@@ -229,6 +240,11 @@ def exotic_stat_fns(kind: str, cp, barrier):
         if kind == "lookback_fixed":  # fixed call: max; fixed put: min
             return jnp.where(cp > 0, jnp.maximum(stat, s),
                              jnp.minimum(stat, s))
+        if hit_pay:
+            h, dfh = stat
+            now = _hit(s).astype(jnp.float32)
+            dfh = dfh + (1.0 - h) * now * jnp.exp(-rdt * (i + 1.0))
+            return (jnp.maximum(h, now), dfh)
         return jnp.maximum(stat, _hit(s).astype(jnp.float32))
 
     return init, update
@@ -238,6 +254,8 @@ def exotic_payoff(kind: str, cp, strike, n_steps: int, s_t, stat):
     """Terminal payoff from (S_T, running stat) — the counterpart of
     :func:`exotic_stat_fns`, same conventions as the GBM engines."""
     knock_in = kind.endswith("in")
+    if kind.endswith("_hit"):
+        return stat[1]  # df-at-hit carried in the stat (no terminal df)
     if kind == "asian_arith":
         return jnp.maximum(cp * (stat / n_steps - strike), 0.0)
     if kind == "asian_geo":

@@ -348,6 +348,8 @@ RBERGOMI_EXOTIC_KINDS = (
     # double kinds take barrier=(lower, upper)
     "barrier_double-out", "barrier_double-in",
     "one_touch_double", "no_touch_double",
+    # pay-at-hit one-touches: unit cash discounted AT the first hit
+    "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
 
 
@@ -418,6 +420,24 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
         ext = (jnp.maximum(s_path.max(axis=1), spot) if cp > 0
                else jnp.minimum(s_path.min(axis=1), spot))
         pay = jnp.maximum(cp * (ext - strike), 0.0)
+    elif kind.endswith("_hit"):
+        # cash AT the first hit: the path matrix gives the hit step
+        # directly (argmax of the per-step indicator; spot checked at t=0)
+        if "double" in kind:
+            hit_mat = (s_path <= barrier[0]) | (s_path >= barrier[1])
+            hit0 = (spot <= barrier[0]) | (spot >= barrier[1])
+        elif barrier_up:
+            hit_mat = s_path >= barrier
+            hit0 = jnp.asarray(spot >= barrier)
+        else:
+            hit_mat = s_path <= barrier
+            hit0 = jnp.asarray(spot <= barrier)
+        any_hit = hit_mat.any(axis=1)
+        first = jnp.argmax(hit_mat, axis=1).astype(jnp.float32) + 1.0
+        dt = jnp.float32(maturity) / hit_mat.shape[1]
+        df_hit = jnp.exp(-jnp.float32(rate) * dt * first)
+        pay = jnp.where(hit0, 1.0,
+                        jnp.where(any_hit, df_hit, 0.0))
     else:
         if "double" in kind:
             hit = ((jnp.minimum(s_path.min(axis=1), spot) <= barrier[0])
@@ -432,7 +452,9 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
         else:
             vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
             pay = vanilla * (hit if knock_in else (1.0 - hit))
-    df = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+    # pay-at-hit kinds carry the discount inside pay already
+    df = (jnp.float32(1.0) if kind.endswith("_hit")
+          else jnp.exp(-jnp.float32(rate) * jnp.float32(maturity)))
     price = df * pay.mean()
     if not return_stderr:
         return price

@@ -159,7 +159,7 @@ def _slv_scan(key, spot, maturity, rate, dividend, params, mixing,
     return spot * jnp.exp(x), stats, rows
 
 
-def _stat_payoff(kind, cp, strike, barrier, n_steps):
+def _stat_payoff(kind, cp, strike, barrier, n_steps, rdt=0.0):
     if kind == "european":
         def init(s0):
             return jnp.zeros_like(s0)
@@ -171,7 +171,7 @@ def _stat_payoff(kind, cp, strike, barrier, n_steps):
             return jnp.maximum(cp * (s_t - strike), 0.0)
 
         return init, update, payoff
-    init, update = exotic_stat_fns(kind, cp, barrier)
+    init, update = exotic_stat_fns(kind, cp, barrier, rdt=rdt)
     return init, update, functools.partial(exotic_payoff, kind, cp, strike,
                                            n_steps)
 
@@ -198,13 +198,16 @@ def slv_exotic_price(kind: str, spot, strike, maturity, rate,
     if kind not in SLV_KINDS:
         raise ValidationError(
             f"unknown SLV kind {kind!r}; choose {SLV_KINDS}")
-    init, update, payoff = _stat_payoff(kind, cp, strike, barrier, n_steps)
+    init, update, payoff = _stat_payoff(kind, cp, strike, barrier,
+                                        n_steps,
+                                        rdt=rate * maturity / n_steps)
     s_t, stat, rows = _slv_scan(
         key, spot, maturity, rate, dividend, params, mixing,
         (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
         init, update, antithetic)
     pay = payoff(s_t, stat)
-    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    price, stderr = _discounted_mean_stderr(
+        pay, 0.0 if kind.endswith("_hit") else rate, maturity)
     out = (price, stderr) if return_stderr else price
     return (out, rows) if return_leverage else out
 
@@ -344,7 +347,9 @@ def slv_replay_price(kind: str, spot, strike, maturity, rate,
     if x_rows.shape[0] != n_steps:
         raise ValidationError(
             f"leverage rows have {x_rows.shape[0]} steps, n_steps={n_steps}")
-    init, update, payoff = _stat_payoff(kind, cp, strike, barrier, n_steps)
+    init, update, payoff = _stat_payoff(kind, cp, strike, barrier,
+                                        n_steps,
+                                        rdt=rate * maturity / n_steps)
     # the surface grids are unused when rows are supplied; pass trivial
     # placeholders with valid shapes
     dummy = (jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32),
@@ -354,7 +359,8 @@ def slv_replay_price(kind: str, spot, strike, maturity, rate,
         n_paths, n_steps, x_rows.shape[1], init, update, antithetic,
         leverage_rows=(x_rows, l_rows))
     pay = payoff(s_t, stat)
-    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    price, stderr = _discounted_mean_stderr(
+        pay, 0.0 if kind.endswith("_hit") else rate, maturity)
     return (price, stderr) if return_stderr else price
 
 

@@ -1015,6 +1015,9 @@ HESTON_EXOTIC_KINDS = (
     # double kinds: band (lower, upper) in relative-log slots _HX_A/_HX_B
     "barrier_double-out", "barrier_double-in",
     "one_touch_double", "no_touch_double",
+    # pay-at-hit one-touches: cash discounted AT the first hit in-kernel
+    # (host df = 1, like autocall); LR rho/theta complete via a DR moment
+    "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
 
 # exotic param vector layout (SMEM f32): common head + dynamics tail
@@ -1062,8 +1065,9 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
     final redemption) completes rho and theta exactly as in the GBM
     autocall ladder (``exotic_pallas`` ``discounted=True``).
     """
+    hit_pay = kind.endswith("_hit")  # cash discounted at first hit
     if lr:
-        if kind == "autocall":
+        if kind == "autocall" or hit_pay:
             (pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref, ts_ref,
              dr_ref) = refs
         else:
@@ -1126,6 +1130,15 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return (one, zero, zero, zero) if lr else (one, zero, zero)
         if kind == "range_accrual":
             return (zero,)  # accrual counter, steps 1..n
+        if hit_pay:
+            if "double" in kind:
+                h0 = jnp.where((p_ref[_HX_A] >= 0.0)
+                               | (p_ref[_HX_B] <= 0.0), 1.0, 0.0)
+            else:
+                h0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
+                               1.0, 0.0)
+            # (hit flag, pv = df-at-first-hit; df(0) = 1 [, dr])
+            return (zero + h0, zero + h0) + ((zero,) if lr else ())
         if "double" in kind:
             # x0 = 0 outside the log band [A, B] counts as hit
             hit0 = jnp.where((p_ref[_HX_A] >= 0.0) | (p_ref[_HX_B] <= 0.0),
@@ -1172,6 +1185,21 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             acc = jnp.where((x >= p_ref[_HX_A]) & (x <= p_ref[_HX_B]),
                             1.0, 0.0)
             return (stat[0] + acc,)
+        if hit_pay:
+            h, pv = stat[:2]
+            if "double" in kind:
+                now = (x <= p_ref[_HX_A]) | (x >= p_ref[_HX_B])
+            else:
+                now = (x >= log_b) if barrier_up else (x <= log_b)
+            now = now.astype(jnp.float32)
+            newly = (1.0 - h) * now
+            steps = (i + 1).astype(jnp.float32)
+            df_i = jnp.exp(-rdt * steps)
+            pv = pv + newly * df_i
+            if lr:  # ∂pv/∂r = −t_hit·df_hit on the newly-hit event
+                return (jnp.maximum(h, now), pv,
+                        stat[2] - steps * dt * newly * df_i)
+            return (jnp.maximum(h, now), pv)
         if "double" in kind:
             hit = (x <= p_ref[_HX_A]) | (x >= p_ref[_HX_B])
             return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -1199,6 +1227,8 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
             final = p_ref[_HX_E] * (1.0 - ki * loss)
             return pv + alive * df_t * final  # discounted in-kernel
+        if hit_pay:
+            return stat[1]  # df-at-hit carried in-kernel (host df = 1)
         if "touch" in kind:
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         if kind == "range_accrual":
@@ -1397,7 +1427,9 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             accs[4] += p * sc_v
             accs[5] += p * sr
             accs[6] += p * ts
-            if kind == "autocall":
+            if hit_pay:
+                accs[7] += st[2]
+            elif kind == "autocall":
                 # DR: coupon/call legs (carried) + final-redemption leg
                 alive, ki = st[0], st[1]
                 df_t = jnp.exp(-rdt * float(n_steps))
@@ -1417,7 +1449,8 @@ def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
                    cp: float, period: int = 1, sampler: str = "prng",
                    scheme: str = "euler", lr: bool = False,
                    jumps: bool = False):
-    n_out = (8 if kind == "autocall" else 7) if lr else 2
+    n_out = (8 if (kind == "autocall" or kind.endswith("_hit"))
+             else 7) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
@@ -1529,7 +1562,8 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
         kind=kind, n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
         sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
     n = n_blocks * PATHS_PER_BLOCK
-    df = math.exp(-float(rate) * t)
+    # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
     return df * mean, df * jnp.sqrt(var / n), n
@@ -1663,7 +1697,9 @@ def _exotic_lr_pipeline(seed, p, scalars, *, kind, n_steps, n_blocks, cp,
                           sampler=sampler, scheme="euler", lr=True,
                           jumps=jumps)
     return _combine_exotic_lr(outs, n_blocks * PATHS_PER_BLOCK, scalars,
-                              n_steps, discounted=(kind == "autocall"))
+                              n_steps,
+                              discounted=(kind == "autocall"
+                                          or kind.endswith("_hit")))
 
 
 def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,

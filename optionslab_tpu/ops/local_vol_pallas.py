@@ -53,9 +53,11 @@ DEGREE = 6  # polynomial degree of the per-step sigma(x) fit
 # scalar params before the per-step table; each step row is
 # [x_lo_i, x_hi_i, c_deg, ..., c_0]. Single barrier/touch kinds use
 # _P_BARRIER; double kinds put the (lower, upper) band in relative-log
-# space into (_P_BARRIER, _P_BARRIER2).
-_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT, _P_BARRIER, _P_BARRIER2 = range(7)
-_N_SCALARS = 7
+# space into (_P_BARRIER, _P_BARRIER2). _P_RDT = r*dt (pay-at-hit
+# in-kernel discounting).
+(_P_S0, _P_K, _P_MU_DT, _P_DT, _P_SQDT, _P_BARRIER, _P_BARRIER2,
+ _P_RDT) = range(8)
+_N_SCALARS = 8
 _ROW = DEGREE + 3
 
 
@@ -117,6 +119,7 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
     touch_kind = "touch" in payoff
     barrier_kind = payoff.startswith("barrier") or touch_kind
     double = "double" in payoff
+    hit_pay = payoff.endswith("_hit")  # cash discounted at first hit
     lookback_kind = payoff.startswith("lookback")
     up = "up" in payoff
     # float call / fixed put track the running MINIMUM (cf. exotic kernel)
@@ -135,7 +138,11 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
             z0 = jnp.zeros(shape, jnp.float32)
             h0 = jnp.where(z0 >= b_log, 1.0, 0.0) if up else \
                 jnp.where(z0 <= b_log, 1.0, 0.0)
-        aux = (h0, h0, h0, h0)
+        if hit_pay:
+            # per branch: (hit flag, pv = df-at-first-hit; df(0) = 1)
+            aux = ((h0, h0), (h0, h0), (h0, h0), (h0, h0))
+        else:
+            aux = (h0, h0, h0, h0)
     else:
         aux = ()
     # greek carries: first-step normals per stream + per-branch vega score
@@ -228,17 +235,28 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
             elif barrier_kind:  # discrete monitoring at every step
                 if double:
                     lo, hi = p_ref[_P_BARRIER], p_ref[_P_BARRIER2]
-                    aux = tuple(
-                        jnp.maximum(h, jnp.where((x <= lo) | (x >= hi),
-                                                 1.0, 0.0))
-                        for h, x in zip(aux, new_xs))
+
+                    def _now(x):
+                        return jnp.where((x <= lo) | (x >= hi), 1.0, 0.0)
                 elif up:
                     b_log = p_ref[_P_BARRIER]
-                    aux = tuple(jnp.maximum(h, jnp.where(x >= b_log, 1.0, 0.0))
-                                for h, x in zip(aux, new_xs))
+
+                    def _now(x):
+                        return jnp.where(x >= b_log, 1.0, 0.0)
                 else:
                     b_log = p_ref[_P_BARRIER]
-                    aux = tuple(jnp.maximum(h, jnp.where(x <= b_log, 1.0, 0.0))
+
+                    def _now(x):
+                        return jnp.where(x <= b_log, 1.0, 0.0)
+                if hit_pay:
+                    df_i = jnp.exp(-p_ref[_P_RDT]
+                                   * (i + 1).astype(jnp.float32))
+                    aux = tuple(
+                        (jnp.maximum(h, _now(x)),
+                         pv + (1.0 - h) * _now(x) * df_i)
+                        for (h, pv), x in zip(aux, new_xs))
+                else:
+                    aux = tuple(jnp.maximum(h, _now(x))
                                 for h, x in zip(aux, new_xs))
             return new_xs, aux, gz1, gvs
 
@@ -276,6 +294,8 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
         elif payoff == "lookback_fixed":
             ext_s = s0 * jnp.exp(aux[b])
             pay = jnp.maximum(cp * (ext_s - strike), 0.0)
+        elif hit_pay:
+            pay = aux[b][1]  # df-at-hit carried in-kernel (host df = 1)
         elif touch_kind:
             # unit cash paid AT EXPIRY on the hit event (host discounts)
             pay = aux[b] if payoff.startswith("one") else (1.0 - aux[b])
@@ -409,7 +429,7 @@ class LocalVolKernelPricer:
         dt = self.t_total / self.n_steps
         self._head = np.asarray(
             [self.spot, 0.0, (self.rate - self.dividend) * dt, dt,
-             math.sqrt(dt), 0.0, 0.0], np.float64)
+             math.sqrt(dt), 0.0, 0.0, self.rate * dt], np.float64)
 
     PAYOFFS = ("european", "asian", "barrier_up-and-out", "barrier_up-and-in",
                "barrier_down-and-out", "barrier_down-and-in",
@@ -418,7 +438,10 @@ class LocalVolKernelPricer:
                "no_touch_down",
                # double kinds take (lower, upper) via the lower/upper kwargs
                "barrier_double-out", "barrier_double-in",
-               "one_touch_double", "no_touch_double")
+               "one_touch_double", "no_touch_double",
+               # pay-at-hit one-touches (in-kernel first-hit discounting)
+               "one_touch_up_hit", "one_touch_down_hit",
+               "one_touch_double_hit")
 
     def _params(self, strike, payoff, barrier, lower=0.0, upper=0.0):
         if payoff not in self.PAYOFFS:
@@ -458,8 +481,9 @@ class LocalVolKernelPricer:
                             cp=float(cp), payoff=payoff, sampler=sampler)
         from .exotic_pallas import _mean_stderr
 
-        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                            math.exp(-self.rate * self.t_total))
+        df = (1.0 if payoff.endswith("_hit")  # discounted at hit in-kernel
+              else math.exp(-self.rate * self.t_total))
+        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
 
     def greeks(self, strike, cp: float = 1.0, payoff: str = "european",
                barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
@@ -499,7 +523,8 @@ class LocalVolKernelPricer:
         which psums the tiles over the mesh before this runs once)."""
         from .exotic_pallas import _mean_stderr
 
-        df = math.exp(-self.rate * self.t_total)
+        df = (1.0 if payoff.endswith("_hit")
+              else math.exp(-self.rate * self.t_total))
         price, se, _ = _mean_stderr(outs[0], outs[1], n, df)
         # sigma and its x-slope at the common start state x=0, step 0
         # (deterministic — all paths share it)

@@ -97,12 +97,15 @@ KINDS = (
     # double kinds: band (lower, upper) in relative-log slots _S_A/_S_B
     "barrier_double-out", "barrier_double-in",
     "one_touch_double", "no_touch_double",
+    # pay-at-hit one-touches: cash discounted AT the first hit in-kernel
+    "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
 STRUCTURED_KINDS = ("cliquet", "autocall")
 
 
 def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
                 sampler: str, lr: bool = False, period: int = 1):
+    hit_pay = kind.endswith("_hit")
     """Statistics are carried in RELATIVE-log space (the fast-exp
     discipline, cf. ``heston_pallas``): extrema/barriers compare x
     against log(level/S0) directly; only the arithmetic Asian pays a
@@ -158,6 +161,15 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
         if kind == "autocall":
             # (alive, knocked-in, pv[, discount-derivative moment])
             return (one, zero, zero, zero) if lr else (one, zero, zero)
+        if hit_pay:
+            if "double" in kind:
+                h0 = jnp.where((p_ref[_S_A] >= 0.0) | (p_ref[_S_B] <= 0.0),
+                               1.0, 0.0)
+            else:
+                h0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
+                               1.0, 0.0)
+            # (hit flag, pv = df-at-first-hit; df(0) = 1 [, dr])
+            return (zero + h0, zero + h0) + ((zero,) if lr else ())
         if "double" in kind:
             # x0 = 0 outside the log band [A, B] counts as hit
             hit0 = jnp.where((p_ref[_S_A] >= 0.0) | (p_ref[_S_B] <= 0.0),
@@ -201,6 +213,21 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
                 dr = stat[3] - steps * dt * df_i * cash
                 return (alive, ki, pv, dr)
             return (alive, ki, pv)
+        if hit_pay:
+            h, pv = stat[:2]
+            if "double" in kind:
+                now = (x <= p_ref[_S_A]) | (x >= p_ref[_S_B])
+            else:
+                now = (x >= log_b) if barrier_up else (x <= log_b)
+            now = now.astype(jnp.float32)
+            newly = (1.0 - h) * now
+            steps = (i + 1).astype(jnp.float32)
+            df_i = jnp.exp(-rdt * steps)
+            pv = pv + newly * df_i
+            if lr:  # ∂pv/∂r = −t_hit·df_hit on the newly-hit event
+                return (jnp.maximum(h, now), pv,
+                        stat[2] - steps * dt * newly * df_i)
+            return (jnp.maximum(h, now), pv)
         if "double" in kind:
             hit = (x <= p_ref[_S_A]) | (x >= p_ref[_S_B])
             return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -229,6 +256,8 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
             final = p_ref[_S_E] * (1.0 - ki * loss)
             return pv + alive * df_t * final  # discounted in-kernel
+        if hit_pay:
+            return stat[1]  # df-at-hit carried in-kernel (host df = 1)
         if "touch" in kind:
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
@@ -311,7 +340,9 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             sc_v = -zvs * a_t - zos * (b_t - rho * a_t) / srho_g - inv_v0
             accs[5] += p * sc_v
             accs[6] += p * sr
-            if kind == "autocall":
+            if hit_pay:
+                accs[7] += st[2]
+            elif kind == "autocall":
                 # DR: coupon/call legs (carried) + final-redemption leg
                 alive, ki = st[0], st[1]
                 df_t = jnp.exp(-rdt * float(n_steps))
@@ -353,7 +384,8 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int,
             cp: float, sampler: str = "prng", lr: bool = False,
             period: int = 1):
     n_out = ((9 if kind.startswith("lookback")
-              else (8 if kind == "autocall" else 7)) if lr else 2)
+              else (8 if (kind == "autocall" or kind.endswith("_hit"))
+                    else 7)) if lr else 2)
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
@@ -491,8 +523,9 @@ class SLVKernelPricer:
                             jnp.asarray(p, jnp.float32), kind=kind,
                             n_steps=self.n_steps, n_blocks=n_blocks,
                             cp=float(cp), sampler=sampler)
-        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                            math.exp(-self.rate * self.t_total))
+        df = (1.0 if kind.endswith("_hit")  # discounted at hit in-kernel
+              else math.exp(-self.rate * self.t_total))
+        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
 
     def greeks(self, kind, strike, cp: float = 1.0, barrier: float = 0.0,
                n_paths: int = 1_000_000, seed: int = 0,
@@ -588,7 +621,7 @@ class SLVKernelPricer:
         can psum the tiles first, cf. the other kernel families).
         ``kind == "autocall"``: the payoff is discounted in-kernel, so
         df = 1 and the DR moment completes rho."""
-        discounted = kind == "autocall"
+        discounted = kind == "autocall" or kind.endswith("_hit")
         df = 1.0 if discounted else math.exp(-self.rate * self.t_total)
         t = self.t_total
         dt = t / self.n_steps

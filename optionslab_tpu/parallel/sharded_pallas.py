@@ -492,7 +492,8 @@ def _sharded_heston_exotic_launch(seed, params, *, kind, n_steps, n_blocks,
                                   jumps=False):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
-    n_out = ((8 if kind == "autocall" else 7) if lr else 2)
+    n_out = ((8 if (kind == "autocall" or kind.endswith("_hit"))
+              else 7) if lr else 2)
 
     def local(seed_s, params_rep):
         d = _device_linear_index(mesh, names)
@@ -535,7 +536,8 @@ def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
         sampler=sampler, scheme=scheme, lr=False, mesh=mesh,
         jumps=hasattr(params, "lam"))
     n = n_blocks * _hp.PATHS_PER_BLOCK
-    return _ep._mean_stderr(pay, pay2, n, math.exp(-float(rate) * t))
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
+    return _ep._mean_stderr(pay, pay2, n, df)
 
 
 def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
@@ -569,7 +571,8 @@ def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,
         jumps=hasattr(params, "lam"))
     scalars = _hp._lr_scalars(spot, t, rate, params, n_steps)
     out = dict(_hp._combine_exotic_lr(outs, n_blocks * _hp.PATHS_PER_BLOCK,
-                                      scalars, n_steps))
+                                      scalars, n_steps,
+                                      discounted=kind.endswith("_hit")))
     out["paths"] = n_blocks * _hp.PATHS_PER_BLOCK
     return out
 
@@ -584,7 +587,8 @@ def _sharded_slv_launch(seed, params, *, kind, n_steps, n_blocks, cp,
                         sampler, lr, mesh):
     names, n_dev = _mesh_axes(mesh)
     bpd = n_blocks // n_dev
-    n_out = ((9 if kind.startswith("lookback") else 7) if lr else 2)
+    n_out = ((9 if kind.startswith("lookback")
+              else (8 if kind.endswith("_hit") else 7)) if lr else 2)
 
     def local(seed_s, params_rep):
         d = _device_linear_index(mesh, names)
@@ -619,8 +623,9 @@ def sharded_slv_price(pricer, kind: str, strike, mesh: Mesh,
         jnp.asarray(seed, jnp.int32), jnp.asarray(p, jnp.float32),
         kind=kind, n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
         sampler=sampler, lr=False, mesh=mesh)
-    return _ep._mean_stderr(pay, pay2, n_blocks * _slv.PATHS_PER_BLOCK,
-                            math.exp(-pricer.rate * pricer.t_total))
+    df = (1.0 if kind.endswith("_hit")
+          else math.exp(-pricer.rate * pricer.t_total))
+    return _ep._mean_stderr(pay, pay2, n_blocks * _slv.PATHS_PER_BLOCK, df)
 
 
 def sharded_slv_greeks(pricer, kind: str, strike, mesh: Mesh,

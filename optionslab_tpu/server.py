@@ -381,14 +381,24 @@ def _exotic_heston(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     barrier = float(body.get("barrier", 120.0))
     band = {}
     if kind in ("one-touch", "no-touch"):
+        if str(body.get("pay", "expiry")) == "hit" and kind == "no-touch":
+            raise ValueError("a no-touch pays at expiry by definition")
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+        if str(body.get("pay", "expiry")) == "hit":
+            kname += "_hit"
     elif kind == "double-barrier":
         kname = f"barrier_double-{body.get('knock', 'out')}"
         band = dict(lower=float(body.get("lower", 90.0)),
                     upper=float(body.get("upper", 110.0)))
     elif kind == "double-touch":
-        kname = f"{body.get('touch', 'no')}_touch_double"
+        if str(body.get("pay", "expiry")) == "hit":
+            if body.get("touch", "no") != "one":
+                raise ValueError(
+                    "a no-touch pays at expiry by definition")
+            kname = "one_touch_double_hit"
+        else:
+            kname = f"{body.get('touch', 'no')}_touch_double"
         band = dict(lower=float(body.get("lower", 90.0)),
                     upper=float(body.get("upper", 110.0)))
     elif kind == "asian":
@@ -432,14 +442,24 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
     if kind in ("one-touch", "no-touch"):
+        if str(body.get("pay", "expiry")) == "hit" and kind == "no-touch":
+            raise ValueError("a no-touch pays at expiry by definition")
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+        if str(body.get("pay", "expiry")) == "hit":
+            kname += "_hit"
     elif kind == "double-barrier":
         kname = f"barrier_double-{body.get('knock', 'out')}"
         barrier = (float(body.get("lower", 90.0)),
                    float(body.get("upper", 110.0)))
     elif kind == "double-touch":
-        kname = f"{body.get('touch', 'no')}_touch_double"
+        if str(body.get("pay", "expiry")) == "hit":
+            if body.get("touch", "no") != "one":
+                raise ValueError(
+                    "a no-touch pays at expiry by definition")
+            kname = "one_touch_double_hit"
+        else:
+            kname = f"{body.get('touch', 'no')}_touch_double"
         barrier = (float(body.get("lower", 90.0)),
                    float(body.get("upper", 110.0)))
     elif kind in kind_map:
@@ -474,14 +494,24 @@ def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                 "european": "european",
                 "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
     if kind in ("one-touch", "no-touch"):
+        if str(body.get("pay", "expiry")) == "hit" and kind == "no-touch":
+            raise ValueError("a no-touch pays at expiry by definition")
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+        if str(body.get("pay", "expiry")) == "hit":
+            kname += "_hit"
     elif kind == "double-barrier":
         kname = f"barrier_double-{body.get('knock', 'out')}"
         band = dict(lower=float(body.get("lower", 90.0)),
                     upper=float(body.get("upper", 110.0)))
     elif kind == "double-touch":
-        kname = f"{body.get('touch', 'no')}_touch_double"
+        if str(body.get("pay", "expiry")) == "hit":
+            if body.get("touch", "no") != "one":
+                raise ValueError(
+                    "a no-touch pays at expiry by definition")
+            kname = "one_touch_double_hit"
+        else:
+            kname = f"{body.get('touch', 'no')}_touch_double"
         band = dict(lower=float(body.get("lower", 90.0)),
                     upper=float(body.get("upper", 110.0)))
     elif kind in kind_map:
@@ -563,14 +593,24 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
     if kind in ("one-touch", "no-touch"):
+        if str(body.get("pay", "expiry")) == "hit" and kind == "no-touch":
+            raise ValueError("a no-touch pays at expiry by definition")
         side = "up" if barrier >= p["spot"] else "down"
         kname = f"{kind.replace('-', '_')}_{side}"
+        if str(body.get("pay", "expiry")) == "hit":
+            kname += "_hit"
     elif kind == "double-barrier":
         kname = f"barrier_double-{body.get('knock', 'out')}"
         barrier = (float(body.get("lower", 90.0)),
                    float(body.get("upper", 110.0)))
     elif kind == "double-touch":
-        kname = f"{body.get('touch', 'no')}_touch_double"
+        if str(body.get("pay", "expiry")) == "hit":
+            if body.get("touch", "no") != "one":
+                raise ValueError(
+                    "a no-touch pays at expiry by definition")
+            kname = "one_touch_double_hit"
+        else:
+            kname = f"{body.get('touch', 'no')}_touch_double"
         barrier = (float(body.get("lower", 90.0)),
                    float(body.get("upper", 110.0)))
     elif kind in kind_map:

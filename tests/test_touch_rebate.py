@@ -212,3 +212,140 @@ class TestKernel:
             exotic_kernel_ladder("no-touch", S, K, T, R, SIG, 1.0, Q,
                                  barrier=125.0, pay="hit", n_paths=50_000,
                                  n_steps=16, sampler="hash")
+
+
+class TestStochVolDynamics:
+    """Pay-at-hit one-touches under EVERY dynamics column: Heston/Bates
+    (scan + fused kernel with the DR-moment LR ladder), rough Bergomi
+    (path-matrix first-hit), SLV (particle scan + replay kernel) and
+    Dupire local vol (kernel). Oracles: kernel vs scan parity, the exact
+    r = 0 collapse onto the at-expiry kind, and the flat/limit collapses
+    onto the GBM machinery already validated against closed forms."""
+
+    def _par(self, sigma=0.3):
+        from optionslab_tpu.models.heston import HestonParams
+        return HestonParams.make(0.04, 1.5, 0.04, sigma, -0.5)
+
+    def test_heston_kernel_vs_scan_and_r0(self):
+        from optionslab_tpu.models.heston_exotics import heston_exotic_price
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_price)
+
+        par = self._par()
+        kw = dict(n_paths=65_536, n_steps=16, seed=3, sampler="hash")
+        p, se, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S, K, T, R, par, 1.0, barrier=125.0, **kw)
+        mc, sem = heston_exotic_price(
+            "one_touch_up_hit", S, K, T, R, par, KEY, barrier=125.0,
+            n_paths=65_536, n_steps=16, return_stderr=True)
+        assert abs(float(p - mc)) < 4 * math.hypot(float(se),
+                                                   float(sem)) + 1e-3
+        ph, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S, K, T, 0.0, par, 1.0, barrier=125.0, **kw)
+        pe, _, _ = pallas_heston_exotic_price(
+            "one_touch_up", S, K, T, 0.0, par, 1.0, barrier=125.0, **kw)
+        np.testing.assert_allclose(float(ph), float(pe), atol=1e-6)
+        # double band at hit: kernel vs scan
+        pd, sed, _ = pallas_heston_exotic_price(
+            "one_touch_double_hit", S, K, T, R, par, 1.0, lower=80.0,
+            upper=130.0, **kw)
+        md, semd = heston_exotic_price(
+            "one_touch_double_hit", S, K, T, R, par, KEY,
+            barrier=(80.0, 130.0), n_paths=65_536, n_steps=16,
+            return_stderr=True)
+        assert abs(float(pd - md)) < 4 * math.hypot(float(sed),
+                                                    float(semd)) + 1e-3
+
+    def test_heston_lr_ladder_vs_crn_fd(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_lr_greeks, pallas_heston_exotic_price)
+
+        par = self._par()
+        kw = dict(n_paths=131_072, n_steps=16, seed=3, sampler="hash")
+        g = pallas_heston_exotic_lr_greeks(
+            "one_touch_up_hit", S, K, T, R, par, 1.0, barrier=125.0, **kw)
+        base, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S, K, T, R, par, 1.0, barrier=125.0, **kw)
+        np.testing.assert_allclose(float(g["price"]), float(base),
+                                   rtol=1e-5)
+        h = 0.5
+        up, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S + h, K, T, R, par, 1.0, barrier=125.0,
+            **kw)
+        dn, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S - h, K, T, R, par, 1.0, barrier=125.0,
+            **kw)
+        assert abs(float(g["delta"]) - float(up - dn) / (2 * h)) < 0.01
+        hr = 0.002
+        upr, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S, K, T, R + hr, par, 1.0, barrier=125.0,
+            **kw)
+        dnr, _, _ = pallas_heston_exotic_price(
+            "one_touch_up_hit", S, K, T, R - hr, par, 1.0, barrier=125.0,
+            **kw)
+        fd_rho = float(upr - dnr) / (2 * hr)
+        assert abs(float(g["rho"]) - fd_rho) < max(0.12 * abs(fd_rho), 0.4)
+
+    def test_rbergomi_r0_identity(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_exotic_price)
+
+        par = RBergomiParams(xi0=0.04, eta=1.5, rho=-0.7, hurst=0.1)
+        kw = dict(n_paths=16_384, n_steps=16, return_stderr=True)
+        rh, _ = rbergomi_exotic_price("one_touch_up_hit", S, K, T, 0.0,
+                                      par, KEY, 1.0, barrier=125.0, **kw)
+        re_, _ = rbergomi_exotic_price("one_touch_up", S, K, T, 0.0, par,
+                                       KEY, 1.0, barrier=125.0, **kw)
+        np.testing.assert_allclose(float(rh), float(re_), atol=1e-6)
+        # r > 0: at-hit dominates at-expiry (same paths)
+        ah, _ = rbergomi_exotic_price("one_touch_up_hit", S, K, T, R, par,
+                                      KEY, 1.0, barrier=125.0, **kw)
+        ae, _ = rbergomi_exotic_price("one_touch_up", S, K, T, R, par,
+                                      KEY, 1.0, barrier=125.0, **kw)
+        assert float(ah) >= float(ae) - 1e-7
+        dh, _ = rbergomi_exotic_price("one_touch_double_hit", S, K, T, R,
+                                      par, KEY, 1.0,
+                                      barrier=(80.0, 130.0), **kw)
+        assert 0.0 < float(dh) < 1.0
+
+    def test_lv_and_slv_kernels(self):
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+
+        from optionslab_tpu.models.local_vol import LocalVolSurface
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+        from optionslab_tpu.ops.slv_pallas import SLVKernelPricer
+        from optionslab_tpu.models.local_vol import (DupireLocalVol,
+                                                     sample_smile_iv_fn)
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), S, R)
+        pr = LocalVolKernelPricer(SimpleNamespace(surface=flat, spot=S,
+                                                  rate=R, dividend=0.0),
+                                  T, 16)
+        kw = dict(n_paths=1, seed=3, sampler="hash")
+        p, se, _ = pr.price(K, 1.0, "one_touch_up_hit", barrier=125.0, **kw)
+        sh = BETA * 0.2 * math.sqrt(T / 16)
+        cf = float(one_touch_closed_form(S, 125.0 * math.exp(sh), T, R,
+                                         0.2, 0.0, pay="hit"))
+        assert abs(float(p) - cf) < 4 * float(se) + 8e-3
+        g = pr.greeks(K, 1.0, "one_touch_up_hit", barrier=125.0, **kw)
+        np.testing.assert_allclose(g["price"], float(p), rtol=1e-5)
+        # SLV replay kernel vs the particle scan on the same smile
+        dup = DupireLocalVol(sample_smile_iv_fn(), S, R)
+        par = self._par()
+        sp = SLVKernelPricer(dup, par, T, mixing=1.0, n_steps=16,
+                             n_cal_paths=32_768)
+        pk, sek, _ = sp.price("one_touch_up_hit", K, barrier=125.0, **kw)
+        from optionslab_tpu.models.slv import SLVModel
+        slv = SLVModel(dup, par, mixing=1.0)
+        ps, ses = slv.price("one_touch_up_hit", K, T,
+                            jax.random.PRNGKey(2), barrier=125.0,
+                            n_paths=65_536, n_steps=16,
+                            return_stderr=True)
+        assert abs(float(pk - ps)) < 4 * math.hypot(float(sek),
+                                                    float(ses)) + 2e-2
+        gs = sp.greeks("one_touch_double_hit", K, lower=80.0, upper=130.0,
+                       **kw)
+        assert 0.0 < gs["price"] < 1.0 and "rho" in gs
