@@ -512,6 +512,31 @@ def _exotic_rbergomi(args) -> dict:
     par = RBergomiParams(hurst=args.hurst, eta=args.eta, rho=args.rho_sv,
                          xi0=args.xi0)
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    if args.kind in ("autocallable", "cliquet"):
+        from .models import rbergomi_autocall_price, rbergomi_cliquet_price
+
+        n_steps = getattr(args, "n_steps", 64)
+        try:
+            if args.kind == "autocallable":
+                p, se = rbergomi_autocall_price(
+                    args.spot, args.maturity, args.rate, par,
+                    jax.random.PRNGKey(args.seed),
+                    n_obs=getattr(args, "n_obs", 4),
+                    n_paths=args.n_paths, n_steps=n_steps,
+                    return_stderr=True)
+            else:
+                p, se = rbergomi_cliquet_price(
+                    args.spot, args.maturity, args.rate, par,
+                    jax.random.PRNGKey(args.seed),
+                    n_periods=getattr(args, "n_periods", 8),
+                    n_paths=args.n_paths, n_steps=n_steps,
+                    return_stderr=True)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+        return {"model": "rbergomi", "dynamics": "rough-bergomi",
+                "kind": args.kind, "price": float(p),
+                "std_error": float(se), "hurst": args.hurst,
+                "eta": args.eta}
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}"}
     barrier = args.barrier
@@ -535,8 +560,8 @@ def _exotic_rbergomi(args) -> dict:
         kname = kind_map[args.kind]
     else:
         raise SystemExit("--model rbergomi supports asian/barrier/lookback/"
-                         "one-touch/no-touch/double-barrier/double-touch, "
-                         f"not {args.kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch/"
+                         f"cliquet/autocallable, not {args.kind!r}")
     try:
         p, se = rbergomi_exotic_price(
             kname, args.spot, args.strike, args.maturity, args.rate, par,

@@ -71,6 +71,8 @@ from .dividends import (
 )
 from .rbergomi import (
     RBERGOMI_EXOTIC_KINDS,
+    rbergomi_autocall_price,
+    rbergomi_cliquet_price,
     rbergomi_exotic_greeks,
     rbergomi_exotic_price,
     RBergomiParams,
@@ -251,7 +253,8 @@ __all__ = [
     "nig_mc_price",
     "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
     "RBERGOMI_EXOTIC_KINDS", "rbergomi_exotic_price",
-    "rbergomi_exotic_greeks",
+    "rbergomi_exotic_greeks", "rbergomi_cliquet_price",
+    "rbergomi_autocall_price",
     "xi_curve_from_variance_swaps",
     "fdm_price_discrete_dividends", "mc_price_discrete_dividends",
     "dividend_parity_gap",

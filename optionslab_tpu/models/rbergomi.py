@@ -32,6 +32,7 @@ from ..utils.exceptions import ValidationError
 
 __all__ = ["RBergomiParams", "rbergomi_price", "rbergomi_greeks",
            "rbergomi_smile_iv", "rbergomi_variance_grid",
+           "rbergomi_cliquet_price", "rbergomi_autocall_price",
            "xi_curve_from_variance_swaps"]
 
 
@@ -353,19 +354,15 @@ RBERGOMI_EXOTIC_KINDS = (
 )
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("kind", "hurst", "maturity", "cp",
-                                    "n_paths", "n_steps", "return_stderr"))
-def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
-                          barrier, xi0, eta, rho, hurst, key, n_paths,
-                          n_steps, return_stderr):
-    """Path matrix under the exact Volterra law → vectorized payoff.
+def _spot_paths(spot, maturity, rate, dividend, xi0, eta, rho, hurst,
+                key, n_paths, n_steps):
+    """Full spot-path matrix under the exact Volterra law.
 
-    The Volterra construction already materializes every step's
-    (V~, dW) via one MXU matmul, so the full log-spot path is a cumsum —
-    path-dependent payoffs cost no extra simulation over the European
-    pricer. Monitoring conventions match the GBM/Heston engines exactly
-    (Asian averages steps 1..n; extrema/barriers/touches include S0)."""
+    Returns ``(s_path, x)`` of shape (n_paths, n_steps) at the grid times
+    t_1..t_n, where ``x`` is the relative log-spot ln(S_{t_i}/S0) incl.
+    drift. Antithetic in the joint (V~, W, W⊥) draw; differentiable in
+    (spot, rate, dividend, xi0, eta, rho) — hurst/maturity stay static
+    (they shape the host-side Cholesky factor)."""
     n = n_steps
     spot = jnp.float32(spot)
     lmat = jnp.asarray(_volterra_chol(n, hurst, float(maturity)))
@@ -398,7 +395,25 @@ def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
     # full relative log-spot path: X_i = ln(S_{t_i}/S0) incl. drift
     x = jnp.cumsum(sq_v * dz - 0.5 * v_left * dt, axis=1) \
         + (jnp.float32(rate) - jnp.float32(dividend)) * t_grid[None, :]
-    s_path = spot * jnp.exp(x)          # (n_paths, n), steps 1..n
+    return spot * jnp.exp(x), x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "hurst", "maturity", "cp",
+                                    "n_paths", "n_steps", "return_stderr"))
+def _rbergomi_exotic_core(kind, spot, strike, maturity, rate, dividend, cp,
+                          barrier, xi0, eta, rho, hurst, key, n_paths,
+                          n_steps, return_stderr):
+    """Path matrix under the exact Volterra law → vectorized payoff.
+
+    The Volterra construction already materializes every step's
+    (V~, dW) via one MXU matmul, so the full log-spot path is a cumsum —
+    path-dependent payoffs cost no extra simulation over the European
+    pricer. Monitoring conventions match the GBM/Heston engines exactly
+    (Asian averages steps 1..n; extrema/barriers/touches include S0)."""
+    spot = jnp.float32(spot)
+    s_path, x = _spot_paths(spot, maturity, rate, dividend, xi0, eta, rho,
+                            hurst, key, n_paths, n_steps)
     s_t = s_path[:, -1]
 
     barrier_up = "up" in kind
@@ -495,6 +510,128 @@ def rbergomi_exotic_price(kind: str, spot, strike, maturity, rate,
                                  params.xi0, params.eta, params.rho,
                                  float(params.hurst), key, n_paths,
                                  n_steps, return_stderr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hurst", "maturity", "n_periods",
+                                    "n_paths", "n_steps", "return_stderr"))
+def _rbergomi_cliquet_core(spot, maturity, rate, dividend, local_floor,
+                           local_cap, global_floor, global_cap, notional,
+                           xi0, eta, rho, hurst, key, n_periods, n_paths,
+                           n_steps, return_stderr):
+    s_path, _ = _spot_paths(spot, maturity, rate, dividend, xi0, eta, rho,
+                            hurst, key, n_paths, n_steps)
+    per = n_steps // n_periods
+    cols = per * np.arange(1, n_periods + 1) - 1     # period-end steps
+    fix = s_path[:, cols]                            # (n_paths, n_periods)
+    prev = jnp.concatenate(
+        [jnp.full((n_paths, 1), jnp.float32(spot)), fix[:, :-1]], axis=1)
+    acc = jnp.clip(fix / prev - 1.0, local_floor, local_cap).sum(axis=1)
+    pay = notional * jnp.clip(acc, global_floor, global_cap)
+    df = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+    price = df * pay.mean()
+    if not return_stderr:
+        return price
+    return price, df * pay.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+
+
+def rbergomi_cliquet_price(spot, maturity, rate, params: RBergomiParams,
+                           key, dividend: float = 0.0,
+                           local_floor: float = -0.05,
+                           local_cap: float = 0.05,
+                           global_floor: float = 0.0,
+                           global_cap: float = 1e9,
+                           notional: float = 100.0, n_periods: int = 12,
+                           n_paths: int = 100_000, n_steps: int = 252,
+                           return_stderr: bool = False):
+    """Cliquet/ratchet under ROUGH volatility — the forward-smile product
+    priced under the dynamics that actually match forward-skew term
+    structure (H ~ 0.1 steepens short-dated forward smiles that Heston
+    flattens). Conventions match ``models/exotics.cliquet_price``
+    (period returns at the n_periods equally spaced fixing dates, local
+    clip then global clip, discounted at maturity); at eta -> 0 it
+    reduces to the GBM engine with sigma = sqrt(xi0)."""
+    params.validate()
+    if n_periods <= 0 or n_steps % n_periods:
+        raise ValidationError(
+            "n_steps must be a positive multiple of n_periods")
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (antithetic)")
+    return _rbergomi_cliquet_core(
+        jnp.float32(spot), float(maturity), jnp.float32(rate),
+        jnp.float32(dividend), jnp.float32(local_floor),
+        jnp.float32(local_cap), jnp.float32(global_floor),
+        jnp.float32(global_cap), jnp.float32(notional),
+        jnp.float32(params.xi0), jnp.float32(params.eta),
+        jnp.float32(params.rho), float(params.hurst), key, n_periods,
+        n_paths, n_steps, return_stderr)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hurst", "maturity", "n_obs",
+                                    "n_paths", "n_steps", "return_stderr"))
+def _rbergomi_autocall_core(spot, maturity, rate, dividend, notional,
+                            autocall_barrier, coupon_barrier, ki_barrier,
+                            coupon_rate, xi0, eta, rho, hurst, key, n_obs,
+                            n_paths, n_steps, return_stderr):
+    spot = jnp.float32(spot)
+    s_path, _ = _spot_paths(spot, maturity, rate, dividend, xi0, eta, rho,
+                            hurst, key, n_paths, n_steps)
+    obs_every = n_steps // n_obs
+    cols = obs_every * np.arange(1, n_obs + 1) - 1   # observation steps
+    s_obs = s_path[:, cols]                          # (n_paths, n_obs)
+    t_obs = jnp.float32(maturity / n_steps) * (cols + 1).astype(jnp.float32)
+    df_obs = jnp.exp(-jnp.float32(rate) * t_obs)     # (n_obs,)
+    call_hit = s_obs >= autocall_barrier * spot
+    # alive at observation j <=> no call at any EARLIER observation
+    prior_calls = jnp.cumsum(call_hit, axis=1) - call_hit.astype(jnp.int32)
+    alive_at = prior_calls == 0
+    couponed = alive_at & (s_obs >= coupon_barrier * spot)
+    called = alive_at & call_hit                     # true only at 1st call
+    pv = (jnp.where(couponed, df_obs * notional * coupon_rate / n_obs, 0.0)
+          + jnp.where(called, df_obs * notional, 0.0)).sum(axis=1)
+    # continuous (per-step) knock-in monitoring, steps 1..n as the scans do
+    ki = (s_path <= ki_barrier * spot).any(axis=1)
+    alive_end = ~call_hit.any(axis=1)
+    loss = jnp.minimum(s_path[:, -1] / spot, 1.0)
+    final = jnp.where(ki, notional * loss, notional)
+    df_t = jnp.exp(-jnp.float32(rate) * jnp.float32(maturity))
+    pay = pv + jnp.where(alive_end, df_t * final, 0.0)
+    price = pay.mean()
+    if not return_stderr:
+        return price
+    return price, pay.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+
+
+def rbergomi_autocall_price(spot, maturity, rate, params: RBergomiParams,
+                            key, dividend: float = 0.0,
+                            notional: float = 100.0,
+                            autocall_barrier: float = 1.0,
+                            coupon_barrier: float = 0.8,
+                            ki_barrier: float = 0.7,
+                            coupon_rate: float = 0.08, n_obs: int = 4,
+                            n_paths: int = 100_000, n_steps: int = 252,
+                            return_stderr: bool = False):
+    """Autocallable/snowball under ROUGH volatility. Conventions match
+    ``models/exotics.autocallable_price`` exactly: n_obs equally spaced
+    observation dates (call at par + accrued coupon when S >= autocall
+    barrier x S0, coupons accrue while S >= coupon barrier x S0),
+    per-step knock-in at ki x S0 turning final redemption into a short
+    put, coupons/redemptions discounted at their dates. At eta -> 0 it
+    reduces to the GBM engine with sigma = sqrt(xi0)."""
+    params.validate()
+    if n_obs <= 0 or n_steps % n_obs:
+        raise ValidationError("n_steps must be a positive multiple of n_obs")
+    if n_paths % 2:
+        raise ValidationError("n_paths must be even (antithetic)")
+    return _rbergomi_autocall_core(
+        jnp.float32(spot), float(maturity), jnp.float32(rate),
+        jnp.float32(dividend), jnp.float32(notional),
+        jnp.float32(autocall_barrier), jnp.float32(coupon_barrier),
+        jnp.float32(ki_barrier), jnp.float32(coupon_rate),
+        jnp.float32(params.xi0), jnp.float32(params.eta),
+        jnp.float32(params.rho), float(params.hurst), key, n_obs,
+        n_paths, n_steps, return_stderr)
 
 
 def rbergomi_exotic_greeks(kind: str, spot, strike, maturity, rate,

@@ -439,6 +439,24 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                          xi0=float(body.get("xi0", 0.04)))
     cp = 1.0 if p["option_type"].startswith("c") else -1.0
     barrier = float(body.get("barrier", 120.0))
+    if kind in ("autocallable", "cliquet"):
+        from .models import rbergomi_autocall_price, rbergomi_cliquet_price
+
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        n_steps = int(body.get("n_steps", 64))
+        if kind == "autocallable":
+            pr, se = rbergomi_autocall_price(
+                p["spot"], p["maturity"], p["rate"], par, key,
+                n_obs=int(body.get("n_obs", 4)), n_paths=n_paths,
+                n_steps=n_steps, return_stderr=True)
+        else:
+            pr, se = rbergomi_cliquet_price(
+                p["spot"], p["maturity"], p["rate"], par, key,
+                n_periods=int(body.get("n_periods", 8)), n_paths=n_paths,
+                n_steps=n_steps, return_stderr=True)
+        return {"model": "rbergomi", "dynamics": "rough-bergomi",
+                "kind": kind, "price": _to_jsonable(pr),
+                "std_error": _to_jsonable(se)}
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{body.get('barrier_type', 'up-and-out')}"}
     if kind in ("one-touch", "no-touch"):
@@ -466,8 +484,8 @@ def _exotic_rbergomi(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         kname = kind_map[kind]
     else:
         raise ValueError("model=rbergomi supports asian/barrier/lookback/"
-                         "one-touch/no-touch/double-barrier/double-touch, "
-                         f"not {kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch/"
+                         f"cliquet/autocallable, not {kind!r}")
     pr, se = rbergomi_exotic_price(
         kname, p["spot"], p["strike"], p["maturity"], p["rate"], par,
         jax.random.PRNGKey(int(body.get("seed", 0))), cp, barrier=barrier,

@@ -19,17 +19,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compile cache: repeat gate runs skip recompiles (measured
-# ~2x on compile-heavy tests). Keyed by HLO hash, so code changes recompile
-# automatically; programs with host callbacks (interpret-mode Pallas) are
-# excluded by jax itself. Directory is gitignored.
+# Persistent XLA compile cache — OPT-IN via OPTIONSLAB_COMPILE_CACHE=1.
+# Repeat gate runs skip recompiles (measured ~2x on compile-heavy tests);
+# keyed by HLO hash, so code changes recompile automatically; programs with
+# host callbacks (interpret-mode Pallas) are excluded by jax itself.
+# Directory is gitignored.
 #
-# The directory is ALSO keyed by the host CPU's feature flags: the cache
-# stores XLA:CPU AOT machine code, and this box's virtual CPU feature set
-# can change between sessions (cpu_aot_loader then warns about mismatched
-# machine features and loading the stale executable SEGFAULTS — observed
-# as exit 139 inside compilation_cache.get_executable_and_time). A feature
-# change now simply starts a fresh cache dir.
+# OFF BY DEFAULT because the XLA:CPU AOT machinery has segfaulted twice on
+# this box's session-varying virtual CPU: (a) LOADING an entry compiled
+# under a different CPU feature set/model (exit 139 inside
+# compilation_cache.get_executable_and_time — mitigated by keying the dir
+# by CPU identity below), and (b) FLAKILY while SERIALIZING a large
+# executable (exit 139 inside compilation_cache.put_executable_and_time,
+# seen mid-gate on american_price_interval; the same test passes alone).
+# pytest runs in ONE process, so the in-memory jit cache already dedups
+# within a run — the persistent cache only speeds up RE-runs in the same
+# session. Enable it when iterating locally; leave it off for one-shot
+# driver/judge runs where it is pure crash risk for zero win.
 import hashlib  # noqa: E402
 
 
@@ -57,10 +63,11 @@ def _cpu_signature() -> str:
     return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
 
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..",
-                               f".jax_cache-{_cpu_signature()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("OPTIONSLAB_COMPILE_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   f".jax_cache-{_cpu_signature()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -338,6 +338,112 @@ class TestRBergomiExotics:
                                   n_paths=12345)
 
 
+class TestRBergomiStructured:
+    """Cliquet / autocallable under rough volatility."""
+
+    def test_cliquet_degenerate_collar_is_exact(self):
+        """local_floor == local_cap pins every period return: the payoff
+        is deterministic, price = df * notional * n_periods * c exactly."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_cliquet_price)
+        p = rbergomi_cliquet_price(100.0, 1.0, 0.05, RBergomiParams(),
+                                   jax.random.PRNGKey(0), local_floor=0.03,
+                                   local_cap=0.03, n_periods=4,
+                                   n_paths=2_000, n_steps=16)
+        np.testing.assert_allclose(float(p),
+                                   np.exp(-0.05) * 100.0 * 4 * 0.03,
+                                   rtol=1e-6)
+
+    def test_autocall_degenerate_limits_are_exact(self):
+        """autocall barrier 0 => certain call at the first observation
+        (par + one coupon, discounted at t_1); unreachable barriers with
+        ki = 0 => a riskless zero-coupon note at par."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_autocall_price)
+        par = RBergomiParams()
+        key = jax.random.PRNGKey(1)
+        p1 = rbergomi_autocall_price(100.0, 1.0, 0.05, par, key,
+                                     autocall_barrier=0.0,
+                                     coupon_barrier=0.0, coupon_rate=0.08,
+                                     n_obs=4, n_paths=2_000, n_steps=16)
+        t1 = 1.0 / 4
+        np.testing.assert_allclose(
+            float(p1), np.exp(-0.05 * t1) * 100.0 * (1.0 + 0.08 / 4),
+            rtol=1e-6)
+        p2 = rbergomi_autocall_price(100.0, 1.0, 0.05, par, key,
+                                     autocall_barrier=1e9,
+                                     coupon_barrier=1e9, ki_barrier=0.0,
+                                     n_obs=4, n_paths=2_000, n_steps=16)
+        np.testing.assert_allclose(float(p2), np.exp(-0.05) * 100.0,
+                                   rtol=1e-6)
+
+    def test_eta_zero_matches_gbm_engines(self):
+        """eta -> 0 collapses to GBM(sigma = sqrt(xi0)); both engines
+        sample the exact lognormal at the fixing dates."""
+        from optionslab_tpu.models.exotics import (autocallable_price,
+                                                   cliquet_price)
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_autocall_price,
+                                                    rbergomi_cliquet_price)
+        par = RBergomiParams(hurst=0.1, eta=0.0, rho=-0.9, xi0=0.04)
+        pr, sr = rbergomi_cliquet_price(100.0, 1.0, 0.03, par,
+                                        jax.random.PRNGKey(2), n_periods=8,
+                                        n_paths=60_000, n_steps=48,
+                                        return_stderr=True)
+        pg, sg = cliquet_price(100.0, 1.0, 0.03, 0.2, jax.random.PRNGKey(3),
+                               n_periods=8, n_paths=60_000, n_steps=48,
+                               return_stderr=True)
+        assert abs(float(pr) - float(pg)) < 5 * float(
+            jnp.sqrt(sr**2 + sg**2))
+        pa, sa = rbergomi_autocall_price(100.0, 1.0, 0.03, par,
+                                         jax.random.PRNGKey(4), n_obs=4,
+                                         n_paths=60_000, n_steps=48,
+                                         return_stderr=True)
+        pga, sga = autocallable_price(100.0, 1.0, 0.03, 0.2,
+                                      jax.random.PRNGKey(5), n_obs=4,
+                                      n_paths=60_000, n_steps=48,
+                                      return_stderr=True)
+        assert abs(float(pa) - float(pga)) < 5 * float(
+            jnp.sqrt(sa**2 + sga**2))
+
+    def test_collar_monotonicity_on_shared_paths(self):
+        """Same key => same paths: tightening the local cap or the global
+        cap can only LOWER the price (clip is monotone), and the
+        global-floor payoff dominates the unfloored one. Deterministic
+        orderings, no MC tolerance."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_cliquet_price)
+        par = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+        key = jax.random.PRNGKey(6)
+        kw = dict(n_periods=8, n_paths=20_000, n_steps=48)
+        wide = rbergomi_cliquet_price(100.0, 1.0, 0.03, par, key,
+                                      local_cap=0.08, **kw)
+        tight = rbergomi_cliquet_price(100.0, 1.0, 0.03, par, key,
+                                       local_cap=0.03, **kw)
+        assert float(tight) < float(wide)
+        capped = rbergomi_cliquet_price(100.0, 1.0, 0.03, par, key,
+                                        global_cap=0.02, **kw)
+        assert float(capped) <= float(tight)
+        floored = rbergomi_cliquet_price(100.0, 1.0, 0.03, par, key,
+                                         global_floor=-1e9, **kw)
+        base = rbergomi_cliquet_price(100.0, 1.0, 0.03, par, key, **kw)
+        assert float(floored) <= float(base)
+
+    def test_validation(self):
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_autocall_price,
+                                                    rbergomi_cliquet_price)
+        from optionslab_tpu.utils.exceptions import ValidationError
+        with pytest.raises(ValidationError):
+            rbergomi_cliquet_price(100.0, 1.0, 0.05, RBergomiParams(),
+                                   jax.random.PRNGKey(0), n_periods=7,
+                                   n_steps=16)
+        with pytest.raises(ValidationError):
+            rbergomi_autocall_price(100.0, 1.0, 0.05, RBergomiParams(),
+                                    jax.random.PRNGKey(0), n_obs=5,
+                                    n_steps=16)
+
+
 class TestRBergomiExoticGreeks:
     def test_asian_ad_ladder_vs_crn_fd(self):
         from optionslab_tpu.models.rbergomi import (RBergomiParams,
