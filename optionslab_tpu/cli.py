@@ -999,11 +999,16 @@ def cmd_plot(args) -> dict:
 
 
 def cmd_varswap(args) -> dict:
-    """Fair variance/vol swap strikes: model-free replication + Heston."""
+    """Fair variance/vol swap strikes: model-free replication + Heston
+    closed forms + MC under the calibrated Dupire local vol (the LV MC
+    strike must agree with the replication of the same smile — printed
+    side by side as a live consistency check)."""
     from .models import (heston_expected_variance, heston_vol_swap_strike,
                          heston_vol_swap_strike_brockhaus_long,
+                         local_vol_variance_swap, local_vol_vol_swap_strike,
                          variance_swap_strike_from_iv, vix_style_index)
     from .models.heston import HestonParams
+    from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
 
     p = HestonParams.make(v0=args.v0, kappa=args.kappa, theta=args.theta,
                           sigma=args.sigma_v, rho=args.rho)
@@ -1011,6 +1016,22 @@ def cmd_varswap(args) -> dict:
     ks = np.exp(np.linspace(-2.0, 2.0, 800)) * args.spot
     flat = float(variance_swap_strike_from_iv(
         args.spot, ks, np.full_like(ks, args.vol), args.maturity, args.rate))
+    # LV section uses a MILD (wing-arb-free) smile and a grid spanning the
+    # replication strip: the default steep sample smile violates butterfly
+    # arbitrage beyond |k| ~ 1 (quadratic IV growth), where no LV model
+    # can — or should — match the replication of the raw quotes
+    iv_fn = sample_smile_iv_fn(base_vol=args.vol, skew=-0.06, smile=0.03)
+    dup = DupireLocalVol(iv_fn, args.spot, args.rate, k_range=(-2.5, 2.5),
+                         n_k=201)
+    lv_kv, lv_se = local_vol_variance_swap(dup, args.maturity,
+                                           n_paths=100_000, n_steps=64)
+    lv_kvol, _ = local_vol_vol_swap_strike(dup, args.maturity,
+                                           n_paths=100_000, n_steps=64)
+    fwd = args.spot * np.exp(args.rate * args.maturity)
+    kss = np.exp(np.linspace(-2.5, 2.5, 1600)) * args.spot
+    smile_rep = float(variance_swap_strike_from_iv(
+        args.spot, kss, np.asarray(iv_fn(np.log(kss / fwd), args.maturity)),
+        args.maturity, args.rate))
     return {
         "heston_variance_strike": kv,
         "heston_vol_strike_exact": float(heston_vol_swap_strike(p, args.maturity)),
@@ -1018,6 +1039,10 @@ def cmd_varswap(args) -> dict:
             heston_vol_swap_strike_brockhaus_long(p, args.maturity)),
         "flat_smile_variance_strike": flat,
         "flat_smile_vol_check": args.vol**2,
+        "local_vol_variance_strike": float(lv_kv),
+        "local_vol_variance_stderr": float(lv_se),
+        "local_vol_vol_strike": float(lv_kvol),
+        "smile_replication_variance_strike": smile_rep,
         "vix_style_index_flat": float(vix_style_index(
             args.spot, ks, np.full_like(ks, args.vol), 30 / 365, args.rate)),
     }

@@ -162,7 +162,9 @@ from .jump_diffusion import (
     merton_mc_price,
     merton_price,
 )
-from .local_vol import DupireLocalVol, LocalVolSurface, local_vol_mc_price, sample_smile_iv_fn
+from .local_vol import (DupireLocalVol, LocalVolSurface, local_vol_mc_price,
+                        local_vol_variance_swap, local_vol_vol_swap_strike,
+                        sample_smile_iv_fn)
 from .qmc_exotics import (
     brownian_bridge_paths,
     qmc_asian_price,
@@ -269,7 +271,9 @@ __all__ = [
     "MertonJumpDiffusion", "KouJumpDiffusion", "merton_price",
     "merton_mc_price", "kou_mc_price",
     # local vol
-    "DupireLocalVol", "LocalVolSurface", "local_vol_mc_price", "sample_smile_iv_fn",
+    "DupireLocalVol", "LocalVolSurface", "local_vol_mc_price",
+    "local_vol_variance_swap", "local_vol_vol_swap_strike",
+    "sample_smile_iv_fn",
     # exotics
     "AsianOption", "BarrierOption", "LookbackOption", "AmericanOptionLSM",
     "AutocallableNote", "CliquetOption", "asian_price", "barrier_price",

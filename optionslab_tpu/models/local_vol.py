@@ -250,3 +250,81 @@ def local_vol_mc_price(dupire: "DupireLocalVol", strike, maturity, cp=1.0,
                   jnp.float32(strike), jnp.float32(maturity), jnp.float32(cp),
                   jax.random.PRNGKey(seed), n_paths=n_paths, n_steps=n_steps,
                   payoff=payoff)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps"))
+def _lv_realized_variance(k_grid, t_grid, vol_grid, spot, rate, dividend,
+                          maturity, key, n_paths, n_steps):
+    """Per-path MODEL integrated variance RV = (1/T) ∫ σ_loc(S_t, t)² dt
+    along local-vol paths (left-point sampling, same scan as ``_lv_mc``).
+
+    Accumulating σ² directly (instead of squared log-returns) removes the
+    2·RV²/n realized-variance chatter — the estimator targets E[RV] with
+    only the path-to-path variance of the smile traversal left. Returns
+    (E[RV], se, E[√RV], se): the fair VARIANCE swap strike and the fair
+    VOLATILITY swap strike (the latter BELOW √E[RV] by Jensen)."""
+    dtype = jnp.float32
+    t_total = jnp.maximum(jnp.asarray(maturity, dtype), EPS_TIME)
+    dt = t_total / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    half = n_paths // 2
+
+    def sigma_at(s, t):
+        fwd = spot * jnp.exp((rate - dividend) * t)
+        kq = jnp.log(jnp.maximum(s, 1e-12) / fwd)
+        return _bilinear(k_grid, t_grid, vol_grid, kq, t)
+
+    def step(carry, i):
+        log_s, acc = carry
+        t_now = i * dt
+        s = spot * jnp.exp(log_s)
+        sig = sigma_at(s, t_now)
+        z = jax.random.normal(jax.random.fold_in(key, i), (half,), dtype=dtype)
+        z = jnp.concatenate([z, -z])
+        log_s = log_s + (rate - dividend - 0.5 * sig * sig) * dt \
+            + sig * sqrt_dt * z
+        acc = acc + sig * sig * dt
+        return (log_s, acc), None
+
+    (_, acc), _ = jax.lax.scan(step, (jnp.zeros(n_paths, dtype),
+                                      jnp.zeros(n_paths, dtype)),
+                               jnp.arange(n_steps, dtype=dtype))
+    rv = acc / t_total
+    vol = jnp.sqrt(rv)
+    rn = jnp.sqrt(n_paths * 1.0)
+    return (rv.mean(), rv.std(ddof=1) / rn,
+            vol.mean(), vol.std(ddof=1) / rn)
+
+
+def local_vol_variance_swap(dupire: "DupireLocalVol", maturity,
+                            n_paths: int = 200_000, n_steps: int = 100,
+                            seed: int = 0):
+    """Fair variance swap strike E[(1/T) ∫ σ_loc²(S_t, t) dt] under the
+    calibrated Dupire dynamics. Returns (K_var, stderr).
+
+    Because local vol reprices the vanilla smile by construction, this MC
+    strike must agree with the MODEL-FREE replication of the same smile
+    (``models/var_swap.variance_swap_strike_from_iv``) up to grid/Euler
+    discretization — an end-to-end consistency check of the whole Dupire
+    pipeline, asserted in tests. On a flat surface RV is deterministic:
+    K_var = σ² with zero stderr. The reference has no variance-swap
+    machinery at all (beyond-reference; cf. its vanilla-only local vol,
+    ``src/models/local_vol.py``)."""
+    m, se, _, _ = _lv_realized_variance(
+        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
+        dupire.spot, dupire.rate, dupire.dividend, jnp.float32(maturity),
+        jax.random.PRNGKey(seed), n_paths, n_steps)
+    return m, se
+
+
+def local_vol_vol_swap_strike(dupire: "DupireLocalVol", maturity,
+                              n_paths: int = 200_000, n_steps: int = 100,
+                              seed: int = 0):
+    """Fair VOLATILITY swap strike E[√((1/T) ∫ σ_loc² dt)] under Dupire
+    dynamics — sits below √K_var by Jensen; the gap prices the convexity
+    the smile's vol-of-vol induces in √RV. Returns (K_vol, stderr)."""
+    _, _, m, se = _lv_realized_variance(
+        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
+        dupire.spot, dupire.rate, dupire.dividend, jnp.float32(maturity),
+        jax.random.PRNGKey(seed), n_paths, n_steps)
+    return m, se

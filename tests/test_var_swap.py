@@ -173,3 +173,49 @@ class TestBatesVarianceSwap:
         exact = float(bates_variance_swap_strike(bp, 1.0))
         # jump leg alone: lam*(mu^2+sig^2) = 1*(0.01+0.0225)
         assert exact == pytest.approx(0.04 + 0.0325, rel=1e-6)
+
+
+class TestLocalVolVarianceSwap:
+    """Variance/vol swaps under calibrated Dupire dynamics: the LV-MC
+    strike must close the loop with the model-free replication of the
+    SAME smile — an end-to-end audit of the whole Dupire pipeline
+    (AD local vol -> bilinear surface -> Euler MC)."""
+
+    def test_flat_surface_is_deterministic_sigma_squared(self):
+        from optionslab_tpu.models.local_vol import DupireLocalVol
+        from optionslab_tpu.models import local_vol_variance_swap
+
+        dup = DupireLocalVol(lambda k, t: 0.2 + 0.0 * k + 0.0 * t,
+                             100.0, 0.02)
+        kv, se = local_vol_variance_swap(dup, 1.0, n_paths=20_000,
+                                         n_steps=64)
+        assert abs(float(kv) - 0.04) < 1e-4
+        assert float(se) < 1e-6          # sigma is path-independent
+
+    def test_smile_mc_matches_model_free_replication(self):
+        """Wing-covering grid (k in ±2.5): MC integrated local variance
+        agrees with the CBOE-style replication of the same smile to
+        ~0.2% at 64 Euler steps (0.05% at 128 — converging in dt).
+        With the DEFAULT ±0.8 grid the wings clamp and the strikes
+        diverge by ~18%: the grid must span the replication strip."""
+        from optionslab_tpu.models.local_vol import (DupireLocalVol,
+                                                     sample_smile_iv_fn)
+        from optionslab_tpu.models import (local_vol_variance_swap,
+                                           local_vol_vol_swap_strike,
+                                           variance_swap_strike_from_iv)
+
+        iv_fn = sample_smile_iv_fn(base_vol=0.2, skew=-0.06, smile=0.03)
+        dup = DupireLocalVol(iv_fn, 100.0, 0.02, k_range=(-2.5, 2.5),
+                             n_k=201)
+        kv, se = local_vol_variance_swap(dup, 1.0, n_paths=60_000,
+                                         n_steps=64)
+        ks = np.exp(np.linspace(-2.5, 2.5, 1600)) * 100.0
+        fwd = 100.0 * np.exp(0.02)
+        rep = float(variance_swap_strike_from_iv(
+            100.0, ks, np.asarray(iv_fn(np.log(ks / fwd), 1.0)), 1.0,
+            0.02))
+        assert abs(float(kv) - rep) / rep < 0.006
+        # Jensen: fair vol strike sits BELOW sqrt(fair variance strike)
+        kvol, _ = local_vol_vol_swap_strike(dup, 1.0, n_paths=60_000,
+                                            n_steps=64)
+        assert float(kvol) < float(jnp.sqrt(kv))
