@@ -588,6 +588,36 @@ def _exotic_lv(args) -> dict:
     from .utils.exceptions import ValidationError
 
     cp = 1.0 if str(args.option_type).lower().startswith("c") else -1.0
+    if args.kind in ("autocallable", "cliquet"):
+        # pure-LV structured kinds: the SLV engine at mixing=0 (exact —
+        # the Gyongy leverage absorbs the eta=0 variance path)
+        from .models import (local_vol_autocall_price,
+                             local_vol_cliquet_price)
+
+        dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
+                             args.spot, args.rate)
+        try:
+            if args.kind == "autocallable":
+                p, se = local_vol_autocall_price(
+                    dup, args.maturity, n_obs=getattr(args, "n_obs", 4),
+                    n_paths=args.n_paths,
+                    n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+                    return_stderr=True)
+            else:
+                p, se = local_vol_cliquet_price(
+                    dup, args.maturity,
+                    n_periods=getattr(args, "n_periods", 8),
+                    n_paths=args.n_paths,
+                    n_steps=getattr(args, "n_steps", 64), seed=args.seed,
+                    return_stderr=True)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+        return {"model": "lv", "dynamics": "dupire-local-vol",
+                "kind": args.kind, "engine": "slv-scan-mixing0",
+                "price": float(p), "std_error": float(se),
+                "note": "pure LV flattens forward smiles; use --model "
+                        "slv --mixing for the stochastic-vol "
+                        "interpolation"}
     kind_map = {"asian": "asian", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}",
                 "european": "european"}
@@ -612,7 +642,8 @@ def _exotic_lv(args) -> dict:
     else:
         raise SystemExit("--model lv supports european/asian/barrier/"
                          "lookback/one-touch/no-touch/double-barrier/"
-                         f"double-touch, not {args.kind!r}")
+                         "double-touch/cliquet/autocallable, "
+                         f"not {args.kind!r}")
     dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
                          args.spot, args.rate)
     sampler = "prng" if jax.default_backend() == "tpu" else "hash"

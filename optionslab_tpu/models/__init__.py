@@ -162,9 +162,10 @@ from .jump_diffusion import (
     merton_mc_price,
     merton_price,
 )
-from .local_vol import (DupireLocalVol, LocalVolSurface, local_vol_mc_price,
-                        local_vol_variance_swap, local_vol_vol_swap_strike,
-                        sample_smile_iv_fn)
+from .local_vol import (DupireLocalVol, LocalVolSurface,
+                        local_vol_autocall_price, local_vol_cliquet_price,
+                        local_vol_mc_price, local_vol_variance_swap,
+                        local_vol_vol_swap_strike, sample_smile_iv_fn)
 from .qmc_exotics import (
     brownian_bridge_paths,
     qmc_asian_price,
@@ -273,6 +274,7 @@ __all__ = [
     # local vol
     "DupireLocalVol", "LocalVolSurface", "local_vol_mc_price",
     "local_vol_variance_swap", "local_vol_vol_swap_strike",
+    "local_vol_cliquet_price", "local_vol_autocall_price",
     "sample_smile_iv_fn",
     # exotics
     "AsianOption", "BarrierOption", "LookbackOption", "AmericanOptionLSM",

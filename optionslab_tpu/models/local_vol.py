@@ -317,6 +317,69 @@ def local_vol_variance_swap(dupire: "DupireLocalVol", maturity,
     return m, se
 
 
+def local_vol_cliquet_price(dupire: "DupireLocalVol", maturity,
+                            local_floor: float = -0.05,
+                            local_cap: float = 0.05,
+                            global_floor: float = 0.0,
+                            global_cap: float = 1e9,
+                            notional: float = 100.0, n_periods: int = 12,
+                            n_paths: int = 131_072, n_steps: int = 252,
+                            seed: int = 0, return_stderr: bool = False):
+    """Cliquet/ratchet under PURE Dupire local vol: the SLV engine at
+    mixing=0, where the Gyongy leverage absorbs the (deterministic,
+    eta=0) variance path so the instantaneous vol is exactly
+    σ_loc(S, t) — pure-LV dynamics with zero new simulation code.
+    Conventions match ``models/exotics.cliquet_price``; a flat surface
+    reproduces the GBM engine. Pure LV FLATTENS forward smiles, so this
+    is the textbook lower anchor for the cliquet's mixing
+    interpolation (cf. ``models/slv.slv_cliquet_price``)."""
+    import jax as _jax
+
+    from .heston import HestonParams
+    from .slv import slv_cliquet_price
+
+    par = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+    return slv_cliquet_price(
+        jnp.float32(dupire.spot), float(maturity),
+        jnp.float32(dupire.rate), par, _jax.random.PRNGKey(seed),
+        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
+        dividend=jnp.float32(dupire.dividend), mixing=0.0,
+        local_floor=local_floor, local_cap=local_cap,
+        global_floor=global_floor, global_cap=global_cap,
+        notional=notional, n_periods=n_periods, n_paths=n_paths,
+        n_steps=n_steps, return_stderr=return_stderr)
+
+
+def local_vol_autocall_price(dupire: "DupireLocalVol", maturity,
+                             notional: float = 100.0,
+                             autocall_barrier: float = 1.0,
+                             coupon_barrier: float = 0.8,
+                             ki_barrier: float = 0.7,
+                             coupon_rate: float = 0.08, n_obs: int = 4,
+                             n_paths: int = 131_072, n_steps: int = 252,
+                             seed: int = 0, return_stderr: bool = False):
+    """Autocallable under PURE Dupire local vol (SLV engine at mixing=0
+    — see :func:`local_vol_cliquet_price` for why that is exact). The
+    knock-in barrier prices on the market smile; what pure LV misses is
+    the vega-sign dynamics, which is the ``mixing`` knob's job.
+    Conventions match ``models/exotics.autocallable_price``."""
+    import jax as _jax
+
+    from .heston import HestonParams
+    from .slv import slv_autocall_price
+
+    par = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+    return slv_autocall_price(
+        jnp.float32(dupire.spot), float(maturity),
+        jnp.float32(dupire.rate), par, _jax.random.PRNGKey(seed),
+        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
+        dividend=jnp.float32(dupire.dividend), mixing=0.0,
+        notional=notional, autocall_barrier=autocall_barrier,
+        coupon_barrier=coupon_barrier, ki_barrier=ki_barrier,
+        coupon_rate=coupon_rate, n_obs=n_obs, n_paths=n_paths,
+        n_steps=n_steps, return_stderr=return_stderr)
+
+
 def local_vol_vol_swap_strike(dupire: "DupireLocalVol", maturity,
                               n_paths: int = 200_000, n_steps: int = 100,
                               seed: int = 0):

@@ -507,6 +507,29 @@ def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
 
     cp = 1.0 if p["option_type"].startswith("c") else -1.0
     barrier = float(body.get("barrier", 120.0))
+    if kind in ("autocallable", "cliquet"):
+        # pure-LV structured kinds: the SLV engine at mixing=0 (exact)
+        from .models import (local_vol_autocall_price,
+                             local_vol_cliquet_price)
+
+        dup = DupireLocalVol(
+            sample_smile_iv_fn(base_vol=float(body.get("vol", 0.2))),
+            p["spot"], p["rate"])
+        n_steps = int(body.get("n_steps", 64))
+        if kind == "autocallable":
+            pr, se = local_vol_autocall_price(
+                dup, p["maturity"], n_obs=int(body.get("n_obs", 4)),
+                n_paths=n_paths, n_steps=n_steps,
+                seed=int(body.get("seed", 0)), return_stderr=True)
+        else:
+            pr, se = local_vol_cliquet_price(
+                dup, p["maturity"],
+                n_periods=int(body.get("n_periods", 8)),
+                n_paths=n_paths, n_steps=n_steps,
+                seed=int(body.get("seed", 0)), return_stderr=True)
+        return {"model": "lv", "dynamics": "dupire-local-vol",
+                "kind": kind, "engine": "slv-scan-mixing0",
+                "price": _to_jsonable(pr), "std_error": _to_jsonable(se)}
     band = {}
     kind_map = {"asian": "asian", "lookback": "lookback_float",
                 "european": "european",

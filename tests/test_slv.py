@@ -174,6 +174,33 @@ class TestStructuredKinds:
                               dupire.surface.grid, n_periods=7,
                               n_steps=32)
 
+    def test_pure_lv_wrappers_flat_match_gbm(self):
+        """The public pure-LV structured pricers (SLV engine pinned at
+        mixing=0) reproduce the GBM engines on a flat surface."""
+        from optionslab_tpu.models import (local_vol_autocall_price,
+                                           local_vol_cliquet_price)
+        from optionslab_tpu.models.exotics import (autocallable_price,
+                                                   cliquet_price)
+
+        dup = DupireLocalVol(lambda k, t: 0.2 + 0.0 * k + 0.0 * t,
+                             SPOT, RATE)
+        p, se = local_vol_cliquet_price(dup, T, n_periods=4,
+                                        n_paths=65_536, n_steps=32,
+                                        return_stderr=True)
+        pg, sg = cliquet_price(SPOT, T, RATE, 0.2, jax.random.PRNGKey(9),
+                               n_periods=4, n_paths=65_536, n_steps=32,
+                               return_stderr=True)
+        assert abs(float(p) - float(pg)) < \
+            5 * float(jnp.sqrt(se**2 + sg**2)) + 0.02
+        pa, sa = local_vol_autocall_price(dup, T, n_obs=4, n_paths=65_536,
+                                          n_steps=32, return_stderr=True)
+        pga, sga = autocallable_price(SPOT, T, RATE, 0.2,
+                                      jax.random.PRNGKey(9), n_obs=4,
+                                      n_paths=65_536, n_steps=32,
+                                      return_stderr=True)
+        assert abs(float(pa) - float(pga)) < \
+            5 * float(jnp.sqrt(sa**2 + sga**2)) + 0.05
+
 
 class TestAPI:
     def test_bad_kind_raises(self, dupire):
