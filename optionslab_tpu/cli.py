@@ -1063,6 +1063,16 @@ def cmd_varswap(args) -> dict:
     smile_rep = float(variance_swap_strike_from_iv(
         args.spot, kss, np.asarray(iv_fn(np.log(kss / fwd), args.maturity)),
         args.maturity, args.rate))
+    # SLV at full vol-of-vol on the SAME surface: Gyongy makes the log
+    # contract — hence K_var — mixing-invariant, so this must agree with
+    # the LV strike and the replication above
+    from .models import slv_variance_swap
+    import jax as _jax
+
+    slv_kv, slv_se = slv_variance_swap(
+        args.spot, args.maturity, args.rate, p, _jax.random.PRNGKey(0),
+        dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid,
+        mixing=1.0, n_paths=65_536, n_steps=64, return_stderr=True)
     return {
         "heston_variance_strike": kv,
         "heston_vol_strike_exact": float(heston_vol_swap_strike(p, args.maturity)),
@@ -1074,6 +1084,8 @@ def cmd_varswap(args) -> dict:
         "local_vol_variance_stderr": float(lv_se),
         "local_vol_vol_strike": float(lv_kvol),
         "smile_replication_variance_strike": smile_rep,
+        "slv_variance_strike_mixing1": float(slv_kv),
+        "slv_variance_stderr": float(slv_se),
         "vix_style_index_flat": float(vix_style_index(
             args.spot, ks, np.full_like(ks, args.vol), 30 / 365, args.rate)),
     }

@@ -9,7 +9,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU: the axon TPU tunnel is too slow for unit tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap XLA:CPU codegen at AVX2: this VM's virtual CPU advertises exotic
+# AVX512 subsets (fp16/bf16/vbmi2...) AND changes model between sessions;
+# two full-gate runs segfaulted (exit 139) ~300 tests in, inside
+# backend_compile_and_load / executable serialization, on the largest
+# scan programs — crash-free standalone, so it is accumulated native
+# JIT state on the exotic ISA paths. AVX2 is the conservative, fast,
+# everywhere-supported tier. Override with OPTIONSLAB_FULL_ISA=1.
+if ("xla_cpu_max_isa" not in flags
+        and os.environ.get("OPTIONSLAB_FULL_ISA") != "1"):
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -234,3 +234,42 @@ class TestAPI:
             p = slv.price(kind, 100.0, T, KEY, barrier=b,
                           n_paths=16_384, n_steps=16)
             assert np.isfinite(float(p)), kind
+
+
+class TestVarianceSwap:
+    """K_var under SLV via the log contract. Gyongy invariance: vanillas
+    (hence the log contract) reprice the smile at EVERY mixing, so the
+    strike must match pure LV and be mixing-invariant."""
+
+    def test_flat_surface_recovers_sigma_squared(self):
+        from optionslab_tpu.models import slv_variance_swap
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), SPOT, RATE)
+        kv, se = slv_variance_swap(SPOT, T, RATE, PAR, KEY, flat.k_grid,
+                                   flat.t_grid, flat.grid, mixing=1.0,
+                                   n_paths=65_536, n_steps=64,
+                                   return_stderr=True)
+        assert abs(float(kv) - 0.04) < 4 * float(se) + 1e-3
+
+    def test_mixing_invariant_and_matches_pure_lv(self):
+        from optionslab_tpu.models import (local_vol_variance_swap,
+                                           slv_variance_swap)
+
+        iv_fn = sample_smile_iv_fn(base_vol=0.2, skew=-0.06, smile=0.03)
+        dup = DupireLocalVol(iv_fn, SPOT, RATE, k_range=(-2.5, 2.5),
+                             n_k=201)
+        g = (dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid)
+        k0, s0 = slv_variance_swap(SPOT, T, RATE, PAR, KEY, *g,
+                                   mixing=0.0, n_paths=65_536, n_steps=64,
+                                   return_stderr=True)
+        k1, s1 = slv_variance_swap(SPOT, T, RATE, PAR, KEY, *g,
+                                   mixing=1.0, n_paths=65_536, n_steps=64,
+                                   return_stderr=True)
+        assert abs(float(k1) - float(k0)) < \
+            5 * float(jnp.sqrt(s0**2 + s1**2)) + 2e-3
+        klv, selv = local_vol_variance_swap(dup, T, n_paths=65_536,
+                                            n_steps=64)
+        assert abs(float(k0) - float(klv)) < \
+            5 * float(jnp.sqrt(s0**2 + selv**2)) + 1e-3
