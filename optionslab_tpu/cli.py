@@ -1036,7 +1036,7 @@ def cmd_varswap(args) -> dict:
     side by side as a live consistency check)."""
     from .models import (heston_expected_variance, heston_vol_swap_strike,
                          heston_vol_swap_strike_brockhaus_long,
-                         local_vol_variance_swap, local_vol_vol_swap_strike,
+                         local_vol_swap_strikes,
                          variance_swap_strike_from_iv, vix_style_index)
     from .models.heston import HestonParams
     from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
@@ -1054,10 +1054,9 @@ def cmd_varswap(args) -> dict:
     iv_fn = sample_smile_iv_fn(base_vol=args.vol, skew=-0.06, smile=0.03)
     dup = DupireLocalVol(iv_fn, args.spot, args.rate, k_range=(-2.5, 2.5),
                          n_k=201)
-    lv_kv, lv_se = local_vol_variance_swap(dup, args.maturity,
-                                           n_paths=100_000, n_steps=64)
-    lv_kvol, _ = local_vol_vol_swap_strike(dup, args.maturity,
-                                           n_paths=100_000, n_steps=64)
+    # both strikes are functionals of the same paths: ONE simulation
+    lv_kv, lv_se, lv_kvol, _ = local_vol_swap_strikes(
+        dup, args.maturity, n_paths=100_000, n_steps=64)
     fwd = args.spot * np.exp(args.rate * args.maturity)
     kss = np.exp(np.linspace(-2.5, 2.5, 1600)) * args.spot
     smile_rep = float(variance_swap_strike_from_iv(

@@ -165,7 +165,8 @@ from .jump_diffusion import (
 )
 from .local_vol import (DupireLocalVol, LocalVolSurface,
                         local_vol_autocall_price, local_vol_cliquet_price,
-                        local_vol_mc_price, local_vol_variance_swap,
+                        local_vol_mc_price, local_vol_swap_strikes,
+                        local_vol_variance_swap,
                         local_vol_vol_swap_strike, sample_smile_iv_fn)
 from .qmc_exotics import (
     brownian_bridge_paths,
@@ -275,6 +276,7 @@ __all__ = [
     "merton_mc_price", "kou_mc_price",
     # local vol
     "DupireLocalVol", "LocalVolSurface", "local_vol_mc_price",
+    "local_vol_swap_strikes",
     "local_vol_variance_swap", "local_vol_vol_swap_strike",
     "local_vol_cliquet_price", "local_vol_autocall_price",
     "sample_smile_iv_fn",

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -291,9 +293,59 @@ def _lv_realized_variance(k_grid, t_grid, vol_grid, spot, rate, dividend,
                                jnp.arange(n_steps, dtype=dtype))
     rv = acc / t_total
     vol = jnp.sqrt(rv)
-    rn = jnp.sqrt(n_paths * 1.0)
-    return (rv.mean(), rv.std(ddof=1) / rn,
-            vol.mean(), vol.std(ddof=1) / rn)
+    # stderr over the antithetic PAIR means (pairs are (i, i+half)):
+    # only n_paths/2 draws are independent, and the smile traversal
+    # correlates the two branches positively
+    rv_pm = 0.5 * (rv[:half] + rv[half:])
+    vol_pm = 0.5 * (vol[:half] + vol[half:])
+    rn = jnp.sqrt(half * 1.0)
+    return (rv.mean(), rv_pm.std(ddof=1) / rn,
+            vol.mean(), vol_pm.std(ddof=1) / rn)
+
+
+def _check_varswap_wing_coverage(dupire: "DupireLocalVol", maturity):
+    """Warn when the Dupire grid's k-range cannot span the strike strip a
+    variance swap integrates over.
+
+    The fair strike E[(1/T)∫σ_loc² dt] matches the model-free replication
+    only when σ_loc is trusted wherever the paths wander (≈ ±2.5·σ_ATM·√T
+    in log-moneyness). Beyond ``k_grid`` the bilinear surface CLAMPS to
+    the edge value, silently biasing K_var — the default ±0.8 grid lost
+    18% of K_var vs a ±2.5 strip on a smiling surface. Build the
+    ``DupireLocalVol`` with ``k_range=(-2.5, 2.5)`` (or wider) for swap
+    work."""
+    import warnings
+
+    kg = np.asarray(dupire.surface.k_grid)
+    tg = np.asarray(dupire.surface.t_grid)
+    vg = np.asarray(dupire.surface.grid)
+    t = float(maturity)
+    sig_atm = float(vg[np.argmin(np.abs(tg - t)), np.argmin(np.abs(kg))])
+    need = 2.5 * sig_atm * np.sqrt(max(t, 1e-8))
+    if need > min(-float(kg[0]), float(kg[-1])) + 1e-9:
+        warnings.warn(
+            f"Dupire k_grid [{float(kg[0]):.2f}, {float(kg[-1]):.2f}] "
+            f"does not span the ±{need:.2f} log-moneyness strip a "
+            f"T={t:g} variance swap integrates over; clamped wings bias "
+            "K_var (18% shortfall measured on the default ±0.8 grid). "
+            "Rebuild the surface with k_range=(-2.5, 2.5) or wider.",
+            stacklevel=3)
+
+
+def local_vol_swap_strikes(dupire: "DupireLocalVol", maturity,
+                           n_paths: int = 200_000, n_steps: int = 100,
+                           seed: int = 0):
+    """Both swap strikes from ONE simulation: returns
+    ``(K_var, se_var, K_vol, se_vol)``. The per-path integrated variance
+    and its square root are functionals of the same paths, so pricing
+    the variance swap and the volatility swap separately would run the
+    identical n_paths×n_steps scan twice (0.5–3 s/dispatch over the TPU
+    tunnel). Wing-coverage requirement: see ``local_vol_variance_swap``."""
+    _check_varswap_wing_coverage(dupire, maturity)
+    return _lv_realized_variance(
+        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
+        dupire.spot, dupire.rate, dupire.dividend, jnp.float32(maturity),
+        jax.random.PRNGKey(seed), n_paths, n_steps)
 
 
 def local_vol_variance_swap(dupire: "DupireLocalVol", maturity,
@@ -307,13 +359,18 @@ def local_vol_variance_swap(dupire: "DupireLocalVol", maturity,
     (``models/var_swap.variance_swap_strike_from_iv``) up to grid/Euler
     discretization — an end-to-end consistency check of the whole Dupire
     pipeline, asserted in tests. On a flat surface RV is deterministic:
-    K_var = σ² with zero stderr. The reference has no variance-swap
+    K_var = σ² with zero stderr.
+
+    REQUIREMENT: the Dupire surface's ``k_grid`` must span the
+    replication strip (≈ ±2.5·σ_ATM·√T log-moneyness; k_range=(-2.5, 2.5)
+    is safe for equity-like vols) — beyond the grid the surface clamps
+    to its edge value and K_var is silently biased (an 18% shortfall was
+    measured with the default ±0.8 grid on a smiling surface). A warning
+    fires when the grid is too narrow. The reference has no variance-swap
     machinery at all (beyond-reference; cf. its vanilla-only local vol,
     ``src/models/local_vol.py``)."""
-    m, se, _, _ = _lv_realized_variance(
-        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
-        dupire.spot, dupire.rate, dupire.dividend, jnp.float32(maturity),
-        jax.random.PRNGKey(seed), n_paths, n_steps)
+    m, se, _, _ = local_vol_swap_strikes(dupire, maturity, n_paths,
+                                         n_steps, seed)
     return m, se
 
 
@@ -385,9 +442,9 @@ def local_vol_vol_swap_strike(dupire: "DupireLocalVol", maturity,
                               seed: int = 0):
     """Fair VOLATILITY swap strike E[√((1/T) ∫ σ_loc² dt)] under Dupire
     dynamics — sits below √K_var by Jensen; the gap prices the convexity
-    the smile's vol-of-vol induces in √RV. Returns (K_vol, stderr)."""
-    _, _, m, se = _lv_realized_variance(
-        dupire.surface.k_grid, dupire.surface.t_grid, dupire.surface.grid,
-        dupire.spot, dupire.rate, dupire.dividend, jnp.float32(maturity),
-        jax.random.PRNGKey(seed), n_paths, n_steps)
+    the smile's vol-of-vol induces in √RV. Returns (K_vol, stderr).
+    Wing-coverage requirement: see ``local_vol_variance_swap``; use
+    ``local_vol_swap_strikes`` when you need both strikes (one sim)."""
+    _, _, m, se = local_vol_swap_strikes(dupire, maturity, n_paths,
+                                         n_steps, seed)
     return m, se

@@ -532,7 +532,12 @@ def _rbergomi_cliquet_core(spot, maturity, rate, dividend, local_floor,
     price = df * pay.mean()
     if not return_stderr:
         return price
-    return price, df * pay.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+    # paths are antithetic pairs (i, i+half): only n_paths/2 draws are
+    # independent, so the honest stderr is over the pair MEANS (for the
+    # collared, non-monotone payoff pairs can be positively correlated)
+    half = n_paths // 2
+    pair_mean = 0.5 * (pay[:half] + pay[half:])
+    return price, df * pair_mean.std(ddof=1) / jnp.sqrt(half * 1.0)
 
 
 def rbergomi_cliquet_price(spot, maturity, rate, params: RBergomiParams,
@@ -600,7 +605,10 @@ def _rbergomi_autocall_core(spot, maturity, rate, dividend, notional,
     price = pay.mean()
     if not return_stderr:
         return price
-    return price, pay.std(ddof=1) / jnp.sqrt(n_paths * 1.0)
+    # stderr over the antithetic pair means (see _rbergomi_cliquet_core)
+    half = n_paths // 2
+    pair_mean = 0.5 * (pay[:half] + pay[half:])
+    return price, pair_mean.std(ddof=1) / jnp.sqrt(half * 1.0)
 
 
 def rbergomi_autocall_price(spot, maturity, rate, params: RBergomiParams,

@@ -481,9 +481,15 @@ class TestHestonExoticEndpoint:
             "n_steps": 8})
         assert status == 200 and body["dynamics"] == "rough-bergomi"
         assert 0 < body["price"] < 10.45
+        # structured kinds route under rough vol too (round-3 feature):
+        # 8 periods x local cap 0.05 on notional 100, global floor 0
+        # => discounted payoff in (0, 40)
         status, body = _post(server, "/exotic", {
-            "kind": "cliquet", "model": "rbergomi", "n_paths": 2000})
-        assert status == 400
+            "kind": "cliquet", "model": "rbergomi", "n_paths": 2000,
+            "n_steps": 16, "n_periods": 8})
+        assert status == 200 and body["dynamics"] == "rough-bergomi"
+        assert 0.0 < body["price"] < 40.0
+        assert body["std_error"] > 0.0
 
     def test_slv_exotic_over_wire(self, server):
         base = {"kind": "barrier", "barrier": 120.0, "model": "slv",

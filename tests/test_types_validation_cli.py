@@ -210,8 +210,15 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["greek_method"] == "lr-sticky-strike"
         assert {"delta", "gamma", "vega", "fit_residual"} <= out.keys()
-        with pytest.raises(SystemExit):
-            cli_main(["exotic", "--kind", "cliquet", "--model", "lv"])
+        # structured kinds route under pure LV (round-3 feature: the SLV
+        # engine at mixing=0). 8 periods x local cap 0.05 on notional 100
+        # with global floor 0 => discounted payoff in (0, 40).
+        cli_main(["exotic", "--kind", "cliquet", "--model", "lv",
+                  "--n-paths", "512", "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["dynamics"] == "dupire-local-vol"
+        assert out["engine"] == "slv-scan-mixing0"
+        assert 0.0 < out["price"] < 40.0
 
     def test_exotic_slv_double_greeks(self, capsys):
         """slv double kinds now reach the replay-kernel LR ladder."""
