@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Sharded test gate: one pytest process per test file, serial, with
+automatic retry of crashed shards.
+
+Why this exists: the box's XLA:CPU JIT segfaults (exit 139) are
+heap-state dependent — a shard that crashes mid-gate passes standalone
+(documented family, tests/conftest.py). In a single pytest process one
+such crash destroys the WHOLE gate signal; here it costs one shard,
+which is retried once in a fresh process before being reported. The
+reference's CI gate runs its suite to completion
+(/root/reference/.github/workflows/ci.yml:13-41); this runner restores
+that property on hostile virtual CPUs.
+
+Usage:
+    python tools/run_gate.py              # default gate (-m "not slow")
+    python tools/run_gate.py --full       # full suite (-m "")
+    python tools/run_gate.py -k pattern   # forwarded to pytest
+    python tools/run_gate.py tests/test_slv.py tests/test_risk.py
+
+Exit code: 0 iff every shard finished green (after at most one retry
+per crashed shard). Crash-then-pass is reported but does not fail the
+gate; crash-twice or test failures do.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# negative returncodes are delivered signals (-11 SIGSEGV, -6 SIGABRT,
+# -4 SIGILL); 139/134/132 are the same via a shell. pytest itself never
+# returns these.
+CRASH_CODES = {-11, -6, -4, 139, 134, 132}
+_SUMMARY_RE = re.compile(
+    r"(\d+) (passed|failed|skipped|deselected|error|errors|xfailed|xpassed)")
+
+
+def _run_shard(path: str, extra: list[str], log_path: str) -> tuple[int, str]:
+    """One pytest process for one file; returns (returncode, tail)."""
+    # NOTE: no explicit -q — pytest.ini addopts already has one, and a
+    # second -q suppresses the final count line this runner parses
+    cmd = [sys.executable, "-m", "pytest", path, *extra]
+    with open(log_path, "w") as log:
+        proc = subprocess.run(cmd, cwd=REPO, stdout=log,
+                              stderr=subprocess.STDOUT)
+    with open(log_path) as f:
+        out = f.read()
+    return proc.returncode, out
+
+
+def _counts(out: str) -> dict:
+    c: dict[str, int] = {}
+    # the summary line is near the end; scan the last few lines only so
+    # failure details mentioning "N passed" elsewhere don't miscount
+    for line in out.strip().splitlines()[-5:]:
+        for n, kind in _SUMMARY_RE.findall(line):
+            kind = "error" if kind == "errors" else kind
+            c[kind] = c.get(kind, 0) + int(n)
+    return c
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("shards", nargs="*",
+                    help="test files to run (default: all tests/test_*.py)")
+    ap.add_argument("--full", action="store_true",
+                    help='run the full suite (-m "") instead of the '
+                         'default gate (-m "not slow")')
+    ap.add_argument("-k", dest="k", default=None,
+                    help="forwarded to pytest -k")
+    ap.add_argument("--log-dir", default="/tmp/optionslab_gate",
+                    help="per-shard pytest logs land here")
+    args = ap.parse_args(argv)
+
+    extra: list[str] = []
+    if args.full:
+        extra += ["-m", ""]
+    if args.k:
+        extra += ["-k", args.k]
+
+    shards = args.shards or sorted(
+        glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    os.makedirs(args.log_dir, exist_ok=True)
+
+    total: dict[str, int] = {}
+    failed_shards: list[str] = []
+    crashed_then_passed: list[str] = []
+    t_gate = time.time()
+    for path in shards:
+        name = os.path.basename(path)
+        log_path = os.path.join(args.log_dir, name + ".log")
+        t0 = time.time()
+        rc, out = _run_shard(path, extra, log_path)
+        attempt = 1
+        if rc in CRASH_CODES:
+            print(f"CRASH {name}: exit {rc} (XLA:CPU JIT family) — "
+                  f"retrying in a fresh process", flush=True)
+            rc, out = _run_shard(path, extra, log_path)
+            attempt = 2
+            if rc not in CRASH_CODES and rc in (0, 5):
+                crashed_then_passed.append(name)
+        dt = time.time() - t0
+        c = _counts(out)
+        for k, v in c.items():
+            total[k] = total.get(k, 0) + v
+        # exit 5 = no tests collected (e.g. everything deselected) — ok
+        if rc in (0, 5):
+            status = "ok" if attempt == 1 else "ok (after crash retry)"
+        elif rc in CRASH_CODES:
+            status = f"CRASHED TWICE (exit {rc})"
+            failed_shards.append(name)
+        else:
+            status = f"FAILED (exit {rc})"
+            failed_shards.append(name)
+        summary = ", ".join(f"{v} {k}" for k, v in sorted(c.items()))
+        print(f"[{dt:7.1f}s] {name:40s} {status:28s} {summary}", flush=True)
+        if rc not in (0, 5) and rc not in CRASH_CODES:
+            tail = "\n".join(out.strip().splitlines()[-15:])
+            print("    " + tail.replace("\n", "\n    "), flush=True)
+
+    print("-" * 78)
+    agg = ", ".join(f"{v} {k}" for k, v in sorted(total.items()))
+    print(f"GATE {'RED' if failed_shards else 'GREEN'}: {agg} "
+          f"in {time.time() - t_gate:.0f}s across {len(shards)} shards")
+    if crashed_then_passed:
+        print(f"shards that crashed once then passed clean: "
+              f"{', '.join(crashed_then_passed)}")
+    if failed_shards:
+        print(f"failed shards: {', '.join(failed_shards)} "
+              f"(logs in {args.log_dir})")
+    return 1 if failed_shards else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
