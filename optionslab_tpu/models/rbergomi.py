@@ -33,6 +33,7 @@ from ..utils.exceptions import ValidationError
 __all__ = ["RBergomiParams", "rbergomi_price", "rbergomi_greeks",
            "rbergomi_smile_iv", "rbergomi_variance_grid",
            "rbergomi_cliquet_price", "rbergomi_autocall_price",
+           "rbergomi_chain_price", "calibrate_rbergomi",
            "xi_curve_from_variance_swaps"]
 
 
@@ -57,8 +58,8 @@ class RBergomiParams:
 
 
 @functools.lru_cache(maxsize=16)
-def _volterra_chol(n_steps: int, hurst: float, maturity: float):
-    """Cholesky factor of Cov([V~_{t_1..n}, W_{t_1..n}]) (host, cached).
+def _volterra_cov_host(n_steps: int, hurst: float, maturity: float):
+    """Cov([V~_{t_1..n}, W_{t_1..n}]) in f64 (host, cached).
 
     C_VV[i,i] = t_i^{2H} exactly; off-diagonals by Gauss–Legendre after
     the u = w^{1/(H+1/2)} substitution that removes the (t_i - s)^{H-1/2}
@@ -99,7 +100,34 @@ def _volterra_chol(n_steps: int, hurst: float, maturity: float):
     cov = np.block([[c_vv, c_vw], [c_vw.T, c_ww]])
     # tiny jitter for numerical PSD
     cov += 1e-12 * np.eye(2 * n)
-    return np.linalg.cholesky(cov).astype(np.float32)
+    return cov
+
+
+@functools.lru_cache(maxsize=16)
+def _volterra_chol(n_steps: int, hurst: float, maturity: float):
+    """Cholesky factor of the block-ordered [V~_{1..n}, W_{1..n}]
+    covariance (host, cached, f32 for the MXU matmul)."""
+    return np.linalg.cholesky(
+        _volterra_cov_host(n_steps, hurst, maturity)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _volterra_chol_causal(n_steps: int, hurst: float, maturity: float):
+    """CAUSAL (time-interleaved) Cholesky factor: state order
+    (V~_1, W_1, V~_2, W_2, ...), so row 2(i-1) is V~_{t_i} and row
+    2(i-1)+1 is W_{t_i}, and each state is a lower-triangular map of the
+    iid normals e_1..e_{2i}.  This makes EXACT conditional transitions
+    available: given the past e's, any future (V~, W) block is Gaussian
+    with mean L[rows, :past] @ e_past and factor L[rows, fresh-cols] —
+    the key to dual (Rogers/Haugh–Kogan style) bounds on the
+    non-Markovian rough law without nested path replay
+    (``models/rbergomi_american.py``)."""
+    n = int(n_steps)
+    cov = _volterra_cov_host(n, hurst, maturity)
+    perm = np.empty(2 * n, np.int64)
+    perm[0::2] = np.arange(n)          # V~_i lives at block index i
+    perm[1::2] = n + np.arange(n)      # W_i lives at block index n+i
+    return np.linalg.cholesky(cov[np.ix_(perm, perm)]).astype(np.float32)
 
 
 def rbergomi_variance_grid(params: RBergomiParams, v_tilde, t_grid):
@@ -640,6 +668,241 @@ def rbergomi_autocall_price(spot, maturity, rate, params: RBergomiParams,
         jnp.float32(params.xi0), jnp.float32(params.eta),
         jnp.float32(params.rho), float(params.hurst), key, n_obs,
         n_paths, n_steps, return_stderr)
+
+
+# ---------------------------------------------------------------------------
+# Chain pricing + full (H, eta, rho, xi0) calibration
+# ---------------------------------------------------------------------------
+
+_GL64_X, _GL64_W = np.polynomial.legendre.leggauss(64)
+
+
+def _volterra_cov_dynamic(t_grid, h):
+    """(2n, 2n) covariance of (V~_{t_1..n}, W_{t_1..n}) as a TRACEABLE
+    function of the Hurst exponent ``h`` — the piece that makes rough
+    Bergomi CALIBRATABLE on-device.
+
+    Same quadrature as the host-side :func:`_volterra_chol` (u = w^p
+    substitution kills the (t_i - s)^{H-1/2} endpoint singularity;
+    64-node Gauss–Legendre), but built entirely from jnp ops so
+    ``jax.grad`` flows through H into the Cholesky factor and the whole
+    MC smile. Supports non-uniform grids (multi-expiry chains). Powers
+    of possibly-zero bases are masked BEFORE the pow so the H-gradient
+    (x^a log x) never sees x = 0.
+    """
+    t = jnp.asarray(t_grid, jnp.float32)
+    p = 1.0 / (h + 0.5)
+    xq = jnp.asarray(_GL64_X, jnp.float32)
+    wq = jnp.asarray(_GL64_W, jnp.float32)
+    b = t ** (h + 0.5)                                   # t^{1/p}, (n,)
+    wn = 0.5 * b[:, None] * (xq[None, :] + 1.0)          # (n, q) in (0, b)
+    ww = 0.5 * b[:, None] * wq[None, :]
+    u = wn ** p                                          # (n, q), > 0
+    # diff[i, j, q] = t_j - t_i + u_iq; > 0 iff t_j >= t_i (u > 0)
+    diff = t[None, :, None] - t[:, None, None] + u[:, None, :]
+    later = t[None, :] >= t[:, None]
+    f = jnp.where(later[:, :, None], diff, 1.0) ** (h - 0.5)
+    val = 2.0 * h * p * jnp.einsum("iq,ijq->ij", ww, f)
+    upper = jnp.where(t[None, :] > t[:, None], val, 0.0)
+    c_vv = upper + upper.T + jnp.diag(t ** (2.0 * h))    # diag exact
+    mn = jnp.minimum(t[:, None], t[None, :])
+    gap = t[:, None] - mn
+    gap_pow = jnp.where(gap > 0, jnp.where(gap > 0, gap, 1.0) ** (h + 0.5),
+                        0.0)
+    c_vw = jnp.sqrt(2.0 * h) / (h + 0.5) * (b[:, None] - gap_pow)
+    c_ww = mn
+    return jnp.concatenate(
+        [jnp.concatenate([c_vv, c_vw], axis=1),
+         jnp.concatenate([c_vw.T, c_ww], axis=1)], axis=0)
+
+
+def _volterra_logs_dynamic(t_grid, h, eta, rho, xi0, rate, dividend, z, zp):
+    """Relative log-spot paths ln(S_{t_i}/S0) on an arbitrary positive
+    grid, differentiable in EVERY parameter including h. ``z`` is the
+    (n_paths, 2n) standard-normal block, ``zp`` the (n_paths, n)
+    orthogonal spot block — drawn ONCE by the caller so every loss
+    evaluation reuses the identical noise (CRN: the calibration loss
+    surface is deterministic)."""
+    t = jnp.asarray(t_grid, jnp.float32)
+    n = t.shape[0]
+    cov = _volterra_cov_dynamic(t, h)
+    # relative jitter: f32 Cholesky of the (levels) covariance needs it;
+    # scale by the mean diagonal so it tracks the grid's units
+    jit_eps = 1e-6 * jnp.mean(jnp.diag(cov))
+    lmat = jnp.linalg.cholesky(cov + jit_eps * jnp.eye(2 * n, dtype=cov.dtype))
+    vw = jax.lax.dot_general(z, lmat, (((1,), (1,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    v_tilde = vw[:, :n]
+    w_lvl = vw[:, n:]
+    n_paths = z.shape[0]
+    dw = jnp.diff(w_lvl, axis=1,
+                  prepend=jnp.zeros((n_paths, 1), jnp.float32))
+    dt = jnp.diff(t, prepend=jnp.zeros((1,), jnp.float32))   # (n,)
+    expf = jnp.exp(eta * v_tilde - 0.5 * eta**2 * t[None, :] ** (2.0 * h))
+    expf_left = jnp.concatenate(
+        [jnp.ones((n_paths, 1), jnp.float32), expf[:, :-1]], axis=1)
+    v_left = xi0 * expf_left
+    srho = jnp.sqrt(jnp.maximum(1.0 - rho**2, 0.0))
+    dz = rho * dw + srho * jnp.sqrt(dt)[None, :] * zp
+    return (jnp.cumsum(jnp.sqrt(v_left) * dz - 0.5 * v_left * dt[None, :],
+                       axis=1)
+            + (rate - dividend) * t[None, :])
+
+
+def _chain_grid(expiries, max_dt: float, min_seg: int):
+    """Host-side simulation grid hitting every expiry exactly.
+
+    Returns (t_grid, expiry_index) — consecutive-expiry segments
+    subdivided at ~max_dt (at least min_seg substeps each)."""
+    exps = sorted({float(t) for t in np.asarray(expiries).ravel()})
+    if exps[0] <= 0:
+        raise ValidationError("expiries must be positive")
+    grid: list[float] = []
+    idx: dict[float, int] = {}
+    prev = 0.0
+    for te in exps:
+        m = max(min_seg, int(np.ceil((te - prev) / max_dt)))
+        grid.extend(np.linspace(prev, te, m + 1)[1:].tolist())
+        idx[te] = len(grid) - 1
+        prev = te
+    return np.asarray(grid, np.float32), idx
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths",))
+def _chain_price_core(t_grid, e_idx, strikes, cps, dfs, spot, rate, dividend,
+                      h, eta, rho, xi0, z, zp, *, n_paths):
+    x = _volterra_logs_dynamic(t_grid, h, eta, rho, xi0, rate, dividend,
+                               z, zp)
+    x_q = x[:, e_idx]                                # (n_paths, n_quotes)
+    pay = jnp.maximum(cps[None, :] * (spot * jnp.exp(x_q)
+                                      - strikes[None, :]), 0.0)
+    return dfs * pay.mean(axis=0)
+
+
+def rbergomi_chain_price(strikes, maturities, cps, spot, rate,
+                         params: RBergomiParams, key, dividend: float = 0.0,
+                         n_paths: int = 131_072, max_dt: float = 0.02,
+                         min_seg: int = 4):
+    """Price a whole multi-expiry vanilla chain under rough Bergomi in ONE
+    jitted program (one path set to the longest expiry, every quote read
+    off the same paths — common random numbers across the chain).
+
+    Differentiability: this is the forward map the calibration
+    differentiates; unlike :func:`rbergomi_price` (host-cached Cholesky,
+    static H), the covariance is built in-graph so H is a live input.
+    """
+    params.validate()
+    strikes = np.asarray(strikes, np.float32).ravel()
+    mats = np.asarray(maturities, np.float32).ravel()
+    cps = np.asarray(cps, np.float32).ravel()
+    t_grid, idx = _chain_grid(mats, max_dt, min_seg)
+    e_idx = jnp.asarray([idx[float(t)] for t in mats], jnp.int32)
+    dfs = jnp.exp(-jnp.float32(rate) * jnp.asarray(mats, jnp.float32))
+    n = len(t_grid)
+    half = n_paths // 2
+    k1, k2 = jax.random.split(key)
+    z = jax.random.normal(k1, (half, 2 * n), jnp.float32)
+    z = jnp.concatenate([z, -z], axis=0)
+    zp = jax.random.normal(k2, (half, n), jnp.float32)
+    zp = jnp.concatenate([zp, -zp], axis=0)
+    return _chain_price_core(
+        jnp.asarray(t_grid), e_idx, jnp.asarray(strikes), jnp.asarray(cps),
+        dfs, jnp.float32(spot), jnp.float32(rate), jnp.float32(dividend),
+        jnp.float32(params.hurst), jnp.float32(params.eta),
+        jnp.float32(params.rho), jnp.float32(params.xi0), z, zp,
+        n_paths=n_paths)
+
+
+def _rb_to_unconstrained(p: RBergomiParams):
+    h = np.clip(p.hurst, 1e-3, 0.499)
+    return jnp.asarray([
+        np.log(h / (0.5 - h)),                       # 0.5*sigmoid -> (0,.5)
+        np.log(np.expm1(max(p.eta, 1e-4))),          # softplus
+        np.arctanh(np.clip(p.rho, -0.999, 0.999)),   # tanh
+        np.log(max(p.xi0, 1e-6)),                    # exp
+    ], jnp.float32)
+
+
+def _rb_from_unconstrained(x):
+    return (0.5 * jax.nn.sigmoid(x[0]), jax.nn.softplus(x[1]),
+            jnp.tanh(x[2]), jnp.exp(x[3]))
+
+
+def calibrate_rbergomi(market_prices, strikes, maturities, cps, spot, rate,
+                       dividend: float = 0.0,
+                       init: RBergomiParams | None = None,
+                       n_steps: int = 300, learning_rate: float = 0.05,
+                       n_paths: int = 65_536, max_dt: float = 0.02,
+                       min_seg: int = 4, seed: int = 0,
+                       weights=None) -> tuple[RBergomiParams, float]:
+    """Calibrate ALL FOUR rough-Bergomi parameters (H, eta, rho, xi0) to a
+    vanilla chain by scanned Adam on a CRN MC loss — including the Hurst
+    exponent, which is usually frozen because it reshapes the Volterra
+    covariance: here the covariance quadrature + Cholesky live INSIDE the
+    differentiated graph (:func:`_volterra_cov_dynamic`), so dLoss/dH
+    flows through the factor into the smile.
+
+    The noise is drawn once (fixed seed) and closed over: every Adam step
+    reprices the identical path functional, making the MC loss surface
+    deterministic — the scan converges like a deterministic objective
+    (same CRN design as ``calibrate_heston_mc``). Loss is relative price
+    error (vega-like weighting via ``weights`` if supplied). H is
+    identified by the skew TERM STRUCTURE (psi(tau) ~ tau^{H-1/2}), so
+    the chain should contain at least one short expiry.
+
+    Beyond the reference (no rough vol); anchor for the calibration
+    pattern: ``src/pricing_models/heston.py:312``.
+    Returns (params, best_loss).
+    """
+    from ..ops.optim import scan_adam
+    from ..utils.exceptions import CalibrationError
+
+    market = jnp.asarray(market_prices, jnp.float32).ravel()
+    w = (jnp.ones_like(market) if weights is None
+         else jnp.asarray(weights, jnp.float32).ravel())
+    strikes_np = np.asarray(strikes, np.float32).ravel()
+    mats = np.asarray(maturities, np.float32).ravel()
+    cps_np = np.asarray(cps, np.float32).ravel()
+    if not (market.shape[0] == strikes_np.shape[0] == mats.shape[0]
+            == cps_np.shape[0]):
+        raise ValidationError("market/strikes/maturities/cps must align")
+    init = init or RBergomiParams(hurst=0.15, eta=1.5, rho=-0.6, xi0=0.04)
+    x0 = _rb_to_unconstrained(init)
+
+    t_grid, idx = _chain_grid(mats, max_dt, min_seg)
+    e_idx = jnp.asarray([idx[float(t)] for t in mats], jnp.int32)
+    dfs = jnp.exp(-jnp.float32(rate) * jnp.asarray(mats, jnp.float32))
+    n = len(t_grid)
+    half = n_paths // 2
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    z = jax.random.normal(k1, (half, 2 * n), jnp.float32)
+    z = jnp.concatenate([z, -z], axis=0)
+    zp = jax.random.normal(k2, (half, n), jnp.float32)
+    zp = jnp.concatenate([zp, -zp], axis=0)
+    tg = jnp.asarray(t_grid)
+    ks = jnp.asarray(strikes_np)
+    cpj = jnp.asarray(cps_np)
+    s0 = jnp.float32(spot)
+    r = jnp.float32(rate)
+    q = jnp.float32(dividend)
+
+    def loss_fn(x):
+        h, eta, rho, xi0 = _rb_from_unconstrained(x)
+        xl = _volterra_logs_dynamic(tg, h, eta, rho, xi0, r, q, z, zp)
+        pay = jnp.maximum(cpj[None, :] * (s0 * jnp.exp(xl[:, e_idx])
+                                          - ks[None, :]), 0.0)
+        model = dfs * pay.mean(axis=0)
+        rel = (model - market) / jnp.maximum(market, 1e-3)
+        return jnp.mean(w * rel * rel)
+
+    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    if not np.isfinite(float(best_loss)):
+        raise CalibrationError("rBergomi calibration diverged "
+                               "(non-finite loss)")
+    h, eta, rho, xi0 = (float(v) for v in _rb_from_unconstrained(best_x))
+    params = RBergomiParams(hurst=h, eta=eta, rho=rho, xi0=xi0)
+    params.validate()
+    return params, float(best_loss)
 
 
 def rbergomi_exotic_greeks(kind: str, spot, strike, maturity, rate,

@@ -421,6 +421,10 @@ def calibrate_model_to_chain(chain, model: str = "heston", *,
     df = df.loc[ok]
     if model == "heston-mc":
         max_quotes = min(max_quotes, 12)
+    elif model == "rbergomi":
+        # one XLA program reprices every quote off a shared path set, so
+        # quotes are cheap — the grid (union of expiries) is what scales
+        max_quotes = min(max_quotes, 24)
     if len(df) > max_quotes:  # deterministic thinning for the Adam loop
         df = df.iloc[np.linspace(0, len(df) - 1, max_quotes).astype(int)]
 
@@ -469,9 +473,27 @@ def calibrate_model_to_chain(chain, model: str = "heston", *,
             n_paths=mc_paths, max_dt=mc_max_dt, seed=seed, sampler=sampler)
         names = ("v0", "kappa", "theta", "sigma", "rho")
         fitted = np.asarray(heston_price(batch, params))
+    elif model == "rbergomi":
+        import jax
+
+        from ..models.rbergomi import (calibrate_rbergomi,
+                                       rbergomi_chain_price)
+
+        n_paths = min(mc_paths, 131_072)
+        params, loss = calibrate_rbergomi(
+            target, strike, ttm, cp, float(np.median(s)),
+            float(np.median(rate)), n_steps=min(n_steps, 300),
+            n_paths=n_paths, max_dt=mc_max_dt, seed=seed)
+        names = ("hurst", "eta", "rho", "xi0")
+        # diagnostics on an INDEPENDENT key: reported RMSE includes the
+        # fit's own MC error instead of reusing the calibration noise
+        fitted = np.asarray(rbergomi_chain_price(
+            strike, ttm, cp, float(np.median(s)), float(np.median(rate)),
+            params, jax.random.PRNGKey(seed + 1), n_paths=n_paths,
+            max_dt=mc_max_dt))
     else:
         raise ValidationError(
-            f"model must be heston|heston-mc|bates, got {model!r}")
+            f"model must be heston|heston-mc|bates|rbergomi, got {model!r}")
 
     iv_fit = np.asarray(implied_vol(jnp.asarray(fitted, jnp.float32),
                                     jnp.asarray(s, jnp.float32),

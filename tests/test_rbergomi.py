@@ -484,3 +484,139 @@ class TestRBergomiExoticGreeks:
         with pytest.raises(ValidationError):
             rbergomi_exotic_greeks("barrier_up-and-out", 100.0, 100.0, 1.0,
                                    0.05, par, key)
+
+
+class TestChainCalibration:
+    """Full (H, eta, rho, xi0) calibration via the in-graph Volterra
+    covariance — the piece that makes H a live, differentiable input."""
+
+    def test_dynamic_cov_matches_host_cholesky(self):
+        """The traceable covariance equals the host-side factor's
+        reconstruction (same 64-node quadrature) — an exact cross-
+        implementation oracle, not a statistical one."""
+        from optionslab_tpu.models.rbergomi import (_volterra_chol,
+                                                    _volterra_cov_dynamic)
+        n, h, t = 24, 0.11, 0.9
+        lhost = np.asarray(_volterra_chol(n, h, t), np.float64)
+        cov_host = lhost @ lhost.T
+        grid = np.linspace(t / n, t, n).astype(np.float32)
+        cov_dyn = np.asarray(
+            _volterra_cov_dynamic(jnp.asarray(grid), jnp.float32(h)),
+            np.float64)
+        assert np.max(np.abs(cov_dyn - cov_host)) < 5e-5
+
+    def test_chain_price_matches_static_pricer(self):
+        """One chain program vs the per-expiry static-H pricer (different
+        keys, both exact-in-law): agreement within joint MC noise."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_chain_price,
+                                                    rbergomi_price)
+        p = RBergomiParams(hurst=0.12, eta=1.6, rho=-0.7, xi0=0.05)
+        strikes = np.array([90.0, 100.0, 110.0, 95.0, 100.0, 105.0],
+                           np.float32)
+        mats = np.array([0.25, 0.25, 0.25, 0.75, 0.75, 0.75], np.float32)
+        cps = np.ones(6, np.float32)
+        chain = np.asarray(rbergomi_chain_price(
+            strikes, mats, cps, 100.0, 0.02, p, jax.random.PRNGKey(3),
+            n_paths=65_536, max_dt=0.02))
+        for t_e in (0.25, 0.75):
+            m = mats == t_e
+            ref, se = rbergomi_price(
+                100.0, strikes[m], t_e, 0.02, p, jax.random.PRNGKey(9),
+                n_paths=65_536, n_steps=32)
+            assert np.allclose(chain[m], np.asarray(ref),
+                               atol=4 * float(np.max(np.asarray(se))) + 0.02), \
+                (chain[m], np.asarray(ref))
+
+    def test_hurst_gradient_matches_fd(self):
+        """dLoss/dH through the in-graph covariance + Cholesky matches
+        central FD of the SAME CRN program, and its sign agrees with the
+        independent static-H pricer: at (eta=1.9, rho=-0.9, xi0=0.04,
+        T=0.1, K=92) the put price RISES with H (measured 0.524 -> 0.537
+        over H 0.08 -> 0.12 at 262k paths; naive 'more roughness = more
+        skew = dearer put' intuition is WRONG at this point)."""
+        from optionslab_tpu.models.rbergomi import (_chain_grid,
+                                                    _volterra_logs_dynamic)
+        t_grid, idx = _chain_grid([0.1], 0.02, 4)
+        tg = jnp.asarray(t_grid)
+        e = idx[0.1]
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        half = 8192
+        z = jax.random.normal(k1, (half, 2 * len(t_grid)), jnp.float32)
+        z = jnp.concatenate([z, -z], axis=0)
+        zp = jax.random.normal(k2, (half, len(t_grid)), jnp.float32)
+        zp = jnp.concatenate([zp, -zp], axis=0)
+
+        def put(h):
+            x = _volterra_logs_dynamic(tg, h, jnp.float32(1.9),
+                                       jnp.float32(-0.9), jnp.float32(0.04),
+                                       jnp.float32(0.0), jnp.float32(0.0),
+                                       z, zp)
+            s_t = 100.0 * jnp.exp(x[:, e])
+            return jnp.maximum(92.0 - s_t, 0.0).mean()
+
+        g = float(jax.grad(put)(jnp.float32(0.1)))
+        fd = float((put(jnp.float32(0.12)) - put(jnp.float32(0.08))) / 0.04)
+        assert np.isfinite(g) and g > 0.0
+        assert abs(g - fd) < 0.15 * abs(fd) + 1e-3, (g, fd)
+
+    def test_calibration_smoke_improves_loss(self):
+        """Tiny end-to-end run: the scanned Adam loop must beat the
+        deliberately-wrong init on the CRN loss."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    calibrate_rbergomi,
+                                                    rbergomi_chain_price)
+        true = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.8, xi0=0.04)
+        strikes = np.array([95.0, 100.0, 105.0, 95.0, 100.0, 105.0],
+                           np.float32)
+        mats = np.array([0.2, 0.2, 0.2, 0.5, 0.5, 0.5], np.float32)
+        cps = np.where(strikes < 100.0, -1.0, 1.0).astype(np.float32)
+        market = np.asarray(rbergomi_chain_price(
+            strikes, mats, cps, 100.0, 0.0, true, jax.random.PRNGKey(7),
+            n_paths=16_384, max_dt=0.1, min_seg=4))
+        init = RBergomiParams(hurst=0.3, eta=1.0, rho=-0.3, xi0=0.06)
+        p, loss = calibrate_rbergomi(
+            market, strikes, mats, cps, 100.0, 0.0, init=init,
+            n_steps=60, learning_rate=0.08, n_paths=8_192, max_dt=0.1,
+            min_seg=4)
+        assert np.isfinite(loss)
+        assert loss < 1e-3          # relative price RMSE² well under 3%
+        assert 0.0 < p.hurst < 0.5 and -1.0 < p.rho < 1.0
+
+    @pytest.mark.slow
+    def test_recovers_generating_parameters(self):
+        """Synthetic-chain recovery incl. the Hurst exponent: market from
+        the INDEPENDENT static-H pricer (different key, finer grid), so
+        agreement is model-identification, not noise-matching.
+        |dH| <= 0.02 is the round-4 acceptance bar."""
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    calibrate_rbergomi,
+                                                    rbergomi_price)
+        true = RBergomiParams(hurst=0.12, eta=1.8, rho=-0.75, xi0=0.045)
+        mats = [0.15, 0.4, 0.8]
+        rows = []
+        for t_e in mats:
+            sd = np.sqrt(true.xi0 * t_e)
+            ks = 100.0 * np.exp(np.array([-1.2, -0.6, 0.0, 0.5, 1.0]) * sd)
+            cp = np.where(ks < 100.0, -1.0, 1.0)
+            pr = np.empty(len(ks))
+            for sgn in (-1.0, 1.0):
+                m = cp == sgn
+                if m.any():
+                    v, _ = rbergomi_price(
+                        100.0, ks[m], t_e, 0.01, true,
+                        jax.random.PRNGKey(100 + int(t_e * 100)),
+                        option_type="call" if sgn > 0 else "put",
+                        n_paths=131_072, n_steps=64)
+                    pr[m] = np.asarray(v)
+            for k, c, v in zip(ks, cp, pr):
+                rows.append((k, t_e, c, v))
+        strikes, mts, cps, market = map(np.asarray, zip(*rows))
+        init = RBergomiParams(hurst=0.25, eta=1.2, rho=-0.4, xi0=0.03)
+        p, loss = calibrate_rbergomi(
+            market, strikes, mts, cps, 100.0, 0.01, init=init,
+            n_steps=250, learning_rate=0.06, n_paths=32_768, max_dt=0.025)
+        assert abs(p.hurst - true.hurst) <= 0.02, (p, loss)
+        assert abs(p.rho - true.rho) <= 0.1, (p, loss)
+        assert abs(p.eta - true.eta) <= 0.3, (p, loss)
+        assert abs(p.xi0 - true.xi0) / true.xi0 <= 0.15, (p, loss)
