@@ -842,6 +842,21 @@ def cmd_american(args) -> dict:
             mixing=getattr(args, "mixing", 1.0),
             n_dates=args.n_dates if args.n_dates <= 50 else 25)
         return {k: float(v) for k, v in out.items()}
+    if args.model == "rbergomi":
+        from .models import RBergomiParams
+        from .models.rbergomi_american import rbergomi_american_bracket
+        from .utils.exceptions import ValidationError
+
+        par = RBergomiParams(hurst=args.hurst, eta=args.eta,
+                             rho=args.rho_sv, xi0=args.xi0)
+        try:
+            out = rbergomi_american_bracket(
+                args.spot, args.strike, args.maturity, args.rate, par,
+                cp=cp, n_dates=args.n_dates if args.n_dates <= 50 else 25)
+        except ValidationError as e:
+            raise SystemExit(str(e)) from e
+        return {k: (float(v) if isinstance(v, (int, float)) else v)
+                for k, v in out.items()}
     if args.model in ("heston", "bates"):
         from .models import BatesParams, HestonParams
         from .models.heston_american import heston_american_bracket
@@ -977,11 +992,13 @@ def _load_chain(args):
 
 def cmd_calibrate(args) -> dict:
     """Chain snapshot -> SVI/SSVI surface (default) or a dynamic model
-    fitted to the quotes: heston/bates (Lewis-CF scanned Adam) or
+    fitted to the quotes: heston/bates (Lewis-CF scanned Adam),
     heston-mc (fused-kernel simulation path — whole chain + all five
-    parameter gradients per Adam step in ONE Pallas launch)."""
+    parameter gradients per Adam step in ONE Pallas launch), or
+    rbergomi (rough vol: ALL FOUR params incl. the Hurst exponent by AD
+    through the in-graph Volterra covariance on a CRN MC chain)."""
     chain = _load_chain(args)
-    if args.model in ("heston", "heston-mc", "bates"):
+    if args.model in ("heston", "heston-mc", "bates", "rbergomi"):
         from .surface.chain_calibration import calibrate_model_to_chain
 
         return calibrate_model_to_chain(chain, args.model,
@@ -1306,8 +1323,16 @@ def build_parser() -> argparse.ArgumentParser:
     # ATM); n-dates above 50 is clamped to the PDE-friendly 25
     pa.add_argument("--model",
                     choices=["bs", "heston", "bates", "lv", "slv",
-                             "maxcall"],
+                             "rbergomi", "maxcall"],
                     default="bs")
+    # --model rbergomi: certified bracket under ROUGH vol (puts only;
+    # non-Markovian dual via the causal Volterra factorization)
+    pa.add_argument("--hurst", type=float, default=0.1,
+                    help="rbergomi roughness H in (0, 0.5]")
+    pa.add_argument("--eta", type=float, default=1.9,
+                    help="rbergomi vol-of-vol")
+    pa.add_argument("--xi0", type=float, default=0.04,
+                    help="rbergomi flat forward variance")
     pa.add_argument("--mixing", type=float, default=1.0,
                     help="slv vol-of-vol mixing in [0, 1]")
     # --model maxcall: certified Bermudan max-call bracket on d assets
@@ -1369,7 +1394,8 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("calibrate")
     _chain_args(pc)
     pc.add_argument("--model", default="svi",
-                    choices=["svi", "heston", "heston-mc", "bates"])
+                    choices=["svi", "heston", "heston-mc", "bates",
+                             "rbergomi"])
     pc.add_argument("--mc-paths", type=int, default=1_000_000,
                     help="paths per kernel launch for --model heston-mc")
     pc.add_argument("--essvi", action="store_true",

@@ -70,6 +70,8 @@ from .dividends import (
     mc_price_discrete_dividends,
 )
 from .rbergomi import (
+    calibrate_rbergomi,
+    rbergomi_chain_price,
     RBERGOMI_EXOTIC_KINDS,
     rbergomi_autocall_price,
     rbergomi_cliquet_price,
@@ -81,6 +83,7 @@ from .rbergomi import (
     rbergomi_smile_iv,
     xi_curve_from_variance_swaps,
 )
+from .rbergomi_american import rbergomi_american_bracket
 from .levy import (
     NIGParams,
     VGParams,
@@ -258,9 +261,10 @@ __all__ = [
     "VGParams", "NIGParams", "vg_price", "nig_price", "vg_mc_price",
     "nig_mc_price",
     "RBergomiParams", "rbergomi_price", "rbergomi_greeks", "rbergomi_smile_iv",
+    "rbergomi_chain_price", "calibrate_rbergomi",
     "RBERGOMI_EXOTIC_KINDS", "rbergomi_exotic_price",
     "rbergomi_exotic_greeks", "rbergomi_cliquet_price",
-    "rbergomi_autocall_price",
+    "rbergomi_autocall_price", "rbergomi_american_bracket",
     "xi_curve_from_variance_swaps",
     "fdm_price_discrete_dividends", "mc_price_discrete_dividends",
     "dividend_parity_gap",

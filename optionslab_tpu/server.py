@@ -12,7 +12,8 @@ same façade. Endpoints (all POST, JSON body, JSON response):
             "model": "bs|heston[-qe]|bates[-qe]"}  → heston/bates:
             stochastic-vol (+jumps) kernel ("greeks": joint-density LR
             ladder)
-  /american {"model": "bs|heston|bates|lv|slv", "option_type": "put", ...}
+  /american {"model": "bs|heston|bates|lv|slv|rbergomi",
+             "option_type": "put", ...}
             → certified [lower, upper] bracket
   /basket  {"kind": "basket|basket_geo|rainbow_*|spread|basket_asian",
             "spots": [...], "vols": [...], "corr"|"rho", "greeks": bool,
@@ -777,10 +778,13 @@ def handle_calibrate(body: dict) -> dict:
 
 
 def handle_american(body: dict) -> dict:
-    """Certified American-put bracket: {"model": "bs|heston|bates|lv|slv",
-    contract fields, optional n_dates / heston_params / bates_params /
-    smile params}. Returns the bracket dict ({lower, upper, width, ...});
-    bates certifies via LSM+dual on the jump-augmented QE law."""
+    """Certified American-put bracket: {"model":
+    "bs|heston|bates|lv|slv|rbergomi", contract fields, optional n_dates /
+    heston_params / bates_params / rbergomi_params / smile params}.
+    Returns the bracket dict ({lower, upper, width, ...}); bates
+    certifies via LSM+dual on the jump-augmented QE law; rbergomi via
+    exact conditional Gaussians on the causal Volterra factorization
+    (non-Markovian dual)."""
     p, cp = _contract(body)
     model = str(body.get("model", "bs")).lower()
     n_dates = int(body.get("n_dates", 25))
@@ -828,6 +832,15 @@ def handle_american(body: dict) -> dict:
             dup, par, p["strike"], p["maturity"], cp=cp,
             mixing=float(body.get("mixing", 1.0)),
             n_dates=min(n_dates, 50), **kw)
+    elif model == "rbergomi":
+        from .models.rbergomi import RBergomiParams
+        from .models.rbergomi_american import rbergomi_american_bracket
+
+        par = RBergomiParams(**body.get("rbergomi_params", {}))
+        kw = {k: v for k, v in sizes.items() if k != "n_grid"}
+        out = rbergomi_american_bracket(
+            p["spot"], p["strike"], p["maturity"], p["rate"], par, cp=cp,
+            n_dates=min(n_dates, 50), **kw)
     elif model == "bs":
         from .models import american_price_interval
 
@@ -837,7 +850,7 @@ def handle_american(body: dict) -> dict:
                                       **sizes)
     else:
         raise ValueError(f"unknown american model {model!r}; choose "
-                         "bs|heston|bates|lv|slv")
+                         "bs|heston|bates|lv|slv|rbergomi")
     return {k: _to_jsonable(v) for k, v in out.items()}
 
 

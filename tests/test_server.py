@@ -170,6 +170,26 @@ class TestSLVAmericanEndpoint:
         assert body["mixing"] == 0.5
 
 
+class TestRBergomiAmericanEndpoint:
+    def test_rbergomi_bracket_over_wire(self, server):
+        status, body = _post(server, "/american", {
+            "model": "rbergomi", "option_type": "put",
+            "rbergomi_params": {"hurst": 0.15, "eta": 1.5, "rho": -0.6,
+                                "xi0": 0.04},
+            "n_dates": 4, "n_fit": 8000, "n_lower": 8000,
+            "n_outer": 96, "n_inner": 64})
+        assert status == 200
+        assert body["lower"] <= body["upper"] + 3 * (body["lower_se"]
+                                                     + body["upper_se"])
+        assert body["continuous_upper"] == pytest.approx(
+            body["upper"] + body["pad"])
+
+    def test_rbergomi_call_rejected_400(self, server):
+        status, body = _post(server, "/american", {
+            "model": "rbergomi", "option_type": "call"})
+        assert status == 400 and "error" in body
+
+
 class TestExoticEndpoint:
     def test_asian(self, server):
         status, body = _post(server, "/exotic", {"kind": "asian", "n_paths": 20000})

@@ -256,6 +256,22 @@ class TestCLI:
                                                    + out["upper_se"])
         assert out["mixing"] == 0.5
 
+    @pytest.mark.slow
+    def test_american_rbergomi_bracket(self, capsys):
+        """--model rbergomi routes to the non-Markovian causal-factor
+        dual bracket."""
+        cli_main(["american", "--type", "put", "--model", "rbergomi",
+                  "--hurst", "0.15", "--n-dates", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["lower"] <= out["upper"] + 3 * (out["lower_se"]
+                                                   + out["upper_se"])
+        assert out["continuous_upper"] == pytest.approx(
+            out["upper"] + out["pad"])
+
+    def test_american_rbergomi_call_rejected(self):
+        with pytest.raises(SystemExit):
+            cli_main(["american", "--type", "call", "--model", "rbergomi"])
+
     def test_exotic_slv_structured(self, capsys):
         """cliquet/autocallable under slv route to the replay kernel."""
         cli_main(["exotic", "--kind", "autocallable", "--model", "slv",
