@@ -382,9 +382,17 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
         n_pairs = (n_dim + 1) // 2
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        # R=8 independently-scrambled replicates, one per row-group
+        # (rid % 8): each group consumes its OWN dense Sobol stream under
+        # a group-salted digital scramble, so the host can quote an
+        # HONEST randomized-QMC error bar from the per-row sums it
+        # already receives (std over the 8 replicate means) — the
+        # plain-MC stderr formula is wrong in both directions under QMC.
+        g_id = rid & 7
+        idx = block * ((ROWS // 8) * LANES) + (rid >> 3) * LANES + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h0 = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        h0 = _mix32((seed + g_id * jnp.int32(0x3C6EF372))
+                    * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
         scrambles = []
         h = h0
         for _ in range(2 * n_pairs):
@@ -595,15 +603,12 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     fill in conditionally within each segment). Measured gain on a
     16-step geometric Asian: ~24x rms error at one block; the
     full 64-dim bridge on the XLA engine (``models/qmc_exotics``)
-    remains the maximum-accuracy path. The reported stderr is
-    the plain-MC sqrt(Var/n) formula, which is UNRELIABLE under QMC:
-    stratification usually shrinks the true error below it, but the four
-    antithetic branches of a path share one Sobol bridge point (identical
-    terminal/midpoint sums), so for payoffs dominated by terminal
-    variance the effective sample count is lower than n and the formula
-    can also understate.  Treat it as indicative only; for a trustworthy
-    QMC error estimate use the randomized-replication stderr of
-    ``models/qmc_exotics``.
+    remains the maximum-accuracy path. Under the QMC samplers the
+    kernel runs 8 INDEPENDENTLY-SCRAMBLED replicates (one per
+    row-group) and the reported stderr is their randomized-QMC
+    replication estimate — a trustworthy error bar (the plain
+    sqrt(Var/n) formula is wrong in both directions under QMC), same
+    construction as ``models/qmc_exotics``'s estimator at kernel speed.
 
     ``control_variate=True`` (``asian_arith`` only): the kernel prices
     the DIFFERENCE against the geometric-average payoff on the same
@@ -635,7 +640,8 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
                         cp=float(cp), sampler=sampler)
     # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
-    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
+    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
+                                sampler)
     if kind == "asian_arith_cv":
         from ..models.exotics import geometric_asian_closed_form
 
@@ -644,9 +650,25 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     return price, se, n
 
 
-def _mean_stderr(pay, pay2, n, df):
-    total, total2 = pay.sum(), pay2.sum()
+def _mean_stderr(pay, pay2, n, df, sampler: str = "prng"):
+    """Mean + error bar from the kernel's (ROWS, 128) accumulator tiles.
+
+    Plain-MC samplers: the usual sqrt(Var/n). QMC samplers: the kernel
+    runs 8 INDEPENDENTLY-SCRAMBLED Sobol replicates, one per row-group
+    (rid % 8), so the per-row sums partition into 8 independent
+    estimates and the quoted error is the randomized-QMC replication
+    stderr std(replicate means)/sqrt(8) — trustworthy under QMC, where
+    sqrt(Var/n) is wrong in both directions (stratification shrinks the
+    true error; the four antithetic branches sharing one bridge point
+    inflate it). Same construction as ``models/qmc_exotics``'s
+    randomized estimator, at kernel speed."""
+    total = pay.sum()
     mean = total / n
+    if sampler.startswith("sobol"):
+        rep = pay.reshape(ROWS // 8, 8, -1).sum(axis=(0, 2)) * (8.0 / n)
+        se = rep.std(ddof=1) / math.sqrt(8.0)
+        return df * mean, df * se, n
+    total2 = pay2.sum()
     var = jnp.maximum(total2 / n - mean * mean, 0.0)
     return df * mean, df * jnp.sqrt(var / n), n
 
@@ -670,7 +692,7 @@ def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
                         kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         period=n_steps // n_periods, sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t))
+                        math.exp(-float(rate) * t), sampler)
 
 
 def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
@@ -696,7 +718,8 @@ def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
     pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
                         kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         period=n_steps // n_obs, sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0)
+    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0,
+                        sampler)
 
 
 # ---------------------------------------------------------------------------
@@ -888,7 +911,7 @@ def pallas_range_accrual_price(spot, lower, upper, maturity, rate, vol,
                         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
                         sampler=sampler)
     return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t))
+                        math.exp(-float(rate) * t), sampler)
 
 
 def pallas_range_accrual_lr_greeks(spot, lower, upper, maturity, rate, vol,

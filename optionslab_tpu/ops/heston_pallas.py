@@ -134,9 +134,13 @@ def _heston_kernel(seed_ref, p_ref, *refs, n_steps: int, cp: float,
         n_lvl = 1 + len(constructs)  # per stream
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = block * (ROWS * lanes) + rid * lanes + cid + 1
+        # group-salted scrambles: 8 independent replicates (rid % 8) so
+        # the host can quote a randomized-QMC stderr (see exotic_pallas)
+        g_id = rid & 7
+        idx = block * ((ROWS // 8) * lanes) + (rid >> 3) * lanes + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        h = _mix32((seed + g_id * jnp.int32(0x3C6EF372))
+                   * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
         scrambles = []
         for _ in range(2 * n_lvl):
             scrambles.append(h & mask30)
@@ -851,22 +855,32 @@ def _params_vec_qe_ladder(spot, strike, maturity, rate, params, dividend,
 
 
 def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
-                     ladder: bool = False) -> dict:
+                     ladder: bool = False, sampler: str = "prng") -> dict:
     """Moment tiles → price/stderr/delta/rho (+ v0-vega / full ladder).
     Shared by the single-device pipeline and the sharded (psum) path.
     ``scalars``: [spot, t, df, v0] (+ rate when ladder — traced, NOT a
     static jit arg: a static float rate would retrace per distinct
-    value)."""
+    value). Under QMC the stderr is the randomized-replication estimate
+    over the kernel's 8 group-scrambled Sobol replicates (rid % 8) —
+    sqrt(Var/n) is unreliable under QMC (see ops/exotic_pallas)."""
+    import math as _math
+
     spot, t, df, v0 = scalars[:4]
     rate = scalars[4] if ladder else 0.0
     pay, pay2, m1 = outs[:3]
     mean = pay.sum() / n
     var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+    if sampler.startswith("sobol"):
+        rep = pay.reshape(pay.shape[0] // 8, 8, -1).sum(axis=(0, 2)) \
+            * (8.0 / n)
+        se = rep.std(ddof=1) / _math.sqrt(8.0)
+    else:
+        se = jnp.sqrt(var / n)
     mean1 = m1.sum() / n
     price = df * mean
     out = {
         "price": price,
-        "std_error": df * jnp.sqrt(var / n),
+        "std_error": df * se,
         # ∂S_T/∂S0 = S_T/S0 (S0 enters x only through log S0)
         "delta": df * cp * mean1 / spot,
         # ∂x_T/∂r = T → dpay = cp·1{ex}·S_T·T; plus the discount term
@@ -936,7 +950,7 @@ def _pipeline(seed, p, scalars, *, n_steps, n_blocks, cp, sampler,
     if scheme == "qe" and ladder:
         return _combine_qe_ladder(outs, n_blocks * ppb, scalars, cp)
     return _combine_moments(outs, n_blocks * ppb, scalars, cp,
-                            vega, ladder=ladder)
+                            vega, ladder=ladder, sampler=sampler)
 
 
 def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
@@ -1293,9 +1307,13 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         n_lvl = 1 + len(constructs)  # per stream
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        # group-salted scrambles: 8 independent replicates (rid % 8) so
+        # the host can quote a randomized-QMC stderr (see exotic_pallas)
+        g_id = rid & 7
+        idx = block * ((ROWS // 8) * LANES) + (rid >> 3) * LANES + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x2C9277B5))
+        h = _mix32((seed + g_id * jnp.int32(0x3C6EF372))
+                   * jnp.int32(-1640531535) + jnp.int32(0x2C9277B5))
         scrambles = []
         for _ in range(2 * n_lvl):
             scrambles.append(h & mask30)

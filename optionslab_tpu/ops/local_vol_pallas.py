@@ -126,6 +126,8 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
     lb_min = (payoff == "lookback_float") == (cp > 0)
     if payoff == "asian":
         aux = (zero, zero, zero, zero)  # running spot sums
+    elif payoff == "range_accrual":
+        aux = (zero, zero, zero, zero)  # in-corridor step counters
     elif lookback_kind:
         aux = (zero, zero, zero, zero)  # running extremum of x (x0 = 0)
     elif barrier_kind:
@@ -160,9 +162,13 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
         n_pairs = (n_dim + 1) // 2
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        # group-salted scrambles: 8 independent replicates (rid % 8) so
+        # the host can quote a randomized-QMC stderr (see exotic_pallas)
+        g_id = rid & 7
+        idx = block * ((ROWS // 8) * LANES) + (rid >> 3) * LANES + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        h = _mix32((seed + g_id * jnp.int32(0x3C6EF372))
+                   * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
         scrambles = []
         for _ in range(2 * n_pairs):
             scrambles.append(h & mask30)
@@ -229,6 +235,13 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
             gvs = new_gvs if greeks else gvs
             if payoff == "asian":
                 aux = tuple(a + s0 * jnp.exp(x) for a, x in zip(aux, new_xs))
+            elif payoff == "range_accrual":
+                # corridor in RELATIVE log space: (lower, upper) ride the
+                # double-kind band slots
+                lo, hi = p_ref[_P_BARRIER], p_ref[_P_BARRIER2]
+                aux = tuple(
+                    a + jnp.where((x >= lo) & (x <= hi), 1.0, 0.0)
+                    for a, x in zip(aux, new_xs))
             elif lookback_kind:
                 ext = jnp.minimum if lb_min else jnp.maximum
                 aux = tuple(ext(a, x) for a, x in zip(aux, new_xs))
@@ -294,6 +307,9 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
         elif payoff == "lookback_fixed":
             ext_s = s0 * jnp.exp(aux[b])
             pay = jnp.maximum(cp * (ext_s - strike), 0.0)
+        elif payoff == "range_accrual":
+            # accrual fraction on unit notional (host scales + discounts)
+            pay = aux[b] * (1.0 / n_steps)
         elif hit_pay:
             pay = aux[b][1]  # df-at-hit carried in-kernel (host df = 1)
         elif touch_kind:
@@ -431,7 +447,8 @@ class LocalVolKernelPricer:
             [self.spot, 0.0, (self.rate - self.dividend) * dt, dt,
              math.sqrt(dt), 0.0, 0.0, self.rate * dt], np.float64)
 
-    PAYOFFS = ("european", "asian", "barrier_up-and-out", "barrier_up-and-in",
+    PAYOFFS = ("european", "asian", "range_accrual",
+               "barrier_up-and-out", "barrier_up-and-in",
                "barrier_down-and-out", "barrier_down-and-in",
                "lookback_float", "lookback_fixed",
                "one_touch_up", "one_touch_down", "no_touch_up",
@@ -449,9 +466,10 @@ class LocalVolKernelPricer:
                 f"payoff must be one of {self.PAYOFFS}, got {payoff!r}")
         head = self._head.copy()
         head[_P_K] = float(strike)
-        if "double" in payoff:
+        if "double" in payoff or payoff == "range_accrual":
             if not 0.0 < float(lower) < float(upper):
-                raise ValidationError("double kinds need 0 < lower < upper")
+                raise ValidationError(
+                    "double/range kinds need 0 < lower < upper")
             head[_P_BARRIER] = math.log(float(lower) / self.spot)
             head[_P_BARRIER2] = math.log(float(upper) / self.spot)
         elif payoff.startswith("barrier") or "touch" in payoff:
@@ -471,8 +489,10 @@ class LocalVolKernelPricer:
         vanillas only); lookback kinds track the discrete extremum.
 
         ``sampler="sobol_bb"`` enables the 8-level hybrid bridge QMC
-        (needs ``n_steps >= 2``); the reported stderr then uses the
-        plain-MC formula and is indicative only (see exotic_pallas)."""
+        (needs ``n_steps >= 2``); the reported stderr is then the
+        randomized-replication estimate over the kernel's 8 group-
+        scrambled Sobol replicates — trustworthy under QMC (see
+        exotic_pallas._mean_stderr)."""
         p = self._params(strike, payoff, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
         pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
@@ -483,7 +503,8 @@ class LocalVolKernelPricer:
 
         df = (1.0 if payoff.endswith("_hit")  # discounted at hit in-kernel
               else math.exp(-self.rate * self.t_total))
-        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
+        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
+                            sampler)
 
     def greeks(self, strike, cp: float = 1.0, payoff: str = "european",
                barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,

@@ -134,9 +134,13 @@ def _ma_kernel(seed_ref, p_ref, *refs, d: int, kind: str,
         # (shardable) like every sampler here.
         rid = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        idx = block * (ROWS * LANES) + rid * LANES + cid + 1
+        # group-salted scrambles: 8 independent replicates (rid % 8) so
+        # the host can quote a randomized-QMC stderr (see exotic_pallas)
+        g_id = rid & 7
+        idx = block * ((ROWS // 8) * LANES) + (rid >> 3) * LANES + cid + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(seed * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
+        h = _mix32((seed + g_id * jnp.int32(0x3C6EF372))
+                   * jnp.int32(-1640531535) + jnp.int32(0x632BE5AB))
         scrambles = []
         for _ in range(2 * d):
             scrambles.append(h & mask30)
@@ -408,7 +412,7 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                         sampler=sampler)
     price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                                math.exp(-float(rate) * t))
+                                math.exp(-float(rate) * t), sampler)
     if kind == "basket_cv":
         from ..models.multi_asset import geometric_basket_closed_form
 

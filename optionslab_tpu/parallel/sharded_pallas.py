@@ -183,7 +183,7 @@ def sharded_exotic_price(kind: str, spot, strike, maturity, rate, vol,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), period=1,
         sampler=sampler, mesh=mesh)
     return _ep._mean_stderr(pay, pay2, n_blocks * _ep.PATHS_PER_BLOCK,
-                            math.exp(-float(rate) * t))
+                            math.exp(-float(rate) * t), sampler)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
@@ -295,7 +295,7 @@ def sharded_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
                                    sampler=sampler, mesh=mesh)
     price, se, n = _ep._mean_stderr(pay, pay2,
                                     n_blocks * _mp.PATHS_PER_BLOCK,
-                                    math.exp(-float(rate) * t))
+                                    math.exp(-float(rate) * t), sampler)
     if kind == "basket_cv":
         import numpy as _np
 
@@ -363,7 +363,7 @@ def _sharded_heston_pipeline(seed, params, scalars, *, n_steps, n_blocks,
     if scheme == "qe" and ladder:
         return _hp._combine_qe_ladder(outs, n_blocks * ppb, scalars, cp)
     return _hp._combine_moments(outs, n_blocks * ppb, scalars, cp, vega,
-                                ladder=ladder)
+                                ladder=ladder, sampler=sampler)
 
 
 def sharded_heston_greeks(spot, strike, maturity, rate, params, mesh: Mesh,
@@ -455,7 +455,8 @@ def sharded_local_vol_price(pricer, strike, mesh: Mesh, cp: float = 1.0,
         n_steps=pricer.n_steps, n_blocks=n_blocks, cp=float(cp),
         payoff=payoff, sampler=sampler, greeks=False, mesh=mesh)
     return _ep._mean_stderr(pay, pay2, n_blocks * _lv.PATHS_PER_BLOCK,
-                            math.exp(-pricer.rate * pricer.t_total))
+                            math.exp(-pricer.rate * pricer.t_total),
+                            sampler)
 
 
 def sharded_local_vol_greeks(pricer, strike, mesh: Mesh, cp: float = 1.0,
@@ -537,7 +538,7 @@ def sharded_heston_exotic_price(kind: str, spot, strike, maturity, rate,
         jumps=hasattr(params, "lam"))
     n = n_blocks * _hp.PATHS_PER_BLOCK
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
-    return _ep._mean_stderr(pay, pay2, n, df)
+    return _ep._mean_stderr(pay, pay2, n, df, sampler)
 
 
 def sharded_heston_exotic_greeks(kind: str, spot, strike, maturity, rate,

@@ -213,6 +213,49 @@ class TestBridgeQMC:
                                  N_STEPS, "arithmetic", return_stderr=True)
         assert abs(float(p) - float(ps)) < tol(se, ses)
 
+    def test_replication_stderr_is_calibrated(self):
+        """The quoted QMC error bar must track the TRUE seed-to-seed
+        dispersion. The kernel runs 8 independently-scrambled Sobol
+        replicates (one per row-group) and reports their replication
+        stderr — the old sqrt(Var/n) formula was wrong in both
+        directions under QMC (documented 'indicative only')."""
+        cf = float(ex.geometric_asian_closed_form(S, K, T, R, SIG, 1.0, 0.0,
+                                                  N_STEPS))
+        prices, ses = [], []
+        for seed in range(6):
+            p, se, _ = pallas_exotic_price("asian_geo", S, K, T, R, SIG,
+                                           n_paths=1, n_steps=N_STEPS,
+                                           seed=seed,
+                                           sampler="sobol_bb_hash")
+            prices.append(float(p))
+            ses.append(float(se))
+        err = np.asarray(prices) - cf
+        rms = float(np.sqrt(np.mean(err**2)))
+        med_se = float(np.median(ses))
+        # calibrated: the error bar within 3x of the realized dispersion
+        # in EITHER direction (6-seed rms itself carries ~50% noise)
+        assert 0.33 * rms < med_se < 3.0 * rms + 1e-6, (rms, ses)
+        # and the estimator is unbiased at QMC scale
+        assert abs(float(err.mean())) < 4.0 * med_se, (err, med_se)
+
+    def test_replicates_are_independent_nets(self):
+        """Different row-groups must see genuinely different scrambles:
+        replicate means at one seed should scatter at QMC scale, not
+        coincide (a shared scramble would collapse them)."""
+        from optionslab_tpu.ops import exotic_pallas as ep
+
+        pr, t = ep._base_params(S, K, T, R, SIG, 0.0, 0.0, N_STEPS)
+        pay, pay2 = ep._launch(
+            jnp.asarray([0, 0], jnp.int32), jnp.asarray(pr, jnp.float32),
+            kind="asian_geo", n_steps=N_STEPS, n_blocks=1, cp=1.0,
+            sampler="sobol_bb_hash")
+        n = ep.PATHS_PER_BLOCK
+        rep = np.asarray(pay).reshape(ep.ROWS // 8, 8, -1).sum(
+            axis=(0, 2)) * (8.0 / n)
+        assert len(np.unique(np.round(rep, 10))) == 8
+        spread = rep.std(ddof=1)
+        assert 1e-6 < spread < 0.05, rep
+
     def test_qmc_needs_two_steps(self):
         with pytest.raises(ValidationError):
             pallas_exotic_price("asian_arith", S, K, T, R, SIG, n_paths=1,
