@@ -637,18 +637,24 @@ def _exotic_lv(args) -> dict:
         kname = (f"one_touch_double{hit_sfx}" if hit_sfx
                  else f"{args.touch}_touch_double")
         band = dict(lower=args.lower, upper=args.upper)
+    elif args.kind == "range-accrual":
+        kname = "range_accrual"
+        band = dict(lower=args.lower, upper=args.upper)
     elif args.kind in kind_map:
         kname = kind_map[args.kind]
     else:
         raise SystemExit("--model lv supports european/asian/barrier/"
                          "lookback/one-touch/no-touch/double-barrier/"
-                         "double-touch/cliquet/autocallable, "
+                         "double-touch/range-accrual/cliquet/autocallable, "
                          f"not {args.kind!r}")
     dup = DupireLocalVol(sample_smile_iv_fn(base_vol=args.vol),
                          args.spot, args.rate)
     sampler = "prng" if jax.default_backend() == "tpu" else "hash"
     base = {"model": "lv", "dynamics": "dupire-local-vol", "kind": kname,
             "engine": "kernel"}
+    # the LV pricer quotes range accrual on UNIT notional; the CLI
+    # convention is notional 100 (matches the GBM/Heston routes)
+    scale = 100.0 if kname == "range_accrual" else 1.0
     try:
         pricer = LocalVolKernelPricer(dup, args.maturity,
                                       n_steps=getattr(args, "n_steps", 64))
@@ -656,7 +662,7 @@ def _exotic_lv(args) -> dict:
             out = pricer.greeks(args.strike, cp=cp, payoff=kname,
                                 barrier=barrier, n_paths=args.n_paths,
                                 seed=args.seed, sampler=sampler, **band)
-            res = {k: float(v) for k, v in out.items()}
+            res = {k: scale * float(v) for k, v in out.items()}
             res.update(base, greek_method="lr-sticky-strike",
                        vega_convention="parallel surface shift")
             return res
@@ -665,7 +671,8 @@ def _exotic_lv(args) -> dict:
                                 seed=args.seed, sampler=sampler, **band)
     except ValidationError as e:
         raise SystemExit(str(e)) from e
-    return {**base, "price": float(p), "std_error": float(se),
+    return {**base, "price": scale * float(p),
+            "std_error": scale * float(se),
             "paths": int(n), "fit_residual": float(pricer.fit_residual)}
 
 
@@ -688,7 +695,7 @@ def _exotic_slv(args) -> dict:
     kind_map = {"asian": "asian_arith", "lookback": "lookback_float",
                 "barrier": f"barrier_{args.barrier_type}",
                 "european": "european"}
-    if args.kind in ("autocallable", "cliquet"):
+    if args.kind in ("autocallable", "cliquet", "range-accrual"):
         # structured kinds go straight to the replay kernel (price or
         # the frozen-fixings LR ladder)
         from .ops.slv_pallas import SLVKernelPricer
@@ -701,11 +708,15 @@ def _exotic_slv(args) -> dict:
             pricer = SLVKernelPricer(dup, par, args.maturity,
                                      mixing=args.mixing,
                                      n_steps=getattr(args, "n_steps", 64))
-            kw = (dict(n_obs=getattr(args, "n_obs", 4))
-                  if args.kind == "autocallable"
-                  else dict(n_periods=getattr(args, "n_periods", 8)))
-            fn = (pricer.autocall if args.kind == "autocallable"
-                  else pricer.cliquet)
+            if args.kind == "range-accrual":
+                kw = dict(lower=args.lower, upper=args.upper)
+                fn = pricer.range_accrual
+            elif args.kind == "autocallable":
+                kw = dict(n_obs=getattr(args, "n_obs", 4))
+                fn = pricer.autocall
+            else:
+                kw = dict(n_periods=getattr(args, "n_periods", 8))
+                fn = pricer.cliquet
             if getattr(args, "greeks", False):
                 out = fn(**kw, n_paths=args.n_paths, seed=args.seed,
                          sampler=sampler, greeks=True)
@@ -740,7 +751,7 @@ def _exotic_slv(args) -> dict:
     else:
         raise SystemExit("--model slv supports asian/barrier/lookback/"
                          "one-touch/no-touch/double-barrier/double-touch/"
-                         "cliquet/autocallable, "
+                         "range-accrual/cliquet/autocallable, "
                          f"not {args.kind!r}")
     base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
             "kind": kname, "mixing": args.mixing,
@@ -1082,13 +1093,15 @@ def cmd_varswap(args) -> dict:
     # SLV at full vol-of-vol on the SAME surface: Gyongy makes the log
     # contract — hence K_var — mixing-invariant, so this must agree with
     # the LV strike and the replication above
-    from .models import slv_variance_swap
+    # ... while the VOL swap's convexity discount GROWS with mixing —
+    # both strikes from ONE simulation per mixing (slv_swap_strikes)
+    from .models import slv_swap_strikes
     import jax as _jax
 
-    slv_kv, slv_se = slv_variance_swap(
+    g = (dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid)
+    slv_kv, slv_se, slv_kvol, _ = slv_swap_strikes(
         args.spot, args.maturity, args.rate, p, _jax.random.PRNGKey(0),
-        dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid,
-        mixing=1.0, n_paths=65_536, n_steps=64, return_stderr=True)
+        *g, mixing=1.0, n_paths=65_536, n_steps=64)
     return {
         "heston_variance_strike": kv,
         "heston_vol_strike_exact": float(heston_vol_swap_strike(p, args.maturity)),
@@ -1102,6 +1115,11 @@ def cmd_varswap(args) -> dict:
         "smile_replication_variance_strike": smile_rep,
         "slv_variance_strike_mixing1": float(slv_kv),
         "slv_variance_stderr": float(slv_se),
+        "slv_vol_strike_mixing1": float(slv_kvol),
+        "slv_vol_swap_note": (
+            "K_var is Gyongy-pinned across mixing; the vol-swap strike's "
+            "convexity discount grows with mixing (compare "
+            "local_vol_vol_strike = the mixing~0 value)"),
         "vix_style_index_flat": float(vix_style_index(
             args.spot, ks, np.full_like(ks, args.vol), 30 / 365, args.rate)),
     }

@@ -132,7 +132,9 @@ from .slv import (
     slv_calibrate_leverage,
     slv_cliquet_price,
     slv_exotic_price,
+    slv_range_accrual_price,
     slv_replay_price,
+    slv_swap_strikes,
     slv_variance_swap,
 )
 from .local_vol_american import local_vol_american_bracket, lv_bermudan_slices
@@ -250,7 +252,7 @@ __all__ = [
     "heston_autocall_price", "heston_range_accrual_price",
     "SLV_KINDS", "SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
     "slv_replay_price", "slv_cliquet_price", "slv_autocall_price",
-    "slv_variance_swap",
+    "slv_variance_swap", "slv_swap_strikes", "slv_range_accrual_price",
     "range_accrual_price", "range_accrual_closed_form",
     "double_barrier_price", "double_barrier_closed_form",
     "double_touch_price", "double_no_touch_closed_form",

@@ -59,7 +59,8 @@ from .local_vol import DupireLocalVol, LocalVolSurface, _bilinear
 
 __all__ = ["SLVModel", "slv_exotic_price", "slv_calibrate_leverage",
            "slv_replay_price", "slv_cliquet_price", "slv_autocall_price",
-           "slv_variance_swap", "SLV_KINDS"]
+           "slv_range_accrual_price", "slv_variance_swap",
+           "slv_swap_strikes", "SLV_KINDS"]
 
 SLV_KINDS = ("european",) + HESTON_EXOTIC_KINDS
 
@@ -120,6 +121,10 @@ def _slv_scan(key, spot, maturity, rate, dividend, params, mixing,
     srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
     rq_dt = (jnp.float32(rate) - jnp.float32(dividend)) * dt
 
+    import inspect
+
+    wants_var = len(inspect.signature(update).parameters) >= 4
+
     def sigma_lv(x, t_now):
         # x = log(S/S0); surface indexed by forward log-moneyness
         kq = x - (jnp.float32(rate) - jnp.float32(dividend)) * t_now
@@ -147,7 +152,10 @@ def _slv_scan(key, spot, maturity, rate, dividend, params, mixing,
         lv2 = lev * lev * vp
         x = x + rq_dt - 0.5 * lv2 * dt + lev * jnp.sqrt(vp) * sqrt_dt * zx
         v = v + kap * (th - vp) * dt + sig * jnp.sqrt(vp) * sqrt_dt * zv
-        stats = update(stats, spot * jnp.exp(x), i)
+        if wants_var:  # 4-arg updates also see the step's L²v·dt
+            stats = update(stats, spot * jnp.exp(x), i, lv2 * dt)
+        else:
+            stats = update(stats, spot * jnp.exp(x), i)
         return (x, v, stats), (x_row, l_row)
 
     x0 = jnp.zeros((n_eff,), jnp.float32)
@@ -310,6 +318,82 @@ def slv_cliquet_price(spot, maturity, rate, params: HestonParams, key,
         (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
         init, update, antithetic)
     pay = notional * jnp.clip(acc, global_floor, global_cap)
+    price, stderr = _discounted_mean_stderr(pay, rate, maturity)
+    return (price, stderr) if return_stderr else price
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "n_bins",
+                                             "antithetic"))
+def slv_swap_strikes(spot, maturity, rate, params: HestonParams, key,
+                     lv_k_grid, lv_t_grid, lv_vol_grid,
+                     dividend: float = 0.0, mixing: float = 1.0,
+                     n_paths: int = 131_072, n_steps: int = 128,
+                     n_bins: int = 31, antithetic: bool = True):
+    """BOTH swap strikes from ONE simulation under SLV: returns
+    ``(K_var, se_var, K_vol, se_vol)`` with K_vol in vol units
+    (E[sqrt(RV/T)]).
+
+    The model's defining split: K_var is a log-contract functional, so
+    Gyongy pins it to the market smile at EVERY ``mixing`` (equal to the
+    pure-LV and model-free replication values). K_vol = E[sqrt(.)] is
+    CONCAVE in realized variance — its convexity discount grows with the
+    variance-of-variance that ``mixing`` dials in, so the vol-swap
+    strike MOVES with mixing while K_var stays pinned. That spread is
+    precisely what desks use SLV to mark. Pathwise integrated variance
+    Σ L²v⁺ dt accumulates in the same particle scan (no second
+    simulation). Beyond the reference (no SLV, no vol swaps)."""
+    def init(s0):
+        return jnp.zeros_like(s0)
+
+    def update(stat, s, i, dv):
+        return stat + dv
+
+    _, iv, _ = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    t = jnp.maximum(jnp.float32(maturity), EPS_TIME)
+    rv = iv / t
+    vol = jnp.sqrt(jnp.maximum(rv, 0.0))
+    if antithetic:  # stats over independent pair means (honest stderr)
+        half = rv.shape[0] // 2
+        rv_m = 0.5 * (rv[:half] + rv[half:])
+        vol_m = 0.5 * (vol[:half] + vol[half:])
+    else:
+        rv_m, vol_m = rv, vol
+    n = rv_m.shape[0] * 1.0
+    return (rv_m.mean(), rv_m.std(ddof=1) / jnp.sqrt(n),
+            vol_m.mean(), vol_m.std(ddof=1) / jnp.sqrt(n))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_paths", "n_steps", "n_bins", "antithetic", "return_stderr"))
+def slv_range_accrual_price(spot, lower, upper, maturity, rate,
+                            params: HestonParams, key,
+                            lv_k_grid, lv_t_grid, lv_vol_grid,
+                            dividend: float = 0.0, mixing: float = 1.0,
+                            notional: float = 100.0,
+                            n_paths: int = 131_072, n_steps: int = 64,
+                            n_bins: int = 31, antithetic: bool = True,
+                            return_stderr: bool = False):
+    """Range-accrual (corridor) note under SLV: notional x fraction of
+    steps with S in [lower, upper]. The corridor digitals read the
+    forward smile, so the value moves with ``mixing`` while vanillas
+    stay pinned. Conventions match
+    ``heston_exotics.heston_range_accrual_price`` and the exact GBM
+    closed form (``exotics.range_accrual_closed_form``) — the oracle for
+    ``ops/slv_pallas.SLVKernelPricer.range_accrual``."""
+    def init(s0):
+        return jnp.zeros_like(s0)
+
+    def update(stat, s, i):
+        return stat + jnp.where((s >= lower) & (s <= upper), 1.0, 0.0)
+
+    _, acc, _rows = _slv_scan(
+        key, spot, maturity, rate, dividend, params, mixing,
+        (lv_k_grid, lv_t_grid, lv_vol_grid), n_paths, n_steps, n_bins,
+        init, update, antithetic)
+    pay = notional * acc / n_steps
     price, stderr = _discounted_mean_stderr(pay, rate, maturity)
     return (price, stderr) if return_stderr else price
 

@@ -100,7 +100,7 @@ KINDS = (
     # pay-at-hit one-touches: cash discounted AT the first hit in-kernel
     "one_touch_up_hit", "one_touch_down_hit", "one_touch_double_hit",
 )
-STRUCTURED_KINDS = ("cliquet", "autocall")
+STRUCTURED_KINDS = ("cliquet", "autocall", "range_accrual")
 
 
 def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
@@ -161,6 +161,8 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
         if kind == "autocall":
             # (alive, knocked-in, pv[, discount-derivative moment])
             return (one, zero, zero, zero) if lr else (one, zero, zero)
+        if kind == "range_accrual":
+            return (zero,)  # accrual counter, steps 1..n
         if hit_pay:
             if "double" in kind:
                 h0 = jnp.where((p_ref[_S_A] >= 0.0) | (p_ref[_S_B] <= 0.0),
@@ -213,6 +215,11 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
                 dr = stat[3] - steps * dt * df_i * cash
                 return (alive, ki, pv, dr)
             return (alive, ki, pv)
+        if kind == "range_accrual":
+            # corridor in RELATIVE log space: A=log(L/S0), B=log(U/S0)
+            acc = jnp.where((x >= p_ref[_S_A]) & (x <= p_ref[_S_B]),
+                            1.0, 0.0)
+            return (stat[0] + acc,)
         if hit_pay:
             h, pv = stat[:2]
             if "double" in kind:
@@ -256,6 +263,8 @@ def _slv_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int, cp: float,
             loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
             final = p_ref[_S_E] * (1.0 - ki * loss)
             return pv + alive * df_t * final  # discounted in-kernel
+        if kind == "range_accrual":
+            return p_ref[_S_E] * stat[0] * inv_n
         if hit_pay:
             return stat[1]  # df-at-hit carried in-kernel (host df = 1)
         if "touch" in kind:
@@ -593,6 +602,26 @@ class SLVKernelPricer:
                          float(notional) * float(coupon_rate) / n_obs,
                          float(notional)),
             self.n_steps // n_obs, n_paths, seed, sampler, greeks)
+
+    def range_accrual(self, lower, upper, notional: float = 100.0,
+                      n_paths: int = 1_000_000, seed: int = 0,
+                      sampler: str = "prng", greeks: bool = False):
+        """Range-accrual (corridor) note on the calibrated leverage:
+        pays notional x (fraction of steps with S in [lower, upper]).
+        Both the corridor width the note accrues over AND the forward
+        smile it is sensitive to move with ``mixing`` while the vanillas
+        stay pinned — exactly the product class SLV exists for.
+        Conventions match ``models/slv.slv_range_accrual_price`` and the
+        GBM closed form (``models/exotics.range_accrual_closed_form``).
+        ``greeks=True`` adds the one-pass LR ladder (corridor levels are
+        ABSOLUTE, so LR delta is the true hedge delta)."""
+        if not 0.0 < float(lower) < float(upper):
+            raise ValidationError("need 0 < lower < upper")
+        return self._structured(
+            "range_accrual", (math.log(float(lower) / self.spot),
+                              math.log(float(upper) / self.spot),
+                              0.0, 0.0, float(notional)),
+            1, n_paths, seed, sampler, greeks)
 
     def _structured(self, kind, abcde, period, n_paths, seed, sampler,
                     greeks):

@@ -556,12 +556,16 @@ def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
             kname = f"{body.get('touch', 'no')}_touch_double"
         band = dict(lower=float(body.get("lower", 90.0)),
                     upper=float(body.get("upper", 110.0)))
+    elif kind == "range-accrual":
+        kname = "range_accrual"
+        band = dict(lower=float(body.get("lower", 90.0)),
+                    upper=float(body.get("upper", 110.0)))
     elif kind in kind_map:
         kname = kind_map[kind]
     else:
         raise ValueError("model=lv supports european/asian/barrier/"
                          "lookback/one-touch/no-touch/double-barrier/"
-                         f"double-touch, not {kind!r}")
+                         f"double-touch/range-accrual, not {kind!r}")
     dup = DupireLocalVol(sample_smile_iv_fn(base_vol=p["vol"]),
                          p["spot"], p["rate"])
     sampler = "prng" if jax.default_backend() == "tpu" else "hash"
@@ -569,12 +573,18 @@ def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                                   n_steps=int(body.get("n_steps", 64)))
     base = {"model": "lv", "dynamics": "dupire-local-vol", "kind": kname,
             "engine": "kernel"}
+    # the LV pricer quotes range accrual on UNIT notional; the wire
+    # convention is notional 100 (matches the GBM/Heston routes)
+    scale = (float(body.get("notional", 100.0))
+             if kname == "range_accrual" else 1.0)
     if body.get("greeks"):
         out = pricer.greeks(p["strike"], cp=cp, payoff=kname,
                             barrier=barrier, n_paths=n_paths,
                             seed=int(body.get("seed", 0)), sampler=sampler,
                             **band)
-        res = {k: _to_jsonable(v) for k, v in out.items()}
+        res = {k: _to_jsonable(scale * v if isinstance(v, (int, float))
+                               or getattr(v, "ndim", None) == 0 else v)
+               for k, v in out.items()}
         res.update(base, greek_method="lr-sticky-strike",
                    vega_convention="parallel surface shift")
         return res
@@ -582,7 +592,8 @@ def _exotic_lv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                              barrier=barrier, n_paths=n_paths,
                              seed=int(body.get("seed", 0)), sampler=sampler,
                              **band)
-    return {**base, "price": _to_jsonable(pr), "std_error": _to_jsonable(se),
+    return {**base, "price": _to_jsonable(scale * pr),
+            "std_error": _to_jsonable(scale * se),
             "paths": int(n), "fit_residual": float(pricer.fit_residual)}
 
 
@@ -604,17 +615,24 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
                             float(body.get("sigma_v", 0.5)),
                             float(body.get("rho_sv", -0.7)))
     mixing = float(body.get("mixing", 1.0))
-    if kind in ("autocallable", "cliquet"):
+    if kind in ("autocallable", "cliquet", "range-accrual"):
         # structured kinds: replay kernel (price or frozen-fixings ladder)
         from .ops.slv_pallas import SLVKernelPricer
 
         sampler = "prng" if jax.default_backend() == "tpu" else "hash"
         pricer = SLVKernelPricer(dup, par, p["maturity"], mixing=mixing,
                                  n_steps=int(body.get("n_steps", 64)))
-        kw = (dict(n_obs=int(body.get("n_obs", 4)))
-              if kind == "autocallable"
-              else dict(n_periods=int(body.get("n_periods", 8))))
-        fn = pricer.autocall if kind == "autocallable" else pricer.cliquet
+        if kind == "range-accrual":
+            kw = dict(lower=float(body.get("lower", 90.0)),
+                      upper=float(body.get("upper", 110.0)),
+                      notional=float(body.get("notional", 100.0)))
+            fn = pricer.range_accrual
+        elif kind == "autocallable":
+            kw = dict(n_obs=int(body.get("n_obs", 4)))
+            fn = pricer.autocall
+        else:
+            kw = dict(n_periods=int(body.get("n_periods", 8)))
+            fn = pricer.cliquet
         base = {"model": "slv", "dynamics": "heston-x-dupire-leverage",
                 "kind": kind, "mixing": mixing, "engine": "kernel"}
         if body.get("greeks"):
@@ -659,8 +677,8 @@ def _exotic_slv(body: dict, p: dict, kind: str, n_paths: int) -> dict:
         kname = kind_map[kind]
     else:
         raise ValueError("model=slv supports asian/barrier/lookback/"
-                         "one-touch/no-touch/double-barrier/double-touch, "
-                         f"not {kind!r}")
+                         "one-touch/no-touch/double-barrier/double-touch/"
+                         f"range-accrual/cliquet/autocallable, not {kind!r}")
     if body.get("greeks"):
         from .ops.slv_pallas import SLVKernelPricer
 

@@ -415,3 +415,61 @@ class TestTouchAndDoubleUnderLV:
                      upper=self.L)
         with pytest.raises(ValidationError):
             pr.price(100.0, 1.0, "one_touch_up", barrier=0.0)
+
+
+class TestRangeAccrualUnderLV:
+    """Corridor note at LV-kernel speed. Flat surface is an EXACT oracle
+    (strip of GBM corridor digitals); the smile case cross-checks the
+    independent SLV particle engine at mixing -> 0. The LV pricer quotes
+    UNIT notional (CLI/consumers scale)."""
+
+    def test_flat_surface_matches_closed_form(self):
+        from optionslab_tpu.models.exotics import range_accrual_closed_form
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        p, se, _ = pr.price(0.0, payoff="range_accrual", lower=90.0,
+                            upper=112.0, n_paths=1, sampler="hash")
+        cf = float(range_accrual_closed_form(S, 90.0, 112.0, 1.0, R, 0.2,
+                                             notional=1.0, n_steps=8))
+        assert abs(float(p) - cf) < 5 * float(se) + 2e-3, (float(p), cf)
+
+    def test_smile_matches_slv_mixing_zero(self, smile_dupire):
+        import jax
+
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.models.slv import slv_range_accrual_price
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(smile_dupire, 1.0, n_steps=16)
+        p, se, _ = pr.price(0.0, payoff="range_accrual", lower=90.0,
+                            upper=112.0, n_paths=1, sampler="hash")
+        par = HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7)
+        ps, ss = slv_range_accrual_price(
+            S, 90.0, 112.0, 1.0, R, par, jax.random.PRNGKey(1),
+            smile_dupire.surface.k_grid, smile_dupire.surface.t_grid,
+            smile_dupire.surface.grid, mixing=0.0, n_paths=65_536,
+            n_steps=16, return_stderr=True)
+        # LV poly-kernel vs particle-binned SLV at mixing=0: same Dupire
+        # dynamics through two independent discretizations
+        diff = abs(100.0 * float(p) - float(ps))
+        assert diff < 5 * float(np.hypot(100.0 * float(se), float(ss))) \
+            + 0.6, (100.0 * float(p), float(ps))
+
+    def test_lr_ladder_is_finite_and_signed(self, smile_dupire):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(smile_dupire, 1.0, n_steps=8)
+        g = pr.greeks(0.0, payoff="range_accrual", lower=90.0, upper=112.0,
+                      n_paths=200_000, sampler="hash")
+        for k in ("delta", "gamma", "vega"):
+            assert np.isfinite(g[k]), g
+        # more vol pushes paths OUT of a corridor around spot
+        assert g["vega"] < 0.0, g
+
+    def test_band_validation(self):
+        from optionslab_tpu.ops.local_vol_pallas import LocalVolKernelPricer
+
+        pr = LocalVolKernelPricer(_flat_dupire(), 1.0, n_steps=8)
+        with pytest.raises(ValidationError):
+            pr.price(0.0, payoff="range_accrual", lower=110.0, upper=90.0)

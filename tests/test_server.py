@@ -547,6 +547,27 @@ class TestHestonExoticEndpoint:
         assert "frozen-fixings" in body["delta_convention"]
 
 
+class TestRangeAccrualRoutes:
+    def test_slv_range_accrual_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "range-accrual", "model": "slv", "lower": 90.0,
+            "upper": 112.0, "n_paths": 1, "n_steps": 8})
+        assert status == 200 and body["engine"] == "kernel"
+        assert 0.0 < body["price"] < 100.0
+
+    def test_lv_range_accrual_over_wire(self, server):
+        status, body = _post(server, "/exotic", {
+            "kind": "range-accrual", "model": "lv", "lower": 90.0,
+            "upper": 112.0, "n_paths": 1, "n_steps": 8})
+        assert status == 200 and body["kind"] == "range_accrual"
+        assert 0.0 < body["price"] < 100.0
+        # bad band -> 400
+        status, _ = _post(server, "/exotic", {
+            "kind": "range-accrual", "model": "lv", "lower": 112.0,
+            "upper": 90.0, "n_paths": 1, "n_steps": 8})
+        assert status == 400
+
+
 class TestBatesAmericanEndpoint:
     def test_bates_bracket_over_wire(self, server):
         status, body = _post(server, "/american", {

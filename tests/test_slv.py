@@ -13,6 +13,8 @@ Oracles (all independent of the particle engine):
     defining property of the model.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +202,82 @@ class TestStructuredKinds:
                                       return_stderr=True)
         assert abs(float(pa) - float(pga)) < \
             5 * float(jnp.sqrt(sa**2 + sga**2)) + 0.05
+
+
+class TestVolSwapAndRangeAccrual:
+    """The round-4 cells: vol swaps (the convexity discount MOVES with
+    mixing while K_var stays smile-pinned — the model's point) and range
+    accrual (a strip of corridor digitals, Gyongy-pinned on vanillas)."""
+
+    def test_flat_mixing0_both_strikes_exact(self):
+        from optionslab_tpu.models import slv_swap_strikes
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), SPOT, RATE)
+        kv, sv, kvol, svol = slv_swap_strikes(
+            SPOT, T, RATE, PAR, KEY, flat.k_grid, flat.t_grid, flat.grid,
+            mixing=0.0, n_paths=16_384, n_steps=32)
+        # mixing 0 + flat surface: integrated variance is deterministic
+        assert abs(float(kv) - 0.04) < 3e-3
+        assert abs(float(kvol) - 0.2) < 8e-3
+        assert float(svol) < 5e-3
+
+    def test_vol_swap_moves_with_mixing_kvar_pinned(self):
+        from optionslab_tpu.models import slv_swap_strikes
+
+        iv_fn = sample_smile_iv_fn(base_vol=0.2, skew=-0.06, smile=0.03)
+        dup = DupireLocalVol(iv_fn, SPOT, RATE, k_range=(-2.5, 2.5),
+                             n_k=201)
+        g = (dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid)
+        kv0, sv0, kvol0, svol0 = slv_swap_strikes(
+            SPOT, T, RATE, PAR, KEY, *g, mixing=0.0, n_paths=65_536,
+            n_steps=64)
+        kv1, sv1, kvol1, svol1 = slv_swap_strikes(
+            SPOT, T, RATE, PAR, KEY, *g, mixing=1.0, n_paths=65_536,
+            n_steps=64)
+        # K_var: log-contract functional => Gyongy-pinned across mixing
+        assert abs(float(kv1) - float(kv0)) < \
+            5 * math.hypot(float(sv0), float(sv1)) + 2e-3
+        # Jensen: K_vol <= sqrt(K_var) always
+        assert float(kvol1) <= math.sqrt(float(kv1)) + 1e-4
+        # the convexity discount GROWS with vol-of-vol: K_vol falls with
+        # mixing by far more than noise while K_var does not move
+        assert float(kvol0) - float(kvol1) > \
+            5 * math.hypot(float(svol0), float(svol1)), \
+            (float(kvol0), float(kvol1))
+
+    def test_range_accrual_scan_flat_mixing0_matches_closed_form(self):
+        from optionslab_tpu.models import slv_range_accrual_price
+        from optionslab_tpu.models.exotics import range_accrual_closed_form
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), SPOT, RATE)
+        p, se = slv_range_accrual_price(
+            SPOT, 90.0, 112.0, T, RATE, PAR, KEY, flat.k_grid, flat.t_grid,
+            flat.grid, mixing=0.0, n_paths=65_536, n_steps=32,
+            return_stderr=True)
+        cf = float(range_accrual_closed_form(SPOT, 90.0, 112.0, T, RATE,
+                                             0.2, notional=100.0,
+                                             n_steps=32))
+        assert abs(float(p) - cf) < 5 * float(se) + 0.5, (float(p), cf)
+
+    def test_range_accrual_band_sanity(self, dupire):
+        """Value is positive, bounded by the discounted notional, and a
+        wider corridor is worth MORE on the same paths (same key)."""
+        from optionslab_tpu.models import slv_range_accrual_price
+
+        g = (dupire.surface.k_grid, dupire.surface.t_grid,
+             dupire.surface.grid)
+        narrow = float(slv_range_accrual_price(
+            SPOT, 95.0, 105.0, T, RATE, PAR, KEY, *g, n_paths=16_384,
+            n_steps=32))
+        wide = float(slv_range_accrual_price(
+            SPOT, 85.0, 120.0, T, RATE, PAR, KEY, *g, n_paths=16_384,
+            n_steps=32))
+        df_n = 100.0 * math.exp(-RATE * T)
+        assert 0.0 < narrow < wide < df_n
 
 
 class TestAPI:

@@ -216,6 +216,42 @@ class TestStructuredKernel:
         tol = 5 * float(jnp.sqrt(sk**2 + ss**2)) + 0.1
         assert abs(float(pk) - float(ps)) < tol, (float(pk), float(ps))
 
+    def test_range_accrual_matches_scan(self, smile_dupire, pricer):
+        from optionslab_tpu.models.slv import slv_range_accrual_price
+
+        pk, sk, _ = pricer.range_accrual(90.0, 112.0, n_paths=1,
+                                         sampler="hash")
+        ps, ss = slv_range_accrual_price(
+            S, 90.0, 112.0, T, R, PAR, jax.random.PRNGKey(5),
+            smile_dupire.surface.k_grid, smile_dupire.surface.t_grid,
+            smile_dupire.surface.grid, mixing=1.0,
+            n_paths=65_536, n_steps=N_STEPS, return_stderr=True)
+        tol = 5 * float(jnp.sqrt(sk**2 + ss**2)) + 0.2
+        assert abs(float(pk) - float(ps)) < tol, (float(pk), float(ps))
+
+    def test_range_accrual_flat_mixing0_is_gbm_exact(self):
+        """Flat surface + mixing->0: the leverage is exactly 1 and the
+        log-Euler scheme is exact at constant vol, so the kernel must
+        reproduce the EXACT GBM closed form (a strip of corridor
+        digitals). At mixing=1 Gyongy pins the continuous-limit
+        marginals, but the 8-step Euler digitals carry an O(dt)
+        discretization bias (~1.0 on 56, measured) — covered by the
+        kernel==scan parity test instead, which agrees at every
+        mixing."""
+        from optionslab_tpu.models.exotics import range_accrual_closed_form
+
+        pr = SLVKernelPricer(_flat_dupire(), PAR, T, mixing=0.0,
+                             n_steps=N_STEPS, n_cal_paths=65_536)
+        p, se, _ = pr.range_accrual(90.0, 112.0, n_paths=1, sampler="hash")
+        cf = float(range_accrual_closed_form(S, 90.0, 112.0, T, R, 0.2,
+                                             notional=100.0,
+                                             n_steps=N_STEPS))
+        assert abs(float(p) - cf) < 5 * float(se) + 0.3, (float(p), cf)
+
+    def test_range_accrual_rejects_bad_band(self, pricer):
+        with pytest.raises(ValidationError):
+            pricer.range_accrual(110.0, 90.0)
+
     def test_autocall_ladder_vs_crn_fd(self, smile_dupire):
         """rho (DR-completed) and v0-vega vs CRN-FD of the kernel in the
         gated-score valid regime (sigma_v = 0.3, 16 steps)."""

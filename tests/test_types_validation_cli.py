@@ -256,6 +256,21 @@ class TestCLI:
                                                    + out["upper_se"])
         assert out["mixing"] == 0.5
 
+    def test_exotic_range_accrual_lv_slv(self, capsys):
+        """range-accrual routes to the LV and SLV kernels (notional-100
+        convention on the wire, matching the GBM/Heston routes)."""
+        cli_main(["exotic", "--kind", "range-accrual", "--model", "lv",
+                  "--lower", "90", "--upper", "112",
+                  "--n-paths", "1", "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "range_accrual" and out["engine"] == "kernel"
+        assert 0.0 < out["price"] < 100.0
+        cli_main(["exotic", "--kind", "range-accrual", "--model", "slv",
+                  "--lower", "90", "--upper", "112",
+                  "--n-paths", "1", "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["model"] == "slv" and 0.0 < out["price"] < 100.0
+
     @pytest.mark.slow
     def test_american_rbergomi_bracket(self, capsys):
         """--model rbergomi routes to the non-Markovian causal-factor
