@@ -96,12 +96,20 @@ def _sim_fine_heston(key, n_paths, n_fine, dt, spot, rate, dividend,
                      params):
     """(paths, n_fine) spot AND variance levels under Andersen-QE Heston
     — the same transition law as the American-bracket machinery
-    (``models.heston_american._qe_apply``)."""
-    from ..models.heston_american import _qe_apply, _qe_consts
+    (``models.heston_american._qe_apply``). A ``BatesParams`` (has
+    ``lam``) adds the exact compound-Poisson log-jump per substep with
+    the martingale drift compensator — identical law to the Bates
+    bracket (``_qe_substep(..., jc)``); lam=0 is bit-identical to
+    Heston (poisson(0) draws are always 0)."""
+    from ..models.heston_american import (_apply_jump, _jump_comp,
+                                          _jump_consts, _qe_apply,
+                                          _qe_consts)
 
     params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
     consts = _qe_consts(params32, jnp.float32(dt))
-    mu_dt = jnp.float32((rate - dividend) * dt)
+    jc = _jump_consts(params32, jnp.float32(dt))
+    mu_dt = (jnp.float32(rate - dividend)
+             - _jump_comp(params32)) * jnp.float32(dt)
 
     def body(carry, i):
         x, v = carry
@@ -111,11 +119,38 @@ def _sim_fine_heston(key, n_paths, n_fine, dt, spot, rate, dividend,
         u = jax.random.uniform(ku, (n_paths,), jnp.float32, 1e-7,
                                1.0 - 1e-7)
         x, v = _qe_apply(x, v, z[0], z[1], u, consts, mu_dt)
+        if jc is not None:
+            x = _apply_jump(x, jax.random.fold_in(kk, 13), jc, jnp.float32)
         return (x, v), (x, v)
 
     x0 = jnp.zeros((n_paths,), jnp.float32)
     v0 = jnp.full((n_paths,), jnp.float32(params.v0))
     _, (xs, vs) = jax.lax.scan(body, (x0, v0), jnp.arange(n_fine))
+    return spot * jnp.exp(xs.T), vs.T
+
+
+def _sim_fine_slv(key, n_paths, n_fine, dt, spot, rate, dividend, params,
+                  mixing, x_rows, l_rows):
+    """(paths, n_fine) spot AND variance levels under the FROZEN-LEVERAGE
+    Euler-SLV law — the identical transition every SLV pipeline replays
+    (``models.slv_american._slv_apply``; one leverage row per fine
+    substep)."""
+    from ..models.slv_american import _dyn, _slv_apply
+
+    dyn = _dyn(params, mixing, rate, dividend, dt * n_fine, n_fine, 1)
+
+    def body(carry, xs_in):
+        x, v = carry
+        i, x_row, l_row = xs_in
+        z = jax.random.normal(jax.random.fold_in(key, i), (2, n_paths),
+                              jnp.float32)
+        x, v = _slv_apply(x, v, z[0], z[1], dyn, x_row, l_row)
+        return (x, v), (x, v)
+
+    x0 = jnp.zeros((n_paths,), jnp.float32)
+    v0 = jnp.full((n_paths,), jnp.float32(params.v0))
+    _, (xs, vs) = jax.lax.scan(body, (x0, v0),
+                               (jnp.arange(n_fine), x_rows, l_rows))
     return spot * jnp.exp(xs.T), vs.T
 
 
@@ -138,23 +173,30 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
                          horizon: float | None = None, n_dates: int = 24,
                          n_sub: int = 8, n_paths: int = 65536,
                          seed: int = 0, quantile: float = 0.95,
-                         ridge: float = 1e-6,
-                         heston_params=None) -> ExposureResult:
+                         ridge: float = 1e-6, heston_params=None,
+                         dupire=None, mixing: float = 1.0
+                         ) -> ExposureResult:
     """EE/EPE/PFE/ENE profile of a netting set of path-dependent trades.
 
     ``book``: list of :class:`ExoticPosition` on ONE underlying.
     Dynamics: risk-neutral GBM at ``vol`` (default: the first position's
-    vol) — or, with ``heston_params`` (a
-    :class:`~..models.heston.HestonParams`), Andersen-QE Heston: the
-    SMILE-CONSISTENT exposure a desk actually wants for barrier books
-    (the regression state gains the instantaneous variance, and each
-    position's ``vol`` is ignored). Barrier/extrema monitoring and Asian
-    averaging happen on the FINE grid (``n_dates * n_sub`` substeps over
-    the horizon) — state the monitoring convention when comparing
-    against pricers with a different fixing schedule. Returns an
+    vol) — or, with ``heston_params``, Andersen-QE Heston
+    (:class:`~..models.heston.HestonParams`) or Bates with exact
+    compound-Poisson jumps (:class:`~..models.bates.BatesParams`; the
+    martingale compensator rides the drift, lam=0 is bit-identical to
+    Heston) — or, with ``dupire`` (+ ``heston_params`` + ``mixing``),
+    the frozen-leverage Euler-SLV law (one particle-calibrated leverage
+    row per fine substep, the same transition the SLV American bracket
+    certifies): the SMILE-CONSISTENT exposure a desk actually wants for
+    barrier books. Under any stochastic-vol law the regression state
+    gains the instantaneous variance and each position's ``vol`` is
+    ignored. Barrier/extrema monitoring and Asian averaging happen on
+    the FINE grid (``n_dates * n_sub`` substeps over the horizon) —
+    state the monitoring convention when comparing against pricers with
+    a different fixing schedule. Returns an
     :class:`~.exposure.ExposureResult`, so :func:`~.exposure.cva_dva`
-    composes unchanged. Note: under Heston the knocked-in "exact
-    vanilla" mark uses the regression too (no flat-vol shortcut).
+    composes unchanged. Note: under stochastic vol the knocked-in
+    "exact vanilla" mark uses the regression too (no flat-vol shortcut).
     """
     pos = list(book)
     if not pos:
@@ -175,10 +217,28 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
     d_idx = jnp.arange(n_sub - 1, n_fine, n_sub)  # date-grid substeps
     dates = (jnp.asarray(d_idx, jnp.float32) + 1.0) * dt
     half = n_paths // 2
+    if dupire is not None:
+        if heston_params is None:
+            raise ValidationError("SLV exposure needs heston_params "
+                                  "alongside dupire")
+        from ..models.slv import slv_calibrate_leverage
+
+        surface = getattr(dupire, "surface", dupire)
+        lev_rows = slv_calibrate_leverage(
+            spot, horizon, rate, heston_params,
+            jax.random.PRNGKey(seed + 104_729), surface.k_grid,
+            surface.t_grid, surface.grid, dividend=dividend, mixing=mixing,
+            n_paths=min(n_paths, 262_144), n_steps=n_fine)
+    else:
+        lev_rows = None
 
     @jax.jit
     def run(key):
-        if heston_params is not None:
+        if lev_rows is not None:
+            s_fine, v_fine = _sim_fine_slv(key, n_paths, n_fine, dt, spot,
+                                           rate, dividend, heston_params,
+                                           mixing, *lev_rows)
+        elif heston_params is not None:
             s_fine, v_fine = _sim_fine_heston(key, n_paths, n_fine, dt,
                                               spot, rate, dividend,
                                               heston_params)

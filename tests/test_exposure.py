@@ -12,6 +12,7 @@ Oracles:
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.stats import norm
@@ -595,3 +596,114 @@ class TestFVA:
         from optionslab_tpu.utils.exceptions import ValidationError
         with pytest.raises(ValidationError):
             cva_dva(prof, hazard_rate=0.02, funding_spread=-0.01)
+
+
+class TestBatesAndSLVAMCExposure:
+    """The payoff x dynamics matrix's last exposure cells: AMC exposure
+    under jumps (Bates) and under the frozen-leverage Euler-SLV law."""
+
+    def test_bates_lam_zero_is_bitwise_heston(self):
+        from optionslab_tpu.models.bates import BatesParams
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        book = [ExoticPosition(kind="asian_arith", strike=100.0,
+                               maturity=1.0)]
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+        bp = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.0,
+                              mu_j=-0.1, sigma_j=0.15)
+        a = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                 n_paths=16384, n_dates=6, n_sub=4,
+                                 heston_params=hp)
+        b = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                 n_paths=16384, n_dates=6, n_sub=4,
+                                 heston_params=bp)
+        # poisson(0) == 0 always and jump keys ride a disjoint fold_in
+        # branch: lam=0 must reproduce the Heston profile EXACTLY
+        np.testing.assert_array_equal(a.ee, b.ee)
+        np.testing.assert_array_equal(a.pfe, b.pfe)
+
+    def test_bates_martingale_oracle_and_jump_widening(self):
+        """E[df V-hat] == V0 under jumps, and negative jumps WIDEN the
+        put book's PFE vs pure Heston at matched diffusion."""
+        from optionslab_tpu.models.bates import BatesParams, bates_mc_price
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.types import ContractBatch
+
+        bp = BatesParams.make(0.04, 2.0, 0.04, 0.3, -0.7, lam=0.8,
+                              mu_j=-0.12, sigma_j=0.15)
+        book = [ExoticPosition(kind="vanilla", strike=100.0, maturity=1.0,
+                               option_type="put")]
+        amc = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4,
+                                   heston_params=bp)
+        batch = ContractBatch.make(100.0, 100.0, 1.0, 0.05, 0.2, "put")
+        v0 = float(np.asarray(bates_mc_price(
+            batch, bp, jax.random.PRNGKey(3), n_paths=200_000,
+            n_steps=64)).ravel()[0])
+        assert np.abs(amc.ee_discounted - v0).max() < 0.06 * v0
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7)
+        ref = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4,
+                                   heston_params=hp)
+        assert amc.pfe[-1] > ref.pfe[-1]
+
+    def test_slv_flat_mixing0_matches_gbm_profile(self):
+        """Flat surface + mixing->0: the frozen-leverage law IS exact
+        constant-vol log-Euler, so the SLV profile must match the GBM
+        AMC profile statistically."""
+        from types import SimpleNamespace
+
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.models.local_vol import LocalVolSurface
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        flat = LocalVolSurface(jnp.linspace(-3.0, 3.0, 11),
+                               jnp.linspace(0.01, 2.0, 9),
+                               jnp.full((9, 11), 0.2), 100.0, 0.05)
+        dup = SimpleNamespace(surface=flat, spot=100.0, rate=0.05,
+                              dividend=0.0)
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7)
+        book = [ExoticPosition(kind="asian_arith", strike=100.0,
+                               maturity=1.0, vol=0.2)]
+        slv = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4,
+                                   heston_params=hp, dupire=dup,
+                                   mixing=0.0)
+        gbm = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4)
+        np.testing.assert_allclose(slv.ee, gbm.ee, rtol=0.06, atol=0.05)
+
+    def test_slv_martingale_oracle_full_mixing(self):
+        """E[df V-hat] == V0 under the smile + full vol-of-vol, V0 from
+        the independent SLV particle engine."""
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.models.local_vol import (DupireLocalVol,
+                                                     sample_smile_iv_fn)
+        from optionslab_tpu.models.slv import slv_exotic_price
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        dup = DupireLocalVol(sample_smile_iv_fn(), 100.0, 0.05)
+        hp = HestonParams.make(0.04, 2.0, 0.04, 0.5, -0.7)
+        book = [ExoticPosition(kind="asian_arith", strike=100.0,
+                               maturity=1.0)]
+        amc = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4,
+                                   heston_params=hp, dupire=dup,
+                                   mixing=1.0)
+        v0, se = slv_exotic_price(
+            "asian_arith", 100.0, 100.0, 1.0, 0.05, hp,
+            jax.random.PRNGKey(11), dup.surface.k_grid, dup.surface.t_grid,
+            dup.surface.grid, mixing=1.0, n_paths=131_072, n_steps=32,
+            return_stderr=True)
+        assert np.abs(amc.ee_discounted - float(v0)).max() \
+            < 0.05 * float(v0) + 3 * float(se)
+
+    def test_slv_requires_heston_params(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            amc_exposure_profile(
+                [ExoticPosition(kind="vanilla")], dupire=object())
