@@ -249,6 +249,29 @@ def main():
         extras["slv_path_steps_per_sec"] = round(
             n_slv * 64 / ((time.perf_counter() - t0) / 3), 1)
 
+        # round-4: rough Bergomi EXACT-Volterra simulation rate. The
+        # O(n_steps^2) covariance matmul is deliberate TPU design: it
+        # rides the MXU (one (paths, 2n)x(2n, 2n) contraction), where
+        # n^2 MXU flops beat n log n VPU shuffles at these n — and the
+        # variance path is exact in law, no hybrid-scheme bias.
+        from optionslab_tpu.models.rbergomi import (RBergomiParams,
+                                                    rbergomi_price)
+
+        rb = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+        rb_paths, rb_steps = 1_048_576, 64
+        rbp, _ = rbergomi_price(100.0, jnp.asarray([100.0]), 1.0, 0.05, rb,
+                                jax.random.PRNGKey(0), n_paths=rb_paths,
+                                n_steps=rb_steps)
+        jax.block_until_ready(rbp)
+        t0 = time.perf_counter()
+        for i in range(3):
+            rbp, _ = rbergomi_price(100.0, jnp.asarray([100.0]), 1.0, 0.05,
+                                    rb, jax.random.PRNGKey(1 + i),
+                                    n_paths=rb_paths, n_steps=rb_steps)
+        jax.block_until_ready(rbp)
+        extras["rbergomi_exact_path_steps_per_sec"] = round(
+            rb_paths * rb_steps / ((time.perf_counter() - t0) / 3), 1)
+
         # multi-asset kernel: 3 correlated assets, basket Asian
         from optionslab_tpu.ops.multi_asset_pallas import pallas_multi_asset_price
 

@@ -80,6 +80,11 @@ class SpeedMetrics:
     calibration_ms: float
     prediction_ms: float
     smiles_per_second: float
+    # best-of-trials ≈ steady-state (jit cache warm); the mean includes
+    # any first-call compile. A desk recalibrating all day pays the warm
+    # number — both are reported.
+    calibration_warm_ms: float = 0.0
+    prediction_warm_ms: float = 0.0
 
 
 @dataclasses.dataclass
@@ -251,11 +256,14 @@ class _FeatureModelWrapper:
 class MLPWrapper(_FeatureModelWrapper):
     name = "mlp"
 
-    def __init__(self, epochs: int = 150):
+    def __init__(self, epochs: int = 2000):
         from ..surface.mlp import MLPModel
 
+        # scanned trainer: 2000 full-batch epochs are one cached device
+        # program (~tens of ms warm); dropout off for a 1-smile fit
         self.model_cls = MLPModel
-        self.model_kwargs = {"hidden_layers": (32, 16), "epochs": epochs}
+        self.model_kwargs = {"hidden_layers": (32, 16), "epochs": epochs,
+                             "dropout_rate": 0.02}
 
 
 class KernelRidgeWrapper(_FeatureModelWrapper):
@@ -281,7 +289,7 @@ class RandomForestWrapper(_FeatureModelWrapper):
 class PINNWrapper:
     name = "pinn"
 
-    def __init__(self, epochs: int = 300):
+    def __init__(self, epochs: int = 1200):
         self.epochs = epochs
 
     def calibrate(self, k, vols, t, seed=0):
@@ -295,8 +303,9 @@ class PINNWrapper:
             "time_to_maturity": t if np.ndim(t) else np.full(np.asarray(k).size, t),
             "implied_volatility": np.asarray(vols),
         })
-        self.model = PINNVolatilityModel(hidden_layers=(32, 32), epochs=self.epochs,
-                                         seed=seed)
+        self.model = PINNVolatilityModel(hidden_layers=(64, 64),
+                                         n_collocation=256,
+                                         epochs=self.epochs, seed=seed)
         metrics = self.model.train(df)
         return metrics["rmse"]
 
@@ -314,9 +323,42 @@ class PINNWrapper:
         return np.asarray([])
 
 
+class ESSVIWrapper:
+    """Single-slice eSSVI (theta, rho, psi) — butterfly-arb-free by
+    construction of the penalty/parameterization (surface/essvi.py)."""
+
+    name = "essvi"
+
+    def __init__(self, n_steps: int = 800):
+        self.n_steps = n_steps
+
+    def calibrate(self, k, vols, t, seed=0):
+        from ..surface.essvi import calibrate_essvi
+
+        self.t = float(np.mean(t))
+        w = np.asarray(vols, np.float64) ** 2 * self.t
+        self.params, loss = calibrate_essvi([np.asarray(k)], [w],
+                                            n_steps=self.n_steps)
+        return loss
+
+    def predict(self, k, t=None):
+        from ..surface.essvi import essvi_total_variance
+
+        w = np.asarray(essvi_total_variance(
+            np.asarray(k, np.float32), self.params.theta[0],
+            self.params.rho[0], self.params.psi[0]))
+        return np.sqrt(np.maximum(w, 1e-12) / self.t)
+
+    def get_params(self) -> np.ndarray:
+        return np.asarray([float(self.params.theta[0]),
+                           float(self.params.rho[0]),
+                           float(self.params.psi[0])])
+
+
 DEFAULT_WRAPPERS: dict[str, Callable] = {
     "svi": SVIWrapper,
     "ssvi": SSVIWrapper,
+    "essvi": ESSVIWrapper,
     "sabr": SABRWrapper,
     "mlp": MLPWrapper,
     "kernel_ridge": KernelRidgeWrapper,
@@ -401,6 +443,8 @@ class VolSurfaceBenchmark:
                     calibration_ms=float(np.mean(cal_times)),
                     prediction_ms=float(np.mean(pred_times)),
                     smiles_per_second=1e3 / float(np.mean(pred_times)),
+                    calibration_warm_ms=float(np.min(cal_times)),
+                    prediction_warm_ms=float(np.min(pred_times)),
                 ),
                 stability=StabilityMetrics(
                     param_cv=param_cv,
@@ -423,7 +467,9 @@ class VolSurfaceBenchmark:
                 "atm_rmse_bps": e.error.atm_rmse * 1e4,
                 "wing_rmse_bps": e.error.wing_rmse * 1e4,
                 "calibration_ms": e.speed.calibration_ms,
+                "calibration_warm_ms": e.speed.calibration_warm_ms,
                 "prediction_ms": e.speed.prediction_ms,
+                "prediction_warm_ms": e.speed.prediction_warm_ms,
                 "arb_free_pct": e.stability.arb_free_pct,
                 "convergence_pct": e.stability.convergence_pct,
                 "param_cv": e.stability.param_cv,

@@ -112,16 +112,26 @@ def sabr_price(forward, strike, maturity, rate, params: SABRParams, cp=1.0):
     return black76_price(forward, strike, maturity, rate, vol, cp)
 
 
+def _sabr_unpack(x, beta):
+    return SABRParams(alpha=jax.nn.softplus(x[0]), beta=beta,
+                      rho=jnp.tanh(x[1]), nu=jax.nn.softplus(x[2]))
+
+
+def _sabr_loss(x, forward, ks, maturity, vols, beta):
+    model = sabr_implied_vol(forward, ks, maturity, _sabr_unpack(x, beta))
+    return jnp.mean((model - vols) ** 2)
+
+
 def calibrate_sabr(forward, strikes, maturity, market_vols,
                    beta: float = 0.5, init: SABRParams | None = None,
                    n_steps: int = 400, learning_rate: float = 0.05,
                    ) -> tuple[SABRParams, float]:
     """Fit (α, ρ, ν) to a smile with β fixed (reference: ``sabr.py:207``).
 
-    The entire Adam loop is one scanned on-device program; loss = MSE of
-    implied vols.
+    The entire Adam loop is one scanned on-device program with a stable
+    jit cache (scan_adam_cached); loss = MSE of implied vols.
     """
-    from ..ops.optim import scan_adam
+    from ..ops.optim import scan_adam_cached
 
     vols = jnp.asarray(market_vols, jnp.float32)
     ks = jnp.asarray(strikes, jnp.float32)
@@ -131,18 +141,13 @@ def calibrate_sabr(forward, strikes, maturity, market_vols,
     x0 = jnp.stack([inv_sp(init.alpha), jnp.arctanh(jnp.clip(init.rho, -0.99, 0.99)),
                     inv_sp(jnp.maximum(init.nu, 1e-3))])
 
-    def unpack(x):
-        return SABRParams(alpha=jax.nn.softplus(x[0]), beta=jnp.asarray(beta, jnp.float32),
-                          rho=jnp.tanh(x[1]), nu=jax.nn.softplus(x[2]))
-
-    def loss_fn(x):
-        model = sabr_implied_vol(forward, ks, maturity, unpack(x))
-        return jnp.mean((model - vols) ** 2)
-
-    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    best_x, best_loss, _ = scan_adam_cached(
+        _sabr_loss, x0,
+        (jnp.float32(forward), ks, jnp.float32(maturity), vols,
+         jnp.float32(beta)), n_steps, learning_rate)
     if not np.isfinite(float(best_loss)):
         raise CalibrationError("SABR calibration diverged (non-finite loss)")
-    params = unpack(best_x)
+    params = _sabr_unpack(best_x, jnp.float32(beta))
     params.validate()
     return params, float(best_loss)
 

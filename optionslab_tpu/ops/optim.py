@@ -9,6 +9,8 @@ polling. All model calibrations (SVI, SSVI, SABR, Heston) use this.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -47,3 +49,72 @@ def scan_adam(loss_fn, x0, n_steps: int = 400, learning_rate: float = 0.02,
         return best_x, jnp.minimum(best_loss, final_loss), losses[-1]
 
     return jax.jit(run)(x0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("loss_fn", "n_steps", "learning_rate",
+                                    "clip"))
+def _scan_adam_cached(loss_fn, x0, args, n_steps, learning_rate, clip):
+    tx = (optax.chain(optax.clip_by_global_norm(clip),
+                      optax.adam(learning_rate))
+          if clip else optax.adam(learning_rate))
+    state0 = tx.init(x0)
+    loss0 = loss_fn(x0, *args)
+
+    def body(carry, _):
+        x, state, best_x, best_loss = carry
+        loss, grad = jax.value_and_grad(loss_fn)(x, *args)
+        updates, state = tx.update(grad, state, x)
+        x_new = optax.apply_updates(x, updates)
+        better = jnp.isfinite(loss) & (loss < best_loss)
+        best_x = jax.tree.map(lambda b, c: jnp.where(better, c, b),
+                              best_x, x)
+        best_loss = jnp.where(better, loss, best_loss)
+        return (x_new, state, best_x, best_loss), loss
+
+    (_, _, best_x, best_loss), losses = lax.scan(
+        body, (x0, state0, x0, loss0), None, length=n_steps)
+    final_loss = loss_fn(best_x, *args)
+    return best_x, jnp.minimum(best_loss, final_loss), losses[-1]
+
+
+def scan_adam_cached(loss_fn, x0, args=(), n_steps: int = 400,
+                     learning_rate: float = 0.02, clip: float | None = 1.0):
+    """:func:`scan_adam` with a STABLE jit cache across calls.
+
+    ``scan_adam`` wraps a fresh closure in ``jax.jit`` per call, so every
+    calibration re-traces and re-compiles — fine for one-shot fits, but a
+    desk recalibrating smiles all day pays seconds of compile for
+    milliseconds of math. Here ``loss_fn`` must be a MODULE-LEVEL function
+    of ``(x, *args)`` (stable identity → jit static-arg cache hit) and all
+    data enters through ``args`` operands: repeat calibrations with the
+    same shapes skip straight to execution. Same semantics otherwise
+    (best-iterate tracking, NaN-proof).
+    """
+    return _scan_adam_cached(loss_fn, x0, tuple(args), int(n_steps),
+                             float(learning_rate), clip)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("loss_fn", "n_steps", "learning_rate",
+                                    "clip"))
+def _scan_adam_batched(loss_fn, x0s, args, n_steps, learning_rate, clip):
+    return jax.vmap(
+        lambda x0, a: _scan_adam_cached(loss_fn, x0, a, n_steps,
+                                        learning_rate, clip))(x0s, args)
+
+
+def scan_adam_batched(loss_fn, x0s, args, n_steps: int = 400,
+                      learning_rate: float = 0.02,
+                      clip: float | None = 1.0):
+    """Calibrate a BATCH of independent problems in ONE device program.
+
+    ``x0s`` is (B, ...) and every element of ``args`` carries a leading
+    batch axis; the whole batch of Adam loops runs as one vmapped scan —
+    on TPU this is how a desk calibrates every smile slice of a surface
+    in a single launch instead of B round-trips. Returns
+    (best_xs, best_losses, final_losses), each with the leading B axis.
+    ``loss_fn`` must be module-level, as in :func:`scan_adam_cached`.
+    """
+    return _scan_adam_batched(loss_fn, x0s, tuple(args), int(n_steps),
+                              float(learning_rate), clip)

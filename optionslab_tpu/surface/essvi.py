@@ -122,6 +122,27 @@ def _unpack(x, n):
     return ESSVIParams(theta=theta, rho=rho, psi=psi)
 
 
+def _essvi_loss(x, k_flat, w_flat, wgt, idx, k_dense, butterfly_penalty,
+                calendar_penalty):
+    """Module-level joint eSSVI loss — stable identity for the
+    scan_adam_cached jit cache. The slice count is static shape info
+    (x has 3n entries)."""
+    n = x.shape[0] // 3
+    p = _unpack(x, n)
+    w = essvi_total_variance(k_flat, p.theta[idx], p.rho[idx], p.psi[idx])
+    fit = jnp.sum(wgt * (w - w_flat) ** 2) / n
+    # Gatheral-Jacquier butterfly (psi-form) as smooth penalties
+    b1 = jnp.maximum(p.psi * (1.0 + jnp.abs(p.rho)) - 4.0, 0.0)
+    b2 = jnp.maximum(p.psi ** 2 * (1.0 + jnp.abs(p.rho)) - 4.0 * p.theta, 0.0)
+    pen_b = jnp.mean(b1 ** 2) + jnp.mean(b2 ** 2)
+    # calendar: w_{i+1}(k) >= w_i(k) on the dense grid
+    w_sl = essvi_total_variance(k_dense[None, :], p.theta[:, None],
+                                p.rho[:, None], p.psi[:, None])
+    cross = jnp.maximum(w_sl[:-1] - w_sl[1:], 0.0) if n > 1 else jnp.zeros(())
+    pen_c = jnp.mean(cross ** 2) / jnp.maximum(jnp.mean(w_flat) ** 2, 1e-12)
+    return fit + butterfly_penalty * pen_b + calendar_penalty * pen_c
+
+
 def calibrate_essvi(slice_log_strikes, slice_total_variances, *,
                     thetas_init=None, n_steps: int = 1500,
                     learning_rate: float = 0.02,
@@ -175,24 +196,13 @@ def calibrate_essvi(slice_log_strikes, slice_total_variances, *,
     hi = float(jnp.max(k_flat)) + 0.3
     k_dense = jnp.linspace(lo, hi, 101, dtype=jnp.float32)
 
-    from ..ops.optim import scan_adam
+    from ..ops.optim import scan_adam_cached
 
-    def loss_fn(x):
-        p = _unpack(x, n)
-        w = essvi_total_variance(k_flat, p.theta[idx], p.rho[idx], p.psi[idx])
-        fit = jnp.sum(wgt * (w - w_flat) ** 2) / n
-        # Gatheral-Jacquier butterfly (psi-form) as smooth penalties
-        b1 = jnp.maximum(p.psi * (1.0 + jnp.abs(p.rho)) - 4.0, 0.0)
-        b2 = jnp.maximum(p.psi ** 2 * (1.0 + jnp.abs(p.rho)) - 4.0 * p.theta, 0.0)
-        pen_b = jnp.mean(b1 ** 2) + jnp.mean(b2 ** 2)
-        # calendar: w_{i+1}(k) >= w_i(k) on the dense grid
-        w_sl = essvi_total_variance(k_dense[None, :], p.theta[:, None],
-                                    p.rho[:, None], p.psi[:, None])
-        cross = jnp.maximum(w_sl[:-1] - w_sl[1:], 0.0) if n > 1 else jnp.zeros(())
-        pen_c = jnp.mean(cross ** 2) / jnp.maximum(jnp.mean(w_flat) ** 2, 1e-12)
-        return fit + butterfly_penalty * pen_b + calendar_penalty * pen_c
-
-    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    best_x, best_loss, _ = scan_adam_cached(
+        _essvi_loss, x0,
+        (k_flat, w_flat, wgt, idx, k_dense,
+         jnp.float32(butterfly_penalty), jnp.float32(calendar_penalty)),
+        n_steps, learning_rate)
     if not np.isfinite(float(best_loss)):
         raise CalibrationError("eSSVI calibration diverged (non-finite loss)")
     return _unpack(best_x, n), float(best_loss)

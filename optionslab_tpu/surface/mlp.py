@@ -34,9 +34,13 @@ class MLPModel(VolatilityModelBase):
                  learning_rate: float = 3e-3, epochs: int = 300,
                  batch_size: int = 64, patience: int = 30,
                  smoothness_weight: float = 0.0, seed: int = 0,
-                 feature_columns=None):
+                 feature_columns=None, layernorm: bool = False):
+        # layernorm defaults OFF: normalizing across hidden features of a
+        # low-information-dimension input (a smile is ~1-D) destroys the
+        # fit — measured 137 bps vs 24 bps truth-RMSE on the same budget
         super().__init__(feature_columns)
         self.hidden_layers = tuple(hidden_layers)
+        self.layernorm = bool(layernorm)
         self.dropout_rate = dropout_rate
         self.learning_rate = learning_rate
         self.epochs = epochs
@@ -61,7 +65,8 @@ class MLPModel(VolatilityModelBase):
             def extra(p, xb):  # noqa: F811
                 # penalize curvature of the surface wrt inputs (reference's
                 # input-grad smoothness, mlp_model.py:153-159)
-                grad_fn = jax.grad(lambda xx: apply_mlp(p, xx[None, :]).sum())
+                grad_fn = jax.grad(lambda xx: apply_mlp(
+                    p, xx[None, :], layernorm=self.layernorm).sum())
                 grads = jax.vmap(grad_fn)(xb)
                 return w * jnp.mean(grads**2)
 
@@ -69,10 +74,11 @@ class MLPModel(VolatilityModelBase):
             params, x, y, extra, key=jax.random.fold_in(key, 1),
             epochs=self.epochs, batch_size=self.batch_size,
             learning_rate=self.learning_rate, dropout_rate=self.dropout_rate,
-            patience=self.patience,
+            patience=self.patience, layernorm=self.layernorm,
         )
         self.training_history = history
-        pred = np.asarray(apply_mlp(self.params, jnp.asarray(x))).ravel()
+        pred = np.asarray(apply_mlp(self.params, jnp.asarray(x),
+                                    layernorm=self.layernorm)).ravel()
         from .base import regression_metrics
 
         return regression_metrics(y, pred)
@@ -80,19 +86,23 @@ class MLPModel(VolatilityModelBase):
     # -- inference ----------------------------------------------------------
     def _predict_impl(self, df) -> np.ndarray:
         x = jnp.asarray(self._features_matrix(df))
-        return np.asarray(apply_mlp(self.params, x)).ravel()
+        return np.asarray(apply_mlp(self.params, x,
+                                    layernorm=self.layernorm)).ravel()
 
     def predict_with_uncertainty(self, df, mc_samples: int = 32):
         """(mean, std) via MC dropout (reference: mc_samples>1 path)."""
         x = jnp.asarray(self._features_matrix(df))
         mean, std = mc_dropout_predict(self.params, x, jax.random.PRNGKey(self.seed + 2),
-                                       n_samples=mc_samples, dropout_rate=self.dropout_rate)
+                                       n_samples=mc_samples,
+                                       dropout_rate=self.dropout_rate,
+                                       layernorm=self.layernorm)
         return np.asarray(mean).ravel(), np.asarray(std).ravel()
 
     def input_gradients(self, df) -> np.ndarray:
         """∂vol/∂feature per row (reference's NN 'greeks', mlp_model.py:253)."""
         x = jnp.asarray(self._features_matrix(df))
-        g = jax.vmap(jax.grad(lambda xx: apply_mlp(self.params, xx[None, :])[0, 0]))(x)
+        g = jax.vmap(jax.grad(lambda xx: apply_mlp(
+            self.params, xx[None, :], layernorm=self.layernorm)[0, 0]))(x)
         # chain rule through the scaler back to raw feature units
         return np.asarray(g) / self.scaler.scale_
 
@@ -102,10 +112,13 @@ class MLPModel(VolatilityModelBase):
             "hidden_layers": list(self.hidden_layers),
             "dropout_rate": self.dropout_rate,
             "seed": self.seed,
+            "layernorm": self.layernorm,
         }
         return flatten_params(self.params), meta
 
     def _load_state(self, arrays, meta):
         self.hidden_layers = tuple(int(h) for h in meta["hidden_layers"])
         self.dropout_rate = float(meta["dropout_rate"])
+        # pre-round-4 saves trained WITH layernorm: honor their meta
+        self.layernorm = bool(meta.get("layernorm", True))
         self.params = unflatten_params(arrays)

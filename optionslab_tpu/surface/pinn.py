@@ -19,6 +19,8 @@ is just nested AD here, fused into the train step.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,9 +37,13 @@ PENALTY_PRESETS = {
 
 
 def _w_fn(params, k, t):
-    """Total variance w(k, T) ≥ 0: softplus head over the MLP."""
+    """Total variance w(k, T) ≥ 0: softplus head over the MLP.
+
+    layernorm=False: normalizing hidden features of a 2-D-input
+    regression net was measured to cost ~6x truth-RMSE on the sibling
+    MLP smile model (see surface/mlp.py) — same pathology here."""
     x = jnp.stack([k, t], axis=-1)
-    raw = apply_mlp(params, x)[..., 0]
+    raw = apply_mlp(params, x, layernorm=False)[..., 0]
     return jax.nn.softplus(raw)
 
 
@@ -51,6 +57,62 @@ def _g_fn(params, k, t):
     w_safe = jnp.maximum(w, 1e-8)
     return (1.0 - k * dwdk / (2.0 * w_safe)) ** 2 \
         - 0.25 * dwdk**2 * (1.0 / w_safe + 0.25) + 0.5 * d2wdk2
+
+
+def _pinn_loss(p, ck, lam, k_obs, t_obs, iv, lam_w, ranges, n_col):
+    """Data fit (in IV space: w-errors at short T amplify as 1/sqrt(T)
+    in vol, so matching vols weights maturities correctly) + annealed
+    physics penalties on fresh uniform collocation points."""
+    lam_cal, lam_bf, lam_wing = lam_w
+    k_lo, k_hi, t_lo, t_hi = ranges
+    w_pred = _w_fn(p, k_obs, t_obs)
+    iv_pred = jnp.sqrt(jnp.maximum(w_pred, 1e-12)
+                       / jnp.maximum(t_obs, 1e-6))
+    fit = jnp.mean((iv_pred - iv) ** 2)
+    # dtype pinned: under x64 jax.random.uniform defaults to f64, which
+    # would flip the whole scanned loss (and the scan carry) to f64
+    kk = jax.random.uniform(ck, (n_col,), jnp.float32, k_lo, k_hi)
+    tt = jax.random.uniform(jax.random.fold_in(ck, 1), (n_col,),
+                            jnp.float32, t_lo, t_hi)
+    return (fit + lam * (lam_cal * calendar_penalty(p, kk, tt)
+                         + lam_bf * butterfly_penalty(p, kk, tt)
+                         + lam_wing * wing_penalty(p, kk, tt))), fit
+
+
+@functools.partial(jax.jit, static_argnames=("epochs", "n_col", "warm",
+                                             "track_from",
+                                             "learning_rate"))
+def _train_pinn_scanned(params, k_obs, t_obs, iv, lam_w, ranges, key, *,
+                        epochs, n_col, warm, track_from, learning_rate):
+    """The whole annealed PINN training as ONE device program with
+    best-loss-iterate tracking from ``track_from`` on (cache discipline
+    of ``nn_core._train_mlp_scanned``)."""
+    import optax
+
+    schedule = optax.cosine_decay_schedule(learning_rate, epochs,
+                                           alpha=0.02)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(schedule, weight_decay=1e-6))
+    opt_state = opt.init(params)
+
+    def body(carry, e):
+        p, st, best_p, best_l = carry
+        lam = jnp.minimum(1.0, e.astype(jnp.float32) / warm) ** 2
+        ck = jax.random.fold_in(key, 100 + e)
+        (loss, fit), g = jax.value_and_grad(_pinn_loss, has_aux=True)(
+            p, ck, lam, k_obs, t_obs, iv, lam_w, ranges, n_col)
+        u, st = opt.update(g, st, p)
+        p = optax.apply_updates(p, u)
+        better = (e >= track_from) & (loss < best_l)
+        best_p = jax.tree.map(lambda b, c: jnp.where(better, c, b),
+                              best_p, p)
+        best_l = jnp.where(better, loss, best_l)
+        return (p, st, best_p, best_l), (loss, fit)
+
+    (_, _, best_p, _), (losses, fits) = jax.lax.scan(
+        body, (params, opt_state, params, jnp.float32(jnp.inf)),
+        jnp.arange(epochs))
+    return best_p, losses, fits
 
 
 def calendar_penalty(params, k, t):
@@ -145,49 +207,25 @@ class PINNVolatilityModel(VolatilityModelBase):
         k_lo, k_hi = self._k_range
         t_lo, t_hi = self._t_range
 
-        def loss_fn(p, ck, lam):
-            w_pred = _w_fn(p, k_obs, t_obs)
-            # fit in IV space: errors in w at short T amplify as 1/√T in
-            # vol, so matching vols directly weights maturities correctly
-            iv_pred = jnp.sqrt(jnp.maximum(w_pred, 1e-12) / jnp.maximum(t_obs, 1e-6))
-            fit = jnp.mean((iv_pred - iv) ** 2)
-            kk = jax.random.uniform(ck, (n_col,), minval=k_lo, maxval=k_hi)
-            tt = jax.random.uniform(jax.random.fold_in(ck, 1), (n_col,), minval=t_lo, maxval=t_hi)
-            return (fit + lam * (lam_cal * calendar_penalty(p, kk, tt)
-                                 + lam_bf * butterfly_penalty(p, kk, tt)
-                                 + lam_wing * wing_penalty(p, kk, tt))), fit
-
-        schedule = optax.cosine_decay_schedule(self.learning_rate, self.epochs, alpha=0.02)
-        opt = optax.chain(optax.clip_by_global_norm(1.0),
-                          optax.adamw(schedule, weight_decay=1e-6))
-        opt_state = opt.init(params)
-
-        @jax.jit
-        def step(p, s, ck, lam):
-            (loss, fit), g = jax.value_and_grad(loss_fn, has_aux=True)(p, ck, lam)
-            u, s = opt.update(g, s, p)
-            return optax.apply_updates(p, u), s, loss, fit
-
         # penalty annealing: let the net FIT the surface first, then ramp
         # the physics penalties to full weight over the first 30% of
         # training — ~4x lower final RMSE at the same arb-free rate than
-        # constant weights (which trap the net in an over-smoothed basin)
-        warm = max(1, int(self.epochs * 0.3))
-        track_from = int(self.epochs * 0.4)
-        best, best_loss, best_epoch = params, float("inf"), track_from
-        history = {"loss": [], "fit": []}
-        for epoch in range(self.epochs):
-            lam = jnp.float32(min(1.0, epoch / warm) ** 2)
-            params, opt_state, loss, fit = step(
-                params, opt_state, jax.random.fold_in(key, 100 + epoch), lam)
-            fl = float(loss)
-            history["loss"].append(fl)
-            history["fit"].append(float(fit))
-            if epoch >= track_from:
-                if fl < best_loss - 1e-9:
-                    best_loss, best, best_epoch = fl, params, epoch
-                elif epoch - best_epoch >= self.patience:
-                    break
+        # constant weights (which trap the net in an over-smoothed basin).
+        # The WHOLE annealed run is one scanned, module-level-cached
+        # device program (best-loss tracking from 40% in replaces the old
+        # per-epoch host loop — measured ~8 s/fit -> tens of ms warm).
+        best, losses, fits = _train_pinn_scanned(
+            params, k_obs, t_obs, iv,
+            (jnp.float32(lam_cal), jnp.float32(lam_bf),
+             jnp.float32(lam_wing)),
+            (jnp.float32(k_lo), jnp.float32(k_hi), jnp.float32(t_lo),
+             jnp.float32(t_hi)), key,
+            epochs=int(self.epochs), n_col=int(n_col),
+            warm=max(1, int(self.epochs * 0.3)),
+            track_from=int(self.epochs * 0.4),
+            learning_rate=float(self.learning_rate))
+        history = {"loss": [float(v) for v in np.asarray(losses)],
+                   "fit": [float(v) for v in np.asarray(fits)]}
         self.params = best
         self.training_history = history
         pred_iv = self._iv(k_obs, t_obs)

@@ -114,6 +114,65 @@ def _svi_unpack(x) -> SVIParams:
                      m=x[3], sigma=jax.nn.softplus(x[4]) + 1e-4)
 
 
+@jax.jit
+def _svi_quasi_explicit_init(k, w_obs):
+    """Zeliade-style warm start: for FIXED (m, sigma) the SVI slice
+    w = a + c·(k−m) + d·√((k−m)² + σ²) is LINEAR in (a, c=bρ, d=b), so
+    each (m, σ) grid point costs one exact 3×3 ridge solve; the best
+    residual wins. Adam then only has to POLISH — without this the raw
+    parameterization needs thousands of steps (measured: 600 steps from
+    the naive init left 66 bps of truth error; warm-started it converges
+    to ~20 bps, at the same step budget)."""
+    def solve_grid(mm, ss):
+        km = k[None, :] - mm[:, None]                   # (G, n)
+        root = jnp.sqrt(km * km + ss[:, None] ** 2)
+        one = jnp.ones_like(km)
+        phi = jnp.stack([one, km, root], axis=-1)       # (G, n, 3)
+        gram = jnp.einsum("gnf,gne->gfe", phi, phi) \
+            + 1e-7 * jnp.eye(3)[None, :, :]
+        rhs = jnp.einsum("gnf,n->gf", phi, w_obs)
+        coef = jnp.linalg.solve(gram, rhs[..., None])[..., 0]
+        # domain projection: b ≥ 0, |rho| ≤ 0.95, min-variance ≥ 0
+        b = jnp.maximum(coef[:, 2], 1e-6)
+        rho = jnp.clip(coef[:, 1] / b, -0.95, 0.95)
+        a = coef[:, 0]
+        fit = a[:, None] + b[:, None] * (rho[:, None] * km + root)
+        resid = jnp.mean((fit - w_obs[None, :]) ** 2, axis=1)
+        # penalize negative minimum variance: winner must be admissible
+        min_w = a + b * ss * jnp.sqrt(1.0 - rho * rho)
+        resid = resid + 1e3 * jnp.maximum(-min_w, 0.0) ** 2
+        g = jnp.argmin(resid)
+        return a[g], b[g], rho[g], mm[g], ss[g]
+
+    span = jnp.maximum(k.max() - k.min(), 1e-3)
+    ms = k.min() + jnp.linspace(0.05, 0.95, 11) * span
+    sigs = jnp.exp(jnp.linspace(jnp.log(0.02), jnp.log(1.0), 10))
+    mm, ss = jnp.meshgrid(ms, sigs, indexing="ij")
+    _, _, _, m0, s0 = solve_grid(mm.ravel(), ss.ravel())
+    # local refinement around the coarse winner (±1 coarse cell)
+    dm = span * 0.09
+    mm2, ss2 = jnp.meshgrid(m0 + jnp.linspace(-dm, dm, 9),
+                            s0 * jnp.exp(jnp.linspace(-0.26, 0.26, 9)),
+                            indexing="ij")
+    # a may be NEGATIVE (admissibility only needs a + bσ√(1−ρ²) ≥ 0,
+    # which the resid penalty enforced) — clamping it breaks the fit
+    a, b, rho, m, s = solve_grid(mm2.ravel(), ss2.ravel())
+    return jnp.stack([a, b, rho, m, s])
+
+
+def _svi_loss(x, k, w_obs, k_dense, w_scale, butterfly_penalty):
+    """Module-level SVI loss (x, *operands) — stable identity for the
+    scan_adam_cached jit cache."""
+    p = _svi_unpack(x)
+    w = svi_total_variance(k, p)
+    fit = jnp.mean((w - w_obs) ** 2) / w_scale
+    min_w = p.a + p.b * p.sigma * jnp.sqrt(1.0 - p.rho**2)
+    pen_pos = jnp.maximum(-min_w, 0.0) ** 2 / w_scale
+    g = svi_g(k_dense, p)
+    pen_bfly = jnp.mean(jnp.maximum(-g, 0.0) ** 2)
+    return fit + butterfly_penalty * (pen_pos + pen_bfly)
+
+
 def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
                   init: SVIParams | None = None, n_steps: int = 800,
                   learning_rate: float = 0.02, butterfly_penalty: float = 10.0,
@@ -123,9 +182,11 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
     Constraint handling: smooth penalties on min-variance positivity and on
     g(k) < 0 (the reference jumps to 1e10 outside the feasible box,
     ``svi.py:272-288``; smooth penalties keep AD informative). The whole
-    Adam loop runs on-device as ONE scanned program (ops.optim.scan_adam).
+    Adam loop runs on-device as ONE scanned program with a STABLE jit
+    cache (ops.optim.scan_adam_cached): recalibrating slice after slice
+    at the same quote count skips compilation entirely.
     """
-    from ..ops.optim import scan_adam
+    from ..ops.optim import scan_adam_cached
 
     k = jnp.asarray(log_strikes, jnp.float32)
     if total_variance is None:
@@ -134,8 +195,9 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
         total_variance = jnp.asarray(vols, jnp.float32) ** 2 * jnp.asarray(maturity, jnp.float32)
     w_obs = jnp.asarray(total_variance, jnp.float32)
 
-    init = init or SVIParams.make(a=float(jnp.min(w_obs)) * 0.8, b=0.1, rho=-0.3,
-                                  m=float(k[jnp.argmin(w_obs)]), sigma=0.2)
+    if init is None:
+        a0, b0, r0, m0, s0 = _svi_quasi_explicit_init(k, w_obs)
+        init = SVIParams(a=a0, b=b0, rho=r0, m=m0, sigma=s0)
     x0 = _svi_pack(init)
     k_dense = jnp.linspace(float(k.min()) - 0.3, float(k.max()) + 0.3, 101)
 
@@ -145,17 +207,15 @@ def calibrate_svi(log_strikes, total_variance=None, *, vols=None, maturity=None,
     # same step budget as long-dated ones.
     w_scale = jnp.maximum(jnp.mean(w_obs) ** 2, 1e-12)
 
-    def loss_fn(x):
-        p = _svi_unpack(x)
-        w = svi_total_variance(k, p)
-        fit = jnp.mean((w - w_obs) ** 2) / w_scale
-        min_w = p.a + p.b * p.sigma * jnp.sqrt(1.0 - p.rho**2)
-        pen_pos = jnp.maximum(-min_w, 0.0) ** 2 / w_scale
-        g = svi_g(k_dense, p)
-        pen_bfly = jnp.mean(jnp.maximum(-g, 0.0) ** 2)
-        return fit + butterfly_penalty * (pen_pos + pen_bfly)
-
-    best_x, best_loss, final_loss = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    args = (k, w_obs, k_dense, w_scale, jnp.float32(butterfly_penalty))
+    best_x, best_loss, final_loss = scan_adam_cached(
+        _svi_loss, x0, args, n_steps, learning_rate)
+    # low-LR polish from the best iterate: Adam's step noise at the main
+    # learning rate floors the loss around 1e-5 on exact data; a short
+    # decayed stage converges the last digits (also a cached program)
+    best_x, best_loss, _ = scan_adam_cached(
+        _svi_loss, best_x, args, max(n_steps // 3, 100),
+        learning_rate / 5.0)
     if not np.isfinite(float(best_loss)):
         raise CalibrationError("SVI calibration diverged (non-finite loss)")
     p = _svi_unpack(best_x)
@@ -208,12 +268,26 @@ def ssvi_implied_vol(k, theta, maturity, p: SSVIParams):
     return jnp.sqrt(w / jnp.maximum(jnp.asarray(maturity), 1e-12))
 
 
+def _ssvi_unpack(x):
+    return SSVIParams(rho=jnp.tanh(x[0]), eta=jax.nn.softplus(x[1]),
+                      gamma=(jnp.tanh(x[2]) + 1.0) / 2.0 * 0.98 + 0.01)
+
+
+def _ssvi_loss(x, k, th, w_obs):
+    p = _ssvi_unpack(x)
+    w = ssvi_total_variance(k, th, p)
+    fit = jnp.mean((w - w_obs) ** 2)
+    pen = jnp.maximum(p.eta * (1.0 + jnp.abs(p.rho)) - 2.0, 0.0) ** 2
+    return fit + 10.0 * pen
+
+
 def calibrate_ssvi(log_strikes, thetas, total_variances, init: SSVIParams | None = None,
                    n_steps: int = 600, learning_rate: float = 0.02,
                    ) -> tuple[SSVIParams, float]:
     """Fit (ρ, η, γ) across maturities. ``log_strikes``/(``thetas`` row-wise)
-    /``total_variances`` are (n_mat, n_k) / (n_mat,) / (n_mat, n_k)."""
-    from ..ops.optim import scan_adam
+    /``total_variances`` are (n_mat, n_k) / (n_mat,) / (n_mat, n_k).
+    Retrace-free across calls (scan_adam_cached)."""
+    from ..ops.optim import scan_adam_cached
 
     k = jnp.asarray(log_strikes, jnp.float32)
     th = jnp.asarray(thetas, jnp.float32)[:, None]
@@ -224,21 +298,11 @@ def calibrate_ssvi(log_strikes, thetas, total_variances, init: SSVIParams | None
     x0 = jnp.stack([jnp.arctanh(jnp.clip(init.rho, -0.99, 0.99)), inv_sp(init.eta),
                     jnp.arctanh(jnp.clip(init.gamma * 2 - 1, -0.99, 0.99))])
 
-    def unpack(x):
-        return SSVIParams(rho=jnp.tanh(x[0]), eta=jax.nn.softplus(x[1]),
-                          gamma=(jnp.tanh(x[2]) + 1.0) / 2.0 * 0.98 + 0.01)
-
-    def loss_fn(x):
-        p = unpack(x)
-        w = ssvi_total_variance(k, th, p)
-        fit = jnp.mean((w - w_obs) ** 2)
-        pen = jnp.maximum(p.eta * (1.0 + jnp.abs(p.rho)) - 2.0, 0.0) ** 2
-        return fit + 10.0 * pen
-
-    best_x, best_loss, _ = scan_adam(loss_fn, x0, n_steps, learning_rate)
+    best_x, best_loss, _ = scan_adam_cached(_ssvi_loss, x0, (k, th, w_obs),
+                                            n_steps, learning_rate)
     if not np.isfinite(float(best_loss)):
         raise CalibrationError("SSVI calibration diverged (non-finite loss)")
-    p = unpack(best_x)
+    p = _ssvi_unpack(best_x)
     return p, float(best_loss)
 
 
