@@ -393,3 +393,166 @@ def heston_fdm_price(spot, strike, maturity, rate, params: HestonParams,
     cp = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
     return _heston_adi(spot, strike, float(maturity), rate, dividend, cp,
                        params, n_x, n_v, n_t, bool(american))
+
+
+# ---------------------------------------------------------------------------
+# SLV (Heston x frozen leverage) Bermudan ADI — the tightened-bracket engine
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n_x", "n_v", "n_dates",
+                                             "steps_per_date"))
+def _slv_adi_bermudan(spot, strike, maturity, rate, dividend, cp,
+                      params: HestonParams, mixing, x_rows, l_rows,
+                      n_x: int, n_v: int, n_dates: int,
+                      steps_per_date: int):
+    """Bermudan ADI under the FROZEN-LEVERAGE SLV law: the x-direction
+    diffusion is L(x, t)²·v and the mixed term ρσ·L·v, with L read from
+    the SAME particle-calibrated per-substep leverage rows the MC bracket
+    replays (piecewise-constant in time, exactly like the Euler path law)
+    — so the continuation slices approximate the value surface of the
+    law being certified, not a different model. The x-stencils and the
+    implicit x-sweep matrices are rebuilt per time step (the leverage is
+    time-dependent); the v-direction operator is leverage-free and stays
+    static. Everything else mirrors :func:`_heston_adi_bermudan`.
+
+    Returns ``(price0, cont_all, x_lo, dx, dxi, c_v)``.
+    """
+    f32 = jnp.float32
+    spot, strike, maturity, rate, dividend, cp = (
+        jnp.asarray(a, f32) for a in (spot, strike, maturity, rate,
+                                      dividend, cp))
+    kap, th, rho, v0 = (jnp.asarray(a, f32) for a in
+                        (params.kappa, params.theta, params.rho, params.v0))
+    sig = jnp.asarray(mixing, f32) * jnp.asarray(params.sigma, f32)
+
+    n_t = n_dates * steps_per_date
+    spd = steps_per_date
+    # ---- grids (stop-gradient geometry, cf. _adi_setup) -------------------
+    vbar = jnp.maximum(v0, th)
+    half_width = 5.0 * jnp.sqrt(vbar * maturity) + \
+        1.5 * jnp.abs(jnp.log(spot / strike)) + 0.5
+    x_lo = lax.stop_gradient(jnp.log(strike) - half_width)
+    x_hi = lax.stop_gradient(jnp.log(strike) + half_width)
+    x = jnp.linspace(x_lo, x_hi, n_x)
+    dx = (x_hi - x_lo) / (n_x - 1)
+    v_max = lax.stop_gradient(
+        1.5 * vbar + 10.0 * sig * jnp.sqrt(vbar / (2.0 * kap))
+        + 2.0 * sig * sig / kap)
+    c_v = lax.stop_gradient(vbar)
+    xi_max = jnp.arcsinh(v_max / c_v)
+    xi = jnp.linspace(0.0, xi_max, n_v)
+    dxi = xi_max / (n_v - 1)
+    v = c_v * jnp.sinh(xi)
+    gp = c_v * jnp.cosh(xi)
+    dt = maturity / n_t
+
+    s_grid = jnp.exp(x)
+    intrinsic = jnp.maximum(cp * (s_grid[None, :] - strike), 0.0)
+    intrinsic = jnp.broadcast_to(intrinsic, (n_v, n_x))
+
+    # leverage on the ADI x-grid, one row per MC substep (host rows are
+    # indexed by RELATIVE log-spot)
+    n_rows = x_rows.shape[0]
+    x_rel = x - jnp.log(spot)
+    lev_tab = jax.vmap(lambda xr, lr: jnp.interp(x_rel, xr, lr))(
+        jnp.asarray(x_rows, f32), jnp.asarray(l_rows, f32))   # (n_rows, n_x)
+    dt_mc = maturity / n_rows
+
+    # ---- static v-direction operator (leverage-free) ----------------------
+    vk = v[None, :]
+    gpk = gp[None, :]
+    conv_v = (kap * (th - vk) / gpk
+              - 0.5 * sig * sig * vk * vk / gpk**3) / (2.0 * dxi)
+    diff_v = 0.5 * sig * sig * vk / (gpk * gpk * dxi * dxi)
+    a2 = diff_v - conv_v
+    c2 = diff_v + conv_v
+    b2 = -2.0 * diff_v - 0.5 * rate
+    a2 = jnp.broadcast_to(a2, (n_x, n_v))
+    b2 = jnp.broadcast_to(b2, (n_x, n_v))
+    c2 = jnp.broadcast_to(c2, (n_x, n_v))
+    up0 = kap * th / (c_v * dxi)
+    a2 = a2.at[:, 0].set(0.0)
+    b2 = b2.at[:, 0].set(-up0 - 0.5 * rate)
+    c2 = c2.at[:, 0].set(up0)
+    a2 = a2.at[:, -1].set(0.0)
+    b2 = b2.at[:, -1].set(-0.5 * rate)
+    c2 = c2.at[:, -1].set(0.0)
+
+    theta_s = jnp.float32(0.5)
+    i2_lo, i2_di, i2_up = (-theta_s * dt * a2, 1.0 - theta_s * dt * b2,
+                           -theta_s * dt * c2)
+    edge = jnp.zeros((n_v, 1), f32)
+    zcol = jnp.zeros((n_v, 1), f32)
+
+    def x_stencil(lev2):
+        """(a1, b1, c1) for the step's leverage row (n_x,) squared."""
+        vj = v[:, None]
+        l2 = lev2[None, :]
+        conv_x = (rate - dividend - 0.5 * l2 * vj) / (2.0 * dx)
+        diff_x = 0.5 * l2 * vj / (dx * dx)
+        a1 = diff_x - conv_x
+        c1 = diff_x + conv_x
+        b1 = -2.0 * diff_x - 0.5 * rate
+        a1 = jnp.concatenate([edge, a1[:, 1:-1], edge], axis=1)
+        c1 = jnp.concatenate([edge, c1[:, 1:-1], edge], axis=1)
+        b1 = jnp.concatenate([zcol, b1[:, 1:-1], zcol], axis=1)
+        return a1, b1, c1
+
+    def mixed(vgrid, lev):
+        core = (vgrid[2:, 2:] - vgrid[2:, :-2] - vgrid[:-2, 2:]
+                + vgrid[:-2, :-2]) / (4.0 * dx * dxi)
+        out = jnp.zeros_like(vgrid)
+        return out.at[1:-1, 1:-1].set(
+            rho * sig * lev[None, 1:-1]
+            * (v[1:-1] / gp[1:-1])[:, None] * core)
+
+    def x_boundary(tau):
+        df_r = jnp.exp(-rate * tau)
+        df_q = jnp.exp(-dividend * tau)
+        lo_eu = jnp.maximum(cp * (s_grid[0] * df_q - strike * df_r), 0.0)
+        hi_eu = jnp.maximum(cp * (s_grid[-1] * df_q - strike * df_r), 0.0)
+        lo_eu = jnp.maximum(lo_eu, intrinsic[0, 0])
+        hi_eu = jnp.maximum(hi_eu, intrinsic[0, -1])
+        return lo_eu, hi_eu
+
+    def step(vg, i):
+        tau = (i + 1).astype(f32) * dt
+        # leverage row in force on the FORWARD interval this backward
+        # step integrates over
+        t_fwd = maturity - tau + 0.5 * dt
+        row = jnp.clip((t_fwd / dt_mc).astype(jnp.int32), 0, n_rows - 1)
+        lev = lax.dynamic_index_in_dim(lev_tab, row, 0, keepdims=False)
+        a1, b1, c1 = x_stencil(lev * lev)
+        a0v = mixed(vg, lev)
+        a1v = _apply_tridiag(a1, b1, c1, vg)
+        a2v = _apply_tridiag(a2, b2, c2, vg.T).T
+        y0 = vg + dt * (a0v + a1v + a2v)
+        rhs1 = y0 - theta_s * dt * a1v
+        blo, bhi = x_boundary(tau)
+        rhs1 = rhs1.at[:, 0].set(blo).at[:, -1].set(bhi)
+        i1_lo = -theta_s * dt * a1
+        i1_di = (1.0 - theta_s * dt * b1).at[:, 0].set(1.0).at[:, -1].set(1.0)
+        i1_up = -theta_s * dt * c1
+        y1 = tridiag_solve(i1_lo, i1_di, i1_up, rhs1)
+        rhs2 = (y1 - theta_s * dt * a2v).T
+        y2 = tridiag_solve(i2_lo, i2_di, i2_up, rhs2).T
+        y2 = y2.at[:, 0].set(blo).at[:, -1].set(bhi)
+        return y2
+
+    def run_block(vg, b):
+        def inner(vg2, j):
+            return step(vg2, b * spd + j), None
+
+        vg, _ = lax.scan(inner, vg, jnp.arange(spd))
+        return vg
+
+    def block(vg, b):
+        vg = run_block(vg, b)
+        cont = vg
+        return jnp.maximum(vg, intrinsic), cont
+
+    vg, conts = lax.scan(block, intrinsic, jnp.arange(n_dates - 1))
+    vg = run_block(vg, n_dates - 1)
+    price0 = _bilinear_at(vg, jnp.log(spot), v0, x_lo, dx, dxi, c_v)
+    zero = jnp.zeros((1,) + intrinsic.shape, intrinsic.dtype)
+    cont_all = jnp.concatenate([zero, conts[::-1], zero], axis=0)
+    return price0, cont_all, x_lo, dx, dxi, c_v

@@ -172,14 +172,19 @@ def _lower_pipeline(coefs, key, spot, strike, maturity, rate, dividend,
 
 
 @functools.partial(jax.jit, static_argnames=("n_dates", "n_sub", "n_outer",
-                                             "n_inner"))
+                                             "n_inner", "kind",
+                                             "with_lower"))
 def _upper_pipeline(coefs, key, spot, strike, maturity, rate, dividend,
                     params, mixing, x_rows, l_rows, cp, n_dates, n_sub,
-                    n_outer, n_inner):
+                    n_outer, n_inner, kind="poly", with_lower=False):
     """Value-surface dual upper bound (Glasserman ch. 8 construction —
     see ``heston_american._upper_pipeline`` for the full argument; the
     inner conditional means use one-date antithetic SLV transitions of
-    the SAME frozen-leverage law)."""
+    the SAME frozen-leverage law). ``kind="grid"`` reads the SLV
+    Bermudan-ADI continuation slices instead of regression surfaces;
+    ``with_lower=True`` additionally returns the MARTINGALE-CONTROLLED
+    lower bound on the same outer paths (Rasmussen construction — see
+    heston_american), collapsing both stderrs to dual-gap scale."""
     f32 = jnp.float32
     dt = maturity / n_dates
     dyn = _dyn(params, mixing, rate, dividend, maturity, n_dates, n_sub)
@@ -207,28 +212,43 @@ def _upper_pipeline(coefs, key, spot, strike, maturity, rate, dividend,
                 jnp.concatenate([va, vb], axis=1))
 
     def dual_body(carry, k):
-        m_prev, best = carry
+        m_prev, best, alive, low = carry
         dfk = jnp.exp(-rate * dt * k)
         vk = dfk * _surface_value(coefs, k, s_out[k], v_out[k], strike, cp,
-                                  n_dates, "poly")
+                                  n_dates, kind)
         x_prev = jnp.broadcast_to(jnp.log(s_out[k - 1] / spot)[:, None],
                                   (n_outer, half))
         v_prev = jnp.broadcast_to(v_out[k - 1][:, None], (n_outer, half))
         x_tr, v_tr = _date_step_anti(x_prev, v_prev, k,
                                      jax.random.fold_in(k_dual, k))
         v_in = _surface_value(coefs, k, spot * jnp.exp(x_tr), v_tr, strike,
-                              cp, n_dates, "poly")
+                              cp, n_dates, kind)
         t2 = dfk * v_in.mean(axis=1)
         m_k = m_prev + vk - t2
         ex_k = jnp.maximum(cp * (s_out[k] - strike), 0.0)
-        best = jnp.maximum(best, dfk * ex_k - m_k)
-        return (m_k, best), None
+        cand = dfk * ex_k - m_k
+        best = jnp.maximum(best, cand)
+        if with_lower:
+            # stopping time depends only on the OUTER state: cand at the
+            # stop is the martingale-controlled policy estimator
+            _, take = _exercise_now(coefs, k, s_out[k], v_out[k], strike,
+                                    cp, n_dates, kind)
+            pay_now = alive & take
+            low = jnp.where(pay_now, cand, low)
+            alive = alive & ~take
+        return (m_k, best, alive, low), None
 
     ex0 = jnp.full((n_outer,),
                    jnp.maximum(cp * (spot - strike), 0.0).astype(f32))
-    (_, best), _ = lax.scan(dual_body, (jnp.zeros((n_outer,), f32), ex0),
-                            jnp.arange(1, n_dates + 1))
-    return best.mean(), best.std(ddof=1) / jnp.sqrt(1.0 * n_outer)
+    zeros = jnp.zeros((n_outer,), f32)
+    (m_n, best, alive, low), _ = lax.scan(
+        dual_body, (zeros, ex0, jnp.ones((n_outer,), bool), zeros),
+        jnp.arange(1, n_dates + 1))
+    up = (best.mean(), best.std(ddof=1) / jnp.sqrt(1.0 * n_outer))
+    if not with_lower:
+        return up
+    low = jnp.where(alive, -m_n, low)
+    return up + (low.mean(), low.std(ddof=1) / jnp.sqrt(1.0 * n_outer))
 
 
 def slv_american_bracket(dupire, params: HestonParams, strike, maturity,
@@ -237,7 +257,9 @@ def slv_american_bracket(dupire, params: HestonParams, strike, maturity,
                          n_fit: int = 100_000, n_lower: int = 200_000,
                          n_outer: int = 512, n_inner: int = 2048,
                          n_cal_paths: int = 131_072, n_bins: int = 31,
-                         seed: int = 0) -> dict:
+                         seed: int = 0, method: str = "adi",
+                         n_x: int = 161, n_v: int = 81,
+                         steps_per_date: int = 8) -> dict:
     """Certified Bermudan bracket under stochastic local vol, plus the
     rigorous continuous-exercise pad.
 
@@ -248,6 +270,17 @@ def slv_american_bracket(dupire, params: HestonParams, strike, maturity,
     frozen-leverage Euler-Bermudan value on the date grid lies in
     [lower, upper] up to the quoted stderrs; continuous_upper adds
     K·(1 − e^{−rT/n}).
+
+    ``method``:
+
+    - ``"adi"`` (default): the SLV Bermudan-ADI continuation slices
+      (:func:`~.heston_fdm._slv_adi_bermudan` — the leverage enters the
+      x-diffusion per time step from the SAME frozen rows the MC
+      replays) drive policy + dual + a martingale control variate for
+      the lower bound, the construction that took the Heston bracket
+      from ~0.05 to ~1e-3. ``n_fit``/``n_lower`` are unused.
+    - ``"lsm"``: regression surfaces (the round-3 pipeline; width a few
+      cents).
     """
     if cp > 0:
         raise ValidationError("bracket supports puts (cp=-1) only — an "
@@ -265,23 +298,42 @@ def slv_american_bracket(dupire, params: HestonParams, strike, maturity,
         sf.spot, float(maturity), sf.rate, params, jax.random.PRNGKey(seed),
         sf.k_grid, sf.t_grid, sf.grid, dividend=sf.dividend, mixing=mixing,
         n_paths=n_cal_paths, n_steps=n_dates * n_sub, n_bins=n_bins)
+    if method not in ("lsm", "adi"):
+        raise ValidationError(f"method must be 'lsm' or 'adi', got {method!r}")
     key = jax.random.PRNGKey(seed + 1)
     kf, kl, ku = jax.random.split(key, 3)
     par32 = jax.tree.map(jnp.float32, params)
-    pol, sur = fit_slv_lsm(sf.spot, strike, maturity, sf.rate, params, kf,
-                           x_rows, l_rows, cp=cp, mixing=mixing,
-                           dividend=sf.dividend, n_dates=n_dates,
-                           n_sub=n_sub, n_paths=n_fit)
-    lo, lo_se = (float(a) for a in _lower_pipeline(
-        pol, kl, float(sf.spot), float(strike), float(maturity),
-        float(sf.rate), float(sf.dividend), par32, float(mixing), x_rows,
-        l_rows, float(cp), n_dates, n_sub, n_lower))
-    up, up_se = (float(a) for a in _upper_pipeline(
-        sur, ku, float(sf.spot), float(strike), float(maturity),
-        float(sf.rate), float(sf.dividend), par32, float(mixing), x_rows,
-        l_rows, float(cp), n_dates, n_sub, n_outer, n_inner))
+    extra = {}
+    if method == "adi":
+        from .heston_fdm import _slv_adi_bermudan
+
+        price0, cont_all, x_lo, dx, dxi, c_v = _slv_adi_bermudan(
+            float(sf.spot), float(strike), float(maturity), float(sf.rate),
+            float(sf.dividend), float(cp), par32, float(mixing), x_rows,
+            l_rows, n_x, n_v, n_dates, steps_per_date)
+        surf = (cont_all, x_lo, dx, dxi, c_v)
+        extra["adi_bermudan"] = float(price0)
+        up, up_se, lo, lo_se = (float(a) for a in _upper_pipeline(
+            surf, ku, float(sf.spot), float(strike), float(maturity),
+            float(sf.rate), float(sf.dividend), par32, float(mixing),
+            x_rows, l_rows, float(cp), n_dates, n_sub, n_outer, n_inner,
+            kind="grid", with_lower=True))
+    else:
+        pol, sur = fit_slv_lsm(sf.spot, strike, maturity, sf.rate, params,
+                               kf, x_rows, l_rows, cp=cp, mixing=mixing,
+                               dividend=sf.dividend, n_dates=n_dates,
+                               n_sub=n_sub, n_paths=n_fit)
+        lo, lo_se = (float(a) for a in _lower_pipeline(
+            pol, kl, float(sf.spot), float(strike), float(maturity),
+            float(sf.rate), float(sf.dividend), par32, float(mixing),
+            x_rows, l_rows, float(cp), n_dates, n_sub, n_lower))
+        up, up_se = (float(a) for a in _upper_pipeline(
+            sur, ku, float(sf.spot), float(strike), float(maturity),
+            float(sf.rate), float(sf.dividend), par32, float(mixing),
+            x_rows, l_rows, float(cp), n_dates, n_sub, n_outer, n_inner))
     pad = max(float(strike) * (1.0 - math.exp(
         -float(sf.rate) * float(maturity) / n_dates)), 0.0)
     return {"lower": lo, "lower_se": lo_se, "upper": up, "upper_se": up_se,
             "width": up - lo, "pad": pad, "continuous_upper": up + pad,
-            "n_dates": n_dates, "mixing": float(mixing)}
+            "n_dates": n_dates, "mixing": float(mixing), "method": method,
+            **extra}

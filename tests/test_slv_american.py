@@ -116,3 +116,59 @@ class TestValidation:
                                    n_inner=128, n_cal_paths=16_384, seed=2)
         assert out["lower"] <= out["upper"] + 3 * (out["lower_se"]
                                                    + out["upper_se"])
+
+
+class TestADIMethod:
+    """Round-4 tightening: the SLV Bermudan-ADI slices (leverage in the
+    x-diffusion per step, from the SAME frozen rows the MC replays)
+    drive policy + dual + a martingale CV for the lower bound — the
+    construction that took the Heston bracket from ~0.05 to ~1e-3."""
+
+    def test_certified_width_at_most_one_cent(self, smile):
+        br = slv_american_bracket(smile, PAR, K, T, mixing=1.0,
+                                  n_dates=16, n_sub=2, n_outer=2048,
+                                  n_inner=1024, n_cal_paths=131_072,
+                                  method="adi", seed=0)
+        assert br["method"] == "adi"
+        tol = 3 * (br["lower_se"] + br["upper_se"])
+        assert br["lower"] <= br["upper"] + tol, br
+        # the round-4 acceptance bar at the standard smile/mixing=1 point
+        assert br["width"] <= 0.012, br
+        # the bracket independently certifies the PDE value itself
+        assert abs(br["adi_bermudan"] - 0.5 * (br["lower"] + br["upper"])) \
+            < 0.05, br
+
+    def test_flat_mixing0_tight_and_overlaps_gbm(self, flat):
+        br = slv_american_bracket(flat, PAR, K, T, mixing=0.0,
+                                  n_dates=16, n_sub=2, n_outer=1024,
+                                  n_inner=512, n_cal_paths=65_536,
+                                  method="adi", seed=0)
+        assert br["width"] < 6e-3, br
+        g = american_price_interval(S, K, T, R, VOL, cp=-1.0, n_dates=16,
+                                    method="grid")
+        # exact-law coincidence: cross-machinery overlap at 4 joint se
+        tol = 4 * (br["lower_se"] + br["upper_se"]
+                   + float(g["lower_se"]) + float(g["upper_se"])) + 2e-3
+        assert br["lower"] - tol < float(g["upper"])
+        assert float(g["lower"]) < br["upper"] + tol, (br, g)
+
+    def test_lsm_method_still_available_and_consistent(self, smile):
+        adi = slv_american_bracket(smile, PAR, K, T, mixing=1.0,
+                                   n_dates=8, n_sub=2, n_outer=512,
+                                   n_inner=256, n_cal_paths=32_768,
+                                   method="adi", seed=3)
+        lsm = slv_american_bracket(smile, PAR, K, T, mixing=1.0,
+                                   n_dates=8, n_sub=2, n_fit=30_000,
+                                   n_lower=50_000, n_outer=512,
+                                   n_inner=256, n_cal_paths=32_768,
+                                   method="lsm", seed=3)
+        # the two methods bracket the same frozen-leverage Bermudan value
+        lo = max(adi["lower"] - 3 * adi["lower_se"],
+                 lsm["lower"] - 3 * lsm["lower_se"])
+        hi = min(adi["upper"] + 3 * adi["upper_se"],
+                 lsm["upper"] + 3 * lsm["upper_se"])
+        assert lo <= hi + 1e-3, (adi, lsm)
+
+    def test_method_validation(self, flat):
+        with pytest.raises(ValidationError):
+            slv_american_bracket(flat, PAR, K, T, method="nope")
