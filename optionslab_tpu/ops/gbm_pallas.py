@@ -138,9 +138,23 @@ def _gbm_kernel(seed_ref, s0_ref, k_ref, cp_ref, a_ref, s_ref, rep_ref, cid_ref,
         # contract in a book gets full-net QMC accuracy (digital shifts
         # preserve the (t,m,s)-net structure).
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-        idx = block * (reps * lanes) + rep_ref[:, :] * lanes + col_ids + 1
         mask30 = jnp.int32((1 << _QMC_BITS) - 1)
-        h = _mix32(cid_ref[:, :] ^ (seed_ref[0] * jnp.int32(-1640531535)))
+        if reps % 8 == 0:
+            # 8 independently-scrambled replicates per contract (replica
+            # group = rep mod 8, each group a dense stream under its own
+            # group+contract-salted scramble) — the host quotes the
+            # randomized-QMC replication stderr from the per-row sums
+            # (see exotic_pallas._mean_stderr)
+            g_id = rep_ref[:, :] & 7
+            idx = (block * ((reps // 8) * lanes)
+                   + (rep_ref[:, :] >> 3) * lanes + col_ids + 1)
+            h = _mix32((cid_ref[:, :] + g_id * jnp.int32(0x3C6EF372))
+                       ^ (seed_ref[0] * jnp.int32(-1640531535)))
+        else:
+            idx = block * (reps * lanes) + rep_ref[:, :] * lanes \
+                + col_ids + 1
+            h = _mix32(cid_ref[:, :] ^ (seed_ref[0]
+                                        * jnp.int32(-1640531535)))
         s1 = h & mask30
         s2 = _mix32(h + jnp.int32(0x632BE5AB)) & mask30
         u1, u2 = _sobol_pair(idx, s1, s2)
@@ -265,8 +279,14 @@ def _prepare(batch: ContractBatch):
     return b, flat, (s0, k, cp, a, s, rep_id, cid), c, reps, rows, pad
 
 
-def _combine(b, flat, outs, c, reps, n_per_row, dtype):
-    """Row moments → price/Greeks/stderr per original contract."""
+def _combine(b, flat, outs, c, reps, n_per_row, dtype,
+             sampler: str = "prng"):
+    """Row moments → price/Greeks/stderr per original contract. Under
+    the replicated-scramble QMC layout (sobol, reps % 8 == 0) the stderr
+    is the randomized replication estimate over the 8 per-contract
+    replica groups — sqrt(Var/n) is unreliable under QMC (see
+    ops/exotic_pallas._mean_stderr)."""
+    pay_rows = outs[0].sum(axis=1)
     pay, pay2, m1, mz = [o.sum(axis=1) for o in outs]  # (rows,)
 
     def merge(v):
@@ -275,6 +295,10 @@ def _combine(b, flat, outs, c, reps, n_per_row, dtype):
 
     n = jnp.asarray(n_per_row * reps, jnp.float32)
     pay, pay2, m1, mz = merge(pay), merge(pay2), merge(m1), merge(mz)
+    rep_se = None
+    if sampler == "sobol" and reps % 8 == 0:
+        grp = pay_rows[: c * reps].reshape(reps // 8, 8, c).sum(axis=0)             * (8.0 / n)                               # (8, c) group means
+        rep_se = grp.std(axis=0, ddof=1) / jnp.sqrt(8.0)
 
     t = jnp.maximum(flat.maturity, EPS_TIME)
     sqrt_t = jnp.sqrt(t)
@@ -286,7 +310,7 @@ def _combine(b, flat, outs, c, reps, n_per_row, dtype):
 
     price = df * mean_pay
     var = jnp.maximum(pay2 / n - mean_pay**2, 0.0)
-    stderr = df * jnp.sqrt(var / n)
+    stderr = df * (rep_se if rep_se is not None else jnp.sqrt(var / n))
     delta = df * flat.cp * mean_m1 / flat.spot
     vega = df * flat.cp * (mean_mz * sqrt_t - flat.vol * t * mean_m1)
     gamma = df * flat.cp * (mean_mz / sig_sqrt_t - mean_m1) / flat.spot**2
@@ -336,7 +360,8 @@ def _full_pipeline(batch: ContractBatch, seed, n_paths: int,
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
     outs = _launch(seed_arr, *params, n_blocks=n_blocks, rows=rows, lanes=lanes,
                    interpret=interpret, sampler=sampler, reps=reps)
-    return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block, batch.dtype)
+    return _combine(b, flat, outs, c, reps, n_blocks * paths_per_row_block,
+                    batch.dtype, sampler=sampler)
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "sampler"))
@@ -361,12 +386,17 @@ def _price_only_pipeline(batch: ContractBatch, seed, n_paths: int,
         return v[: c * reps].reshape(reps, c).sum(axis=0)
 
     n = jnp.asarray(n_blocks * paths_per_row_block * reps, jnp.float32)
-    pay_c, pay2_c = merge(pay.sum(axis=1)), merge(pay2.sum(axis=1))
+    pay_rows = pay.sum(axis=1)
+    pay_c, pay2_c = merge(pay_rows), merge(pay2.sum(axis=1))
     df = jnp.exp(-flat.rate * flat.maturity)
     mean = pay_c / n
     var = jnp.maximum(pay2_c / n - mean * mean, 0.0)
+    if sampler == "sobol" and reps % 8 == 0:  # replication stderr
+        grp = pay_rows[: c * reps].reshape(reps // 8, 8, c).sum(axis=0)             * (8.0 / n)
+        stderr = df * grp.std(axis=0, ddof=1) / jnp.sqrt(8.0)
+    else:
+        stderr = df * jnp.sqrt(var / n)
     price = df * mean
-    stderr = df * jnp.sqrt(var / n)
     expired = flat.maturity <= EPS_TIME
     intrinsic = jnp.maximum(flat.cp * (flat.spot - flat.strike), 0.0)
     price = jnp.where(expired, intrinsic, price)

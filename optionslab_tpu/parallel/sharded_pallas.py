@@ -89,7 +89,8 @@ def _sharded_pipeline(batch: ContractBatch, seed, *, n_paths: int,
                    in_specs=(P(),) + (P(),) * len(params),
                    out_specs=(P(),) * 4, check_vma=False)
     outs = fn(jnp.asarray(seed, jnp.int32), *params)
-    out = _combine(b, flat, outs, c, reps, n_blocks * per_block, batch.dtype)
+    out = _combine(b, flat, outs, c, reps, n_blocks * per_block, batch.dtype,
+                   sampler=sampler)
     # actual per-contract path count (blocks round up to a full device grid)
     out["n_paths"] = jnp.asarray(n_blocks * per_block * reps, jnp.int32)
     return out
