@@ -420,6 +420,15 @@ def main():
             "overlap the draws) and the exotic variants 1-4 running "
             "payoff stats x 4 branches — their lower roofline_pct "
             "states those bounds, not waste")
+        # round-4: a WHOLE SURFACE of SVI slice calibrations in ONE
+        # device program (vmapped scanned Adam, ops/optim.scan_adam_batched)
+        from bench_surface import section_batched_slices
+
+        sb = section_batched_slices(64)
+        extras["svi_64_slices_one_launch_ms"] = sb["one_launch_ms"]
+        extras["svi_64_slices_median_truth_rmse_bps"] = \
+            sb["median_truth_rmse_bps"]
+
         if "rbergomi_exact_path_steps_per_sec" in extras:
             # MXU-bound: 2·(2n)² f32 FLOPs per path through the
             # covariance factor (n = 64 steps) vs ~49 TFLOP/s f32 MXU

@@ -13,6 +13,7 @@ import pytest
     "examples/xva_workflow.py",
     "examples/exotics_workflow.py",
     "examples/slv_workflow.py",
+    "examples/rbergomi_workflow.py",
 ])
 @pytest.mark.slow
 def test_example_runs(script, capsys):
