@@ -766,11 +766,39 @@ def handle_iv(body: dict) -> dict:
 
 
 def handle_varswap(body: dict) -> dict:
-    from .models import (heston_expected_variance, heston_vol_swap_strike)
+    """Fair variance/vol-swap strikes. Default: Heston closed forms.
+    ``model="slv"`` instead returns BOTH strikes from one SLV particle
+    simulation on the sample smile at ``mixing`` — K_var is
+    Gyongy-pinned across mixing while the vol-swap convexity discount
+    moves with it (the spread desks use SLV to mark)."""
+    from .models import heston_expected_variance, heston_vol_swap_strike
     from .models.heston import HestonParams
 
     p = HestonParams.make(**body.get("heston_params", {}))
     t = float(body.get("maturity", 1.0))
+    if str(body.get("model", "heston")).lower() == "slv":
+        import jax
+
+        from .models import slv_swap_strikes
+        from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+        dup = DupireLocalVol(
+            sample_smile_iv_fn(base_vol=float(body.get("vol", 0.2)),
+                               skew=-0.06, smile=0.03),
+            float(body.get("spot", 100.0)), float(body.get("rate", 0.03)),
+            k_range=(-2.5, 2.5), n_k=201)
+        kv, sv, kvol, svol = slv_swap_strikes(
+            dup.spot, t, dup.rate, p,
+            jax.random.PRNGKey(int(body.get("seed", 0))),
+            dup.surface.k_grid, dup.surface.t_grid, dup.surface.grid,
+            mixing=float(body.get("mixing", 1.0)),
+            n_paths=min(int(body.get("n_paths", 65_536)), 1_000_000),
+            n_steps=min(int(body.get("n_steps", 64)), 256))
+        return {"model": "slv", "mixing": float(body.get("mixing", 1.0)),
+                "variance_strike": _to_jsonable(kv),
+                "variance_stderr": _to_jsonable(sv),
+                "vol_strike": _to_jsonable(kvol),
+                "vol_stderr": _to_jsonable(svol)}
     return {
         "variance_strike": _to_jsonable(heston_expected_variance(p, t)),
         "vol_strike": _to_jsonable(heston_vol_swap_strike(p, t)),

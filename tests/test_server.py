@@ -80,6 +80,16 @@ class TestServer:
         assert 0.01 < body["variance_strike"] < 0.2
         assert body["vol_strike"] < body["variance_strike"] ** 0.5  # Jensen
 
+    def test_varswap_slv_over_wire(self, server):
+        status, body = _post(server, "/varswap", {
+            "maturity": 1.0, "model": "slv", "mixing": 1.0,
+            "n_paths": 16384, "n_steps": 32})
+        assert status == 200 and body["model"] == "slv"
+        assert 0.01 < body["variance_strike"] < 0.2
+        # Jensen + a genuine convexity discount under full vol-of-vol
+        assert body["vol_strike"] < body["variance_strike"] ** 0.5
+        assert body["vol_stderr"] > 0.0
+
     @pytest.mark.slow
     def test_calibrate_endpoint(self, server):
         import numpy as np
