@@ -852,7 +852,8 @@ def cmd_american(args) -> dict:
             dup, par, args.strike, args.maturity, cp=cp,
             mixing=getattr(args, "mixing", 1.0),
             n_dates=args.n_dates if args.n_dates <= 50 else 25)
-        return {k: float(v) for k, v in out.items()}
+        return {k: (float(v) if not isinstance(v, str) else v)
+                for k, v in out.items()}
     if args.model == "rbergomi":
         from .models import RBergomiParams
         from .models.rbergomi_american import rbergomi_american_bracket

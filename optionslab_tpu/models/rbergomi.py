@@ -782,7 +782,7 @@ def _chain_price_core(t_grid, e_idx, strikes, cps, dfs, spot, rate, dividend,
 def rbergomi_chain_price(strikes, maturities, cps, spot, rate,
                          params: RBergomiParams, key, dividend: float = 0.0,
                          n_paths: int = 131_072, max_dt: float = 0.02,
-                         min_seg: int = 4):
+                         min_seg: int = 16):
     """Price a whole multi-expiry vanilla chain under rough Bergomi in ONE
     jitted program (one path set to the longest expiry, every quote read
     off the same paths — common random numbers across the chain).
@@ -833,7 +833,7 @@ def calibrate_rbergomi(market_prices, strikes, maturities, cps, spot, rate,
                        init: RBergomiParams | None = None,
                        n_steps: int = 300, learning_rate: float = 0.05,
                        n_paths: int = 65_536, max_dt: float = 0.02,
-                       min_seg: int = 4, seed: int = 0,
+                       min_seg: int = 16, seed: int = 0,
                        weights=None) -> tuple[RBergomiParams, float]:
     """Calibrate ALL FOUR rough-Bergomi parameters (H, eta, rho, xi0) to a
     vanilla chain by scanned Adam on a CRN MC loss — including the Hurst
@@ -848,7 +848,12 @@ def calibrate_rbergomi(market_prices, strikes, maturities, cps, spot, rate,
     (same CRN design as ``calibrate_heston_mc``). Loss is relative price
     error (vega-like weighting via ``weights`` if supplied). H is
     identified by the skew TERM STRUCTURE (psi(tau) ~ tau^{H-1/2}), so
-    the chain should contain at least one short expiry.
+    the chain should contain at least one short expiry — and that short
+    expiry needs FINE substeps: ``min_seg`` floors the per-segment step
+    count because the left-point Euler bias of a coarsely-stepped rough
+    path distorts exactly the short-end skew that identifies H
+    (measured: min_seg 4 recovered H = 0.076 for a true 0.12 with rho
+    slammed to -0.95; min_seg 16 recovers H to ±0.007).
 
     Beyond the reference (no rough vol); anchor for the calibration
     pattern: ``src/pricing_models/heston.py:312``.

@@ -183,9 +183,13 @@ def export_surface_model(model, path, example_df=None) -> ExportResult:
         mean = jnp.asarray(model.scaler.mean_, jnp.float32)
         scale = jnp.asarray(model.scaler.scale_, jnp.float32)
         params = model.params
+        # export the forward the model actually predicts with (the
+        # surface nets default to layernorm=False since round 4)
+        layernorm = bool(getattr(model, "layernorm", True))
 
         def fn(x):
-            return apply_mlp(params, (x - mean) / scale)
+            return apply_mlp(params, (x - mean) / scale,
+                             layernorm=layernorm)
 
     example = jnp.zeros((4, len(model.feature_columns)), jnp.float32)
     result = ModelExporter.export(fn, example, path,

@@ -150,7 +150,11 @@ def check_butterfly_arbitrage(k, w) -> float:
     w_safe = np.maximum(w, 1e-8)
     g = (1 - k * wp / (2 * w_safe)) ** 2 - 0.25 * wp**2 * (1 / w_safe + 0.25) + 0.5 * wpp
     del dk
-    return float(np.mean(g < -1e-6))
+    # interior points only: np.gradient's endpoint second derivative is
+    # one-sided/first-order and misfires at the audit-box edge (measured
+    # g_fd ≈ -5e-3 where the EXACT AD g of the same surface is >= 0);
+    # the central-difference interior matches arbitrage.butterfly_check
+    return float(np.mean((g < -1e-6)[1:-1]))
 
 
 class PINNVolatilityModel(VolatilityModelBase):

@@ -337,7 +337,9 @@ class TestQMC:
         v0 = jnp.asarray(VOLS, jnp.float32)
         exact = float(geometric_basket_closed_form(SPOTS, W, K, T, R,
                                                    VOLS, CORR))
-        assert abs(float(out["price"]) - exact) < 5e-3
+        # replicated-scramble QMC (8 independent nets, honest error
+        # bars) trades ~2x point-set accuracy for the calibration
+        assert abs(float(out["price"]) - exact) < 1.5e-2
         np.testing.assert_allclose(np.asarray(out["delta"]),
                                    np.asarray(jax.grad(f, 0)(s0, v0)),
                                    atol=0.02)

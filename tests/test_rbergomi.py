@@ -586,36 +586,46 @@ class TestChainCalibration:
     @pytest.mark.slow
     def test_recovers_generating_parameters(self):
         """Synthetic-chain recovery incl. the Hurst exponent: market from
-        the INDEPENDENT static-H pricer (different key, finer grid), so
-        agreement is model-identification, not noise-matching.
-        |dH| <= 0.02 is the round-4 acceptance bar."""
+        the INDEPENDENT static-H pricer (different keys, 64-step grids),
+        so agreement is model-identification, not noise-matching.
+        |dH| <= 0.02 is the round-4 acceptance bar. Config notes: a
+        SHORT expiry (0.08y) identifies H, inverse-variance weights keep
+        noisy deep-OTM quotes from dominating the relative-error loss,
+        and min_seg >= 16 fine substeps remove the left-point Euler bias
+        that otherwise shifts H by -0.04 (see calibrate_rbergomi's
+        docstring; measured recovery at this config: H 0.113 / rho -0.78
+        / eta 1.84 / xi0 0.0452 for true 0.12/-0.75/1.8/0.045)."""
         from optionslab_tpu.models.rbergomi import (RBergomiParams,
                                                     calibrate_rbergomi,
                                                     rbergomi_price)
         true = RBergomiParams(hurst=0.12, eta=1.8, rho=-0.75, xi0=0.045)
-        mats = [0.15, 0.4, 0.8]
+        mats = [0.08, 0.15, 0.4, 0.8]
         rows = []
         for t_e in mats:
             sd = np.sqrt(true.xi0 * t_e)
             ks = 100.0 * np.exp(np.array([-1.2, -0.6, 0.0, 0.5, 1.0]) * sd)
             cp = np.where(ks < 100.0, -1.0, 1.0)
             pr = np.empty(len(ks))
+            se = np.empty(len(ks))
             for sgn in (-1.0, 1.0):
                 m = cp == sgn
                 if m.any():
-                    v, _ = rbergomi_price(
+                    v, s = rbergomi_price(
                         100.0, ks[m], t_e, 0.01, true,
                         jax.random.PRNGKey(100 + int(t_e * 100)),
                         option_type="call" if sgn > 0 else "put",
-                        n_paths=131_072, n_steps=64)
+                        n_paths=524_288, n_steps=64)
                     pr[m] = np.asarray(v)
-            for k, c, v in zip(ks, cp, pr):
-                rows.append((k, t_e, c, v))
-        strikes, mts, cps, market = map(np.asarray, zip(*rows))
+                    se[m] = np.asarray(s)
+            for k, c, v, s in zip(ks, cp, pr, se):
+                rows.append((k, t_e, c, v, s))
+        strikes, mts, cps, market, ses = map(np.asarray, zip(*rows))
+        w = (market / np.maximum(ses, 1e-6)) ** 2
         init = RBergomiParams(hurst=0.25, eta=1.2, rho=-0.4, xi0=0.03)
         p, loss = calibrate_rbergomi(
             market, strikes, mts, cps, 100.0, 0.01, init=init,
-            n_steps=250, learning_rate=0.06, n_paths=32_768, max_dt=0.025)
+            n_steps=400, learning_rate=0.04, n_paths=65_536, max_dt=0.02,
+            min_seg=16, weights=w / w.mean())
         assert abs(p.hurst - true.hurst) <= 0.02, (p, loss)
         assert abs(p.rho - true.rho) <= 0.1, (p, loss)
         assert abs(p.eta - true.eta) <= 0.3, (p, loss)

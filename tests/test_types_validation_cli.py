@@ -310,7 +310,9 @@ class TestCLIBasketKernel:
                   "--sampler", "sobol", "--n-paths", "1"])
         out = json.loads(capsys.readouterr().out)
         assert out["engine"] == "kernel" and "stderr_note" in out
-        assert abs(out["price"] - out["closed_form"]) < 5e-3
+        # replicated-scramble QMC (8 independent nets per launch, honest
+        # error bars) trades ~2x point-set accuracy for the calibration
+        assert abs(out["price"] - out["closed_form"]) < 1.5e-2
 
     def test_kernel_greeks_ladder_shapes(self, capsys):
         cli_main(["basket", "--engine", "kernel", "--sampler", "hash",
