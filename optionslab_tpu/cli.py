@@ -1155,20 +1155,49 @@ def cmd_xva(args) -> dict:
     netting set: one option position vs the counterparty.
     ``--exotic-kind``: the position is PATH-DEPENDENT and the profile
     comes from the AMC (regression-revaluation) engine instead of the
-    closed-form one."""
+    closed-form one. ``--model heston|bates|slv|rbergomi`` prices the
+    exposure under default-parameter stochastic-vol / jump / smile /
+    rough dynamics (implies the AMC engine; vanilla kind unless
+    ``--exotic-kind`` says otherwise)."""
     kind = getattr(args, "exotic_kind", "")
+    model = getattr(args, "model", "bs")
+    if model != "bs" and not kind:
+        kind = "vanilla"  # dynamics choice implies the AMC engine
     if kind:
         from .risk import ExoticPosition, amc_exposure_profile, cva_dva
 
+        dyn: dict = {}
+        if model in ("heston", "bates"):
+            if model == "bates":
+                from .models.bates import BatesParams
+
+                dyn["heston_params"] = BatesParams.make()
+            else:
+                from .models.heston import HestonParams
+
+                dyn["heston_params"] = HestonParams.make()
+        elif model == "slv":
+            from .models.heston import HestonParams
+            from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+            dyn["dupire"] = DupireLocalVol(
+                sample_smile_iv_fn(base_vol=args.vol), args.spot, args.rate)
+            dyn["heston_params"] = HestonParams.make()
+            dyn["mixing"] = args.mixing
+        elif model == "rbergomi":
+            from .models.rbergomi import RBergomiParams
+
+            dyn["rbergomi_params"] = RBergomiParams()
         prof = amc_exposure_profile(
             [ExoticPosition(kind=kind, quantity=args.quantity,
                             strike=args.strike, maturity=args.maturity,
                             option_type=args.option_type,
                             barrier=args.barrier, vol=args.vol)],
             spot=args.spot, rate=args.rate, n_dates=args.dates,
-            n_paths=args.paths, quantile=args.quantile, seed=args.seed)
+            n_paths=args.paths, quantile=args.quantile, seed=args.seed,
+            vol=args.vol, **dyn)
         out = cva_dva(prof, hazard_rate=args.hazard, recovery=args.recovery)
-        return {"engine": "amc", "kind": kind,
+        return {"engine": "amc", "kind": kind, "model": model,
                 "dates": [float(t) for t in prof.dates],
                 "ee": [float(x) for x in prof.ee],
                 "pfe": [float(x) for x in prof.pfe],
@@ -1463,6 +1492,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="path-dependent position kind (AMC engine): "
                          "asian_arith, lookback_float/fixed, "
                          "barrier_{up,down}-and-{in,out}")
+    px.add_argument("--model", default="bs",
+                    choices=["bs", "heston", "bates", "slv", "rbergomi"],
+                    help="AMC exposure dynamics (needs --exotic-kind; "
+                         "default-parameter smile models — use the HTTP "
+                         "/xva route to pass explicit params)")
+    px.add_argument("--mixing", type=float, default=1.0,
+                    help="SLV mixing fraction (model=slv)")
     px.add_argument("--barrier", type=float, default=120.0)
     px.add_argument("--spot", type=float, default=100.0)
     px.add_argument("--strike", type=float, default=100.0)

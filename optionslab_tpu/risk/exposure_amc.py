@@ -72,14 +72,17 @@ class ExoticPosition:
             raise ValidationError("need maturity > 0 and vol > 0")
 
 
-def _features(s, stat, spot, strike, cp, v=None):
-    """Regression basis in the normalized Markov state (s, stat[, v]),
+def _features(s, stat, spot, strike, cp, v=None, m=None):
+    """Regression basis in the normalized Markov state (s, stat[, v[, m]]),
     plus the two INTRINSIC features max(cp(s−K),0) and max(cp(stat−K),0)
     — the payoff kink that polynomials smooth over (same trick as the
     LSM policy bases); a tight basis also shrinks the positive-part
     convexity bias E[max(V̂,0)] − E[V̂] of noisy marks. Under Heston
     dynamics the instantaneous variance joins the state (the mark is a
-    function of (S, v, stat))."""
+    function of (S, v, stat)). Under rough Bergomi the law is
+    NON-Markovian in (S, v): the forward-Volterra conditional mean
+    m = E[V~_next | F_t] joins the state (the same feature the certified
+    American bracket regresses on, ``models/rbergomi_american.py``)."""
     x = s / spot
     a = stat / spot
     k = strike / spot
@@ -89,6 +92,8 @@ def _features(s, stat, spot, strike, cp, v=None):
     cols = [one, x, x * x, x * x * x, a, a * a, x * a, x * x * a, exs, exa]
     if v is not None:
         cols += [v, v * v, x * v, exs * v]
+    if m is not None:
+        cols += [m, m * m, x * m]
     return jnp.stack(cols, axis=-1)
 
 
@@ -154,6 +159,59 @@ def _sim_fine_slv(key, n_paths, n_fine, dt, spot, rate, dividend, params,
     return spot * jnp.exp(xs.T), vs.T
 
 
+def _m_readout_dates(lc: np.ndarray, d_idx, n_sub: int, n_fine: int):
+    """(n_dates, 2n) host matrix M with m_d = M[d] @ e = the conditional
+    mean E[V~ at the NEXT exposure date | F at date d] under the causal
+    (time-interleaved) Volterra factorization — row 2(j_next−1) of the
+    factor, columns masked to the date's revealed coordinates (< 2·j).
+    The last date (no next) reads out zero; its feature is unused (tau=0
+    there, the mark is the settled payoff)."""
+    out = np.zeros((len(d_idx), 2 * n_fine), np.float32)
+    for k, di in enumerate(np.asarray(d_idx)):
+        j = int(di) + 1                    # 1-based fine index of date k
+        j_next = j + n_sub
+        if j_next <= n_fine:
+            row = lc[2 * (j_next - 1)].copy()
+            row[2 * j:] = 0.0
+            out[k] = row
+    return out
+
+
+def _sim_fine_rbergomi(key, n_paths, n_fine, dt, spot, rate, dividend,
+                       params, lc, mmat):
+    """(paths, n_fine) spot and instantaneous-variance levels under the
+    EXACT rough-Bergomi law (joint Volterra/Brownian Gaussian vector via
+    the causal Cholesky factor — the same law the certified American
+    bracket simulates, ``models.rbergomi_american._simulate_dates``),
+    plus the (paths, n_dates) forward-Volterra feature m the regression
+    state needs because the law is non-Markovian in (S, v)."""
+    n = n_fine
+    t_fine = jnp.arange(1, n + 1, dtype=jnp.float32) * jnp.float32(dt)
+    eta = jnp.float32(params.eta)
+    rho = jnp.float32(params.rho)
+    xi0 = jnp.float32(params.xi0)
+    k1, k2 = jax.random.split(key)
+    e = jax.random.normal(k1, (n_paths, 2 * n), jnp.float32)
+    zp = jax.random.normal(k2, (n_paths, n), jnp.float32)
+    g = jax.lax.dot_general(e, lc, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    v_tilde = g[:, 0::2]
+    w_lvl = g[:, 1::2]
+    dw = jnp.diff(w_lvl, axis=1,
+                  prepend=jnp.zeros((n_paths, 1), jnp.float32))
+    v_grid = xi0 * jnp.exp(eta * v_tilde - 0.5 * eta * eta
+                           * t_fine[None, :] ** (2.0 * float(params.hurst)))
+    v_left = jnp.concatenate(
+        [jnp.full((n_paths, 1), xi0, jnp.float32), v_grid[:, :-1]], axis=1)
+    srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    dz = rho * dw + srho * jnp.sqrt(jnp.float32(dt)) * zp
+    x = jnp.cumsum(jnp.sqrt(v_left) * dz - 0.5 * v_left * jnp.float32(dt),
+                   axis=1) + jnp.float32(rate - dividend) * t_fine[None, :]
+    m_d = jax.lax.dot_general(e, mmat, (((1,), (1,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return spot * jnp.exp(x), v_grid, m_d
+
+
 def _running_stat(s_fine, kind, cp):
     """(paths, steps) running statistic AFTER each substep; S0 excluded
     from averages (steps 1..n convention) but INCLUDED in extrema via the
@@ -174,8 +232,8 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
                          n_sub: int = 8, n_paths: int = 65536,
                          seed: int = 0, quantile: float = 0.95,
                          ridge: float = 1e-6, heston_params=None,
-                         dupire=None, mixing: float = 1.0
-                         ) -> ExposureResult:
+                         dupire=None, mixing: float = 1.0,
+                         rbergomi_params=None) -> ExposureResult:
     """EE/EPE/PFE/ENE profile of a netting set of path-dependent trades.
 
     ``book``: list of :class:`ExoticPosition` on ONE underlying.
@@ -193,7 +251,14 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
     ignored. Barrier/extrema monitoring and Asian averaging happen on
     the FINE grid (``n_dates * n_sub`` substeps over the horizon) —
     state the monitoring convention when comparing against pricers with
-    a different fixing schedule. Returns an
+    a different fixing schedule. With ``rbergomi_params``
+    (:class:`~..models.rbergomi.RBergomiParams`), paths follow the EXACT
+    (non-Markovian) rough-Bergomi law via the causal Volterra
+    factorization and the regression state gains BOTH the instantaneous
+    variance and the forward-Volterra conditional mean m = E[V~_next|F_t]
+    — without m the conditional mark is not a function of the regression
+    state at all (eta→0 recovers the GBM profile at vol=sqrt(xi0)).
+    Returns an
     :class:`~.exposure.ExposureResult`, so :func:`~.exposure.cva_dva`
     composes unchanged. Note: under stochastic vol the knocked-in
     "exact vanilla" mark uses the regression too (no flat-vol shortcut).
@@ -217,6 +282,18 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
     d_idx = jnp.arange(n_sub - 1, n_fine, n_sub)  # date-grid substeps
     dates = (jnp.asarray(d_idx, jnp.float32) + 1.0) * dt
     half = n_paths // 2
+    if rbergomi_params is not None:
+        if heston_params is not None or dupire is not None:
+            raise ValidationError("rbergomi_params is exclusive with "
+                                  "heston_params/dupire")
+        rbergomi_params.validate()
+        from ..models.rbergomi import _volterra_chol_causal
+
+        lc_np = _volterra_chol_causal(n_fine, float(rbergomi_params.hurst),
+                                      float(horizon))
+        rb_lc = jnp.asarray(lc_np)
+        rb_mmat = jnp.asarray(
+            _m_readout_dates(lc_np, np.asarray(d_idx), n_sub, n_fine))
     if dupire is not None:
         if heston_params is None:
             raise ValidationError("SLV exposure needs heston_params "
@@ -234,7 +311,12 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
 
     @jax.jit
     def run(key):
-        if lev_rows is not None:
+        m_dates = None
+        if rbergomi_params is not None:
+            s_fine, v_fine, m_dates = _sim_fine_rbergomi(
+                key, n_paths, n_fine, dt, spot, rate, dividend,
+                rbergomi_params, rb_lc, rb_mmat)
+        elif lev_rows is not None:
             s_fine, v_fine = _sim_fine_slv(key, n_paths, n_fine, dt, spot,
                                            rate, dividend, heston_params,
                                            mixing, *lev_rows)
@@ -290,7 +372,7 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
             # y: cashflow discounted from maturity back to each date
             y = pay[:, None] * jnp.exp(-rate * jnp.maximum(tau, 0.0))[None, :]
             vd = None if v_fine is None else v_fine[:, d_idx]
-            phi = _features(sd, statd, spot, p.strike, cp, vd)
+            phi = _features(sd, statd, spot, p.strike, cp, vd, m_dates)
             if "barrier" in p.kind:
                 out_kind = p.kind.endswith("out")
                 hd = hit[:, jnp.minimum(d_idx, mi - 1)]

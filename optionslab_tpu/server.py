@@ -904,7 +904,12 @@ def handle_xva(body: dict) -> dict:
     """Counterparty exposure + CVA for a netting set: {"positions":
     [{quantity, strike, maturity, option_type}, ...], "spot", "rate",
     "vol", optional hazard/recovery/own_hazard/quantile/dates/paths/
-    collateral_threshold/mpor}. Sizes are capped (demo server)."""
+    collateral_threshold/mpor}. Sizes are capped (demo server).
+
+    Any position with a "kind" routes through the AMC engine; there
+    "model": "bs|heston|bates|slv|rbergomi" selects the exposure
+    dynamics ("heston_params"/"bates_params"/"rbergomi_params"/"mixing"
+    override the defaults — same conventions as /american)."""
     from .risk import Position, xva_report
 
     spot = float(body.get("spot", 100.0))
@@ -925,15 +930,45 @@ def handle_xva(body: dict) -> dict:
                                barrier=float(s_.get("barrier", 0.0)),
                                vol=float(s_.get("vol", vol)))
                 for s_ in specs]
+        model = str(body.get("model", "bs")).lower()
+        dyn: dict = {}
+        if model == "heston":
+            from .models.heston import HestonParams
+
+            dyn["heston_params"] = HestonParams.make(
+                **body.get("heston_params", {}))
+        elif model == "bates":
+            from .models.bates import BatesParams
+
+            dyn["heston_params"] = BatesParams.make(
+                **body.get("bates_params", {}))
+        elif model == "slv":
+            from .models.heston import HestonParams
+            from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+            dyn["dupire"] = DupireLocalVol(sample_smile_iv_fn(base_vol=vol),
+                                           spot, rate)
+            dyn["heston_params"] = HestonParams.make(
+                **body.get("heston_params", {}))
+            dyn["mixing"] = float(body.get("mixing", 1.0))
+        elif model == "rbergomi":
+            from .models.rbergomi import RBergomiParams
+
+            dyn["rbergomi_params"] = RBergomiParams(
+                **body.get("rbergomi_params", {}))
+        elif model != "bs":
+            raise ValueError(f"unknown xva model {model!r}; choose "
+                             "bs|heston|bates|slv|rbergomi")
         prof = amc_exposure_profile(
-            book, spot=spot, rate=rate,
+            book, spot=spot, rate=rate, vol=vol,
             n_dates=min(int(body.get("dates", 24)), 120),
             n_paths=min(int(body.get("paths", 65536)), 524_288),
             quantile=float(body.get("quantile", 0.95)),
-            seed=int(body.get("seed", 0)))
+            seed=int(body.get("seed", 0)), **dyn)
         out = cva_dva(prof, hazard_rate=float(body.get("hazard", 0.02)),
                       recovery=float(body.get("recovery", 0.4)))
-        return {"engine": "amc", "dates": [float(t) for t in prof.dates],
+        return {"engine": "amc", "model": model,
+                "dates": [float(t) for t in prof.dates],
                 "ee": [float(x) for x in prof.ee],
                 "pfe": [float(x) for x in prof.pfe],
                 "epe": prof.epe, "max_pfe": prof.max_pfe,

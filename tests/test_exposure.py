@@ -707,3 +707,82 @@ class TestBatesAndSLVAMCExposure:
         with pytest.raises(ValidationError):
             amc_exposure_profile(
                 [ExoticPosition(kind="vanilla")], dupire=object())
+
+
+class TestRBergomiAMCExposure:
+    """The matrix's LAST exposure cell: AMC exposure under the exact
+    (non-Markovian) rough-Bergomi law. The regression state is
+    (S, v, m) with m = E[V~_next | F_t] from the causal Volterra
+    factorization — the same feature set the certified rough American
+    bracket uses."""
+
+    def _rough(self):
+        from optionslab_tpu.models.rbergomi import RBergomiParams
+        return RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
+
+    def test_eta_zero_matches_gbm_profile(self):
+        """eta -> 0: the rough law IS GBM at vol = sqrt(xi0), so the
+        profile must match the plain-GBM AMC branch statistically."""
+        from optionslab_tpu.models.rbergomi import RBergomiParams
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        book = [ExoticPosition(kind="asian_arith", strike=100.0,
+                               maturity=1.0, vol=0.2)]
+        rb = amc_exposure_profile(
+            book, spot=100.0, rate=0.05, n_paths=32768, n_dates=8, n_sub=4,
+            rbergomi_params=RBergomiParams(hurst=0.1, eta=1e-6, rho=-0.9,
+                                           xi0=0.04))
+        gbm = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=32768, n_dates=8, n_sub=4)
+        np.testing.assert_allclose(rb.ee, gbm.ee, rtol=0.06, atol=0.05)
+
+    def test_rough_martingale_oracle(self):
+        """E[df V-hat] == V0 at full roughness, V0 from the independent
+        European engine at the SAME step count (both integrate the exact
+        variance law with left-point log-Euler, so matching n_steps
+        isolates the AMC regression error from discretization bias)."""
+        from optionslab_tpu.models.rbergomi import rbergomi_price
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        book = [ExoticPosition(kind="vanilla", strike=100.0, maturity=1.0,
+                               option_type="put")]
+        amc = amc_exposure_profile(book, spot=100.0, rate=0.05,
+                                   n_paths=65536, n_dates=8, n_sub=4,
+                                   rbergomi_params=self._rough())
+        pr, se = rbergomi_price(100.0, 100.0, 1.0, 0.05, self._rough(),
+                                jax.random.PRNGKey(7), option_type="put",
+                                n_paths=131072, n_steps=32)
+        v0 = float(np.asarray(pr).ravel()[0])
+        assert np.abs(amc.ee_discounted - v0).max() \
+            < 0.05 * v0 + 3 * float(np.asarray(se).ravel()[0])
+
+    def test_rough_widens_short_dated_put_tail_vs_flat(self):
+        """At matched total variance, rough vol-of-vol (eta=1.9) fattens
+        the left tail: the OTM put book's early-date PFE exceeds the
+        eta->0 profile's. (The heavy-tail direction for a PUT under
+        rho<0 is unambiguous, unlike symmetric-collar cliquets.)"""
+        from optionslab_tpu.models.rbergomi import RBergomiParams
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        book = [ExoticPosition(kind="vanilla", strike=80.0, maturity=0.5,
+                               option_type="put", vol=0.2)]
+        rough = amc_exposure_profile(book, spot=100.0, rate=0.02,
+                                     n_paths=65536, n_dates=6, n_sub=4,
+                                     rbergomi_params=self._rough(),
+                                     quantile=0.99)
+        flat = amc_exposure_profile(
+            book, spot=100.0, rate=0.02, n_paths=65536, n_dates=6, n_sub=4,
+            rbergomi_params=RBergomiParams(hurst=0.1, eta=1e-6, rho=-0.9,
+                                           xi0=0.04), quantile=0.99)
+        assert rough.pfe[1] > flat.pfe[1]
+
+    def test_rbergomi_exclusive_with_other_dynamics(self):
+        from optionslab_tpu.models.heston import HestonParams
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+        from optionslab_tpu.utils.exceptions import ValidationError
+
+        with pytest.raises(ValidationError):
+            amc_exposure_profile(
+                [ExoticPosition(kind="vanilla")],
+                rbergomi_params=self._rough(),
+                heston_params=HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7))

@@ -600,3 +600,23 @@ class TestAMCXVAEndpoint:
             "paths": 16384, "dates": 8})
         assert status == 200 and body["engine"] == "amc"
         assert 0 < body["epe"] < 5.0 and body["cva"] >= 0.0
+
+    def test_rbergomi_exposure_model_over_the_wire(self, server):
+        """model=rbergomi: the AMC profile rides the exact rough law; a
+        long put's discounted EE is flat at its rough V0 (martingale)."""
+        import numpy as np
+
+        status, body = _post(server, "/xva", {
+            "positions": [{"kind": "vanilla", "option_type": "put"}],
+            "model": "rbergomi",
+            "rbergomi_params": {"hurst": 0.1, "eta": 1.9, "rho": -0.9,
+                                "xi0": 0.04},
+            "paths": 16384, "dates": 6})
+        assert status == 200 and body["model"] == "rbergomi"
+        ee = np.asarray(body["ee"])
+        assert 0 < body["epe"] < 20.0 and ee.shape == (6,)
+
+    def test_unknown_xva_model_is_400(self, server):
+        status, body = _post(server, "/xva", {
+            "positions": [{"kind": "vanilla"}], "model": "garch"})
+        assert status == 400 and "error" in body

@@ -125,6 +125,15 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli_main(["teleport"])
 
+    def test_xva_rbergomi_model_routes_to_amc(self, capsys):
+        """--model rbergomi implies the AMC engine (vanilla kind) and
+        prices the exposure on the exact rough law."""
+        cli_main(["xva", "--model", "rbergomi", "--option-type", "put",
+                  "--paths", "8192", "--dates", "4"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["engine"] == "amc" and out["model"] == "rbergomi"
+        assert 0.0 < out["epe"] < 20.0 and out["cva"] > 0.0
+
     @pytest.mark.slow
     def test_american_heston_bracket(self, capsys):
         """--model heston routes to the ADI-surface certified bracket."""
