@@ -75,29 +75,11 @@ def section_synthetic():
 
 def section_cboe_smile():
     from optionslab_tpu.benchmarks.harness import VolSurfaceBenchmark
-    from optionslab_tpu.data.loader import load_option_data
 
-    ch = load_option_data("cboe", path="tests/data/cboe_spx_quotedata.csv",
-                          rate=0.043)
-    df = (ch.filter_liquidity(max_spread_pct=0.5)
-          .filter_moneyness(0.85, 1.2).df)
-    # most liquid expiry
-    t_star = df.groupby("time_to_maturity").size().idxmax()
-    sl = df[df["time_to_maturity"] == t_star]
-    spot = float(sl["underlying_price"].iloc[0])
-    fwd = spot * np.exp(0.043 * float(t_star))
-    k = np.log(np.asarray(sl["strike_price"], float) / fwd)
-    iv = np.asarray(sl["implied_volatility"], float)
-    order = np.argsort(k)
-    k, iv = k[order], iv[order]
-    # average duplicated strikes (call+put rows)
-    ku, inv = np.unique(np.round(k, 10), return_inverse=True)
-    iv_u = np.zeros(len(ku))
-    for i in range(len(ku)):
-        iv_u[i] = iv[inv == i].mean()
-    bench = VolSurfaceBenchmark(models=MODELS).run(ku, iv_u, float(t_star),
+    ku, iv_u, t_star = _cboe_smile_arrays()
+    bench = VolSurfaceBenchmark(models=MODELS).run(ku, iv_u, t_star,
                                                    n_trials=3)
-    return {"expiry_years": float(t_star), "n_quotes": int(len(ku)),
+    return {"expiry_years": t_star, "n_quotes": int(len(ku)),
             "rows": bench.to_dataframe().to_dict(orient="records")}
 
 
@@ -182,6 +164,80 @@ def section_batched_slices(n_slices: int = 64):
     }
 
 
+def _cboe_smile_arrays():
+    """The most liquid CBOE-fixture expiry as (k, iv, t) — shared by
+    section_cboe_smile and the TPU PINN latency section."""
+    from optionslab_tpu.data.loader import load_option_data
+
+    ch = load_option_data("cboe", path="tests/data/cboe_spx_quotedata.csv",
+                          rate=0.043)
+    df = (ch.filter_liquidity(max_spread_pct=0.5)
+          .filter_moneyness(0.85, 1.2).df)
+    t_star = df.groupby("time_to_maturity").size().idxmax()
+    sl = df[df["time_to_maturity"] == t_star]
+    spot = float(sl["underlying_price"].iloc[0])
+    fwd = spot * np.exp(0.043 * float(t_star))
+    k = np.log(np.asarray(sl["strike_price"], float) / fwd)
+    iv = np.asarray(sl["implied_volatility"], float)
+    order = np.argsort(k)
+    k, iv = k[order], iv[order]
+    ku, inv = np.unique(np.round(k, 10), return_inverse=True)
+    iv_u = np.zeros(len(ku))
+    for i in range(len(ku)):
+        iv_u[i] = iv[inv == i].mean()
+    return ku, iv_u, float(t_star)
+
+
+def section_pinn_tpu(n_seeds: int = 8):
+    """PINN calibration latency ON THE DEVICE THIS RUNS ON (the reference
+    table's one axis the 1-core-VM run could not beat): warm single fit
+    (the whole annealed training is ONE scanned device program) and the
+    vmapped ``n_seeds``-member ensemble in ONE launch — per-fit cost is
+    amortized dispatch. Uses the exact harness config (64x64 net,
+    256 collocation, 1200 epochs) on the CBOE-fixture smile, so the
+    rmse column is the committed table's."""
+    import pandas as pd
+
+    from optionslab_tpu.surface.pinn import PINNVolatilityModel
+
+    k, iv, t = _cboe_smile_arrays()
+    df = pd.DataFrame({"log_moneyness": k,
+                       "time_to_maturity": np.full(k.size, t),
+                       "implied_volatility": iv})
+
+    def fit(n):
+        m = PINNVolatilityModel(hidden_layers=(64, 64), n_collocation=256,
+                                epochs=1200, seed=0)
+        metrics = m.train(df, n_seeds=n) if n > 1 else m.train(df)
+        return m, metrics
+
+    floor = _rpc_floor_ms()
+    fit(1)  # compile
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        m1, metrics1 = fit(1)
+        times.append((time.perf_counter() - t0) * 1e3)
+    single_ms = min(times)
+    fit(n_seeds)  # compile the ensemble program
+    t0 = time.perf_counter()
+    me, metrics_e = fit(n_seeds)
+    ens_ms = (time.perf_counter() - t0) * 1e3
+    return {
+        "device": str(jax.devices()[0]),
+        "dispatch_floor_ms": round(floor, 2),
+        "config": "64x64 net, 256 collocation, 1200 epochs (harness row)",
+        "warm_fit_ms": round(single_ms, 1),
+        "warm_fit_rmse_bps": round(metrics1["rmse"] * 1e4, 1),
+        "ensemble_n_seeds": n_seeds,
+        "ensemble_one_launch_ms": round(ens_ms, 1),
+        "ensemble_per_fit_ms": round(ens_ms / n_seeds, 1),
+        "ensemble_best_rmse_bps": round(metrics_e["rmse"] * 1e4, 1),
+        "ref_ms": REF_TABLE["pinn"][1],
+        "beats_ref_latency": bool(single_ms <= REF_TABLE["pinn"][1]),
+    }
+
+
 def main():
     try:
         backend = jax.default_backend()
@@ -230,5 +286,21 @@ def main():
                       "verdict": verdict}, indent=1))
 
 
+def main_pinn_tpu():
+    """Update BENCH_surface.json's tpu_pinn section in place (run under
+    the axon tunnel: the measurement lands on the real chip)."""
+    out = json.load(open("BENCH_surface.json"))
+    out["tpu_pinn"] = section_pinn_tpu()
+    with open("BENCH_surface.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": "pinn_tpu_latency", **out["tpu_pinn"]},
+                     indent=1))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--pinn-tpu" in sys.argv:
+        main_pinn_tpu()
+    else:
+        main()

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.exceptions import ValidationError
+from ..utils.exceptions import ModelError, ValidationError
 from .base import TARGET_COLUMN, VolatilityModelBase, regression_metrics
 from .nn_core import apply_mlp, flatten_params, init_mlp, unflatten_params
 
@@ -79,14 +79,12 @@ def _pinn_loss(p, ck, lam, k_obs, t_obs, iv, lam_w, ranges, n_col):
                          + lam_wing * wing_penalty(p, kk, tt))), fit
 
 
-@functools.partial(jax.jit, static_argnames=("epochs", "n_col", "warm",
-                                             "track_from",
-                                             "learning_rate"))
-def _train_pinn_scanned(params, k_obs, t_obs, iv, lam_w, ranges, key, *,
-                        epochs, n_col, warm, track_from, learning_rate):
+def _train_pinn_core(params, k_obs, t_obs, iv, lam_w, ranges, key, *,
+                     epochs, n_col, warm, track_from, learning_rate):
     """The whole annealed PINN training as ONE device program with
     best-loss-iterate tracking from ``track_from`` on (cache discipline
-    of ``nn_core._train_mlp_scanned``)."""
+    of ``nn_core._train_mlp_scanned``). Pure; jitted/vmapped by the
+    wrappers below. Returns (best_params, best_loss, losses, fits)."""
     import optax
 
     schedule = optax.cosine_decay_schedule(learning_rate, epochs,
@@ -109,10 +107,42 @@ def _train_pinn_scanned(params, k_obs, t_obs, iv, lam_w, ranges, key, *,
         best_l = jnp.where(better, loss, best_l)
         return (p, st, best_p, best_l), (loss, fit)
 
-    (_, _, best_p, _), (losses, fits) = jax.lax.scan(
+    (_, _, best_p, best_l), (losses, fits) = jax.lax.scan(
         body, (params, opt_state, params, jnp.float32(jnp.inf)),
         jnp.arange(epochs))
+    return best_p, best_l, losses, fits
+
+
+@functools.partial(jax.jit, static_argnames=("epochs", "n_col", "warm",
+                                             "track_from",
+                                             "learning_rate"))
+def _train_pinn_scanned(params, k_obs, t_obs, iv, lam_w, ranges, key, *,
+                        epochs, n_col, warm, track_from, learning_rate):
+    best_p, _, losses, fits = _train_pinn_core(
+        params, k_obs, t_obs, iv, lam_w, ranges, key, epochs=epochs,
+        n_col=n_col, warm=warm, track_from=track_from,
+        learning_rate=learning_rate)
     return best_p, losses, fits
+
+
+@functools.partial(jax.jit, static_argnames=("epochs", "n_col", "warm",
+                                             "track_from",
+                                             "learning_rate"))
+def _train_pinn_ensemble(params_b, k_obs, t_obs, iv, lam_w, ranges,
+                         keys, *, epochs, n_col, warm, track_from,
+                         learning_rate):
+    """B independent annealed PINN fits in ONE device program: vmap of
+    the whole scanned training over (stacked init params, per-member
+    keys). Each member draws its OWN collocation points — the ensemble
+    spread measures seed/collocation sensitivity, the classic PINN
+    fragility axis. One launch amortizes dispatch: B fits cost ~1 fit
+    of wall time on a TPU (the nets are tiny; the MXU is idle either
+    way — this is VPU/bandwidth-parallel work)."""
+    return jax.vmap(
+        lambda p, k: _train_pinn_core(
+            p, k_obs, t_obs, iv, lam_w, ranges, k, epochs=epochs,
+            n_col=n_col, warm=warm, track_from=track_from,
+            learning_rate=learning_rate))(params_b, keys)
 
 
 def calendar_penalty(params, k, t):
@@ -185,9 +215,7 @@ class PINNVolatilityModel(VolatilityModelBase):
         self._t_range = (0.01, 3.0)
 
     # -- training -----------------------------------------------------------
-    def _train_impl(self, df, **kwargs) -> dict:
-        import optax
-
+    def _train_impl(self, df, n_seeds: int = 1, **kwargs) -> dict:
         k_obs = jnp.asarray(df["log_moneyness"].to_numpy(), jnp.float32)
         t_obs = jnp.asarray(df["time_to_maturity"].to_numpy(), jnp.float32)
         iv = jnp.asarray(df[TARGET_COLUMN].to_numpy(), jnp.float32)
@@ -196,20 +224,30 @@ class PINNVolatilityModel(VolatilityModelBase):
         self._k_range = (float(k_obs.min()) - 0.25, float(k_obs.max()) + 0.25)
         self._t_range = (max(float(t_obs.min()) * 0.5, 1e-3), float(t_obs.max()) * 1.25)
 
-        key = jax.random.PRNGKey(self.seed)
-        params = init_mlp(key, [2, *self.hidden_layers, 1])
-        # head bias so softplus(bias) ≈ mean observed total variance — the
-        # net starts on the surface instead of at softplus(0) ≈ 0.69
-        w_mean = float(jnp.mean(w_obs))
-        inv_sp = float(np.log(np.expm1(max(w_mean, 1e-4))))
-        params[-1]["b"] = params[-1]["b"].at[0].set(inv_sp)
+        if n_seeds < 1:
+            raise ValidationError(f"n_seeds must be >= 1: {n_seeds}")
+        keys = [jax.random.PRNGKey(self.seed + i) for i in range(n_seeds)]
 
-        lam_cal = self.weights["calendar"]
-        lam_bf = self.weights["butterfly"]
-        lam_wing = self.weights["wing"]
-        n_col = self.n_collocation
+        def _init(key):
+            params = init_mlp(key, [2, *self.hidden_layers, 1])
+            # head bias so softplus(bias) ≈ mean observed total variance —
+            # the net starts on the surface instead of at softplus(0) ≈ 0.69
+            w_mean = float(jnp.mean(w_obs))
+            inv_sp = float(np.log(np.expm1(max(w_mean, 1e-4))))
+            params[-1]["b"] = params[-1]["b"].at[0].set(inv_sp)
+            return params
+
+        lam_w = (jnp.float32(self.weights["calendar"]),
+                 jnp.float32(self.weights["butterfly"]),
+                 jnp.float32(self.weights["wing"]))
         k_lo, k_hi = self._k_range
         t_lo, t_hi = self._t_range
+        ranges = (jnp.float32(k_lo), jnp.float32(k_hi), jnp.float32(t_lo),
+                  jnp.float32(t_hi))
+        sizes = dict(epochs=int(self.epochs), n_col=int(self.n_collocation),
+                     warm=max(1, int(self.epochs * 0.3)),
+                     track_from=int(self.epochs * 0.4),
+                     learning_rate=float(self.learning_rate))
 
         # penalty annealing: let the net FIT the surface first, then ramp
         # the physics penalties to full weight over the first 30% of
@@ -218,22 +256,58 @@ class PINNVolatilityModel(VolatilityModelBase):
         # The WHOLE annealed run is one scanned, module-level-cached
         # device program (best-loss tracking from 40% in replaces the old
         # per-epoch host loop — measured ~8 s/fit -> tens of ms warm).
-        best, losses, fits = _train_pinn_scanned(
-            params, k_obs, t_obs, iv,
-            (jnp.float32(lam_cal), jnp.float32(lam_bf),
-             jnp.float32(lam_wing)),
-            (jnp.float32(k_lo), jnp.float32(k_hi), jnp.float32(t_lo),
-             jnp.float32(t_hi)), key,
-            epochs=int(self.epochs), n_col=int(n_col),
-            warm=max(1, int(self.epochs * 0.3)),
-            track_from=int(self.epochs * 0.4),
-            learning_rate=float(self.learning_rate))
+        if n_seeds == 1:
+            best, losses, fits = _train_pinn_scanned(
+                _init(keys[0]), k_obs, t_obs, iv, lam_w, ranges, keys[0],
+                **sizes)
+            self.ensemble_params = None
+            self.ensemble_best_losses = None
+        else:
+            # n_seeds independent (init, collocation-stream) fits in ONE
+            # vmapped device program; keep the best-loss member as the
+            # model (predict/audit unchanged) and the stack for iv_band
+            params_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[_init(k) for k in keys])
+            best_b, best_l, losses_b, fits_b = _train_pinn_ensemble(
+                params_b, k_obs, t_obs, iv, lam_w, ranges,
+                jnp.stack(keys), **sizes)
+            i_best = int(jnp.argmin(best_l))
+            best = jax.tree.map(lambda x: x[i_best], best_b)
+            losses, fits = losses_b[i_best], fits_b[i_best]
+            self.ensemble_params = best_b
+            self.ensemble_best_losses = np.asarray(best_l)
         history = {"loss": [float(v) for v in np.asarray(losses)],
                    "fit": [float(v) for v in np.asarray(fits)]}
         self.params = best
         self.training_history = history
         pred_iv = self._iv(k_obs, t_obs)
-        return regression_metrics(np.asarray(iv), np.asarray(pred_iv))
+        metrics = regression_metrics(np.asarray(iv), np.asarray(pred_iv))
+        if n_seeds > 1:
+            metrics["ensemble_loss_spread"] = float(
+                self.ensemble_best_losses.max()
+                - self.ensemble_best_losses.min())
+        return metrics
+
+    def iv_band(self, k, t):
+        """Across-seed uncertainty band of the ensemble surface: dict of
+        (mean, std, lo, hi) implied-vol arrays over the member nets —
+        the PINN fragility axis (init + collocation stream) made
+        measurable. Needs ``train(df, n_seeds>1)`` first."""
+        if getattr(self, "ensemble_params", None) is None:
+            raise ModelError("iv_band needs train(df, n_seeds > 1)")
+        k = jnp.asarray(k, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+
+        def member_iv(p):
+            w = _w_fn(p, k, t)
+            return jnp.sqrt(jnp.maximum(w, 1e-12)
+                            / jnp.maximum(t, 1e-6))
+
+        ivs = jax.vmap(member_iv)(self.ensemble_params)
+        return {"mean": np.asarray(jnp.mean(ivs, axis=0)),
+                "std": np.asarray(jnp.std(ivs, axis=0)),
+                "lo": np.asarray(jnp.min(ivs, axis=0)),
+                "hi": np.asarray(jnp.max(ivs, axis=0))}
 
     def _iv(self, k, t):
         w = _w_fn(self.params, jnp.asarray(k, jnp.float32), jnp.asarray(t, jnp.float32))

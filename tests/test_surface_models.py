@@ -4,6 +4,7 @@ tests/test_models.py patterns: save/load parity, thread smoke)."""
 
 import threading
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -179,6 +180,60 @@ class TestPINN:
     def test_bad_preset_raises(self):
         with pytest.raises(ValidationError):
             PINNVolatilityModel(preset="ultra")
+
+    def test_ensemble_one_launch(self):
+        """n_seeds>1: one vmapped device program trains every member;
+        the kept params are the best-loss member; iv_band spans the
+        members and its mean tracks the surface."""
+        df = engineer_features(generate_synthetic_chain(n_rows=300,
+                                                        seed=3))
+        m = PINNVolatilityModel(hidden_layers=(16, 16), epochs=200,
+                                preset="medium", seed=0)
+        metrics = m.train(df, n_seeds=3)
+        assert m.ensemble_best_losses.shape == (3,)
+        assert "ensemble_loss_spread" in metrics
+        # kept member == argmin of the per-member best losses
+        i = int(np.argmin(m.ensemble_best_losses))
+        kept = jax.tree.map(lambda x: np.asarray(x[i]), m.ensemble_params)
+        for a, b in zip(jax.tree.leaves(kept), jax.tree.leaves(m.params)):
+            np.testing.assert_array_equal(a, b)
+        k = np.linspace(-0.2, 0.2, 9)
+        t = np.full(9, 0.5)
+        band = m.iv_band(k, t)
+        assert np.all(band["lo"] <= band["mean"] + 1e-7)
+        assert np.all(band["mean"] <= band["hi"] + 1e-7)
+        assert np.all(band["std"] >= 0)
+        # member surfaces agree on the data to within a loose band (all
+        # fit the same smile) but are not identical (independent seeds)
+        assert band["std"].max() > 0
+        assert np.all(band["hi"] - band["lo"] < 0.2)
+
+    def test_ensemble_single_member_matches_plain_fit(self):
+        """The vmapped path at n_seeds=1-member semantics: member 0 of a
+        2-ensemble uses PRNGKey(seed), the same init/collocation stream
+        as the plain fit — its training losses must match the plain
+        fit's to float-association tolerance."""
+        df = engineer_features(generate_synthetic_chain(n_rows=200,
+                                                        seed=5))
+        plain = PINNVolatilityModel(hidden_layers=(16, 16), epochs=120,
+                                    preset="medium", seed=0)
+        plain.train(df)
+        ens = PINNVolatilityModel(hidden_layers=(16, 16), epochs=120,
+                                  preset="medium", seed=0)
+        ens.train(df, n_seeds=2)
+        member0 = jax.tree.map(lambda x: x[0], ens.ensemble_params)
+        k = jnp.linspace(-0.2, 0.2, 9, dtype=jnp.float32)
+        t = jnp.full((9,), 0.5, jnp.float32)
+        from optionslab_tpu.surface.pinn import _w_fn
+        np.testing.assert_allclose(np.asarray(_w_fn(member0, k, t)),
+                                   np.asarray(_w_fn(plain.params, k, t)),
+                                   rtol=2e-3, atol=2e-5)
+
+    def test_iv_band_requires_ensemble(self):
+        from optionslab_tpu.utils.exceptions import ModelError
+        m = PINNVolatilityModel()
+        with pytest.raises(ModelError):
+            m.iv_band(np.zeros(3), np.full(3, 0.5))
 
     @pytest.mark.slow
     def test_wide_box_stays_arbitrage_free(self):
