@@ -77,6 +77,20 @@ def main():
     print("  EPE:", round(aprof.epe, 4), " max PFE:",
           round(aprof.max_pfe, 4), " CVA:", round(acva["cva"], 5))
 
+    # --- smile-/roughness-consistent exposure: the SAME AMC engine under
+    # any supported dynamics (here: exact rough Bergomi — the regression
+    # state gains (v, m), m = E[V~_next | F_t]; see also heston/bates/slv)
+    from optionslab_tpu.models.rbergomi import RBergomiParams
+
+    rprof = amc_exposure_profile(
+        [ExoticPosition(kind="vanilla", strike=100.0, maturity=1.0,
+                        option_type="put")],
+        spot=100.0, rate=0.05, n_dates=8, n_sub=4, n_paths=32768,
+        rbergomi_params=RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9,
+                                       xi0=0.04))
+    print("rough-Bergomi put exposure: EPE:", round(rprof.epe, 4),
+          " max PFE:", round(rprof.max_pfe, 4))
+
     # --- certified multi-asset Bermudan bracket (Broadie-Glasserman) -----
     from optionslab_tpu.models import max_call_bracket
 
