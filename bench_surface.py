@@ -279,6 +279,16 @@ def main():
         }
     out["verdict_vs_reference"] = verdict
 
+    # merge: keep sections only other modes can regenerate (tpu_pinn
+    # needs the TPU tunnel — a CPU re-run must not drop the on-chip
+    # numbers the README cites)
+    try:
+        prev = json.load(open("BENCH_surface.json"))
+    except (OSError, ValueError):
+        prev = {}
+    for keep in ("tpu_pinn",):
+        if keep in prev and keep not in out:
+            out[keep] = prev[keep]
     with open("BENCH_surface.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "vol_surface_showdown",

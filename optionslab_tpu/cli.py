@@ -1164,30 +1164,11 @@ def cmd_xva(args) -> dict:
     if model != "bs" and not kind:
         kind = "vanilla"  # dynamics choice implies the AMC engine
     if kind:
-        from .risk import ExoticPosition, amc_exposure_profile, cva_dva
+        from .risk import (ExoticPosition, amc_dynamics_kwargs,
+                           amc_exposure_profile, cva_dva)
 
-        dyn: dict = {}
-        if model in ("heston", "bates"):
-            if model == "bates":
-                from .models.bates import BatesParams
-
-                dyn["heston_params"] = BatesParams.make()
-            else:
-                from .models.heston import HestonParams
-
-                dyn["heston_params"] = HestonParams.make()
-        elif model == "slv":
-            from .models.heston import HestonParams
-            from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
-
-            dyn["dupire"] = DupireLocalVol(
-                sample_smile_iv_fn(base_vol=args.vol), args.spot, args.rate)
-            dyn["heston_params"] = HestonParams.make()
-            dyn["mixing"] = args.mixing
-        elif model == "rbergomi":
-            from .models.rbergomi import RBergomiParams
-
-            dyn["rbergomi_params"] = RBergomiParams()
+        dyn = amc_dynamics_kwargs(model, spot=args.spot, rate=args.rate,
+                                  vol=args.vol, mixing=args.mixing)
         prof = amc_exposure_profile(
             [ExoticPosition(kind=kind, quantity=args.quantity,
                             strike=args.strike, maturity=args.maturity,
@@ -1494,9 +1475,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "barrier_{up,down}-and-{in,out}")
     px.add_argument("--model", default="bs",
                     choices=["bs", "heston", "bates", "slv", "rbergomi"],
-                    help="AMC exposure dynamics (needs --exotic-kind; "
+                    help="AMC exposure dynamics (alone it implies a "
+                         "vanilla AMC position; combine with "
+                         "--exotic-kind for path-dependent books); "
                          "default-parameter smile models — use the HTTP "
-                         "/xva route to pass explicit params)")
+                         "/xva route to pass explicit params")
     px.add_argument("--mixing", type=float, default=1.0,
                     help="SLV mixing fraction (model=slv)")
     px.add_argument("--barrier", type=float, default=120.0)

@@ -1,7 +1,9 @@
 from .expected_shortfall import ExpectedShortfall
 from .exposure import (ExposureResult, cva_allocation, cva_dva,
                        cva_greeks, cva_wwr, exposure_profile, xva_report)
-from .exposure_amc import AMC_KINDS, ExoticPosition, amc_exposure_profile
+from .exposure_amc import (AMC_KINDS, ExoticPosition,
+                           amc_dynamics_kwargs,
+                           amc_exposure_profile)
 from .exposure_heston import heston_exposure_profile
 from .portfolio import OptionsPortfolio, Position
 from .sensitivity import SensitivityAnalysis
@@ -48,5 +50,5 @@ __all__ = [
     "cva_wwr",
     "xva_report",
     "heston_exposure_profile",
-    "amc_exposure_profile", "ExoticPosition", "AMC_KINDS",
+    "amc_exposure_profile", "amc_dynamics_kwargs", "ExoticPosition", "AMC_KINDS",
 ]

@@ -44,7 +44,43 @@ from ..models.black_scholes import bs_price
 from ..utils.exceptions import ValidationError
 from .exposure import ExposureResult
 
-__all__ = ["ExoticPosition", "amc_exposure_profile"]
+__all__ = ["ExoticPosition", "amc_exposure_profile",
+           "amc_dynamics_kwargs"]
+
+
+def amc_dynamics_kwargs(model: str, *, spot, rate, vol,
+                        heston_params=None, bates_params=None,
+                        rbergomi_params=None, mixing=1.0) -> dict:
+    """Map a façade model name to :func:`amc_exposure_profile` dynamics
+    kwargs — the ONE place CLI ``xva --model`` and HTTP ``/xva`` share.
+    The ``*_params`` are override DICTS (same conventions as the
+    ``/american`` route); ``vol`` seeds the SLV smile's base level."""
+    model = str(model).lower()
+    if model == "bs":
+        return {}
+    if model == "heston":
+        from ..models.heston import HestonParams
+
+        return {"heston_params": HestonParams.make(**(heston_params or {}))}
+    if model == "bates":
+        from ..models.bates import BatesParams
+
+        return {"heston_params": BatesParams.make(**(bates_params or {}))}
+    if model == "slv":
+        from ..models.heston import HestonParams
+        from ..models.local_vol import DupireLocalVol, sample_smile_iv_fn
+
+        return {"dupire": DupireLocalVol(sample_smile_iv_fn(base_vol=vol),
+                                         spot, rate),
+                "heston_params": HestonParams.make(**(heston_params or {})),
+                "mixing": float(mixing)}
+    if model == "rbergomi":
+        from ..models.rbergomi import RBergomiParams
+
+        return {"rbergomi_params": RBergomiParams(**(rbergomi_params
+                                                     or {}))}
+    raise ValueError(f"unknown xva model {model!r}; choose "
+                     "bs|heston|bates|slv|rbergomi")
 
 AMC_KINDS = ("vanilla", "asian_arith", "lookback_float", "lookback_fixed",
              "barrier_up-and-out", "barrier_up-and-in",
@@ -159,22 +195,19 @@ def _sim_fine_slv(key, n_paths, n_fine, dt, spot, rate, dividend, params,
     return spot * jnp.exp(xs.T), vs.T
 
 
-def _m_readout_dates(lc: np.ndarray, d_idx, n_sub: int, n_fine: int):
+def _m_readout_dates(lc: np.ndarray, n_dates: int, n_sub: int):
     """(n_dates, 2n) host matrix M with m_d = M[d] @ e = the conditional
     mean E[V~ at the NEXT exposure date | F at date d] under the causal
-    (time-interleaved) Volterra factorization — row 2(j_next−1) of the
-    factor, columns masked to the date's revealed coordinates (< 2·j).
-    The last date (no next) reads out zero; its feature is unused (tau=0
-    there, the mark is the settled payoff)."""
-    out = np.zeros((len(d_idx), 2 * n_fine), np.float32)
-    for k, di in enumerate(np.asarray(d_idx)):
-        j = int(di) + 1                    # 1-based fine index of date k
-        j_next = j + n_sub
-        if j_next <= n_fine:
-            row = lc[2 * (j_next - 1)].copy()
-            row[2 * j:] = 0.0
-            out[k] = row
-    return out
+    (time-interleaved) Volterra factorization. The exposure date grid is
+    the American bracket's date grid shifted by one (its row 0 sits at
+    t=0; exposure dates start at t_1), so this is exactly
+    ``rbergomi_american._m_readout_matrix(lc, n_dates, n_sub)[1:]`` — one
+    implementation of the subtle row/mask index arithmetic. The last
+    date (no next) reads out zero; its feature is unused (tau=0 there,
+    the mark is the settled payoff)."""
+    from ..models.rbergomi_american import _m_readout_matrix
+
+    return _m_readout_matrix(lc, n_dates, n_sub)[1:]
 
 
 def _sim_fine_rbergomi(key, n_paths, n_fine, dt, spot, rate, dividend,
@@ -292,8 +325,7 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
         lc_np = _volterra_chol_causal(n_fine, float(rbergomi_params.hurst),
                                       float(horizon))
         rb_lc = jnp.asarray(lc_np)
-        rb_mmat = jnp.asarray(
-            _m_readout_dates(lc_np, np.asarray(d_idx), n_sub, n_fine))
+        rb_mmat = jnp.asarray(_m_readout_dates(lc_np, n_dates, n_sub))
     if dupire is not None:
         if heston_params is None:
             raise ValidationError("SLV exposure needs heston_params "

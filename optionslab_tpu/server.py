@@ -916,10 +916,13 @@ def handle_xva(body: dict) -> dict:
     rate = float(body.get("rate", 0.05))
     vol = float(body.get("vol", 0.2))
     specs = body.get("positions") or [{}]
-    if any("kind" in s_ for s_ in specs):
-        # any path-dependent position routes the WHOLE set through the
-        # AMC (regression-revaluation) engine; kind="vanilla" mixes in
-        from .risk import ExoticPosition, amc_exposure_profile, cva_dva
+    model = str(body.get("model", "bs")).lower()
+    if any("kind" in s_ for s_ in specs) or model != "bs":
+        # any path-dependent position — or any non-BS dynamics choice —
+        # routes the WHOLE set through the AMC (regression-revaluation)
+        # engine; kind="vanilla" mixes in / is the default
+        from .risk import (ExoticPosition, amc_dynamics_kwargs,
+                           amc_exposure_profile, cva_dva)
 
         book = [ExoticPosition(kind=str(s_.get("kind", "vanilla")),
                                quantity=float(s_.get("quantity", 1.0)),
@@ -930,37 +933,17 @@ def handle_xva(body: dict) -> dict:
                                barrier=float(s_.get("barrier", 0.0)),
                                vol=float(s_.get("vol", vol)))
                 for s_ in specs]
-        model = str(body.get("model", "bs")).lower()
-        dyn: dict = {}
-        if model == "heston":
-            from .models.heston import HestonParams
-
-            dyn["heston_params"] = HestonParams.make(
-                **body.get("heston_params", {}))
-        elif model == "bates":
-            from .models.bates import BatesParams
-
-            dyn["heston_params"] = BatesParams.make(
-                **body.get("bates_params", {}))
-        elif model == "slv":
-            from .models.heston import HestonParams
-            from .models.local_vol import DupireLocalVol, sample_smile_iv_fn
-
-            dyn["dupire"] = DupireLocalVol(sample_smile_iv_fn(base_vol=vol),
-                                           spot, rate)
-            dyn["heston_params"] = HestonParams.make(
-                **body.get("heston_params", {}))
-            dyn["mixing"] = float(body.get("mixing", 1.0))
-        elif model == "rbergomi":
-            from .models.rbergomi import RBergomiParams
-
-            dyn["rbergomi_params"] = RBergomiParams(
-                **body.get("rbergomi_params", {}))
-        elif model != "bs":
-            raise ValueError(f"unknown xva model {model!r}; choose "
-                             "bs|heston|bates|slv|rbergomi")
+        dyn = amc_dynamics_kwargs(
+            model, spot=spot, rate=rate, vol=vol,
+            heston_params=body.get("heston_params"),
+            bates_params=body.get("bates_params"),
+            rbergomi_params=body.get("rbergomi_params"),
+            mixing=body.get("mixing", 1.0))
         prof = amc_exposure_profile(
-            book, spot=spot, rate=rate, vol=vol,
+            book, spot=spot, rate=rate,
+            # a top-level "vol" pins the BS dynamics; absent, the
+            # engine's default (first position's vol) applies
+            vol=float(body["vol"]) if "vol" in body else None,
             n_dates=min(int(body.get("dates", 24)), 120),
             n_paths=min(int(body.get("paths", 65536)), 524_288),
             quantile=float(body.get("quantile", 0.95)),

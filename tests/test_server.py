@@ -620,3 +620,27 @@ class TestAMCXVAEndpoint:
         status, body = _post(server, "/xva", {
             "positions": [{"kind": "vanilla"}], "model": "garch"})
         assert status == 400 and "error" in body
+        # ... and with no "kind" either — a dynamics choice must never
+        # silently fall through to the closed-form BS engine
+        status, body = _post(server, "/xva", {
+            "positions": [{"option_type": "put"}], "model": "garch"})
+        assert status == 400 and "error" in body
+
+    def test_model_without_kind_routes_to_amc(self, server):
+        status, body = _post(server, "/xva", {
+            "positions": [{"option_type": "put"}], "model": "heston",
+            "paths": 8192, "dates": 4})
+        assert status == 200 and body["engine"] == "amc"
+        assert body["model"] == "heston" and body["epe"] > 0
+
+    def test_position_vol_honored_without_top_level_vol(self, server):
+        """No top-level \"vol\": the AMC engine's GBM dynamics must run
+        at the position's vol (the pre-model-knob behavior), not the
+        body default."""
+        lo = _post(server, "/xva", {
+            "positions": [{"kind": "vanilla", "vol": 0.1}],
+            "paths": 8192, "dates": 4})[1]
+        hi = _post(server, "/xva", {
+            "positions": [{"kind": "vanilla", "vol": 0.4}],
+            "paths": 8192, "dates": 4})[1]
+        assert hi["epe"] > 1.5 * lo["epe"]
