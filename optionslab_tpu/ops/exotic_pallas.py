@@ -148,7 +148,7 @@ _draw_normals = _draw_normals_impl  # shared with the other kernels (kernel_rng)
 # ---------------------------------------------------------------------------
 def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                    n_steps: int, cp: float, period: int, sampler: str,
-                   lr: bool = False):
+                   lr: bool = False, n_contracts: int = 1):
     # seed_ref = [seed, block0]: RNG streams index by GLOBAL block id so a
     # sharded launch owning blocks [block0, block0+n) reproduces exactly
     # the single-device path set; init fires on the first LOCAL grid step
@@ -164,6 +164,10 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
     #   DR = Σ ∂pv/∂r|explicit   (autocall only: the in-kernel coupon
     #        discount derivative −Σ tᵢ·dfᵢ·cashᵢ → rho and theta)
     hit_pay = kind.endswith("_hit")  # cash discounted at first hit
+    if n_contracts > 1:
+        # contract-book launch: rows interleave contracts (contract id =
+        # rid % n_contracts); per-contract payoff params ride SMEM
+        book_ref, *refs = refs
     if lr:
         if kind == "autocall" or hit_pay:
             (pay_ref, pay2_ref, d1_ref, dg_ref, dz_ref, d2_ref,
@@ -192,15 +196,33 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
 
     s0 = param_ref[_P_S0]
     inv_s0 = 1.0 / s0
-    strike = param_ref[_P_K]
     drift_dt = param_ref[_P_DRIFT_DT]
     vol_sqrt_dt = param_ref[_P_VOLSQDT]
-    barrier = param_ref[_P_BARRIER]
     inv_n = param_ref[_P_INV_N]
     # exp(drift_dt) computed host-side at full precision: the in-kernel fast
     # exp's absolute error near 1 would compound across all n_steps
     growth = param_ref[_P_GROWTH]
     rdt = param_ref[_P_RDT]
+    if n_contracts > 1:
+        # per-contract payoff params as (ROWS, 1) row tiles (broadcast
+        # against the (ROWS, LANES) path tiles): book slot layout
+        # [K, BARRIER, A, B, C, D, E] per contract, contract = rid % nc
+        ridc = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) \
+            % n_contracts
+
+        def _row(slot):
+            v = jnp.full((ROWS, 1), book_ref[slot], jnp.float32)
+            for c in range(1, n_contracts):
+                v = jnp.where(ridc == c, book_ref[c * 7 + slot], v)
+            return v
+
+        strike, barrier = _row(0), _row(1)
+        pA, pB, pC, pD, pE = (_row(2), _row(3), _row(4), _row(5), _row(6))
+    else:
+        strike = param_ref[_P_K]
+        barrier = param_ref[_P_BARRIER]
+        pA, pB = param_ref[_P_A], param_ref[_P_B]
+        pC, pD, pE = param_ref[_P_C], param_ref[_P_D], param_ref[_P_E]
 
     shape = (ROWS, LANES)
     barrier_up = "up" in kind
@@ -233,7 +255,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             return (jnp.zeros(shape, jnp.float32),)
         if hit_pay:
             if "double" in kind:
-                h0 = (s_like <= param_ref[_P_A]) | (s_like >= param_ref[_P_B])
+                h0 = (s_like <= pA) | (s_like >= pB)
             else:
                 h0 = (s_like >= barrier) if barrier_up \
                     else (s_like <= barrier)
@@ -242,7 +264,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             return (h0, h0) + ((jnp.zeros(shape, jnp.float32),)
                                if lr else ())
         if "double" in kind:
-            hit0 = (s_like <= param_ref[_P_A]) | (s_like >= param_ref[_P_B])
+            hit0 = (s_like <= pA) | (s_like >= pB)
             return (hit0.astype(jnp.float32),)
         hit0 = (s_like >= barrier) if barrier_up else (s_like <= barrier)
         return (hit0.astype(jnp.float32),)
@@ -269,18 +291,18 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             s_start, acc = stat
             is_end = jnp.where((i + 1) % period == 0, 1.0, 0.0)
             capped = jnp.clip(s_or_log / s_start - 1.0,
-                              param_ref[_P_A], param_ref[_P_B])
+                              pA, pB)
             acc = acc + is_end * capped
             s_start = s_start + is_end * (s_or_log - s_start)
             return (s_start, acc)
         if kind == "autocall":
             alive, ki, pv = stat[:3]
-            ki = jnp.maximum(ki, jnp.where(s_or_log <= param_ref[_P_C], 1.0, 0.0))
+            ki = jnp.maximum(ki, jnp.where(s_or_log <= pC, 1.0, 0.0))
             is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
             df_i = jnp.exp(-rdt * (i + 1).astype(jnp.float32))
-            called = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_A], 1.0, 0.0)
-            couponed = alive * is_obs * jnp.where(s_or_log >= param_ref[_P_B], 1.0, 0.0)
-            cash = param_ref[_P_D] * couponed + param_ref[_P_E] * called
+            called = alive * is_obs * jnp.where(s_or_log >= pA, 1.0, 0.0)
+            couponed = alive * is_obs * jnp.where(s_or_log >= pB, 1.0, 0.0)
+            cash = pD * couponed + pE * called
             pv = pv + df_i * cash
             alive = alive * (1.0 - called)
             if lr:
@@ -290,14 +312,14 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                 return (alive, ki, pv, stat[3] - t_i * df_i * cash)
             return (alive, ki, pv)
         if kind == "range_accrual":
-            acc = jnp.where((s_or_log >= param_ref[_P_A])
-                            & (s_or_log <= param_ref[_P_B]), 1.0, 0.0)
+            acc = jnp.where((s_or_log >= pA)
+                            & (s_or_log <= pB), 1.0, 0.0)
             return (stat[0] + acc,)
         if hit_pay:
             h, pv = stat[:2]
             if "double" in kind:
-                now = ((s_or_log <= param_ref[_P_A])
-                       | (s_or_log >= param_ref[_P_B]))
+                now = ((s_or_log <= pA)
+                       | (s_or_log >= pB))
             else:
                 now = (s_or_log >= barrier) if barrier_up \
                     else (s_or_log <= barrier)
@@ -312,8 +334,8 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                         stat[2] - steps * dt * newly * df_i)
             return (jnp.maximum(h, now), pv)
         if "double" in kind:
-            hit = ((s_or_log <= param_ref[_P_A])
-                   | (s_or_log >= param_ref[_P_B]))
+            hit = ((s_or_log <= pA)
+                   | (s_or_log >= pB))
             return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
         hit = (s_or_log >= barrier) if barrier_up else (s_or_log <= barrier)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -340,12 +362,12 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             return jnp.maximum(cp * (stat[0] - strike), 0.0)
         if kind == "cliquet":
             # notional · clip(Σ capped period returns, global floor, cap)
-            return param_ref[_P_E] * jnp.clip(stat[1], param_ref[_P_C], param_ref[_P_D])
+            return pE * jnp.clip(stat[1], pC, pD)
         if kind == "autocall":
             alive, ki, pv = stat[:3]
             df_t = jnp.exp(-rdt * float(n_steps))
             loss = jnp.maximum(1.0 - s_t / s0, 0.0)
-            final = param_ref[_P_E] * (1.0 - ki * loss)
+            final = pE * (1.0 - ki * loss)
             return pv + alive * df_t * final  # already discounted in-kernel
         if hit_pay:
             return stat[1]  # df-at-hit carried in-kernel (host df = 1)
@@ -353,7 +375,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
             # unit cash at expiry on the hit / no-hit event (host-side df)
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         if kind == "range_accrual":
-            return param_ref[_P_E] * stat[0] * inv_n
+            return pE * stat[0] * inv_n
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
@@ -521,7 +543,7 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
                 dt = param_ref[_P_SQDT] * param_ref[_P_SQDT]
                 df_t = jnp.exp(-rdt * float(n_steps))
                 loss = jnp.maximum(1.0 - x / s0, 0.0)
-                final = param_ref[_P_E] * (1.0 - ki * loss)
+                final = pE * (1.0 - ki * loss)
                 acc_dr += st[3] - (dt * float(n_steps)) * df_t * alive * final
     for off in range(0, LANES, 128):
         pay_ref[:, :] += acc[:, off:off + 128]
@@ -534,9 +556,11 @@ def _exotic_kernel(seed_ref, param_ref, *refs, kind: str,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks", "cp",
-                                             "period", "sampler", "lr"))
-def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
-            period: int = 1, sampler: str = "prng", lr: bool = False):
+                                             "period", "sampler", "lr",
+                                             "n_contracts"))
+def _launch(seed, params, book=None, *, kind: str, n_steps: int,
+            n_blocks: int, cp: float, period: int = 1,
+            sampler: str = "prng", lr: bool = False, n_contracts: int = 1):
     if sampler.startswith("sobol") and n_steps < 2:
         raise ValidationError("bridge QMC needs n_steps >= 2 (terminal + "
                               "midpoint coordinates)")
@@ -544,14 +568,13 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
              else 6) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
     interpret = False if jax.default_backend() == "tpu" else pltpu.InterpretParams()
+    operands = (seed, params) if n_contracts == 1 else (seed, params, book)
     return pl.pallas_call(
         functools.partial(_exotic_kernel, kind=kind, n_steps=n_steps, cp=cp,
-                          period=period, sampler=sampler, lr=lr),
+                          period=period, sampler=sampler, lr=lr,
+                          n_contracts=n_contracts),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(operands),
         out_specs=[acc_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
@@ -560,7 +583,7 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int, cp: float,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 8,
         ),
         interpret=interpret,
-    )(seed, params)
+    )(*operands)
 
 
 PATHS_PER_BLOCK = 4 * ROWS * LANES
@@ -635,19 +658,35 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
             raise ValidationError("double kinds need 0 < lower < upper")
         p[_P_A], p[_P_B] = float(lower), float(upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-                        kind=kind, n_steps=n_steps, n_blocks=n_blocks,
-                        cp=float(cp), sampler=sampler)
     # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
-    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
-                                sampler)
+    price, se = _price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        jnp.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        cp=float(cp), sampler=sampler)
+    n = n_blocks * PATHS_PER_BLOCK
     if kind == "asian_arith_cv":
         from ..models.exotics import geometric_asian_closed_form
 
         price = price + geometric_asian_closed_form(
             spot, strike, t, rate, vol, cp, dividend, n_steps)
     return price, se, n
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler"))
+def _price_pipeline(seed, p, df, *, kind, n_steps, n_blocks, cp, period=1,
+                    sampler="prng"):
+    """Launch + moment reduction in ONE jitted program (one tunnel
+    dispatch) — the eager ``_mean_stderr`` tail cost extra RPC
+    round-trips per price call, which dominate at short-step workloads
+    (CLAUDE.md: "hot paths must be single jitted programs")."""
+    pay, pay2 = _launch(seed, p, kind=kind, n_steps=n_steps,
+                        n_blocks=n_blocks, cp=cp, period=period,
+                        sampler=sampler)
+    price, se, _ = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
+                                sampler)
+    return price, se
 
 
 def _mean_stderr(pay, pay2, n, df, sampler: str = "prng"):
@@ -673,6 +712,221 @@ def _mean_stderr(pay, pay2, n, df, sampler: str = "prng"):
     return df * mean, df * jnp.sqrt(var / n), n
 
 
+# ---------------------------------------------------------------------------
+# Contract books: one launch prices N contracts (mixed strikes/barriers)
+# ---------------------------------------------------------------------------
+_BOOK_KINDS_EXCLUDED = ("cliquet", "autocall", "range_accrual",
+                        "asian_arith_cv")
+
+
+def _book_pad(n_contracts: int) -> int:
+    """Pad the book to the next power of two (rows interleave contracts:
+    contract id = rid % nc, so nc must divide ROWS = 128)."""
+    if not 1 <= n_contracts <= ROWS:
+        raise ValidationError(f"book size must be 1..{ROWS}: {n_contracts}")
+    p = 1
+    while p < n_contracts:
+        p *= 2
+    return p
+
+
+def _book_smem(strikes, barriers, a, b, c, d, e, nc_pad):
+    """SMEM book vector: [K, BARRIER, A, B, C, D, E] per contract, the
+    book padded by repeating the last contract."""
+    nc = len(strikes)
+
+    def at(xs, i):
+        return float(xs[min(i, nc - 1)])
+
+    vec = []
+    for i in range(nc_pad):
+        vec += [at(strikes, i), at(barriers, i), at(a, i), at(b, i),
+                at(c, i), at(d, i), at(e, i)]
+    return jnp.asarray(vec, jnp.float32)
+
+
+def _book_lists(kind, strikes, barriers, lowers, uppers):
+    """Normalize/validate the per-contract param lists for ``kind``."""
+    strikes = [float(s) for s in strikes]
+    nc = len(strikes)
+    if nc == 0:
+        raise ValidationError("empty contract book")
+
+    def norm(xs, name, need):
+        if xs is None:
+            if need:
+                raise ValidationError(f"kind {kind!r} needs {name} "
+                                      "(one per contract)")
+            return [0.0] * nc
+        xs = [float(x) for x in xs]
+        if len(xs) != nc:
+            raise ValidationError(f"{name} must have one entry per "
+                                  f"contract ({nc}): got {len(xs)}")
+        return xs
+
+    needs_barrier = ("barrier" in kind or "touch" in kind) \
+        and "double" not in kind
+    needs_band = "double" in kind
+    barriers = norm(barriers, "barriers", needs_barrier)
+    lowers = norm(lowers, "lowers", needs_band)
+    uppers = norm(uppers, "uppers", needs_band)
+    if needs_band:
+        for lo, up in zip(lowers, uppers):
+            if not 0.0 < lo < up:
+                raise ValidationError("double kinds need 0 < lower < upper "
+                                      "per contract")
+    return strikes, barriers, lowers, uppers
+
+
+def _check_book_call(kind, sampler):
+    if kind not in PAYOFF_KINDS or kind in _BOOK_KINDS_EXCLUDED:
+        raise ValidationError(
+            f"book pricing supports the non-structured PAYOFF_KINDS: "
+            f"got {kind!r}")
+    if sampler.startswith("sobol"):
+        raise ValidationError(
+            "book launches support prng|hash samplers (the QMC replicate "
+            "groups ride the row axis the book interleaves)")
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "n_contracts"))
+def _book_price_pipeline(seed, p, book, df, *, kind, n_steps, n_blocks, cp,
+                         sampler="prng", n_contracts=1):
+    """One launch + per-contract moment reduction, ONE traced program.
+    Reference analog: ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``) — there a Python
+    loop over contracts; here contracts interleave the row axis of the
+    same path block, so an N-contract book costs ONE tunnel dispatch."""
+    pay, pay2 = _launch(seed, p, book, kind=kind, n_steps=n_steps,
+                        n_blocks=n_blocks, cp=cp, sampler=sampler,
+                        n_contracts=n_contracts)
+    n = n_blocks * (ROWS // n_contracts) * LANES * 4
+    s1 = pay.reshape(ROWS // n_contracts, n_contracts, -1).sum(axis=(0, 2))
+    s2 = pay2.reshape(ROWS // n_contracts, n_contracts, -1).sum(axis=(0, 2))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return df * mean, df * jnp.sqrt(var / n)
+
+
+def pallas_exotic_book_price(kind: str, spot, strikes, maturity, rate, vol,
+                             cp: float = 1.0, dividend: float = 0.0,
+                             barriers=None, lowers=None, uppers=None,
+                             n_paths: int = 1_000_000, n_steps: int = 64,
+                             seed: int = 0, sampler: str = "prng"):
+    """Price a BOOK of same-kind contracts (mixed strikes / barriers /
+    bands) under one GBM dynamics in ONE kernel launch.
+
+    Contracts interleave the row axis (contract id = rid % nc, book
+    padded to a power of two), so an N-contract book costs one tunnel
+    dispatch instead of N — over the TPU tunnel each dispatch is
+    ~0.5–3 s, so this is the difference between interactive and not.
+    ``n_paths`` is PER CONTRACT. Returns ``(prices, stderrs, n_paths)``
+    with one entry per requested contract.
+
+    Reference analog: ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+    _check_book_call(kind, sampler)
+    strikes, barriers, lowers, uppers = _book_lists(
+        kind, strikes, barriers, lowers, uppers)
+    nc = len(strikes)
+    nc_pad = _book_pad(nc)
+    p, t = _base_params(spot, strikes[0], maturity, rate, vol, dividend,
+                        barriers[0], n_steps)
+    a = lowers if "double" in kind else [0.0] * nc
+    b = uppers if "double" in kind else [0.0] * nc
+    zeros = [0.0] * nc
+    book = _book_smem(strikes, barriers, a, b, zeros, zeros, zeros, nc_pad)
+    paths_per_block = (ROWS // nc_pad) * LANES * 4
+    n_blocks = max(1, math.ceil(n_paths / paths_per_block))
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
+    prices, ses = _book_price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        book, jnp.float32(df), kind=kind, n_steps=n_steps,
+        n_blocks=n_blocks, cp=float(cp), sampler=sampler,
+        n_contracts=nc_pad)
+    return prices[:nc], ses[:nc], n_blocks * paths_per_block
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "n_contracts"))
+def _book_lr_pipeline(seed, p, book, scalars, *, kind, n_steps, n_blocks,
+                      cp, sampler, n_contracts):
+    """Book launch(lr=True) → per-contract LR Greek ladders, ONE traced
+    program (same score algebra as ``_lr_pipeline``, reduced per
+    row-group instead of globally)."""
+    outs = _launch(seed, p, book, kind=kind, n_steps=n_steps,
+                   n_blocks=n_blocks, cp=cp, sampler=sampler, lr=True,
+                   n_contracts=n_contracts)
+    n = n_blocks * (ROWS // n_contracts) * LANES * 4
+    spot, sig, t, df, mu, rate = scalars
+    dt = t / n_steps
+    sqdt = jnp.sqrt(dt)
+
+    def red(o):
+        return o.reshape(ROWS // n_contracts, n_contracts, -1) \
+                .sum(axis=(0, 2)) / n
+
+    pay_m, pay2_m, d1_m, dg_m, dz_m, d2_m = [red(o) for o in outs[:6]]
+    price = df * pay_m
+    var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
+    score_t_m = d2_m / (2.0 * t) + mu * sqdt / (sig * t) * dz_m
+    out = {
+        "price": price,
+        "std_error": df * jnp.sqrt(var / n),
+        "delta": df * d1_m / (spot * sig * sqdt),
+        "gamma": df * (dg_m / (sig * sig * dt) - d1_m / (sig * sqdt))
+                 / (spot * spot),
+        "vega": df * (d2_m / sig - sqdt * dz_m),
+    }
+    if kind.endswith("_hit"):
+        dr_m = red(outs[6])
+        out["rho"] = sqdt / sig * dz_m + dr_m
+        out["theta"] = -score_t_m - rate / t * dr_m
+    else:
+        out["rho"] = df * sqdt / sig * dz_m - t * price
+        out["theta"] = rate * price - df * score_t_m
+    return out
+
+
+def pallas_exotic_book_lr_greeks(kind: str, spot, strikes, maturity, rate,
+                                 vol, cp: float = 1.0,
+                                 dividend: float = 0.0, barriers=None,
+                                 lowers=None, uppers=None,
+                                 n_paths: int = 1_000_000,
+                                 n_steps: int = 64, seed: int = 0,
+                                 sampler: str = "prng") -> dict:
+    """Per-contract price + LR delta/gamma/vega/rho/theta for a book of
+    same-kind contracts in ONE kernel launch (see
+    :func:`pallas_exotic_book_price` for the row-interleave layout;
+    ``n_paths`` per contract). Every dict value has one entry per
+    contract."""
+    _check_book_call(kind, sampler)
+    strikes, barriers, lowers, uppers = _book_lists(
+        kind, strikes, barriers, lowers, uppers)
+    nc = len(strikes)
+    nc_pad = _book_pad(nc)
+    p, t = _base_params(spot, strikes[0], maturity, rate, vol, dividend,
+                        barriers[0], n_steps)
+    a = lowers if "double" in kind else [0.0] * nc
+    b = uppers if "double" in kind else [0.0] * nc
+    zeros = [0.0] * nc
+    book = _book_smem(strikes, barriers, a, b, zeros, zeros, zeros, nc_pad)
+    paths_per_block = (ROWS // nc_pad) * LANES * 4
+    n_blocks = max(1, math.ceil(n_paths / paths_per_block))
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
+    mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
+    scalars = jnp.asarray([float(spot), float(vol), t, df, mu,
+                           float(rate)], jnp.float32)
+    out = _book_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        book, scalars, kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        cp=float(cp), sampler=sampler, n_contracts=nc_pad)
+    out = {k: v[:nc] for k, v in out.items()}
+    out["paths"] = n_blocks * paths_per_block
+    return out
+
+
 def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
                          local_floor: float = -0.05, local_cap: float = 0.05,
                          global_floor: float = 0.0, global_cap: float = 1e9,
@@ -688,11 +942,12 @@ def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_C], p[_P_D] = float(global_floor), float(global_cap)
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-                        kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-                        period=n_steps // n_periods, sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t), sampler)
+    price, se = _price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        jnp.float32(math.exp(-float(rate) * t)), kind="cliquet",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        period=n_steps // n_periods, sampler=sampler)
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
@@ -715,11 +970,12 @@ def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_D] = float(notional) * float(coupon_rate) / n_obs
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-                        kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-                        period=n_steps // n_obs, sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, 1.0,
-                        sampler)
+    price, se = _price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        jnp.float32(1.0), kind="autocall", n_steps=n_steps,
+        n_blocks=n_blocks, cp=1.0, period=n_steps // n_obs,
+        sampler=sampler)
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 # ---------------------------------------------------------------------------
@@ -906,12 +1162,11 @@ def pallas_range_accrual_price(spot, lower, upper, maturity, rate, vol,
     p[_P_A], p[_P_B] = float(lower), float(upper)
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
-                        jnp.asarray(p, jnp.float32), kind="range_accrual",
-                        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-                        sampler=sampler)
-    return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                        math.exp(-float(rate) * t), sampler)
+    price, se = _price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        jnp.float32(math.exp(-float(rate) * t)), kind="range_accrual",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0, sampler=sampler)
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def pallas_range_accrual_lr_greeks(spot, lower, upper, maturity, rate, vol,

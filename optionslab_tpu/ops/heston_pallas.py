@@ -1043,7 +1043,8 @@ HESTON_EXOTIC_KINDS = (
 
 def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                           cp: float, period: int, sampler: str, scheme: str,
-                          lr: bool = False, jumps: bool = False):
+                          lr: bool = False, jumps: bool = False,
+                          n_contracts: int = 1):
     """Exotic payoffs under Heston, fully fused: (x, v) plus the payoff's
     running statistics live in VMEM registers for the whole path.
 
@@ -1080,6 +1081,10 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
     autocall ladder (``exotic_pallas`` ``discounted=True``).
     """
     hit_pay = kind.endswith("_hit")  # cash discounted at first hit
+    if n_contracts > 1:
+        # contract-book launch: rows interleave contracts (contract id =
+        # rid % n_contracts); per-contract payoff params ride SMEM
+        book_ref, *refs = refs
     if lr:
         if kind == "autocall" or hit_pay:
             (pay_ref, pay2_ref, d1_ref, dg_ref, dv_ref, sr_ref, ts_ref,
@@ -1104,8 +1109,27 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         pltpu.prng_seed(seed_ref[0] + block * jnp.int32(-1640531535))
     seed = seed_ref[0]
 
-    s0, strike, log_b = p_ref[_HX_S0], p_ref[_HX_K], p_ref[_HX_LOGB]
+    s0 = p_ref[_HX_S0]
     inv_n, rdt = p_ref[_HX_INVN], p_ref[_HX_RDT]
+    if n_contracts > 1:
+        # per-contract payoff params as (ROWS, 1) row tiles (broadcast
+        # against the (ROWS, LANES) path tiles): book slot layout
+        # [K, LOGB, A, B, C, D, E] per contract, contract = rid % nc
+        ridc = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) \
+            % n_contracts
+
+        def _row(slot):
+            v = jnp.full((ROWS, 1), book_ref[slot], jnp.float32)
+            for c in range(1, n_contracts):
+                v = jnp.where(ridc == c, book_ref[c * 7 + slot], v)
+            return v
+
+        strike, log_b = _row(0), _row(1)
+        pA, pB, pC, pD, pE = (_row(2), _row(3), _row(4), _row(5), _row(6))
+    else:
+        strike, log_b = p_ref[_HX_K], p_ref[_HX_LOGB]
+        pA, pB = p_ref[_HX_A], p_ref[_HX_B]
+        pC, pD, pE = p_ref[_HX_C], p_ref[_HX_D], p_ref[_HX_E]
     dt, sqrt_dt = p_ref[_HX_DT], p_ref[_HX_SQDT]
     mu_dt = p_ref[_HX_DYN]
     if scheme == "euler":
@@ -1146,8 +1170,8 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return (zero,)  # accrual counter, steps 1..n
         if hit_pay:
             if "double" in kind:
-                h0 = jnp.where((p_ref[_HX_A] >= 0.0)
-                               | (p_ref[_HX_B] <= 0.0), 1.0, 0.0)
+                h0 = jnp.where((pA >= 0.0)
+                               | (pB <= 0.0), 1.0, 0.0)
             else:
                 h0 = jnp.where(log_b <= 0.0 if barrier_up else log_b >= 0.0,
                                1.0, 0.0)
@@ -1155,7 +1179,7 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return (zero + h0, zero + h0) + ((zero,) if lr else ())
         if "double" in kind:
             # x0 = 0 outside the log band [A, B] counts as hit
-            hit0 = jnp.where((p_ref[_HX_A] >= 0.0) | (p_ref[_HX_B] <= 0.0),
+            hit0 = jnp.where((pA >= 0.0) | (pB <= 0.0),
                              1.0, 0.0)
             return (zero + hit0,)
         # x0 = 0: S0 already beyond the barrier counts as hit
@@ -1175,19 +1199,19 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             x_start, acc = stat
             is_end = jnp.where((i + 1) % period == 0, 1.0, 0.0)
             capped = jnp.clip(jnp.exp(x - x_start) - 1.0,
-                              p_ref[_HX_A], p_ref[_HX_B])
+                              pA, pB)
             acc = acc + is_end * capped
             x_start = x_start + is_end * (x - x_start)
             return (x_start, acc)
         if kind == "autocall":
             alive, ki, pv = stat[:3]
-            ki = jnp.maximum(ki, jnp.where(x <= p_ref[_HX_C], 1.0, 0.0))
+            ki = jnp.maximum(ki, jnp.where(x <= pC, 1.0, 0.0))
             is_obs = jnp.where((i + 1) % period == 0, 1.0, 0.0)
             steps = (i + 1).astype(jnp.float32)
             df_i = jnp.exp(-rdt * steps)
-            called = alive * is_obs * jnp.where(x >= p_ref[_HX_A], 1.0, 0.0)
-            couponed = alive * is_obs * jnp.where(x >= p_ref[_HX_B], 1.0, 0.0)
-            cash = p_ref[_HX_D] * couponed + p_ref[_HX_E] * called
+            called = alive * is_obs * jnp.where(x >= pA, 1.0, 0.0)
+            couponed = alive * is_obs * jnp.where(x >= pB, 1.0, 0.0)
+            cash = pD * couponed + pE * called
             pv = pv + df_i * cash
             alive = alive * (1.0 - called)
             if lr:  # DR = −Σ tᵢ·dfᵢ·cashᵢ (coupon/call legs)
@@ -1196,13 +1220,13 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
             return (alive, ki, pv)
         if kind == "range_accrual":
             # corridor in RELATIVE log space: A=log(L/S0), B=log(U/S0)
-            acc = jnp.where((x >= p_ref[_HX_A]) & (x <= p_ref[_HX_B]),
+            acc = jnp.where((x >= pA) & (x <= pB),
                             1.0, 0.0)
             return (stat[0] + acc,)
         if hit_pay:
             h, pv = stat[:2]
             if "double" in kind:
-                now = (x <= p_ref[_HX_A]) | (x >= p_ref[_HX_B])
+                now = (x <= pA) | (x >= pB)
             else:
                 now = (x >= log_b) if barrier_up else (x <= log_b)
             now = now.astype(jnp.float32)
@@ -1215,7 +1239,7 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                         stat[2] - steps * dt * newly * df_i)
             return (jnp.maximum(h, now), pv)
         if "double" in kind:
-            hit = (x <= p_ref[_HX_A]) | (x >= p_ref[_HX_B])
+            hit = (x <= pA) | (x >= pB)
             return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
         hit = (x >= log_b) if barrier_up else (x <= log_b)
         return (jnp.maximum(stat[0], hit.astype(jnp.float32)),)
@@ -1233,20 +1257,20 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
         if kind == "lookback_fixed":
             return jnp.maximum(cp * (s0 * jnp.exp(stat[0]) - strike), 0.0)
         if kind == "cliquet":
-            return p_ref[_HX_E] * jnp.clip(stat[1], p_ref[_HX_C],
-                                           p_ref[_HX_D])
+            return pE * jnp.clip(stat[1], pC,
+                                           pD)
         if kind == "autocall":
             alive, ki, pv = stat[:3]
             df_t = jnp.exp(-rdt * float(n_steps))
             loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
-            final = p_ref[_HX_E] * (1.0 - ki * loss)
+            final = pE * (1.0 - ki * loss)
             return pv + alive * df_t * final  # discounted in-kernel
         if hit_pay:
             return stat[1]  # df-at-hit carried in-kernel (host df = 1)
         if "touch" in kind:
             return stat[0] if kind.startswith("one") else (1.0 - stat[0])
         if kind == "range_accrual":
-            return p_ref[_HX_E] * stat[0] * inv_n
+            return pE * stat[0] * inv_n
         vanilla = jnp.maximum(cp * (s_t - strike), 0.0)
         return vanilla * (stat[0] if knock_in else (1.0 - stat[0]))
 
@@ -1452,7 +1476,7 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
                 alive, ki = st[0], st[1]
                 df_t = jnp.exp(-rdt * float(n_steps))
                 loss = jnp.maximum(1.0 - jnp.exp(x), 0.0)
-                final = p_ref[_HX_E] * (1.0 - ki * loss)
+                final = pE * (1.0 - ki * loss)
                 t_total = dt * float(n_steps)
                 accs[7] += st[3] - alive * t_total * df_t * final
     for off in range(0, LANES, 128):
@@ -1462,24 +1486,27 @@ def _heston_exotic_kernel(seed_ref, p_ref, *refs, kind: str, n_steps: int,
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
                                              "cp", "period", "sampler",
-                                             "scheme", "lr", "jumps"))
-def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
-                   cp: float, period: int = 1, sampler: str = "prng",
-                   scheme: str = "euler", lr: bool = False,
-                   jumps: bool = False):
+                                             "scheme", "lr", "jumps",
+                                             "n_contracts"))
+def _launch_exotic(seed, params, book=None, *, kind: str, n_steps: int,
+                   n_blocks: int, cp: float, period: int = 1,
+                   sampler: str = "prng", scheme: str = "euler",
+                   lr: bool = False, jumps: bool = False,
+                   n_contracts: int = 1):
     n_out = (8 if (kind == "autocall" or kind.endswith("_hit"))
              else 7) if lr else 2
     acc_spec = pl.BlockSpec((ROWS, 128), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
     interpret = (False if jax.default_backend() == "tpu"
                  else pltpu.InterpretParams())
+    operands = (seed, params) if n_contracts == 1 else (seed, params, book)
     return pl.pallas_call(
         functools.partial(_heston_exotic_kernel, kind=kind, n_steps=n_steps,
                           cp=cp, period=period, sampler=sampler,
-                          scheme=scheme, lr=lr, jumps=jumps),
+                          scheme=scheme, lr=lr, jumps=jumps,
+                          n_contracts=n_contracts),
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * len(operands),
         out_specs=[acc_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((ROWS, 128), jnp.float32)] * n_out,
         cost_estimate=pl.CostEstimate(
@@ -1488,7 +1515,38 @@ def _launch_exotic(seed, params, *, kind: str, n_steps: int, n_blocks: int,
             transcendentals=n_blocks * n_steps * ROWS * LANES * 8,
         ),
         interpret=interpret,
-    )(seed, params)
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "period", "sampler",
+                                             "scheme", "jumps"))
+def _exotic_price_pipeline(seed, p, df, *, kind, n_steps, n_blocks, cp,
+                           period=1, sampler="prng", scheme="euler",
+                           jumps=False):
+    """Launch + moment reduction in ONE jitted program (one tunnel
+    dispatch). The eager-reduction predecessor cost ~5 extra RPC
+    round-trips per price call — at 64-step workloads that overhead,
+    not the kernel, set the measured rate (see CLAUDE.md "hot paths
+    must be single jitted programs"). Under ``sobol_bb`` the stderr is
+    the randomized-replication estimate over the kernel's 8
+    group-scrambled Sobol replicates (rid % 8), exactly as the GBM
+    exotic module's ``_mean_stderr`` — sqrt(Var/n) is unreliable under
+    QMC (stratification shrinks the true error; the antithetic pair
+    sharing one bridge point inflates it)."""
+    pay, pay2 = _launch_exotic(seed, p, kind=kind, n_steps=n_steps,
+                               n_blocks=n_blocks, cp=cp, period=period,
+                               sampler=sampler, scheme=scheme, jumps=jumps)
+    n = n_blocks * PATHS_PER_BLOCK
+    mean = pay.sum() / n
+    if sampler.startswith("sobol"):
+        rep = pay.reshape(pay.shape[0] // 8, 8, -1).sum(axis=(0, 2)) \
+            * (8.0 / n)
+        se = rep.std(ddof=1) / math.sqrt(8.0)
+    else:
+        var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
+        se = jnp.sqrt(var / n)
+    return df * mean, df * se
 
 
 def _check_exotic_sampler(sampler: str, scheme: str, n_steps: int) -> None:
@@ -1575,16 +1633,14 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     if "double" in kind:
         _set_double_band(p, spot, lower, upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch_exotic(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        kind=kind, n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
-        sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
-    n = n_blocks * PATHS_PER_BLOCK
     # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
-    mean = pay.sum() / n
-    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    return df * mean, df * jnp.sqrt(var / n), n
+    price, se = _exotic_price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        jnp.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        cp=float(cp), sampler=sampler, scheme=scheme,
+        jumps=hasattr(params, "lam"))
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def _set_double_band(p, spot, lower, upper):
@@ -1593,6 +1649,182 @@ def _set_double_band(p, spot, lower, upper):
         raise ValidationError("double kinds need 0 < lower < upper")
     p[_HX_A] = math.log(float(lower) / float(spot))
     p[_HX_B] = math.log(float(upper) / float(spot))
+
+
+# ---------------------------------------------------------------------------
+# Contract books: one launch prices N contracts (mixed strikes/barriers)
+# under the SAME Heston/Bates dynamics
+# ---------------------------------------------------------------------------
+def _heston_book_vec(kind, spot, strikes, barriers, lowers, uppers):
+    """Per-contract SMEM book [K, LOGB, A, B, C, D, E] — barrier levels
+    converted to RELATIVE log space (the kernel compares x directly),
+    validated per contract. Returns (book_vec, nc, nc_pad)."""
+    from .exotic_pallas import _book_pad, _book_smem
+
+    strikes = [float(s) for s in strikes]
+    nc = len(strikes)
+    if nc == 0:
+        raise ValidationError("empty contract book")
+    spot = float(spot)
+
+    def norm(xs, name, need):
+        if xs is None:
+            if need:
+                raise ValidationError(f"kind {kind!r} needs {name} "
+                                      "(one per contract)")
+            return [0.0] * nc
+        xs = [float(x) for x in xs]
+        if len(xs) != nc:
+            raise ValidationError(f"{name} must have one entry per "
+                                  f"contract ({nc}): got {len(xs)}")
+        return xs
+
+    needs_barrier = ("barrier" in kind or "touch" in kind) \
+        and "double" not in kind
+    needs_band = "double" in kind
+    barriers = norm(barriers, "barriers", needs_barrier)
+    lowers = norm(lowers, "lowers", needs_band)
+    uppers = norm(uppers, "uppers", needs_band)
+    log_bs = [math.log(max(b, 1e-30) / spot) if b > 0.0 else 0.0
+              for b in barriers]
+    if needs_band:
+        a_log, b_log = [], []
+        for lo, up in zip(lowers, uppers):
+            if not 0.0 < lo < up:
+                raise ValidationError("double kinds need 0 < lower < "
+                                      "upper per contract")
+            a_log.append(math.log(lo / spot))
+            b_log.append(math.log(up / spot))
+    else:
+        a_log = b_log = [0.0] * nc
+    zeros = [0.0] * nc
+    nc_pad = _book_pad(nc)
+    return _book_smem(strikes, log_bs, a_log, b_log, zeros, zeros, zeros,
+                      nc_pad), nc, nc_pad
+
+
+def _check_heston_book_call(kind, sampler, scheme, n_steps):
+    if kind not in HESTON_EXOTIC_KINDS \
+            or kind in ("cliquet", "autocall", "range_accrual"):
+        raise ValidationError(
+            f"book pricing supports the non-structured exotic kinds: "
+            f"got {kind!r}")
+    if sampler.startswith("sobol"):
+        raise ValidationError(
+            "book launches support prng|hash samplers (the QMC replicate "
+            "groups ride the row axis the book interleaves)")
+    _check_exotic_sampler(sampler, scheme, n_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "scheme",
+                                             "jumps", "n_contracts"))
+def _exotic_book_price_pipeline(seed, p, book, df, *, kind, n_steps,
+                                n_blocks, cp, sampler="prng",
+                                scheme="euler", jumps=False,
+                                n_contracts=1):
+    """Book launch + per-contract moment reduction, ONE traced program.
+    Reference analog: ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+    pay, pay2 = _launch_exotic(seed, p, book, kind=kind, n_steps=n_steps,
+                               n_blocks=n_blocks, cp=cp, sampler=sampler,
+                               scheme=scheme, jumps=jumps,
+                               n_contracts=n_contracts)
+    n = n_blocks * (ROWS // n_contracts) * LANES * 2
+    s1 = pay.reshape(ROWS // n_contracts, n_contracts, -1).sum(axis=(0, 2))
+    s2 = pay2.reshape(ROWS // n_contracts, n_contracts, -1).sum(axis=(0, 2))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return df * mean, df * jnp.sqrt(var / n)
+
+
+def pallas_heston_exotic_book_price(kind: str, spot, strikes, maturity,
+                                    rate, params, cp: float = 1.0,
+                                    dividend: float = 0.0, barriers=None,
+                                    lowers=None, uppers=None,
+                                    n_paths: int = 1_000_000,
+                                    n_steps: int = 64, seed: int = 0,
+                                    sampler: str = "prng",
+                                    scheme: str = "euler"):
+    """Price a BOOK of same-kind exotics (mixed strikes / barriers /
+    bands) under ONE Heston/Bates dynamics in ONE kernel launch.
+
+    Contracts interleave the row axis (contract id = rid % nc, book
+    padded to a power of two) so an N-contract book costs one tunnel
+    dispatch instead of N (each ~0.5–3 s over the tunnel). ``n_paths``
+    is PER CONTRACT. Returns ``(prices, stderrs, n_paths)`` with one
+    entry per requested contract. Reference analog:
+    ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+    _check_heston_book_call(kind, sampler, scheme, n_steps)
+    book, nc, nc_pad = _heston_book_vec(kind, spot, strikes, barriers,
+                                        lowers, uppers)
+    p, t = _exotic_params(spot, float(strikes[0]), maturity, rate, params,
+                          dividend, 0.0, n_steps, scheme)
+    paths_per_block = (ROWS // nc_pad) * LANES * 2
+    n_blocks = max(1, math.ceil(n_paths / paths_per_block))
+    df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
+    prices, ses = _exotic_book_price_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        book, jnp.float32(df), kind=kind, n_steps=n_steps,
+        n_blocks=n_blocks, cp=float(cp), sampler=sampler, scheme=scheme,
+        jumps=hasattr(params, "lam"), n_contracts=nc_pad)
+    return prices[:nc], ses[:nc], n_blocks * paths_per_block
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps", "n_blocks",
+                                             "cp", "sampler", "jumps",
+                                             "n_contracts"))
+def _exotic_book_lr_pipeline(seed, p, book, scalars, *, kind, n_steps,
+                             n_blocks, cp, sampler, jumps, n_contracts):
+    """Book launch(lr=True) → per-contract LR Greek ladders, ONE traced
+    program (same score algebra as ``_combine_exotic_lr``, reduced per
+    row-group instead of globally)."""
+    outs = _launch_exotic(seed, p, book, kind=kind, n_steps=n_steps,
+                          n_blocks=n_blocks, cp=cp, sampler=sampler,
+                          scheme="euler", lr=True, jumps=jumps,
+                          n_contracts=n_contracts)
+    n = n_blocks * (ROWS // n_contracts) * LANES * 2
+
+    def red(o):
+        return o.reshape(ROWS // n_contracts, n_contracts, -1) \
+                .sum(axis=(0, 2)) / n
+
+    return _combine_exotic_lr(outs, n, scalars, n_steps,
+                              discounted=kind.endswith("_hit"),
+                              reduce_fn=red)
+
+
+def pallas_heston_exotic_book_lr_greeks(kind: str, spot, strikes, maturity,
+                                        rate, params, cp: float = 1.0,
+                                        dividend: float = 0.0,
+                                        barriers=None, lowers=None,
+                                        uppers=None,
+                                        n_paths: int = 1_000_000,
+                                        n_steps: int = 64, seed: int = 0,
+                                        sampler: str = "prng") -> dict:
+    """Per-contract price + LR delta/gamma/vega_v0/vega/rho/theta for a
+    book of same-kind exotics under ONE Heston/Bates dynamics in ONE
+    kernel launch (Euler scheme; ``n_paths`` per contract). Every dict
+    value has one entry per contract."""
+    _check_heston_book_call(kind, sampler, "euler", n_steps)
+    if sampler.startswith("sobol"):
+        raise ValidationError("LR scores assume iid normals — use "
+                              "prng/hash")
+    book, nc, nc_pad = _heston_book_vec(kind, spot, strikes, barriers,
+                                        lowers, uppers)
+    p, t = _exotic_params(spot, float(strikes[0]), maturity, rate, params,
+                          dividend, 0.0, n_steps, "euler")
+    paths_per_block = (ROWS // nc_pad) * LANES * 2
+    n_blocks = max(1, math.ceil(n_paths / paths_per_block))
+    out = dict(_exotic_book_lr_pipeline(
+        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        book, _lr_scalars(spot, t, rate, params, n_steps), kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler,
+        jumps=hasattr(params, "lam"), n_contracts=nc_pad))
+    out = {k: v[:nc] for k, v in out.items()}
+    out["paths"] = n_blocks * paths_per_block
+    return out
 
 
 def pallas_heston_cliquet_price(spot, maturity, rate, params,
@@ -1617,16 +1849,13 @@ def pallas_heston_cliquet_price(spot, maturity, rate, params,
     p[_HX_C], p[_HX_D] = float(global_floor), float(global_cap)
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch_exotic(
+    price, se = _exotic_price_pipeline(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        kind="cliquet", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
+        jnp.float32(math.exp(-float(rate) * t)), kind="cliquet",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         period=n_steps // n_periods, sampler=sampler, scheme=scheme,
         jumps=hasattr(params, "lam"))
-    n = n_blocks * PATHS_PER_BLOCK
-    df = math.exp(-float(rate) * t)
-    mean = pay.sum() / n
-    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    return df * mean, df * jnp.sqrt(var / n), n
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def pallas_heston_autocall_price(spot, maturity, rate, params,
@@ -1656,19 +1885,16 @@ def pallas_heston_autocall_price(spot, maturity, rate, params,
     p[_HX_D] = float(notional) * float(coupon_rate) / n_obs
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch_exotic(
+    price, se = _exotic_price_pipeline(
         jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        kind="autocall", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        period=n_steps // n_obs, sampler=sampler, scheme=scheme,
-        jumps=hasattr(params, "lam"))
-    n = n_blocks * PATHS_PER_BLOCK
-    mean = pay.sum() / n
-    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    return mean, jnp.sqrt(var / n), n
+        jnp.float32(1.0), kind="autocall", n_steps=n_steps,
+        n_blocks=n_blocks, cp=1.0, period=n_steps // n_obs,
+        sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def _combine_exotic_lr(outs, n: int, scalars, n_steps: int,
-                       discounted: bool = False) -> dict:
+                       discounted: bool = False, reduce_fn=None) -> dict:
     """LR moment tiles → price/stderr/delta/gamma/vega_v0/vega/rho/theta.
     ``scalars``: [spot, t, df, v0, dt, srho, rate] (traced). Shared by the
     single-device pipeline and the sharded (psum) path. The D1/DG moments
@@ -1680,8 +1906,10 @@ def _combine_exotic_lr(outs, n: int, scalars, n_steps: int,
     spot, t, df, v0, dt, srho, rate = scalars[:7]
     if discounted:
         df = jnp.float32(1.0)
+    if reduce_fn is None:
+        reduce_fn = lambda o: o.sum() / n  # noqa: E731 — default global mean
     pay_m, pay2_m, d1_m, dg_m, dv_m, sr_m, ts_m = [
-        o.sum() / n for o in outs[:7]]
+        reduce_fn(o) for o in outs[:7]]
     price = df * pay_m
     var = jnp.maximum(pay2_m - pay_m * pay_m, 0.0)
     c = 1.0 / (jnp.maximum(srho, 1e-4) * jnp.sqrt(v0 * dt))
@@ -1696,7 +1924,7 @@ def _combine_exotic_lr(outs, n: int, scalars, n_steps: int,
         "vega": 2.0 * jnp.sqrt(v0) * dv0,
     }
     if discounted:
-        dr_m = outs[7].sum() / n
+        dr_m = reduce_fn(outs[7])
         out["rho"] = sr_m + dr_m
         out["theta"] = -score_t_m - rate / t * dr_m
     else:

@@ -613,3 +613,86 @@ class TestRangeAccrual:
         with pytest.raises(ValidationError):
             pallas_range_accrual_price(self.S, 110.0, 90.0, self.T, self.R,
                                        self.V)
+
+
+class TestContractBooks:
+    """Round-5 contract-book launches: N same-kind contracts (mixed
+    strikes/barriers) interleave the row axis of ONE kernel launch —
+    reference analog ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+
+    STRIKES = [90.0, 100.0, 110.0]
+
+    def test_asian_book_matches_singles(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_book_price
+
+        bp, bse, _ = pallas_exotic_book_price(
+            "asian_arith", S, self.STRIKES, T, R, SIG, n_paths=60_000,
+            n_steps=N_STEPS, sampler="hash", seed=3)
+        for i, k in enumerate(self.STRIKES):
+            sp, sse, _ = pallas_exotic_price(
+                "asian_arith", S, k, T, R, SIG, n_paths=1,
+                n_steps=N_STEPS, sampler="hash", seed=11)
+            assert abs(float(bp[i]) - float(sp)) < tol(bse[i], sse), k
+        # strike monotonicity inside one launch
+        assert float(bp[0]) > float(bp[1]) > float(bp[2])
+
+    def test_barrier_book_mixed_levels(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_book_price
+
+        ks, bs = [95.0, 105.0], [120.0, 130.0]
+        bp, bse, _ = pallas_exotic_book_price(
+            "barrier_up-and-out", S, ks, T, R, SIG, barriers=bs,
+            n_paths=60_000, n_steps=N_STEPS, sampler="hash", seed=5)
+        for i, (k, b) in enumerate(zip(ks, bs)):
+            sp, sse, _ = pallas_exotic_price(
+                "barrier_up-and-out", S, k, T, R, SIG, barrier=b,
+                n_paths=1, n_steps=N_STEPS, sampler="hash", seed=12)
+            assert abs(float(bp[i]) - float(sp)) < tol(bse[i], sse), (k, b)
+
+    def test_single_contract_book_equals_scalar_path(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_book_price
+
+        bp, bse, nb = pallas_exotic_book_price(
+            "asian_arith", S, [K], T, R, SIG, n_paths=1,
+            n_steps=N_STEPS, sampler="hash", seed=9)
+        sp, sse, ns = pallas_exotic_price(
+            "asian_arith", S, K, T, R, SIG, n_paths=1, n_steps=N_STEPS,
+            sampler="hash", seed=9)
+        assert nb == ns
+        np.testing.assert_allclose(float(bp[0]), float(sp), rtol=1e-6)
+        np.testing.assert_allclose(float(bse[0]), float(sse), rtol=1e-5)
+
+    def test_lr_book_ladder(self):
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_exotic_book_lr_greeks, pallas_exotic_lr_greeks)
+
+        g = pallas_exotic_book_lr_greeks(
+            "asian_arith", S, self.STRIKES, T, R, SIG, n_paths=60_000,
+            n_steps=N_STEPS, sampler="hash", seed=7)
+        gs = pallas_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, SIG, n_paths=260_000,
+            n_steps=N_STEPS, sampler="hash", seed=13)
+        assert abs(float(g["delta"][1]) - float(gs["delta"])) < 0.08
+        # deltas decrease in strike inside one launch
+        d = np.asarray(g["delta"])
+        assert d[0] > d[1] > d[2]
+        assert np.all(np.asarray(g["std_error"]) > 0.0)
+
+    def test_book_validation(self):
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_book_price
+
+        with pytest.raises(ValidationError):  # structured kind
+            pallas_exotic_book_price("autocall", S, [100.0], T, R, SIG)
+        with pytest.raises(ValidationError):  # QMC rides the row axis
+            pallas_exotic_book_price("asian_arith", S, [100.0], T, R, SIG,
+                                     sampler="sobol_bb_hash")
+        with pytest.raises(ValidationError):  # missing barrier levels
+            pallas_exotic_book_price("barrier_up-and-out", S,
+                                     [95.0, 105.0], T, R, SIG)
+        with pytest.raises(ValidationError):  # length mismatch
+            pallas_exotic_book_price("barrier_up-and-out", S,
+                                     [95.0, 105.0], T, R, SIG,
+                                     barriers=[120.0])
+        with pytest.raises(ValidationError):  # empty book
+            pallas_exotic_book_price("asian_arith", S, [], T, R, SIG)

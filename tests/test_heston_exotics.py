@@ -483,3 +483,77 @@ class TestRangeAccrualUnderSV:
             return float(p)
         fd = (price(self.S + 0.5) - price(self.S - 0.5)) / 1.0
         assert abs(g["delta"] - fd) < 0.025
+
+
+class TestHestonContractBooks:
+    """Round-5 contract-book launches under ONE Heston/Bates dynamics:
+    N same-kind contracts interleave the row axis of one kernel launch —
+    reference analog ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+
+    STRIKES = [90.0, 100.0, 110.0]
+
+    def _tol(self, a, b, nsig=5.0):
+        return nsig * float(np.hypot(float(a), float(b))) + 1e-3
+
+    def test_asian_book_matches_singles(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_price, pallas_heston_exotic_price)
+
+        bp, bse, _ = pallas_heston_exotic_book_price(
+            "asian_arith", S, self.STRIKES, T, R, PAR, n_paths=30_000,
+            n_steps=6, sampler="hash", seed=3)
+        for i, k in enumerate(self.STRIKES):
+            sp, sse, _ = pallas_heston_exotic_price(
+                "asian_arith", S, k, T, R, PAR, n_paths=1, n_steps=6,
+                sampler="hash", seed=11)
+            assert abs(float(bp[i]) - float(sp)) < self._tol(bse[i], sse), k
+        assert float(bp[0]) > float(bp[1]) > float(bp[2])
+
+    def test_qe_barrier_book_mixed_levels(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_price, pallas_heston_exotic_price)
+
+        ks, bs = [95.0, 105.0], [125.0, 135.0]
+        bp, bse, _ = pallas_heston_exotic_book_price(
+            "barrier_up-and-out", S, ks, T, R, PAR, barriers=bs,
+            n_paths=30_000, n_steps=6, sampler="hash", seed=5, scheme="qe")
+        for i, (k, b) in enumerate(zip(ks, bs)):
+            sp, sse, _ = pallas_heston_exotic_price(
+                "barrier_up-and-out", S, k, T, R, PAR, barrier=b,
+                n_paths=1, n_steps=6, sampler="hash", seed=12, scheme="qe")
+            assert abs(float(bp[i]) - float(sp)) < self._tol(bse[i], sse)
+
+    def test_lr_book_ladder(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_lr_greeks,
+            pallas_heston_exotic_lr_greeks)
+
+        g = pallas_heston_exotic_book_lr_greeks(
+            "asian_arith", S, self.STRIKES, T, R, PAR, n_paths=30_000,
+            n_steps=6, sampler="hash", seed=7)
+        gs = pallas_heston_exotic_lr_greeks(
+            "asian_arith", S, K, T, R, PAR, n_paths=131_072, n_steps=6,
+            sampler="hash", seed=13)
+        assert abs(float(g["delta"][1]) - float(gs["delta"])) < 0.1
+        d = np.asarray(g["delta"])
+        assert d[0] > d[1] > d[2]
+        assert np.all(np.asarray(g["std_error"]) > 0.0)
+
+    def test_book_validation(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_price)
+
+        with pytest.raises(ValidationError):  # structured kind
+            pallas_heston_exotic_book_price("cliquet", S, [100.0], T, R,
+                                            PAR)
+        with pytest.raises(ValidationError):  # QMC rides the row axis
+            pallas_heston_exotic_book_price("asian_arith", S, [100.0], T,
+                                            R, PAR, sampler="sobol_bb")
+        with pytest.raises(ValidationError):  # missing barriers
+            pallas_heston_exotic_book_price("one_touch_up", S,
+                                            [100.0, 100.0], T, R, PAR)
+        with pytest.raises(ValidationError):  # band per contract
+            pallas_heston_exotic_book_price(
+                "barrier_double-out", S, [100.0], T, R, PAR,
+                lowers=[120.0], uppers=[90.0])
