@@ -238,6 +238,53 @@ def section_pinn_tpu(n_seeds: int = 8):
     }
 
 
+def section_mlp_tpu():
+    """MLP surface-fit latency ON THE DEVICE THIS RUNS ON — the committed
+    table's MLP row (77 ms) rode the 1-core VM; this closes the last
+    uncaptured axis with an on-chip number. Exact harness config
+    (``MLPWrapper``: 32x16 net, 2000 epochs, dropout 0.02 — one scanned
+    cached device program per fit) on the CBOE-fixture smile, so the rmse
+    column is the committed table's."""
+    import pandas as pd
+
+    from optionslab_tpu.surface.features import engineer_features
+    from optionslab_tpu.surface.mlp import MLPModel
+
+    k, iv, t = _cboe_smile_arrays()
+    raw = pd.DataFrame({
+        "underlying_price": 100.0,
+        "strike_price": 100.0 * np.exp(-k),
+        "time_to_maturity": np.full(k.size, t),
+        "risk_free_rate": 0.03,
+        "historical_volatility": 0.2,
+        "implied_volatility": iv,
+    })
+    df = engineer_features(raw)
+
+    def fit():
+        m = MLPModel(hidden_layers=(32, 16), epochs=2000, dropout_rate=0.02,
+                     seed=0)
+        return m, m.train(df)
+
+    floor = _rpc_floor_ms()
+    fit()  # compile
+    times, metrics = [], None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        _, metrics = fit()
+        times.append((time.perf_counter() - t0) * 1e3)
+    warm_ms = min(times)
+    return {
+        "device": str(jax.devices()[0]),
+        "dispatch_floor_ms": round(floor, 2),
+        "config": "32x16 net, 2000 epochs, dropout 0.02 (harness row)",
+        "warm_fit_ms": round(warm_ms, 1),
+        "warm_fit_rmse_bps": round(metrics["rmse"] * 1e4, 1),
+        "ref_ms": REF_TABLE["mlp"][1],
+        "beats_ref_latency": bool(warm_ms <= REF_TABLE["mlp"][1]),
+    }
+
+
 def main():
     try:
         backend = jax.default_backend()
@@ -282,11 +329,8 @@ def main():
     # merge: keep sections only other modes can regenerate (tpu_pinn
     # needs the TPU tunnel — a CPU re-run must not drop the on-chip
     # numbers the README cites)
-    try:
-        prev = json.load(open("BENCH_surface.json"))
-    except (OSError, ValueError):
-        prev = {}
-    for keep in ("tpu_pinn",):
+    prev = _load_prev()
+    for keep in ("tpu_pinn", "tpu_mlp"):
         if keep in prev and keep not in out:
             out[keep] = prev[keep]
     with open("BENCH_surface.json", "w") as f:
@@ -296,21 +340,31 @@ def main():
                       "verdict": verdict}, indent=1))
 
 
-def main_pinn_tpu():
-    """Update BENCH_surface.json's tpu_pinn section in place (run under
-    the axon tunnel: the measurement lands on the real chip)."""
-    out = json.load(open("BENCH_surface.json"))
-    out["tpu_pinn"] = section_pinn_tpu()
+def _load_prev() -> dict:
+    """BENCH_surface.json contents, or {} on a fresh checkout."""
+    try:
+        with open("BENCH_surface.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _main_device_section(key: str, section_fn):
+    """Update one on-chip section of BENCH_surface.json in place (run
+    under the axon tunnel: the measurement lands on the real chip)."""
+    out = _load_prev()
+    out[key] = section_fn()
     with open("BENCH_surface.json", "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"metric": "pinn_tpu_latency", **out["tpu_pinn"]},
-                     indent=1))
+    print(json.dumps({"metric": key, **out[key]}, indent=1))
 
 
 if __name__ == "__main__":
     import sys
 
     if "--pinn-tpu" in sys.argv:
-        main_pinn_tpu()
+        _main_device_section("tpu_pinn", section_pinn_tpu)
+    elif "--mlp-tpu" in sys.argv:
+        _main_device_section("tpu_mlp", section_mlp_tpu)
     else:
         main()

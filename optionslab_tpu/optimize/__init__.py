@@ -29,6 +29,7 @@ from .search import (
     RandomSampler,
     SobolSampler,
     StudyManager,
+    TPESampler,
     StudyResult,
     StudyStorage,
     Trial,
@@ -45,6 +46,7 @@ from .wrappers import create_mlp_optimizer, create_surrogate_optimizer, optimize
 __all__ = [
     "StudyManager", "OptunaStudyManager", "StudyResult", "StudyStorage",
     "Trial", "FrozenTrial", "TrialPruned", "RandomSampler", "SobolSampler",
+    "TPESampler",
     "MedianPruner", "NopPruner",
     "MLPSearchSpace", "GradientBoostingSearchSpace", "KernelRidgeSearchSpace",
     "SurrogateSearchSpace",

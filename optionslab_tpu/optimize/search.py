@@ -9,9 +9,12 @@ study export.
 
 Optuna is not installed in this environment, so the engine is implemented
 natively with the same surface: ``Trial.suggest_*``, ``StudyManager.
-optimize(objective, n_trials)``. Samplers: seeded uniform random and a
+optimize(objective, n_trials)``. Samplers (by instance or by name,
+``sampler="sobol"|"random"|"tpe"``): seeded uniform random, a
 scrambled-Sobol quasi-random sampler (``ops.rng``) that covers the search
-box with low discrepancy — a strong default for the ≤16-dim spaces here.
+box with low discrepancy — a strong default for the ≤16-dim spaces here —
+and a TPE (Tree-structured Parzen Estimator) adaptive sampler matching the
+reference's ``TPESampler(seed)`` for expensive objectives.
 """
 
 from __future__ import annotations
@@ -46,6 +49,9 @@ class FrozenTrial:
     seed: int
     duration_s: float = 0.0
     intermediate: dict = dataclasses.field(default_factory=dict)
+    # unit-cube coordinates of each suggest_* draw (persisted so adaptive
+    # samplers — TPE — keep their history across study resume)
+    unit: dict = dataclasses.field(default_factory=dict)
 
 
 class Trial:
@@ -57,10 +63,12 @@ class Trial:
         self._study = study
         self.params: dict = {}
         self.intermediate: dict = {}
+        self.unit: dict = {}
         self.seed = get_trial_seed(study.base_seed, number, study.name)
 
     def suggest_float(self, name: str, low: float, high: float, log: bool = False) -> float:
         u = self._sampler.draw(self.number, name)
+        self.unit[name] = float(u)
         if log:
             if low <= 0:
                 raise ValidationError(f"log-scale range requires low > 0 for {name}")
@@ -78,6 +86,7 @@ class Trial:
 
     def suggest_categorical(self, name: str, choices) -> object:
         u = self._sampler.draw(self.number, name)
+        self.unit[name] = float(u)
         val = choices[min(int(u * len(choices)), len(choices) - 1)]
         self.params[name] = val
         return val
@@ -123,6 +132,90 @@ class SobolSampler:
                 self.max_trials, max(len(self._dims), 1),
                 scramble_key=jax.random.PRNGKey(self.seed)))
         return float(self._table[trial_number % self.max_trials, self._dims[name]])
+
+
+class TPESampler:
+    """Tree-structured Parzen Estimator (Bergstra et al. 2011) — the
+    adaptive sampler the reference gets from Optuna
+    (``src/optimization/study_manager.py:176``, ``TPESampler(seed)``).
+
+    Univariate TPE in the unit cube, per parameter name (Optuna's
+    independent-sampler default): completed trials are split at the
+    ``gamma`` quantile of the objective into GOOD and BAD sets; both get
+    a Parzen (Gaussian-kernel + uniform-prior) density over the recorded
+    unit coordinates, ``n_candidates`` points are drawn from the good
+    density, and the candidate maximizing l(x)/g(x) wins. The first
+    ``n_startup`` trials (and any parameter with too little history) fall
+    back to the seeded Sobol space-filler. Unit coordinates are persisted
+    with each trial, so a RESUMED study keeps its TPE history.
+
+    Fully deterministic: every random decision derives from
+    ``get_trial_seed(seed, trial_number, name)``.
+    """
+
+    def __init__(self, seed: int = 0, n_startup: int = 8,
+                 gamma: float = 0.25, n_candidates: int = 24):
+        self.seed = seed
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self._fallback = SobolSampler(seed)
+        self._study = None
+
+    def attach(self, study) -> None:
+        """Called by StudyManager — gives the sampler the trial history."""
+        self._study = study
+
+    def _history(self, name: str):
+        if self._study is None:
+            return np.empty(0), np.empty(0)
+        us, ys = [], []
+        for t in self._study.trials:
+            if t.state == "COMPLETE" and t.value is not None and name in t.unit:
+                us.append(float(t.unit[name]))
+                ys.append(float(t.value))
+        return np.asarray(us), np.asarray(ys)
+
+    @staticmethod
+    def _log_parzen(x, centers, bw):
+        """log density of (mixture of N(c_i, bw) + one uniform[0,1] prior
+        pseudo-component), pointwise over x."""
+        n = len(centers)
+        d = (x[:, None] - centers[None, :]) / bw
+        log_k = -0.5 * d * d - math.log(bw * math.sqrt(2.0 * math.pi))
+        # logsumexp over kernels plus the uniform prior term (log 1 = 0)
+        m = np.maximum(log_k.max(axis=1), 0.0)
+        s = np.exp(log_k - m[:, None]).sum(axis=1) + np.exp(-m)
+        return m + np.log(s) - math.log(n + 1)
+
+    def draw(self, trial_number: int, name: str) -> float:
+        us, ys = self._history(name)
+        if len(ys) < self.n_startup:
+            return self._fallback.draw(trial_number, name)
+        if self._study is not None and self._study.direction == "maximize":
+            ys = -ys
+        n_good = max(1, min(int(math.ceil(self.gamma * len(ys))), 25))
+        order = np.argsort(ys, kind="stable")
+        good, bad = us[order[:n_good]], us[order[n_good:]]
+        if bad.size == 0:
+            bad = us
+        # Scott's-rule bandwidths with a floor that keeps exploration alive
+        bw_g = max(float(np.std(good)) * len(good) ** -0.2, 0.08)
+        bw_b = max(float(np.std(bad)) * len(bad) ** -0.2, 0.08)
+        rng = np.random.default_rng(get_trial_seed(self.seed, trial_number,
+                                                   name))
+        centers = good[rng.integers(0, len(good), self.n_candidates)]
+        cands = centers + rng.normal(0.0, bw_g, self.n_candidates)
+        # one uniform candidate preserves global exploration
+        cands[-1] = rng.uniform()
+        cands = np.clip(cands, 1e-6, 1.0 - 1e-6)
+        score = (self._log_parzen(cands, good, bw_g)
+                 - self._log_parzen(cands, bad, bw_b))
+        return float(cands[int(np.argmax(score))])
+
+
+SAMPLERS = {"random": RandomSampler, "sobol": SobolSampler,
+            "tpe": TPESampler}
 
 
 class MedianPruner:
@@ -173,7 +266,11 @@ class StudyStorage:
             c.execute("""CREATE TABLE IF NOT EXISTS trials (
                 study TEXT, number INTEGER, params TEXT, value REAL,
                 state TEXT, seed INTEGER, duration_s REAL, intermediate TEXT,
-                PRIMARY KEY (study, number))""")
+                unit TEXT, PRIMARY KEY (study, number))""")
+            # migrate pre-round-5 databases (no unit column)
+            cols = [r[1] for r in c.execute("PRAGMA table_info(trials)")]
+            if "unit" not in cols:
+                c.execute("ALTER TABLE trials ADD COLUMN unit TEXT")
 
     def create_study(self, name: str, direction: str, base_seed: int, metadata: dict,
                      load_if_exists: bool = True) -> bool:
@@ -191,17 +288,20 @@ class StudyStorage:
     def load_trials(self, name: str) -> list[FrozenTrial]:
         with self._conn() as c:
             rows = c.execute(
-                "SELECT number, params, value, state, seed, duration_s, intermediate "
+                "SELECT number, params, value, state, seed, duration_s, "
+                "intermediate, unit "
                 "FROM trials WHERE study=? ORDER BY number", (name,)).fetchall()
         return [FrozenTrial(n, json.loads(p), v, s, sd, d,
-                            {int(k): vv for k, vv in json.loads(im or "{}").items()})
-                for n, p, v, s, sd, d, im in rows]
+                            {int(k): vv for k, vv in json.loads(im or "{}").items()},
+                            json.loads(un or "{}"))
+                for n, p, v, s, sd, d, im, un in rows]
 
     def save_trial(self, study: str, t: FrozenTrial):
         with self._conn() as c:
-            c.execute("INSERT OR REPLACE INTO trials VALUES (?,?,?,?,?,?,?,?)",
+            c.execute("INSERT OR REPLACE INTO trials VALUES (?,?,?,?,?,?,?,?,?)",
                       (study, t.number, json.dumps(t.params), t.value, t.state,
-                       t.seed, t.duration_s, json.dumps(t.intermediate)))
+                       t.seed, t.duration_s, json.dumps(t.intermediate),
+                       json.dumps(t.unit)))
 
 
 @dataclasses.dataclass
@@ -240,7 +340,14 @@ class StudyManager:
         self.name = study_name
         self.direction = direction
         self.base_seed = base_seed
+        if isinstance(sampler, str):
+            if sampler not in SAMPLERS:
+                raise ValidationError(
+                    f"sampler must be one of {sorted(SAMPLERS)}: {sampler!r}")
+            sampler = SAMPLERS[sampler](base_seed)
         self.sampler = sampler or SobolSampler(base_seed)
+        # adaptive samplers (TPE) read the trial history through the study
+        getattr(self.sampler, "attach", lambda s: None)(self)
         self.pruner = pruner or MedianPruner()
         self.metadata = environment_fingerprint()
         self.storage = StudyStorage(storage)
@@ -270,7 +377,8 @@ class StudyManager:
                 logger.warning("trial %d failed: %s", i, e)
                 state, value = "FAIL", None
             frozen = FrozenTrial(i, trial.params, value, state, trial.seed,
-                                 time.perf_counter() - t0, trial.intermediate)
+                                 time.perf_counter() - t0, trial.intermediate,
+                                 trial.unit)
             self.trials.append(frozen)
             self.storage.save_trial(self.name, frozen)
         return self.result(time.perf_counter() - t_start)

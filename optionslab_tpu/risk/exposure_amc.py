@@ -54,8 +54,29 @@ def amc_dynamics_kwargs(model: str, *, spot, rate, vol,
     """Map a façade model name to :func:`amc_exposure_profile` dynamics
     kwargs — the ONE place CLI ``xva --model`` and HTTP ``/xva`` share.
     The ``*_params`` are override DICTS (same conventions as the
-    ``/american`` route); ``vol`` seeds the SLV smile's base level."""
+    ``/american`` route); ``vol`` seeds the SLV smile's base level.
+
+    An override dict that the chosen model cannot consume raises
+    ``ValidationError`` rather than being silently dropped (a client
+    sending ``heston_params`` with ``model=bates`` would otherwise get
+    default-parameter dynamics with no error)."""
     model = str(model).lower()
+    consumes = {"bs": (), "heston": ("heston_params",),
+                "bates": ("bates_params",),
+                "slv": ("heston_params",), "rbergomi": ("rbergomi_params",)}
+    if model not in consumes:
+        raise ValidationError(f"unknown xva model {model!r}; choose "
+                              "bs|heston|bates|slv|rbergomi")
+    overrides = {"heston_params": heston_params, "bates_params": bates_params,
+                 "rbergomi_params": rbergomi_params}
+    stray = [k for k, v in overrides.items()
+             if v and k not in consumes[model]]
+    if stray:
+        raise ValidationError(
+            f"model={model!r} does not consume {', '.join(stray)}; it "
+            f"accepts {list(consumes[model]) or 'no override dicts'}")
+    if model != "slv" and float(mixing) != 1.0:
+        raise ValidationError("mixing applies to model='slv' only")
     if model == "bs":
         return {}
     if model == "heston":
@@ -74,13 +95,9 @@ def amc_dynamics_kwargs(model: str, *, spot, rate, vol,
                                          spot, rate),
                 "heston_params": HestonParams.make(**(heston_params or {})),
                 "mixing": float(mixing)}
-    if model == "rbergomi":
-        from ..models.rbergomi import RBergomiParams
+    from ..models.rbergomi import RBergomiParams
 
-        return {"rbergomi_params": RBergomiParams(**(rbergomi_params
-                                                     or {}))}
-    raise ValueError(f"unknown xva model {model!r}; choose "
-                     "bs|heston|bates|slv|rbergomi")
+    return {"rbergomi_params": RBergomiParams(**(rbergomi_params or {}))}
 
 AMC_KINDS = ("vanilla", "asian_arith", "lookback_float", "lookback_fixed",
              "barrier_up-and-out", "barrier_up-and-in",

@@ -909,7 +909,10 @@ def handle_xva(body: dict) -> dict:
     Any position with a "kind" routes through the AMC engine; there
     "model": "bs|heston|bates|slv|rbergomi" selects the exposure
     dynamics ("heston_params"/"bates_params"/"rbergomi_params"/"mixing"
-    override the defaults — same conventions as /american)."""
+    override the defaults — same conventions as /american; an override
+    dict the chosen model cannot consume is a 400, not a silent drop).
+    Vol precedence on the AMC path: per-position "vol" wins; a top-level
+    "vol" pins the BS dynamics only when NO position carries its own."""
     from .risk import Position, xva_report
 
     spot = float(body.get("spot", 100.0))
@@ -941,9 +944,13 @@ def handle_xva(body: dict) -> dict:
             mixing=body.get("mixing", 1.0))
         prof = amc_exposure_profile(
             book, spot=spot, rate=rate,
-            # a top-level "vol" pins the BS dynamics; absent, the
-            # engine's default (first position's vol) applies
-            vol=float(body["vol"]) if "vol" in body else None,
+            # a top-level "vol" pins the BS dynamics ONLY when no
+            # position carries its own vol; a book with per-position
+            # vols keeps the engine default (first position's vol), so
+            # clients that habitually send both see no shift
+            vol=(float(body["vol"])
+                 if "vol" in body and not any("vol" in s_ for s_ in specs)
+                 else None),
             n_dates=min(int(body.get("dates", 24)), 120),
             n_paths=min(int(body.get("paths", 65536)), 524_288),
             quantile=float(body.get("quantile", 0.95)),

@@ -136,6 +136,70 @@ class TestStudyLifecycle:
         assert (hist > 0).all()
 
 
+class TestTPESampler:
+    """VERDICT r4 #6: TPE-grade adaptive sampling behind the sampler=
+    knob (reference: src/optimization/study_manager.py:176 TPESampler)."""
+
+    @staticmethod
+    def _basin(trial, seed):
+        # narrow 2-D basin: space-filling needs ~1/r^2 points to land
+        # near the optimum; an adaptive sampler concentrates there
+        x = trial.suggest_float("x", 0.0, 1.0)
+        y = trial.suggest_float("y", 0.0, 1.0)
+        return (x - 0.73) ** 2 + (y - 0.31) ** 2
+
+    def test_beats_sobol_same_budget(self, tmp_path):
+        """Seeded study, same objective, same trial budget: the TPE best
+        loss is at least as good as Sobol's (deterministic — both
+        samplers derive every decision from the seed)."""
+        r_sobol = StudyManager("b_sobol", _db(tmp_path),
+                               sampler="sobol").optimize(self._basin,
+                                                         n_trials=40)
+        r_tpe = StudyManager("b_tpe", _db(tmp_path),
+                             sampler="tpe").optimize(self._basin,
+                                                     n_trials=40)
+        assert r_tpe.best_value <= r_sobol.best_value
+        # and it actually exploits: the last 10 TPE trials cluster near
+        # the basin far more often than chance
+        tpe_mgr = StudyManager("b_tpe", _db(tmp_path), sampler="tpe")
+        tail = tpe_mgr.trials[-10:]
+        near = sum(1 for t in tail
+                   if abs(t.params["x"] - 0.73) < 0.2
+                   and abs(t.params["y"] - 0.31) < 0.2)
+        assert near >= 5, [t.params for t in tail]
+
+    def test_fewer_trials_to_target(self, tmp_path):
+        """The headline claim: TPE reaches a target loss in fewer trials
+        than Sobol on the same seeded objective."""
+        target = 5e-3
+
+        def first_hit(name, sampler):
+            mgr = StudyManager(name, _db(tmp_path), sampler=sampler)
+            mgr.optimize(self._basin, n_trials=60)
+            for t in mgr.trials:
+                if t.value is not None and t.value <= target:
+                    return t.number
+            return 10_000
+        assert first_hit("fh_tpe", "tpe") < first_hit("fh_sobol", "sobol")
+
+    def test_unit_coords_survive_resume(self, tmp_path):
+        url = _db(tmp_path)
+        m1 = StudyManager("tpe_resume", url, sampler="tpe")
+        m1.optimize(self._basin, n_trials=12)
+        m2 = StudyManager("tpe_resume", url, sampler="tpe")
+        assert len(m2.trials) == 12
+        assert all(set(t.unit) == {"x", "y"} for t in m2.trials)
+        # resumed history is past n_startup, so the very next draw is
+        # adaptive (differs from the fresh-study Sobol fallback draw)
+        from optionslab_tpu.optimize import TPESampler
+        fresh = TPESampler(seed=42)
+        assert m2.sampler.draw(12, "x") != fresh._fallback.draw(12, "x")
+
+    def test_unknown_sampler_name_raises(self, tmp_path):
+        with pytest.raises(ValidationError):
+            StudyManager("bad", _db(tmp_path), sampler="gp-ucb")
+
+
 class TestSpaces:
     def test_mlp_space_suggest_and_validate(self, tmp_path):
         mgr = StudyManager("space", _db(tmp_path))
