@@ -50,6 +50,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -661,8 +662,8 @@ def pallas_exotic_price(kind: str, spot, strike, maturity, rate, vol,
     # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     price, se = _price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
         cp=float(cp), sampler=sampler)
     n = n_blocks * PATHS_PER_BLOCK
     if kind == "asian_arith_cv":
@@ -742,7 +743,7 @@ def _book_smem(strikes, barriers, a, b, c, d, e, nc_pad):
     for i in range(nc_pad):
         vec += [at(strikes, i), at(barriers, i), at(a, i), at(b, i),
                 at(c, i), at(d, i), at(e, i)]
-    return jnp.asarray(vec, jnp.float32)
+    return np.asarray(vec, np.float32)
 
 
 def _book_lists(kind, strikes, barriers, lowers, uppers):
@@ -841,8 +842,8 @@ def pallas_exotic_book_price(kind: str, spot, strikes, maturity, rate, vol,
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     prices, ses = _book_price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        book, jnp.float32(df), kind=kind, n_steps=n_steps,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        book, np.float32(df), kind=kind, n_steps=n_steps,
         n_blocks=n_blocks, cp=float(cp), sampler=sampler,
         n_contracts=nc_pad)
     return prices[:nc], ses[:nc], n_blocks * paths_per_block
@@ -916,10 +917,10 @@ def pallas_exotic_book_lr_greeks(kind: str, spot, strikes, maturity, rate,
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
-    scalars = jnp.asarray([float(spot), float(vol), t, df, mu,
-                           float(rate)], jnp.float32)
+    scalars = np.asarray([float(spot), float(vol), t, df, mu,
+                           float(rate)], np.float32)
     out = _book_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         book, scalars, kind=kind, n_steps=n_steps, n_blocks=n_blocks,
         cp=float(cp), sampler=sampler, n_contracts=nc_pad)
     out = {k: v[:nc] for k, v in out.items()}
@@ -943,8 +944,8 @@ def pallas_cliquet_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     price, se = _price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(math.exp(-float(rate) * t)), kind="cliquet",
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(math.exp(-float(rate) * t)), kind="cliquet",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         period=n_steps // n_periods, sampler=sampler)
     return price, se, n_blocks * PATHS_PER_BLOCK
@@ -971,8 +972,8 @@ def pallas_autocall_price(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     price, se = _price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(1.0), kind="autocall", n_steps=n_steps,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(1.0), kind="autocall", n_steps=n_steps,
         n_blocks=n_blocks, cp=1.0, period=n_steps // n_obs,
         sampler=sampler)
     return price, se, n_blocks * PATHS_PER_BLOCK
@@ -1068,11 +1069,11 @@ def pallas_exotic_lr_greeks(kind: str, spot, strike, maturity, rate, vol,
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
     hit_pay = kind.endswith("_hit")  # in-kernel discounting + DR moment
-    scalars = jnp.asarray([float(spot), float(vol), t,
+    scalars = np.asarray([float(spot), float(vol), t,
                            1.0 if hit_pay else math.exp(-float(rate) * t),
-                           mu, float(rate)], jnp.float32)
-    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32), scalars, kind=kind,
+                           mu, float(rate)], np.float32)
+    out = dict(_lr_pipeline(np.asarray([seed, 0], np.int32),
+                            np.asarray(p, np.float32), scalars, kind=kind,
                             n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                             period=1, sampler=sampler,
                             discounted=hit_pay))
@@ -1097,11 +1098,11 @@ def pallas_cliquet_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
-    scalars = jnp.asarray([float(spot), float(vol), t,
+    scalars = np.asarray([float(spot), float(vol), t,
                            math.exp(-float(rate) * t), mu, float(rate)],
                           jnp.float32)
-    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32), scalars,
+    out = dict(_lr_pipeline(np.asarray([seed, 0], np.int32),
+                            np.asarray(p, np.float32), scalars,
                             kind="cliquet", n_steps=n_steps,
                             n_blocks=n_blocks, cp=1.0,
                             period=n_steps // n_periods, sampler=sampler,
@@ -1133,10 +1134,10 @@ def pallas_autocall_lr_greeks(spot, maturity, rate, vol, dividend: float = 0.0,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
-    scalars = jnp.asarray([float(spot), float(vol), t, 1.0, mu,
-                           float(rate)], jnp.float32)
-    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32), scalars,
+    scalars = np.asarray([float(spot), float(vol), t, 1.0, mu,
+                           float(rate)], np.float32)
+    out = dict(_lr_pipeline(np.asarray([seed, 0], np.int32),
+                            np.asarray(p, np.float32), scalars,
                             kind="autocall", n_steps=n_steps,
                             n_blocks=n_blocks, cp=1.0,
                             period=n_steps // n_obs, sampler=sampler,
@@ -1163,8 +1164,8 @@ def pallas_range_accrual_price(spot, lower, upper, maturity, rate, vol,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     price, se = _price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(math.exp(-float(rate) * t)), kind="range_accrual",
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(math.exp(-float(rate) * t)), kind="range_accrual",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0, sampler=sampler)
     return price, se, n_blocks * PATHS_PER_BLOCK
 
@@ -1189,11 +1190,11 @@ def pallas_range_accrual_lr_greeks(spot, lower, upper, maturity, rate, vol,
     p[_P_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     mu = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
-    scalars = jnp.asarray([float(spot), float(vol), t,
+    scalars = np.asarray([float(spot), float(vol), t,
                            math.exp(-float(rate) * t), mu, float(rate)],
                           jnp.float32)
-    out = dict(_lr_pipeline(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32), scalars,
+    out = dict(_lr_pipeline(np.asarray([seed, 0], np.int32),
+                            np.asarray(p, np.float32), scalars,
                             kind="range_accrual", n_steps=n_steps,
                             n_blocks=n_blocks, cp=1.0, period=1,
                             sampler=sampler, discounted=False))
@@ -1516,10 +1517,10 @@ def pallas_exotic_greeks(kind: str, spot, strike, maturity, rate, vol,
     p, t = _base_params(spot, strike, maturity, rate, vol, dividend, 0.0, n_steps)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK_G))
     a_drift = float(rate) - float(dividend) - 0.5 * float(vol) ** 2
-    scalars = jnp.asarray([float(spot), float(rate), float(vol), t, a_drift,
-                           math.exp(-float(rate) * t)], jnp.float32)
-    out = _greeks_pipeline(jnp.asarray([seed, 0], jnp.int32),
-                           jnp.asarray(p, jnp.float32), scalars, kind=kind,
+    scalars = np.asarray([float(spot), float(rate), float(vol), t, a_drift,
+                          math.exp(-float(rate) * t)], np.float32)
+    out = _greeks_pipeline(np.asarray([seed, 0], np.int32),
+                           np.asarray(p, np.float32), scalars, kind=kind,
                            n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                            sampler=sampler)
     out = dict(out)

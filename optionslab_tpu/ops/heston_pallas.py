@@ -657,7 +657,7 @@ def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
                       kap, th, sig, rho, srho, v0, crho])
     p = jnp.concatenate([head.astype(jnp.float32), dts.astype(jnp.float32),
                          jnp.asarray(strikes, jnp.float32)])
-    return _launch_chain(jnp.asarray([seed, 0], jnp.int32), p,
+    return _launch_chain(np.asarray([seed, 0], np.int32), p,
                          n_steps=int(dts.shape[0]), n_blocks=n_blocks,
                          quote_steps=quote_steps, cps=cps, sampler=sampler)
 
@@ -781,12 +781,12 @@ def _params_vec(spot, strike, maturity, rate, params, dividend, n_steps):
     t = max(float(maturity), EPS_TIME)
     dt = t / n_steps
     rho = float(params.rho)
-    return t, jnp.asarray([
+    return t, np.asarray([
         float(spot), float(strike), (float(rate) - float(dividend)) * dt, dt,
         math.sqrt(dt), float(params.kappa), float(params.theta),
         float(params.sigma), rho, math.sqrt(max(1.0 - rho * rho, 0.0)),
         float(params.v0), t,
-    ], jnp.float32)
+    ], np.float32)
 
 
 def _qe_consts(kap, th, sig, rho, v0, dt, mu):
@@ -814,7 +814,7 @@ def _params_vec_qe(spot, strike, maturity, rate, params, dividend,
                    float(params.sigma), float(params.rho),
                    float(params.v0), dt, float(rate) - float(dividend))
     # legacy layout: [s0, K, mu_dt, emkd, c1, s2_v, s2_0, k0..k4, v0, pad]
-    return t, jnp.asarray([float(spot), float(strike)] + c + [0.0],
+    return t, np.asarray([float(spot), float(strike)] + c + [0.0],
                           jnp.float32)
 
 
@@ -851,7 +851,7 @@ def _params_vec_qe_ladder(spot, strike, maturity, rate, params, dividend,
     for (k_, t_, s_, r_, v_, d_) in sets:
         p += _qe_consts(k_, t_, s_, r_, v_, d_, mu)
     hs = np.asarray([h_v0, h_kap, h_th, h_sig, h_rho, h_t], np.float32)
-    return t, jnp.asarray(p, jnp.float32), hs
+    return t, np.asarray(p, np.float32), hs
 
 
 def _combine_moments(outs, n: int, scalars, cp: float, vega: bool,
@@ -990,10 +990,10 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
         t, p, hs = _params_vec_qe_ladder(spot, strike, maturity, rate,
                                          params, dividend, n_steps, h_rel)
         n_blocks = max(1, math.ceil(n_paths / LADDER_PATHS_PER_BLOCK))
-        scalars = jnp.asarray(
+        scalars = np.asarray(
             [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
-             float(rate)] + list(hs), jnp.float32)
-        out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
+             float(rate)] + list(hs), np.float32)
+        out = dict(_pipeline(np.asarray([seed, 0], np.int32), p, scalars,
                              n_steps=n_steps, n_blocks=n_blocks,
                              cp=float(cp), sampler=sampler, ladder=True,
                              scheme="qe"))
@@ -1002,9 +1002,9 @@ def pallas_heston_greeks(spot, strike, maturity, rate, params, cp: float = 1.0,
     t, p = _params_vec(spot, strike, maturity, rate, params, dividend, n_steps)
     ppb = LADDER_PATHS_PER_BLOCK if ladder else PATHS_PER_BLOCK
     n_blocks = max(1, math.ceil(n_paths / ppb))
-    scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
-                           float(params.v0), float(rate)], jnp.float32)
-    out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
+    scalars = np.asarray([float(spot), t, math.exp(-float(rate) * t),
+                          float(params.v0), float(rate)], np.float32)
+    out = dict(_pipeline(np.asarray([seed, 0], np.int32), p, scalars,
                          n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                          sampler=sampler, vega=vega and not ladder,
                          ladder=ladder))
@@ -1636,8 +1636,8 @@ def pallas_heston_exotic_price(kind: str, spot, strike, maturity, rate,
     # pay-at-hit kinds discount in-kernel at the hit step: host df = 1
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     price, se = _exotic_price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(df), kind=kind, n_steps=n_steps, n_blocks=n_blocks,
         cp=float(cp), sampler=sampler, scheme=scheme,
         jumps=hasattr(params, "lam"))
     return price, se, n_blocks * PATHS_PER_BLOCK
@@ -1765,8 +1765,8 @@ def pallas_heston_exotic_book_price(kind: str, spot, strikes, maturity,
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
     prices, ses = _exotic_book_price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        book, jnp.float32(df), kind=kind, n_steps=n_steps,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        book, np.float32(df), kind=kind, n_steps=n_steps,
         n_blocks=n_blocks, cp=float(cp), sampler=sampler, scheme=scheme,
         jumps=hasattr(params, "lam"), n_contracts=nc_pad)
     return prices[:nc], ses[:nc], n_blocks * paths_per_block
@@ -1818,7 +1818,7 @@ def pallas_heston_exotic_book_lr_greeks(kind: str, spot, strikes, maturity,
     paths_per_block = (ROWS // nc_pad) * LANES * 2
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     out = dict(_exotic_book_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         book, _lr_scalars(spot, t, rate, params, n_steps), kind=kind,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler,
         jumps=hasattr(params, "lam"), n_contracts=nc_pad))
@@ -1850,8 +1850,8 @@ def pallas_heston_cliquet_price(spot, maturity, rate, params,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     price, se = _exotic_price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(math.exp(-float(rate) * t)), kind="cliquet",
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(math.exp(-float(rate) * t)), kind="cliquet",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         period=n_steps // n_periods, sampler=sampler, scheme=scheme,
         jumps=hasattr(params, "lam"))
@@ -1886,8 +1886,8 @@ def pallas_heston_autocall_price(spot, maturity, rate, params,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     price, se = _exotic_price_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
-        jnp.float32(1.0), kind="autocall", n_steps=n_steps,
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+        np.float32(1.0), kind="autocall", n_steps=n_steps,
         n_blocks=n_blocks, cp=1.0, period=n_steps // n_obs,
         sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
     return price, se, n_blocks * PATHS_PER_BLOCK
@@ -1990,7 +1990,7 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
         _set_double_band(p, spot, lower, upper)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     out = dict(_exotic_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind=kind,
         n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler,
         jumps=hasattr(params, "lam")))
@@ -1999,10 +1999,12 @@ def pallas_heston_exotic_lr_greeks(kind: str, spot, strike, maturity, rate,
 
 
 def _lr_scalars(spot, t, rate, params, n_steps):
-    return jnp.asarray(
+    # host numpy: eager jnp array creation costs ~40 ms/op over the
+    # axon tunnel; the jit boundary transfers np operands for free
+    return np.asarray(
         [float(spot), t, math.exp(-float(rate) * t), float(params.v0),
          t / n_steps, math.sqrt(max(1.0 - float(params.rho) ** 2, 0.0)),
-         float(rate)], jnp.float32)
+         float(rate)], np.float32)
 
 
 def pallas_heston_cliquet_lr_greeks(spot, maturity, rate, params,
@@ -2033,7 +2035,7 @@ def pallas_heston_cliquet_lr_greeks(spot, maturity, rate, params,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     out = dict(_exotic_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind="cliquet",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         period=n_steps // n_periods, sampler=sampler,
@@ -2077,7 +2079,7 @@ def pallas_heston_autocall_lr_greeks(spot, maturity, rate, params,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     out = dict(_exotic_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind="autocall",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         period=n_steps // n_obs, sampler=sampler,
@@ -2110,7 +2112,7 @@ def pallas_heston_range_accrual_price(spot, lower, upper, maturity, rate,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     pay, pay2 = _launch_exotic(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         kind="range_accrual", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
         sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
     n = n_blocks * PATHS_PER_BLOCK
@@ -2141,7 +2143,7 @@ def pallas_heston_range_accrual_lr_greeks(spot, lower, upper, maturity,
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
     out = dict(_exotic_lr_pipeline(
-        jnp.asarray([seed, 0], jnp.int32), jnp.asarray(p, jnp.float32),
+        np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
         _lr_scalars(spot, t, rate, params, n_steps), kind="range_accrual",
         n_steps=n_steps, n_blocks=n_blocks, cp=1.0, sampler=sampler,
         jumps=hasattr(params, "lam")))
@@ -2169,9 +2171,9 @@ def pallas_heston_price(spot, strike, maturity, rate, params, cp: float = 1.0,
         t, p = _params_vec_qe(spot, strike, maturity, rate, params, dividend,
                               n_steps)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        scalars = jnp.asarray([float(spot), t, math.exp(-float(rate) * t),
+        scalars = np.asarray([float(spot), t, math.exp(-float(rate) * t),
                                float(params.v0)], jnp.float32)
-        out = dict(_pipeline(jnp.asarray([seed, 0], jnp.int32), p, scalars,
+        out = dict(_pipeline(np.asarray([seed, 0], np.int32), p, scalars,
                              n_steps=n_steps, n_blocks=n_blocks,
                              cp=float(cp), sampler=sampler, scheme="qe"))
         return out["price"], out["std_error"], n_blocks * PATHS_PER_BLOCK

@@ -349,6 +349,22 @@ def _lv_kernel(seed_ref, p_ref, *refs, n_steps: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
+                                             "payoff", "sampler"))
+def _lv_price_pipeline(seed, p, df, *, n_steps, n_blocks, cp, payoff,
+                       sampler):
+    """Launch + moment reduction in ONE jitted program — the eager
+    reduction tail cost extra RPC round-trips per call over the tunnel
+    (CLAUDE.md: hot paths must be single jitted programs)."""
+    from .exotic_pallas import _mean_stderr
+
+    pay, pay2 = _launch(seed, p, n_steps=n_steps, n_blocks=n_blocks,
+                        cp=cp, payoff=payoff, sampler=sampler)
+    price, se, _ = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
+                                sampler)
+    return price, se
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "n_blocks", "cp",
                                              "payoff", "sampler", "greeks"))
 def _launch(seed, params, *, n_steps: int, n_blocks: int, cp: float,
             payoff: str, sampler: str = "prng", greeks: bool = False):
@@ -495,16 +511,13 @@ class LocalVolKernelPricer:
         exotic_pallas._mean_stderr)."""
         p = self._params(strike, payoff, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32),
-                            n_steps=self.n_steps, n_blocks=n_blocks,
-                            cp=float(cp), payoff=payoff, sampler=sampler)
-        from .exotic_pallas import _mean_stderr
-
         df = (1.0 if payoff.endswith("_hit")  # discounted at hit in-kernel
               else math.exp(-self.rate * self.t_total))
-        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
-                            sampler)
+        price, se = _lv_price_pipeline(
+            np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+            np.float32(df), n_steps=self.n_steps, n_blocks=n_blocks,
+            cp=float(cp), payoff=payoff, sampler=sampler)
+        return price, se, n_blocks * PATHS_PER_BLOCK
 
     def greeks(self, strike, cp: float = 1.0, payoff: str = "european",
                barrier: float = 0.0, n_paths: int = 1_000_000, seed: int = 0,
@@ -531,8 +544,8 @@ class LocalVolKernelPricer:
         """
         p = self._params(strike, payoff, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        outs = _launch(jnp.asarray([seed, 0], jnp.int32),
-                       jnp.asarray(p, jnp.float32),
+        outs = _launch(np.asarray([seed, 0], np.int32),
+                       np.asarray(p, np.float32),
                        n_steps=self.n_steps, n_blocks=n_blocks,
                        cp=float(cp), payoff=payoff, sampler=sampler,
                        greeks=True)

@@ -329,6 +329,20 @@ def _launch(seed, params, *, d: int, kind: str, n_steps: int, n_blocks: int,
     )(seed, params)
 
 
+@functools.partial(jax.jit, static_argnames=("d", "kind", "n_steps",
+                                             "n_blocks", "cp", "sampler"))
+def _ma_price_pipeline(seed, p, df, *, d, kind, n_steps, n_blocks, cp,
+                       sampler):
+    """Launch + moment reduction in ONE jitted program — the eager
+    reduction tail cost extra RPC round-trips per call over the tunnel
+    (CLAUDE.md: hot paths must be single jitted programs)."""
+    pay, pay2 = _launch(seed, p, d=d, kind=kind, n_steps=n_steps,
+                        n_blocks=n_blocks, cp=cp, sampler=sampler)
+    price, se, _ = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df,
+                                sampler)
+    return price, se
+
+
 def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
                 dividends, n_steps, lr: bool = False, cv: bool = False):
     spots = np.asarray(spots, np.float64).ravel()
@@ -365,7 +379,7 @@ def _params_vec(spots, weights, strike, maturity, rate, vols, corr,
         p += [sqdt, 1.0 / (2.0 * t)]               # sqdt, c0
         p += [((float(rate) - divs[i] - 0.5 * vols[i] ** 2) * dt)
               / (vols[i] * sqdt * t) for i in range(d)]  # c1 (theta wts)
-    return d, t, jnp.asarray(p, jnp.float32)
+    return d, t, np.asarray(p, np.float32)
 
 
 def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
@@ -408,11 +422,11 @@ def pallas_multi_asset_price(kind: str, spots, strike, maturity, rate, vols,
     if kind == "spread" and d != 2:
         raise ValidationError("spread requires exactly 2 assets")
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
-                        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
-                        sampler=sampler)
-    price, se, n = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK,
-                                math.exp(-float(rate) * t), sampler)
+    price, se = _ma_price_pipeline(
+        np.asarray([seed, 0], np.int32), p,
+        np.float32(math.exp(-float(rate) * t)), d=d, kind=kind,
+        n_steps=n_steps, n_blocks=n_blocks, cp=float(cp), sampler=sampler)
+    n = n_blocks * PATHS_PER_BLOCK
     if kind == "basket_cv":
         from ..models.multi_asset import geometric_basket_closed_form
 
@@ -467,7 +481,7 @@ def pallas_multi_asset_greeks(kind: str, spots, strike, maturity, rate, vols,
     if kind == "spread" and d != 2:
         raise ValidationError("spread requires exactly 2 assets")
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    outs = _launch(jnp.asarray([seed, 0], jnp.int32), p, d=d, kind=kind,
+    outs = _launch(np.asarray([seed, 0], np.int32), p, d=d, kind=kind,
                    n_steps=n_steps, n_blocks=n_blocks, cp=float(cp),
                    sampler=sampler, lr=True)
     return _combine_lr(outs, n_blocks * PATHS_PER_BLOCK, d, t, rate, spots,

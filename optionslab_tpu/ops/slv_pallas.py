@@ -416,6 +416,19 @@ def _launch(seed, params, *, kind: str, n_steps: int, n_blocks: int,
     )(seed, params)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "n_steps",
+                                             "n_blocks", "cp", "sampler"))
+def _slv_price_pipeline(seed, p, df, *, kind, n_steps, n_blocks, cp,
+                        sampler):
+    """Launch + moment reduction in ONE jitted program — the eager
+    reduction tail cost extra RPC round-trips per call over the tunnel
+    (CLAUDE.md: hot paths must be single jitted programs)."""
+    pay, pay2 = _launch(seed, p, kind=kind, n_steps=n_steps,
+                        n_blocks=n_blocks, cp=cp, sampler=sampler)
+    price, se, _ = _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
+    return price, se
+
+
 def fit_leverage_polys(x_rows, l_rows):
     """Per-step degree-6 polynomial fits of the calibrated leverage rows
     (``models.slv.slv_calibrate_leverage`` output). The rows live on
@@ -528,13 +541,13 @@ class SLVKernelPricer:
             raise ValidationError("SLV kernel samplers are prng|hash")
         p = self._params_vec(kind, strike, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        pay, pay2 = _launch(jnp.asarray([seed, 0], jnp.int32),
-                            jnp.asarray(p, jnp.float32), kind=kind,
-                            n_steps=self.n_steps, n_blocks=n_blocks,
-                            cp=float(cp), sampler=sampler)
         df = (1.0 if kind.endswith("_hit")  # discounted at hit in-kernel
               else math.exp(-self.rate * self.t_total))
-        return _mean_stderr(pay, pay2, n_blocks * PATHS_PER_BLOCK, df)
+        price, se = _slv_price_pipeline(
+            np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
+            np.float32(df), kind=kind, n_steps=self.n_steps,
+            n_blocks=n_blocks, cp=float(cp), sampler=sampler)
+        return price, se, n_blocks * PATHS_PER_BLOCK
 
     def greeks(self, kind, strike, cp: float = 1.0, barrier: float = 0.0,
                n_paths: int = 1_000_000, seed: int = 0,
@@ -555,8 +568,8 @@ class SLVKernelPricer:
                 "LocalVolKernelPricer.greeks instead")
         p = self._params_vec(kind, strike, barrier, lower, upper)
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        outs = _launch(jnp.asarray([seed, 0], jnp.int32),
-                       jnp.asarray(p, jnp.float32), kind=kind,
+        outs = _launch(np.asarray([seed, 0], np.int32),
+                       np.asarray(p, np.float32), kind=kind,
                        n_steps=self.n_steps, n_blocks=n_blocks,
                        cp=float(cp), sampler=sampler, lr=True)
         return self._combine_lr(outs, n_blocks * PATHS_PER_BLOCK, kind)
@@ -634,8 +647,8 @@ class SLVKernelPricer:
         head[_S_A:_S_E + 1] = abcde
         p = np.concatenate([head, self.rows.ravel()])
         n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-        outs = _launch(jnp.asarray([seed, 0], jnp.int32),
-                       jnp.asarray(p, jnp.float32), kind=kind,
+        outs = _launch(np.asarray([seed, 0], np.int32),
+                       np.asarray(p, np.float32), kind=kind,
                        n_steps=self.n_steps, n_blocks=n_blocks, cp=1.0,
                        sampler=sampler, lr=greeks, period=period)
         n = n_blocks * PATHS_PER_BLOCK
