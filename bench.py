@@ -246,6 +246,11 @@ def _sec_exotic_book(ctx):
     jax.block_until_ready(bp)
     dt_book = _rate3(lambda i: book(1 + i)[0])
 
+    # warm the single-contract program first so the speedup compares
+    # steady-state dispatches, not one compile against a warm book
+    jax.block_until_ready(pallas_exotic_price(
+        "asian_arith", args[0], strikes[0], args[1], args[2], args[3],
+        n_paths=1_000_000, n_steps=64, seed=39)[0])
     t0 = time.perf_counter()
     singles = [pallas_exotic_price("asian_arith", args[0], k, args[1],
                                    args[2], args[3], n_paths=1_000_000,

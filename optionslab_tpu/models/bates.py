@@ -54,8 +54,12 @@ class BatesParams:
     @classmethod
     def make(cls, v0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7,
              lam=0.5, mu_j=-0.1, sigma_j=0.15, dtype=jnp.float32):
-        return cls(*(jnp.asarray(x, dtype)
-                     for x in (v0, kappa, theta, sigma, rho, lam, mu_j, sigma_j)))
+        # host inputs stay host scalars (see HestonParams.make: eager
+        # jnp.asarray costs a ~40 ms tunnel RPC per field)
+        return cls(*(jnp.asarray(x, dtype) if isinstance(x, jax.Array)
+                     else np.asarray(x, dtype)
+                     for x in (v0, kappa, theta, sigma, rho, lam, mu_j,
+                               sigma_j)))
 
     @property
     def heston(self) -> HestonParams:

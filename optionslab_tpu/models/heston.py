@@ -51,7 +51,14 @@ class HestonParams:
 
     @classmethod
     def make(cls, v0=0.04, kappa=2.0, theta=0.04, sigma=0.3, rho=-0.7, dtype=jnp.float32):
-        return cls(*(jnp.asarray(x, dtype) for x in (v0, kappa, theta, sigma, rho)))
+        # host inputs stay HOST scalars: an eager jnp.asarray costs a
+        # ~40 ms RPC over the TPU tunnel (x5 fields, per make()), and
+        # downstream float(field) reads would each sync device->host.
+        # jax arrays/tracers pass through jnp (calibration loops build
+        # params from traced values via the plain constructor).
+        return cls(*(jnp.asarray(x, dtype) if isinstance(x, jax.Array)
+                     else np.asarray(x, dtype)
+                     for x in (v0, kappa, theta, sigma, rho)))
 
     def feller_ok(self) -> jnp.ndarray:
         """2κθ ≥ σ² (variance stays strictly positive)."""

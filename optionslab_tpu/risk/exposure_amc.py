@@ -435,15 +435,27 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
             else:
                 wgt = jnp.ones_like(sd)
             wtr = wgt[:half] * live[None, :]
-            phi_tr = phi[:half]
+            # per-date column scales (training-half RMS, floored): at
+            # high vol the raw polynomial columns span orders of
+            # magnitude and the f32 Gram matrix goes singular -> NaN
+            # marks (r4 rBergomi lesson: normalize, solve, and keep the
+            # SAME scales at eval time — folding them back recreates
+            # the blowup). Scale-only (no centering) preserves the
+            # intercept column.
+            n_w = jnp.maximum(wtr.sum(axis=0), 1.0)  # (dates,)
+            rms = jnp.sqrt(jnp.einsum("pdf,pd->df", phi[:half] ** 2, wtr)
+                           / n_w[:, None])
+            rms = jnp.maximum(rms, 1e-6)  # (dates, F)
+            phi_tr = phi[:half] / rms[None, :, :]
             # batched ridge normal equations per date: (dates, F, F)
             g = jnp.einsum("pdf,pdg,pd->dfg", phi_tr, phi_tr, wtr)
             b = jnp.einsum("pdf,pd,pd->df", phi_tr, y[:half], wtr)
             f_dim = g.shape[-1]
             g = g + ridge * half * jnp.eye(f_dim)[None, :, :]
             coef = jnp.linalg.solve(g, b[..., None])[..., 0]  # (dates, F)
-            # out-of-sample marks on the valuation half
-            cont = jnp.einsum("pdf,df->pd", phi[half:], coef)
+            # out-of-sample marks on the valuation half (same scales)
+            cont = jnp.einsum("pdf,df->pd", phi[half:] / rms[None, :, :],
+                              coef)
             cont = jnp.clip(cont, 0.0, None) if p.kind != "lookback_float" \
                 else cont
             if "barrier" in p.kind:
@@ -468,7 +480,8 @@ def amc_exposure_profile(book, *, spot: float = 100.0, rate: float = 0.05,
                     g_in = g_in + ridge * half * jnp.eye(f_dim)[None, :, :]
                     c_in = jnp.linalg.solve(g_in, b_in[..., None])[..., 0]
                     van = jnp.clip(
-                        jnp.einsum("pdf,df->pd", phi[half:], c_in),
+                        jnp.einsum("pdf,df->pd",
+                                   phi[half:] / rms[None, :, :], c_in),
                         0.0, None)
                     cont = (1.0 - hv) * cont + hv * van
             # at/after maturity: the settled payoff is exposure THROUGH

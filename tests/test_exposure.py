@@ -786,3 +786,27 @@ class TestRBergomiAMCExposure:
                 [ExoticPosition(kind="vanilla")],
                 rbergomi_params=self._rough(),
                 heston_params=HestonParams.make(0.04, 2.0, 0.04, 0.3, -0.7))
+
+
+class TestHighVolRegression:
+    """Round-5: at vol ~0.9 the raw polynomial feature columns span
+    orders of magnitude and the f32 Gram matrix went singular — NaN
+    EPE/PFE. The per-date column-RMS normalization (solve in normalized
+    space, evaluate with the SAME scales) keeps every date finite."""
+
+    def test_high_vol_profile_finite_and_monotone(self):
+        from optionslab_tpu.risk import ExoticPosition, amc_exposure_profile
+
+        book = [ExoticPosition(kind="vanilla", quantity=1.0, strike=100.0,
+                               maturity=1.0, option_type="call", vol=0.2)]
+        epes = []
+        for v in (0.2, 0.5, 0.9):
+            prof = amc_exposure_profile(book, spot=100.0, rate=0.03,
+                                        vol=v, n_dates=6, n_paths=8192,
+                                        seed=0)
+            assert np.isfinite(prof.epe), v
+            assert np.all(np.isfinite(np.asarray(prof.ee))), v
+            assert np.all(np.isfinite(np.asarray(prof.pfe))), v
+            epes.append(float(prof.epe))
+        # exposure of a long call grows with dynamics vol
+        assert epes[0] < epes[1] < epes[2]
