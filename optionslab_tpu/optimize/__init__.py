@@ -6,6 +6,12 @@ from .export import (
     ValidationReport,
     export_surface_model,
 )
+from .onnx_emit import (
+    OnnxGraphBuilder,
+    OnnxLiteRuntime,
+    export_mlp_onnx,
+    export_surface_model_onnx,
+)
 from .objectives import (
     get_metric,
     make_calibration_objective,
@@ -56,5 +62,7 @@ __all__ = [
     "compute_data_hash", "seeded_kfold", "environment_fingerprint",
     "ModelExporter", "InferenceEngine", "ExportValidator", "ExportResult",
     "ValidationReport", "export_surface_model",
+    "OnnxGraphBuilder", "OnnxLiteRuntime", "export_mlp_onnx",
+    "export_surface_model_onnx",
     "create_mlp_optimizer", "create_surrogate_optimizer", "optimize_and_export",
 ]
