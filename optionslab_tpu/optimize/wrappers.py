@@ -39,10 +39,14 @@ def create_surrogate_optimizer(study_name: str = "surrogate_study",
 def optimize_and_export(df, export_path, n_trials: int = 10,
                         study_name: str = "mlp_export_study",
                         storage: str = "sqlite:///optionslab_studies.db",
-                        final_epochs: int = 300):
+                        final_epochs: int = 300, emit_onnx: bool = False):
     """End-to-end: search MLP hyperparameters → retrain the best config on
     the full data → export the artifact → parity-validate it
-    (reference: ``model_wrappers.py:236`` optimize_and_export_onnx)."""
+    (reference: ``model_wrappers.py:236`` optimize_and_export_onnx).
+
+    ``emit_onnx=True`` additionally writes a real ``.onnx`` twin of the
+    StableHLO artifact (``onnx_emit.export_surface_model_onnx``), parity-
+    checked at export time — the reference flow's literal output format."""
     from ..surface.mlp import MLPModel
 
     manager, objective = create_mlp_optimizer(df, study_name, storage)
@@ -56,12 +60,20 @@ def optimize_and_export(df, export_path, n_trials: int = 10,
         if k in ("hidden_layers", "dropout_rate", "learning_rate", "batch_size")})
     metrics = model.train(df)
     export_result = export_surface_model(model, export_path)
-    return {
+    out = {
         "study": result,
         "final_metrics": metrics,
         "export": export_result,
         "model": model,
     }
+    if emit_onnx:
+        from .onnx_emit import export_surface_model_onnx
+
+        onnx_path = str(export_path)
+        onnx_path = (onnx_path[:-len(".hlo")] if onnx_path.endswith(".hlo")
+                     else onnx_path) + ".onnx"
+        out["onnx"] = export_surface_model_onnx(model, onnx_path)
+    return out
 
 
 __all__ = [

@@ -161,3 +161,25 @@ class TestSurfaceFacade:
 
         with pytest.raises(ModelError):
             export_surface_model_onnx(MLPModel(), tmp_path / "x.onnx")
+
+    @pytest.mark.slow
+    def test_optimize_and_export_emits_onnx(self, tmp_path):
+        """The reference's optimize_and_export_onnx flow ends in a real
+        .onnx artifact (model_wrappers.py:236); emit_onnx=True mirrors it."""
+        from optionslab_tpu.data.synthetic import generate_synthetic_chain
+        from optionslab_tpu.optimize import optimize_and_export
+        from optionslab_tpu.surface import engineer_features
+
+        df = engineer_features(generate_synthetic_chain(n_rows=100, seed=9))
+        out = optimize_and_export(
+            df, tmp_path / "best.hlo", n_trials=2,
+            study_name="onnx_e2e",
+            storage=f"sqlite:///{tmp_path}/studies.db",
+            final_epochs=30, emit_onnx=True)
+        onnx_path = tmp_path / "best.onnx"
+        assert onnx_path.exists()
+        assert out["onnx"]["roundtrip_max_abs_err"] <= 2e-5
+        x = np.random.default_rng(0).normal(
+            size=(4, len(out["model"].feature_columns))).astype(np.float32)
+        iv = OnnxLiteRuntime(onnx_path).predict(x)
+        assert iv.shape == (4, 1) and np.all(np.isfinite(iv))
