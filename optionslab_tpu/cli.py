@@ -1150,6 +1150,45 @@ def cmd_report(args) -> dict:
                         include_xva=not args.no_xva, seed=args.seed)
 
 
+def cmd_export(args) -> dict:
+    """Train the MLP surface model on a chain snapshot and write a
+    deployable artifact: jax.export/StableHLO, plus a real ``.onnx`` twin
+    with ``--onnx`` (reference flow: ``model_wrappers.py:236``
+    optimize_and_export_onnx). ``--trials N`` runs the hyperparameter
+    study first and exports the retrained best config."""
+    import dataclasses
+
+    from .surface import MLPModel
+
+    chain = _load_chain(args).to_model_input()
+    if args.trials > 0:
+        from .optimize import optimize_and_export
+
+        res = optimize_and_export(chain, args.out, n_trials=args.trials,
+                                  storage=args.storage,
+                                  final_epochs=args.epochs,
+                                  emit_onnx=args.onnx)
+        d = {"best_params": dict(res["study"].best_params),
+             "final_metrics": res["final_metrics"],
+             "export": dataclasses.asdict(res["export"])}
+        if args.onnx:
+            d["onnx"] = res["onnx"]
+        return d
+    from .optimize import export_surface_model
+
+    model = MLPModel(epochs=args.epochs, seed=args.seed)
+    metrics = model.train(chain)
+    d = {"final_metrics": metrics,
+         "export": dataclasses.asdict(export_surface_model(model, args.out))}
+    if args.onnx:
+        from .optimize import export_surface_model_onnx
+
+        onnx_path = (args.out[:-len(".hlo")] if args.out.endswith(".hlo")
+                     else args.out) + ".onnx"
+        d["onnx"] = export_surface_model_onnx(model, onnx_path)
+    return d
+
+
 def cmd_xva(args) -> dict:
     """Counterparty exposure profile (EE/EPE/PFE) + CVA/DVA for a simple
     netting set: one option position vs the counterparty.
@@ -1517,6 +1556,19 @@ def build_parser() -> argparse.ArgumentParser:
     psv = sub.add_parser("serve")
     psv.add_argument("--port", type=int, default=8777)
     psv.add_argument("--host", default="127.0.0.1")
+
+    pexp = sub.add_parser("export")
+    _chain_args(pexp)
+    pexp.add_argument("--out", default="surface_mlp.hlo",
+                      help="StableHLO artifact path (a .json sidecar rides "
+                           "along; --onnx adds a .onnx twin)")
+    pexp.add_argument("--onnx", action="store_true",
+                      help="also emit a parity-checked real .onnx artifact")
+    pexp.add_argument("--trials", type=int, default=0,
+                      help="run an N-trial hyperparameter study before the "
+                           "final fit (0 = default config)")
+    pexp.add_argument("--epochs", type=int, default=300)
+    pexp.add_argument("--storage", default="sqlite:///optionslab_studies.db")
     return p
 
 
@@ -1536,6 +1588,7 @@ COMMANDS = {
     "varswap": cmd_varswap,
     "xva": cmd_xva,
     "report": cmd_report,
+    "export": cmd_export,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,
     "serve": cmd_serve,

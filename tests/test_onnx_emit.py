@@ -163,6 +163,19 @@ class TestSurfaceFacade:
             export_surface_model_onnx(MLPModel(), tmp_path / "x.onnx")
 
     @pytest.mark.slow
+    def test_cli_export_subcommand(self, tmp_path, capsys):
+        from optionslab_tpu.cli import main
+
+        out = tmp_path / "m.hlo"
+        rc = main(["export", "--source", "synthetic", "--n-rows", "100",
+                   "--epochs", "30", "--onnx", "--out", str(out)])
+        assert rc == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert payload["export"]["path"] == str(out)
+        assert payload["onnx"]["roundtrip_max_abs_err"] <= 2e-5
+        assert (tmp_path / "m.onnx").exists()
+
+    @pytest.mark.slow
     def test_optimize_and_export_emits_onnx(self, tmp_path):
         """The reference's optimize_and_export_onnx flow ends in a real
         .onnx artifact (model_wrappers.py:236); emit_onnx=True mirrors it."""
