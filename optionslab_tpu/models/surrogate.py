@@ -61,6 +61,10 @@ def sample_contracts(n: int, seed: int = 0, ranges: dict | None = None) -> dict:
     return out
 
 
+SURROGATE_FEATURES = ("moneyness", "log_moneyness", "sqrt_maturity",
+                      "maturity_x_vol", "rate", "dividend", "vol", "cp")
+
+
 def engineer_surrogate_features(p: dict) -> np.ndarray:
     """(n, 8): moneyness, log-moneyness, √T, T·σ, r, q, σ, cp
     (reference feature set, ``monte_carlo_ml.py:248``)."""
@@ -242,6 +246,40 @@ class MonteCarloMLSurrogate:
             "hidden_layers": list(self.hidden_layers), "seed": self.seed,
             "param_ranges": {k: list(v) for k, v in self.param_ranges.items()},
             "calibration_quantile": self.calibration_quantile}))
+
+    def export_onnx(self, path, atol: float = 2e-4) -> dict:
+        """Emit the fitted surrogate as a real ``.onnx`` artifact: the
+        whole standardized pipeline ``(x-μ)/σ -> MLP -> ·y_scale + y_mean``
+        in-graph, parity-checked against ``_forward`` at export time
+        (reference ONNX deployment of the ML surrogate:
+        ``src/optimization/onnx_exporter.py:67``). Output heads are the
+        INTERNAL targets ``[log(price/K + eps), delta, gamma·K]`` — the
+        same raw heads ``predict`` post-processes."""
+        if self.params is None:
+            raise ModelError("cannot export an unfitted surrogate")
+        from ..optimize.onnx_emit import OnnxLiteRuntime, export_mlp_onnx
+
+        manifest = export_mlp_onnx(
+            self.params, path,
+            mean=np.asarray(self._x_mean, np.float32),
+            scale=np.asarray(self._x_scale, np.float32),
+            layernorm=True,
+            out_scale=np.asarray(self._y_scale, np.float32),
+            out_mean=np.asarray(self._y_mean, np.float32),
+            metadata={"model": type(self).__name__,
+                      "heads": ["log_price_over_strike", "delta",
+                                "gamma_times_strike"],
+                      "features": list(SURROGATE_FEATURES)},
+            doc="MonteCarloMLSurrogate raw heads (scalers folded in)")
+        p = sample_contracts(64, self.seed + 7, self.param_ranges)
+        x = engineer_surrogate_features(p)
+        err = float(np.max(np.abs(
+            self._forward(x) - OnnxLiteRuntime(path).predict(x))))
+        if err > atol:
+            raise ModelError(f"surrogate onnx export failed parity: "
+                             f"max|err|={err:.3e} > {atol}")
+        manifest["roundtrip_max_abs_err"] = err
+        return manifest
 
     def load(self, path):
         path = pathlib.Path(path)

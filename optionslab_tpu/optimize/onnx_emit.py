@@ -233,14 +233,18 @@ def _emit_activation(g: OnnxGraphBuilder, x: str, kind: str) -> str:
 def export_mlp_onnx(params, path, *, mean=None, scale=None,
                     layernorm: bool = False, ln_eps: float = 1e-6,
                     activation: str = "gelu_tanh",
+                    out_scale=None, out_mean=None,
                     metadata: dict | None = None,
                     doc: str = "") -> dict:
-    """Write ``(x-mean)/scale -> apply_mlp(params)`` as a real .onnx file.
+    """Write ``(x-mean)/scale -> apply_mlp(params) [*out_scale +out_mean]``
+    as a real .onnx file.
 
     ``params`` is the ``surface.nn_core`` pytree: a list of dicts with
     ``w (fan_in, fan_out)``, ``b``, and (when ``layernorm``) ``ln_scale``/
-    ``ln_bias``. Returns a manifest dict (also written as a ``.json``
-    sidecar, mirroring ``ModelExporter.export``)."""
+    ``ln_bias``; the optional output affine de-standardizes multi-head
+    targets (the MC surrogate's per-head scaling). Returns a manifest dict
+    (also written as a ``.json`` sidecar, mirroring
+    ``ModelExporter.export``)."""
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     layers = [{k: np.asarray(v, np.float32) for k, v in layer.items()}
@@ -271,6 +275,12 @@ def export_mlp_onnx(params, path, *, mean=None, scale=None,
                            attrs=[_attr_int("axis", -1),
                                   _attr_float("epsilon", ln_eps)])
             h = _emit_activation(g, h, activation)
+    if out_scale is not None:
+        ys = g.initializer("out_scale", np.reshape(out_scale, (d_out,)))
+        h = g.node("Mul", [h, ys], "yscaled")
+    if out_mean is not None:
+        ym = g.initializer("out_mean", np.reshape(out_mean, (d_out,)))
+        h = g.node("Add", [h, ym], "yshift")
     # final output must carry the graph-output name
     g._nodes.append(_node("Identity", [h], ["y"], name="out"))
     g.set_output("y", (None, d_out))
@@ -280,6 +290,7 @@ def export_mlp_onnx(params, path, *, mean=None, scale=None,
         "input_shape": [None, int(d_in)], "output_shape": [None, int(d_out)],
         "layernorm": bool(layernorm), "activation": activation,
         "standardized_input": mean is not None,
+        "output_affine": out_scale is not None or out_mean is not None,
         **(metadata or {}),
     }
     data = g.serialize(doc=doc, metadata=manifest)

@@ -163,6 +163,33 @@ class TestSurfaceFacade:
             export_surface_model_onnx(MLPModel(), tmp_path / "x.onnx")
 
     @pytest.mark.slow
+    def test_surrogate_export_onnx(self, tmp_path):
+        """The MC surrogate (layernorm + output affine) exports too: the
+        raw-heads pipeline matches _forward through the lite runtime."""
+        from optionslab_tpu.models.surrogate import (
+            MonteCarloMLSurrogate, engineer_surrogate_features,
+            sample_contracts)
+
+        s = MonteCarloMLSurrogate(hidden_layers=(32,), epochs=40, seed=0)
+        s.fit(n_samples=3000)
+        manifest = s.export_onnx(tmp_path / "surrogate.onnx")
+        assert manifest["layernorm"] and manifest["output_affine"]
+        # the live forward runs on the session device; cross-backend f32
+        # matmul/rsqrt differences dominate the bound
+        assert manifest["roundtrip_max_abs_err"] <= 2e-4
+        p = sample_contracts(32, 99)
+        x = engineer_surrogate_features(p)
+        np.testing.assert_allclose(
+            OnnxLiteRuntime(tmp_path / "surrogate.onnx").predict(x),
+            s._forward(x), atol=1e-4, rtol=1e-3)
+
+    def test_surrogate_unfitted_export_raises(self, tmp_path):
+        from optionslab_tpu.models.surrogate import MonteCarloMLSurrogate
+
+        with pytest.raises(ModelError):
+            MonteCarloMLSurrogate().export_onnx(tmp_path / "x.onnx")
+
+    @pytest.mark.slow
     def test_cli_export_subcommand(self, tmp_path, capsys):
         from optionslab_tpu.cli import main
 
