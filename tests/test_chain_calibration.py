@@ -247,10 +247,15 @@ class TestHTMLReport:
         # self-contained: inline PNGs, every section rendered
         assert text.count("data:image/png;base64,") >= 3
         for section in ("Smile calibration", "Surface", "no-arbitrage",
-                        "exercise boundary", "Risk", "CVA"):
+                        "Interactive explorer", "exercise boundary", "Risk",
+                        "CVA"):
             assert section in text, section
         assert set(summary["sections"]) == {"smiles", "surface", "arbitrage",
-                                            "boundary", "risk", "xva"}
+                                            "interactive", "boundary",
+                                            "risk", "xva"}
+        # the explorer embeds the calibrated SVI params + evaluator JS
+        assert "var SMILE = {" in text and "function sviW" in text
+        assert "smile-svg" in text and "drawSmile(0)" in text
         assert summary["arbitrage_free"] in (True, False)
         assert out.stat().st_size > 100_000  # real figures inside
 
@@ -262,6 +267,6 @@ class TestHTMLReport:
                                n_steps=200, essvi=False,
                                include_boundary=False, include_xva=False)
         assert summary["sections"] == ["smiles", "surface", "arbitrage",
-                                       "risk"]
+                                       "interactive", "risk"]
         assert summary["essvi_rmse_vol"] is None
         assert out.stat().st_size > 30_000
