@@ -836,6 +836,12 @@ def pallas_exotic_book_price(kind: str, spot, strikes, maturity, rate, vol,
                         barriers[0], n_steps)
     a = lowers if "double" in kind else [0.0] * nc
     b = uppers if "double" in kind else [0.0] * nc
+    if "double" in kind:
+        # nc_pad == 1 books take the kernel's SCALAR path (the book
+        # operand is dropped in _launch): the band must also live in the
+        # param vector or a single-contract double book silently prices
+        # as immediately knocked
+        p[_P_A], p[_P_B] = a[0], b[0]
     zeros = [0.0] * nc
     book = _book_smem(strikes, barriers, a, b, zeros, zeros, zeros, nc_pad)
     paths_per_block = (ROWS // nc_pad) * LANES * 4
@@ -911,6 +917,10 @@ def pallas_exotic_book_lr_greeks(kind: str, spot, strikes, maturity, rate,
                         barriers[0], n_steps)
     a = lowers if "double" in kind else [0.0] * nc
     b = uppers if "double" in kind else [0.0] * nc
+    if "double" in kind:
+        # single-contract books take the kernel's scalar path — see
+        # pallas_exotic_book_price
+        p[_P_A], p[_P_B] = a[0], b[0]
     zeros = [0.0] * nc
     book = _book_smem(strikes, barriers, a, b, zeros, zeros, zeros, nc_pad)
     paths_per_block = (ROWS // nc_pad) * LANES * 4

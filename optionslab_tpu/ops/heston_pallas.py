@@ -1657,50 +1657,28 @@ def _set_double_band(p, spot, lower, upper):
 # ---------------------------------------------------------------------------
 def _heston_book_vec(kind, spot, strikes, barriers, lowers, uppers):
     """Per-contract SMEM book [K, LOGB, A, B, C, D, E] — barrier levels
-    converted to RELATIVE log space (the kernel compares x directly),
-    validated per contract. Returns (book_vec, nc, nc_pad)."""
-    from .exotic_pallas import _book_pad, _book_smem
+    converted to RELATIVE log space (the kernel compares x directly);
+    normalization/validation delegates to ``exotic_pallas._book_lists``.
+    Returns (book_vec, nc, nc_pad, strikes, barriers, lowers, uppers)
+    with the lists normalized (floats, one entry per contract)."""
+    from .exotic_pallas import _book_lists, _book_pad, _book_smem
 
-    strikes = [float(s) for s in strikes]
+    strikes, barriers, lowers, uppers = _book_lists(
+        kind, strikes, barriers, lowers, uppers)
     nc = len(strikes)
-    if nc == 0:
-        raise ValidationError("empty contract book")
     spot = float(spot)
-
-    def norm(xs, name, need):
-        if xs is None:
-            if need:
-                raise ValidationError(f"kind {kind!r} needs {name} "
-                                      "(one per contract)")
-            return [0.0] * nc
-        xs = [float(x) for x in xs]
-        if len(xs) != nc:
-            raise ValidationError(f"{name} must have one entry per "
-                                  f"contract ({nc}): got {len(xs)}")
-        return xs
-
-    needs_barrier = ("barrier" in kind or "touch" in kind) \
-        and "double" not in kind
-    needs_band = "double" in kind
-    barriers = norm(barriers, "barriers", needs_barrier)
-    lowers = norm(lowers, "lowers", needs_band)
-    uppers = norm(uppers, "uppers", needs_band)
     log_bs = [math.log(max(b, 1e-30) / spot) if b > 0.0 else 0.0
               for b in barriers]
-    if needs_band:
-        a_log, b_log = [], []
-        for lo, up in zip(lowers, uppers):
-            if not 0.0 < lo < up:
-                raise ValidationError("double kinds need 0 < lower < "
-                                      "upper per contract")
-            a_log.append(math.log(lo / spot))
-            b_log.append(math.log(up / spot))
+    if "double" in kind:
+        a_log = [math.log(lo / spot) for lo in lowers]
+        b_log = [math.log(up / spot) for up in uppers]
     else:
         a_log = b_log = [0.0] * nc
     zeros = [0.0] * nc
     nc_pad = _book_pad(nc)
-    return _book_smem(strikes, log_bs, a_log, b_log, zeros, zeros, zeros,
-                      nc_pad), nc, nc_pad
+    return (_book_smem(strikes, log_bs, a_log, b_log, zeros, zeros, zeros,
+                       nc_pad), nc, nc_pad, strikes, barriers, lowers,
+            uppers)
 
 
 def _check_heston_book_call(kind, sampler, scheme, n_steps):
@@ -1757,10 +1735,15 @@ def pallas_heston_exotic_book_price(kind: str, spot, strikes, maturity,
     ``MonteCarloPricerUni.price_batch``
     (``src/pricing_models/monte_carlo_unified.py:562``)."""
     _check_heston_book_call(kind, sampler, scheme, n_steps)
-    book, nc, nc_pad = _heston_book_vec(kind, spot, strikes, barriers,
-                                        lowers, uppers)
-    p, t = _exotic_params(spot, float(strikes[0]), maturity, rate, params,
-                          dividend, 0.0, n_steps, scheme)
+    book, nc, nc_pad, strikes, barriers, lowers, uppers = _heston_book_vec(
+        kind, spot, strikes, barriers, lowers, uppers)
+    # contract 0's barrier/band must ALSO ride the scalar param vector:
+    # nc_pad == 1 books take the kernel's scalar path (the book operand
+    # is dropped in _launch_exotic)
+    p, t = _exotic_params(spot, strikes[0], maturity, rate, params,
+                          dividend, barriers[0], n_steps, scheme)
+    if "double" in kind:
+        _set_double_band(p, spot, lowers[0], uppers[0])
     paths_per_block = (ROWS // nc_pad) * LANES * 2
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     df = 1.0 if kind.endswith("_hit") else math.exp(-float(rate) * t)
@@ -1808,13 +1791,14 @@ def pallas_heston_exotic_book_lr_greeks(kind: str, spot, strikes, maturity,
     kernel launch (Euler scheme; ``n_paths`` per contract). Every dict
     value has one entry per contract."""
     _check_heston_book_call(kind, sampler, "euler", n_steps)
-    if sampler.startswith("sobol"):
-        raise ValidationError("LR scores assume iid normals — use "
-                              "prng/hash")
-    book, nc, nc_pad = _heston_book_vec(kind, spot, strikes, barriers,
-                                        lowers, uppers)
-    p, t = _exotic_params(spot, float(strikes[0]), maturity, rate, params,
-                          dividend, 0.0, n_steps, "euler")
+    book, nc, nc_pad, strikes, barriers, lowers, uppers = _heston_book_vec(
+        kind, spot, strikes, barriers, lowers, uppers)
+    # see pallas_heston_exotic_book_price: contract 0's levels also ride
+    # the scalar params for the nc_pad == 1 path
+    p, t = _exotic_params(spot, strikes[0], maturity, rate, params,
+                          dividend, barriers[0], n_steps, "euler")
+    if "double" in kind:
+        _set_double_band(p, spot, lowers[0], uppers[0])
     paths_per_block = (ROWS // nc_pad) * LANES * 2
     n_blocks = max(1, math.ceil(n_paths / paths_per_block))
     out = dict(_exotic_book_lr_pipeline(
@@ -2111,15 +2095,14 @@ def pallas_heston_range_accrual_price(spot, lower, upper, maturity, rate,
     p[_HX_B] = math.log(float(upper) / float(spot))
     p[_HX_E] = float(notional)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    pay, pay2 = _launch_exotic(
+    # single jitted launch+reduce pipeline (every eager post-launch op
+    # costs a tunnel RPC), with the honest randomized-QMC stderr branch
+    price, se = _exotic_price_pipeline(
         np.asarray([seed, 0], np.int32), np.asarray(p, np.float32),
-        kind="range_accrual", n_steps=n_steps, n_blocks=n_blocks, cp=1.0,
-        sampler=sampler, scheme=scheme, jumps=hasattr(params, "lam"))
-    n = n_blocks * PATHS_PER_BLOCK
-    df = math.exp(-float(rate) * t)
-    mean = pay.sum() / n
-    var = jnp.maximum(pay2.sum() / n - mean * mean, 0.0)
-    return df * mean, df * jnp.sqrt(var / n), n
+        np.float32(math.exp(-float(rate) * t)), kind="range_accrual",
+        n_steps=n_steps, n_blocks=n_blocks, cp=1.0, sampler=sampler,
+        scheme=scheme, jumps=hasattr(params, "lam"))
+    return price, se, n_blocks * PATHS_PER_BLOCK
 
 
 def pallas_heston_range_accrual_lr_greeks(spot, lower, upper, maturity,

@@ -176,12 +176,16 @@ def _member_selection_stats(params_b, k_obs, t_obs, iv, ranges):
 def select_ensemble_member(rmse_b, viol_b, tol: float = 1e-6) -> int:
     """Lexicographic member choice: arbitrage-clean members first
     (worst audit violation ≤ tol), then lowest observed-quote RMSE.
+    A diverged member (NaN stats) must rank LAST: NaN comparisons are
+    all-False, so without the guard ``bool(nan > tol)`` reads as clean
+    and NaN RMSE defeats min()'s ordering.
     Reference audit machinery: ``pinn_model.py:660-709``."""
     rmse_b = np.asarray(rmse_b, np.float64)
     viol_b = np.asarray(viol_b, np.float64)
-    keys = [(bool(v > tol), float(r), i)
-            for i, (r, v) in enumerate(zip(rmse_b, viol_b))]
-    return min(keys)[2]
+    bad = ~(np.isfinite(rmse_b) & np.isfinite(viol_b))
+    keys = [(bool(b), bool(b or v > tol), float(r) if not b else np.inf, i)
+            for i, (r, v, b) in enumerate(zip(rmse_b, viol_b, bad))]
+    return min(keys)[3]
 
 
 def calendar_penalty(params, k, t):

@@ -663,6 +663,40 @@ class TestContractBooks:
         np.testing.assert_allclose(float(bp[0]), float(sp), rtol=1e-6)
         np.testing.assert_allclose(float(bse[0]), float(sse), rtol=1e-5)
 
+    def test_single_contract_double_book_carries_band(self):
+        """Regression: nc_pad == 1 books take the kernel's SCALAR path
+        (book operand dropped) — the double band must ride the param
+        vector or the contract silently prices as immediately knocked."""
+        from optionslab_tpu.ops.exotic_pallas import pallas_exotic_book_price
+
+        bp, bse, nb = pallas_exotic_book_price(
+            "barrier_double-out", S, [K], T, R, SIG, lowers=[80.0],
+            uppers=[125.0], n_paths=1, n_steps=N_STEPS, sampler="hash",
+            seed=21)
+        sp, sse, ns = pallas_exotic_price(
+            "barrier_double-out", S, K, T, R, SIG, lower=80.0, upper=125.0,
+            n_paths=1, n_steps=N_STEPS, sampler="hash", seed=21)
+        assert nb == ns
+        assert float(sp) > 0.0  # a priced corridor, not a knocked one
+        np.testing.assert_allclose(float(bp[0]), float(sp), rtol=1e-6)
+        np.testing.assert_allclose(float(bse[0]), float(sse), rtol=1e-5)
+
+    def test_single_contract_double_book_lr_carries_band(self):
+        from optionslab_tpu.ops.exotic_pallas import (
+            pallas_exotic_book_lr_greeks, pallas_exotic_lr_greeks)
+
+        g = pallas_exotic_book_lr_greeks(
+            "barrier_double-out", S, [K], T, R, SIG, lowers=[80.0],
+            uppers=[125.0], n_paths=1, n_steps=N_STEPS, sampler="hash",
+            seed=23)
+        gs = pallas_exotic_lr_greeks(
+            "barrier_double-out", S, K, T, R, SIG, lower=80.0, upper=125.0,
+            n_paths=1, n_steps=N_STEPS, sampler="hash", seed=23)
+        assert float(gs["price"]) > 0.0
+        for key in ("price", "delta", "gamma", "vega", "rho", "theta"):
+            np.testing.assert_allclose(float(g[key][0]), float(gs[key]),
+                                       rtol=2e-5, atol=1e-7), key
+
     def test_lr_book_ladder(self):
         from optionslab_tpu.ops.exotic_pallas import (
             pallas_exotic_book_lr_greeks, pallas_exotic_lr_greeks)

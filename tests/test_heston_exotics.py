@@ -524,6 +524,49 @@ class TestHestonContractBooks:
                 n_paths=1, n_steps=6, sampler="hash", seed=12, scheme="qe")
             assert abs(float(bp[i]) - float(sp)) < self._tol(bse[i], sse)
 
+    def test_single_contract_barrier_book_carries_levels(self):
+        """Regression: nc_pad == 1 books take the kernel's SCALAR path
+        (book operand dropped in _launch_exotic) — the barrier/band must
+        also ride the scalar params or the contract silently prices as
+        immediately knocked (price 0 with ~0 stderr)."""
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_price, pallas_heston_exotic_price)
+
+        for kind, kw_b, kw_s in (
+            ("barrier_up-and-out", dict(barriers=[125.0]),
+             dict(barrier=125.0)),
+            ("barrier_double-out", dict(lowers=[80.0], uppers=[125.0]),
+             dict(lower=80.0, upper=125.0)),
+        ):
+            bp, bse, nb = pallas_heston_exotic_book_price(
+                kind, S, [K], T, R, PAR, n_paths=1, n_steps=6,
+                sampler="hash", seed=31, **kw_b)
+            sp, sse, ns = pallas_heston_exotic_price(
+                kind, S, K, T, R, PAR, n_paths=1, n_steps=6,
+                sampler="hash", seed=31, **kw_s)
+            assert nb == ns
+            assert float(sp) > 0.0, kind
+            np.testing.assert_allclose(float(bp[0]), float(sp), rtol=1e-6,
+                                       err_msg=kind)
+            np.testing.assert_allclose(float(bse[0]), float(sse),
+                                       rtol=1e-5, err_msg=kind)
+
+    def test_single_contract_touch_book_lr_carries_barrier(self):
+        from optionslab_tpu.ops.heston_pallas import (
+            pallas_heston_exotic_book_lr_greeks,
+            pallas_heston_exotic_lr_greeks)
+
+        g = pallas_heston_exotic_book_lr_greeks(
+            "one_touch_up", S, [K], T, R, PAR, barriers=[120.0],
+            n_paths=1, n_steps=6, sampler="hash", seed=37)
+        gs = pallas_heston_exotic_lr_greeks(
+            "one_touch_up", S, K, T, R, PAR, barrier=120.0, n_paths=1,
+            n_steps=6, sampler="hash", seed=37)
+        assert 0.0 < float(gs["price"]) < float(np.exp(-R * T))
+        for key in ("price", "delta", "vega_v0", "rho", "theta"):
+            np.testing.assert_allclose(float(g[key][0]), float(gs[key]),
+                                       rtol=2e-5, atol=1e-7, err_msg=key)
+
     def test_lr_book_ladder(self):
         from optionslab_tpu.ops.heston_pallas import (
             pallas_heston_exotic_book_lr_greeks,

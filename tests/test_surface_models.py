@@ -270,6 +270,22 @@ class TestPINN:
         # falls back to RMSE among the (all-dirty) tier
         assert select_ensemble_member([0.05, 0.01], [1e-3, 1e-2]) == 1
 
+    def test_member_selection_nan_ranks_last(self):
+        """A diverged member (NaN stats) must never win: NaN comparisons
+        are all-False, so unguarded it reads as arb-clean and defeats
+        min()'s ordering when it appears first."""
+        from optionslab_tpu.surface.pinn import select_ensemble_member
+
+        nan = float("nan")
+        # NaN-first stacks (the ordering-defeat case) and NaN-last
+        assert select_ensemble_member([nan, 0.02], [nan, 0.0]) == 1
+        assert select_ensemble_member([0.02, nan], [0.0, nan]) == 0
+        # NaN rmse with clean-looking viol, and vice versa
+        assert select_ensemble_member([nan, 0.02], [0.0, 0.0]) == 1
+        assert select_ensemble_member([0.01, 0.02], [nan, 1e-9]) == 1
+        # all-NaN ensemble still returns an index (degenerate but total)
+        assert select_ensemble_member([nan, nan], [nan, nan]) in (0, 1)
+
     def test_member_selection_stats_flag_violations(self):
         """_member_selection_stats flags a deliberately broken member:
         forcing strongly negative ∂w/∂T via a hand-built linear net gives
