@@ -633,23 +633,61 @@ def pallas_heston_chain_ladder(strikes, maturities, cps, spot, rate, params,
     if not (strikes.size == mats.size == cps_arr.size):
         raise ValidationError("strikes/maturities/cps must have equal length")
     dts, quote_steps = _chain_grid(mats, max_dt)
-    pvec = jnp.asarray([float(params.v0), float(params.kappa),
-                        float(params.theta), float(params.sigma),
-                        float(params.rho)], jnp.float32)
+    # numpy operand construction + ONE jitted launch+reduce program —
+    # the eager predecessor paid an RPC per jnp op plus ~7 reductions
+    # PER QUOTE over the tunnel (CLAUDE.md: hot wrappers are single
+    # jitted programs, operands built with numpy)
+    pvec = np.asarray([float(params.v0), float(params.kappa),
+                       float(params.theta), float(params.sigma),
+                       float(params.rho)], np.float32)
     n_blocks = max(1, math.ceil(n_paths / PATHS_PER_BLOCK))
-    outs = _chain_launch_from_pvec(
-        pvec, jnp.asarray(dts, jnp.float32), float(spot), float(rate),
-        float(dividend), n_blocks=n_blocks, quote_steps=quote_steps,
-        cps=tuple(float(c) for c in cps_arr), sampler=sampler, seed=seed,
-        strikes=jnp.asarray(strikes, jnp.float32))
-    return _chain_post(outs, strikes, mats, cps_arr, float(rate),
-                       n_blocks * PATHS_PER_BLOCK)
+    dfs = np.exp(-float(rate) * np.maximum(mats, EPS_TIME)).astype(np.float32)
+    return _chain_ladder_pipeline(
+        pvec, np.asarray(dts, np.float32), float(spot), float(rate),
+        float(dividend), np.asarray(strikes, np.float32), dfs,
+        np.asarray([seed, 0], np.int32),
+        n_blocks=n_blocks, quote_steps=quote_steps,
+        cps=tuple(float(c) for c in cps_arr), sampler=sampler,
+        n=n_blocks * PATHS_PER_BLOCK)
+
+
+@functools.partial(jax.jit, static_argnames=("spot", "rate", "dividend",
+                                             "n_blocks", "quote_steps",
+                                             "cps", "sampler", "n"))
+def _chain_ladder_pipeline(pvec, dts, spot, rate, dividend, strikes, dfs,
+                           seed_arr, *, n_blocks, quote_steps, cps,
+                           sampler, n):
+    """Chain launch + per-quote (price, stderr, 5-param grad) reductions
+    as ONE traced program (one tunnel dispatch). Market scalars are
+    static (the launch assembles them with concrete host math); repeat
+    calls vary pvec and the SEED as traced operands — the calibration
+    and CRN-resampling access patterns — without recompiling."""
+    outs = _chain_launch_from_pvec(pvec, dts, spot, rate, dividend,
+                                   n_blocks=n_blocks,
+                                   quote_steps=quote_steps, cps=cps,
+                                   sampler=sampler, seed=seed_arr,
+                                   strikes=strikes)
+    cps32 = np.asarray(cps, np.float32)
+    n32 = np.float32(n)
+    prices, ses, grads = [], [], []
+    for q in range(len(cps)):
+        pay = outs[q * 7 + 0].sum() / n32
+        pay2 = outs[q * 7 + 1].sum() / n32
+        var = jnp.maximum(pay2 - pay * pay, jnp.float32(0.0))
+        prices.append(dfs[q] * pay)
+        ses.append(dfs[q] * jnp.sqrt(var / n32))
+        grads.append(jnp.stack([
+            dfs[q] * cps32[q] * outs[q * 7 + 2 + k].sum() / n32
+            for k in range(5)]))
+    return jnp.stack(prices), jnp.stack(ses), jnp.stack(grads)
 
 
 def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
                             quote_steps, cps, sampler, seed, strikes):
     """Assemble the SMEM param vector from a TRACED pvec (jit-friendly —
-    the calibration loop differentiates through this assembly)."""
+    the calibration loop differentiates through this assembly).
+    ``seed`` may be a host int OR a prebuilt (2,) int32 operand (traced
+    seeds let one compiled program serve every seed)."""
     v0, kap, th, sig, rho = pvec[0], pvec[1], pvec[2], pvec[3], pvec[4]
     srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-8))
     crho = rho / jnp.maximum(srho, 1e-4)
@@ -657,7 +695,9 @@ def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
                       kap, th, sig, rho, srho, v0, crho])
     p = jnp.concatenate([head.astype(jnp.float32), dts.astype(jnp.float32),
                          jnp.asarray(strikes, jnp.float32)])
-    return _launch_chain(np.asarray([seed, 0], np.int32), p,
+    seed_op = (seed if getattr(seed, "ndim", None) == 1
+               else np.asarray([seed, 0], np.int32))
+    return _launch_chain(seed_op, p,
                          n_steps=int(dts.shape[0]), n_blocks=n_blocks,
                          quote_steps=quote_steps, cps=cps, sampler=sampler)
 
