@@ -651,35 +651,22 @@ def pallas_heston_chain_ladder(strikes, maturities, cps, spot, rate, params,
         n=n_blocks * PATHS_PER_BLOCK)
 
 
-@functools.partial(jax.jit, static_argnames=("spot", "rate", "dividend",
-                                             "n_blocks", "quote_steps",
+@functools.partial(jax.jit, static_argnames=("n_blocks", "quote_steps",
                                              "cps", "sampler", "n"))
 def _chain_ladder_pipeline(pvec, dts, spot, rate, dividend, strikes, dfs,
                            seed_arr, *, n_blocks, quote_steps, cps,
                            sampler, n):
     """Chain launch + per-quote (price, stderr, 5-param grad) reductions
-    as ONE traced program (one tunnel dispatch). Market scalars are
-    static (the launch assembles them with concrete host math); repeat
-    calls vary pvec and the SEED as traced operands — the calibration
-    and CRN-resampling access patterns — without recompiling."""
+    as ONE traced program (one tunnel dispatch). pvec, the market
+    scalars, and the SEED are all traced operands — one compiled program
+    serves every calibration step, market tick, and CRN reseed."""
     outs = _chain_launch_from_pvec(pvec, dts, spot, rate, dividend,
                                    n_blocks=n_blocks,
                                    quote_steps=quote_steps, cps=cps,
                                    sampler=sampler, seed=seed_arr,
                                    strikes=strikes)
-    cps32 = np.asarray(cps, np.float32)
-    n32 = np.float32(n)
-    prices, ses, grads = [], [], []
-    for q in range(len(cps)):
-        pay = outs[q * 7 + 0].sum() / n32
-        pay2 = outs[q * 7 + 1].sum() / n32
-        var = jnp.maximum(pay2 - pay * pay, jnp.float32(0.0))
-        prices.append(dfs[q] * pay)
-        ses.append(dfs[q] * jnp.sqrt(var / n32))
-        grads.append(jnp.stack([
-            dfs[q] * cps32[q] * outs[q * 7 + 2 + k].sum() / n32
-            for k in range(5)]))
-    return jnp.stack(prices), jnp.stack(ses), jnp.stack(grads)
+    return _chain_reduce(outs, dfs, np.asarray(cps, np.float32),
+                         np.float32(n))
 
 
 def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
@@ -691,7 +678,10 @@ def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
     v0, kap, th, sig, rho = pvec[0], pvec[1], pvec[2], pvec[3], pvec[4]
     srho = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-8))
     crho = rho / jnp.maximum(srho, 1e-4)
-    head = jnp.stack([jnp.float32(spot), jnp.float32(rate - dividend),
+    # asarray (not the f32 scalar constructor): spot/rate/dividend may be
+    # TRACED operands — one compiled program serves every market tick
+    mu = jnp.asarray(rate, jnp.float32) - jnp.asarray(dividend, jnp.float32)
+    head = jnp.stack([jnp.asarray(spot, jnp.float32), mu,
                       kap, th, sig, rho, srho, v0, crho])
     p = jnp.concatenate([head.astype(jnp.float32), dts.astype(jnp.float32),
                          jnp.asarray(strikes, jnp.float32)])
@@ -703,14 +693,19 @@ def _chain_launch_from_pvec(pvec, dts, spot, rate, dividend, *, n_blocks,
 
 
 def _chain_post(outs, strikes, mats, cps_arr, rate, n):
-    q_n = strikes.size
     # f32 throughout regardless of the x64 flag: the kernel moments are
     # f32 and the custom_vjp cotangents must match the primal dtype
     dfs = np.exp(-rate * np.maximum(mats, EPS_TIME)).astype(np.float32)
-    cps32 = np.asarray(cps_arr, np.float32)
-    n32 = np.float32(n)
+    return _chain_reduce(outs, dfs, np.asarray(cps_arr, np.float32),
+                         np.float32(n))
+
+
+def _chain_reduce(outs, dfs, cps32, n32):
+    """Per-quote (price, stderr, 5-param grad) from the chain kernel's
+    7-moment tiles — shared by the fused ladder pipeline and the
+    calibration pricer's custom_vjp."""
     prices, ses, grads = [], [], []
-    for q in range(q_n):
+    for q in range(len(cps32)):
         pay = outs[q * 7 + 0].sum() / n32
         pay2 = outs[q * 7 + 1].sum() / n32
         var = jnp.maximum(pay2 - pay * pay, jnp.float32(0.0))

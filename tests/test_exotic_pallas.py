@@ -695,7 +695,7 @@ class TestContractBooks:
         assert float(gs["price"]) > 0.0
         for key in ("price", "delta", "gamma", "vega", "rho", "theta"):
             np.testing.assert_allclose(float(g[key][0]), float(gs[key]),
-                                       rtol=2e-5, atol=1e-7), key
+                                       rtol=2e-5, atol=1e-7, err_msg=key)
 
     def test_lr_book_ladder(self):
         from optionslab_tpu.ops.exotic_pallas import (

@@ -253,6 +253,27 @@ class TestKernel:
             tol = np.maximum(0.12, 0.03 * np.abs(gex)) + 0.12 * np.abs(gex)
             assert np.all(np.abs(gk - gex) <= tol), (q, gk, gex, tol)
 
+    def test_chain_ladder_no_recompile_across_ticks(self):
+        """One compiled program serves every (pvec, seed, spot/rate) —
+        over the TPU tunnel a recompile costs minutes, so a spot tick or
+        a chain-delta bump must NOT create a new jit cache entry."""
+        from optionslab_tpu.ops.heston_pallas import (
+            _chain_ladder_pipeline, pallas_heston_chain_ladder)
+
+        args = ([95.0, 105.0], [0.5, 0.5], [-1.0, 1.0])
+        kw = dict(n_paths=4096, max_dt=0.25, sampler="hash")
+        pallas_heston_chain_ladder(*args, S, R, PAR, seed=0, **kw)
+        before = _chain_ladder_pipeline._cache_size()
+        p0, _, _ = pallas_heston_chain_ladder(*args, S, R, PAR, seed=1, **kw)
+        p1, _, _ = pallas_heston_chain_ladder(*args, S + 1.0, R + 0.001,
+                                              PAR, seed=1, **kw)
+        p2, _, _ = pallas_heston_chain_ladder(
+            *args, S, R, HestonParams.make(v0=0.09), seed=1, **kw)
+        assert _chain_ladder_pipeline._cache_size() == before
+        # the traced operands actually flow: spot/rate and v0 move prices
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+        assert not np.allclose(np.asarray(p0), np.asarray(p2))
+
     @pytest.mark.slow
     def test_chain_and_single_ladders_agree(self):
         """The chain kernel and the single-contract ladder kernel carry
