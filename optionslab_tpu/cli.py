@@ -1150,6 +1150,40 @@ def cmd_report(args) -> dict:
                         include_xva=not args.no_xva, seed=args.seed)
 
 
+def cmd_book(args) -> dict:
+    """Quote a same-kind contract BOOK (mixed strikes/barriers/bands) in
+    ONE kernel launch under GBM or Heston/Bates dynamics — N contracts
+    interleave the kernel row axis, so the book costs one tunnel dispatch
+    instead of N. Reference analog: ``MonteCarloPricerUni.price_batch``
+    (``src/pricing_models/monte_carlo_unified.py:562``)."""
+    from .models.books import exotic_book_quote
+
+    params = None
+    model = args.model
+    if model == "bates":
+        from .models import BatesParams
+
+        params = BatesParams.make(args.v0, args.kappa, args.theta,
+                                  args.sigma_v, args.rho_sv, lam=args.lam,
+                                  mu_j=args.mu_j, sigma_j=args.sigma_j)
+    elif model == "heston":
+        from .models import HestonParams
+
+        params = HestonParams.make(args.v0, args.kappa, args.theta,
+                                   args.sigma_v, args.rho_sv)
+    return exotic_book_quote(
+        args.kind, args.spot, args.strikes, args.maturity, args.rate,
+        vol=args.vol, model=model, params=params,
+        cp=1.0 if args.option_type.startswith("c") else -1.0,
+        dividend=args.dividend, barriers=args.barriers or None,
+        lowers=args.lowers or None, uppers=args.uppers or None,
+        greeks=args.greeks, n_paths=args.n_paths, n_steps=args.n_steps,
+        seed=args.seed, scheme=args.scheme,
+        barrier_type=args.barrier_type, averaging=args.averaging,
+        floating=not args.fixed_lookback, knock=args.knock,
+        touch=args.touch, direction=args.direction)
+
+
 def cmd_export(args) -> dict:
     """Train the MLP surface model on a chain snapshot and write a
     deployable artifact: jax.export/StableHLO, plus a real ``.onnx`` twin
@@ -1557,6 +1591,48 @@ def build_parser() -> argparse.ArgumentParser:
     psv.add_argument("--port", type=int, default=8777)
     psv.add_argument("--host", default="127.0.0.1")
 
+    pb = sub.add_parser("book")
+    pb.add_argument("--kind", default="asian",
+                    choices=["asian", "lookback", "barrier", "one-touch",
+                             "no-touch", "double-barrier", "double-touch"])
+    pb.add_argument("--strikes", type=float, nargs="+",
+                    default=[90.0, 100.0, 110.0])
+    pb.add_argument("--barriers", type=float, nargs="*", default=[])
+    pb.add_argument("--lowers", type=float, nargs="*", default=[])
+    pb.add_argument("--uppers", type=float, nargs="*", default=[])
+    pb.add_argument("--spot", type=float, default=100.0)
+    pb.add_argument("--maturity", type=float, default=1.0)
+    pb.add_argument("--rate", type=float, default=0.05)
+    pb.add_argument("--vol", type=float, default=0.2)
+    pb.add_argument("--dividend", type=float, default=0.0)
+    pb.add_argument("--type", dest="option_type", default="call",
+                    choices=["call", "put"])
+    pb.add_argument("--model", default="bs",
+                    choices=["bs", "heston", "bates"])
+    pb.add_argument("--greeks", action="store_true",
+                    help="per-contract LR Greek ladder in the same launch")
+    pb.add_argument("--barrier-type", default="up-and-out",
+                    choices=["up-and-out", "up-and-in", "down-and-out",
+                             "down-and-in"])
+    pb.add_argument("--averaging", default="arithmetic",
+                    choices=["arithmetic", "geometric"])
+    pb.add_argument("--fixed-lookback", action="store_true")
+    pb.add_argument("--knock", default="out", choices=["out", "in"])
+    pb.add_argument("--touch", default="no", choices=["one", "no"])
+    pb.add_argument("--direction", default="up", choices=["up", "down"])
+    pb.add_argument("--scheme", default="euler", choices=["euler", "qe"])
+    pb.add_argument("--n-paths", type=int, default=200_000)
+    pb.add_argument("--n-steps", type=int, default=64)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument("--v0", type=float, default=0.04)
+    pb.add_argument("--kappa", type=float, default=2.0)
+    pb.add_argument("--theta", type=float, default=0.04)
+    pb.add_argument("--sigma-v", type=float, default=0.3)
+    pb.add_argument("--rho-sv", type=float, default=-0.7)
+    pb.add_argument("--lam", type=float, default=0.5)
+    pb.add_argument("--mu-j", type=float, default=-0.1)
+    pb.add_argument("--sigma-j", type=float, default=0.15)
+
     pexp = sub.add_parser("export")
     _chain_args(pexp)
     pexp.add_argument("--out", default="surface_mlp.hlo",
@@ -1589,6 +1665,7 @@ COMMANDS = {
     "xva": cmd_xva,
     "report": cmd_report,
     "export": cmd_export,
+    "book": cmd_book,
     "backtest": cmd_backtest,
     "bench-harness": cmd_bench_harness,
     "serve": cmd_serve,

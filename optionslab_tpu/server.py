@@ -900,6 +900,61 @@ def handle_american(body: dict) -> dict:
     return {k: _to_jsonable(v) for k, v in out.items()}
 
 
+def handle_book(body: dict) -> dict:
+    """Same-kind contract BOOK in one kernel launch (``/book/exotic``):
+    {"kind": "asian|lookback|barrier|one-touch|no-touch|double-barrier|
+    double-touch", "strikes": [...], "barriers"/"lowers"/"uppers": [...],
+    "model": "bs|heston|bates" (+ v0/kappa/theta/sigma_v/rho_sv and
+    lam/mu_j/sigma_j for bates), "greeks": true for the per-contract LR
+    ladder}. N contracts interleave the kernel row axis — one dispatch
+    instead of N (reference analog ``MonteCarloPricerUni.price_batch``,
+    ``src/pricing_models/monte_carlo_unified.py:562``)."""
+    from .models.books import exotic_book_quote
+
+    model = str(body.get("model", "bs"))
+    params = None
+    if model in ("heston", "bates"):
+        from .models import BatesParams, HestonParams
+
+        heston_args = (float(body.get("v0", 0.04)),
+                       float(body.get("kappa", 2.0)),
+                       float(body.get("theta", 0.04)),
+                       float(body.get("sigma_v", 0.3)),
+                       float(body.get("rho_sv", -0.7)))
+        if model == "bates":
+            params = BatesParams.make(*heston_args,
+                                      lam=float(body.get("lam", 0.5)),
+                                      mu_j=float(body.get("mu_j", -0.1)),
+                                      sigma_j=float(body.get("sigma_j", 0.15)))
+        else:
+            params = HestonParams.make(*heston_args)
+    strikes = [float(s) for s in body.get("strikes", [100.0])]
+
+    def lst(name):
+        v = body.get(name)
+        return [float(x) for x in v] if v else None
+
+    return exotic_book_quote(
+        str(body.get("kind", "asian")), float(body.get("spot", 100.0)),
+        strikes, float(body.get("maturity", 1.0)),
+        float(body.get("rate", 0.05)), vol=float(body.get("vol", 0.2)),
+        model=model, params=params,
+        cp=1.0 if str(body.get("type", "call")).startswith("c") else -1.0,
+        dividend=float(body.get("dividend", 0.0)),
+        barriers=lst("barriers"), lowers=lst("lowers"),
+        uppers=lst("uppers"), greeks=bool(body.get("greeks", False)),
+        n_paths=int(body.get("n_paths", 200_000)),
+        n_steps=int(body.get("n_steps", 64)),
+        seed=int(body.get("seed", 0)),
+        scheme=str(body.get("scheme", "euler")),
+        barrier_type=str(body.get("barrier_type", "up-and-out")),
+        averaging=str(body.get("averaging", "arithmetic")),
+        floating=bool(body.get("floating", True)),
+        knock=str(body.get("knock", "out")),
+        touch=str(body.get("touch", "no")),
+        direction=str(body.get("direction", "up")))
+
+
 def handle_xva(body: dict) -> dict:
     """Counterparty exposure + CVA for a netting set: {"positions":
     [{quantity, strike, maturity, option_type}, ...], "spot", "rate",
@@ -997,6 +1052,7 @@ ROUTES = {
     "/basket": handle_basket,
     "/xva": handle_xva,
     "/batch/price": handle_price,  # same handler — fields may be lists
+    "/book/exotic": handle_book,
 }
 
 

@@ -266,6 +266,42 @@ class TestExoticEndpoint:
         assert "error" in body
 
 
+class TestBookEndpoint:
+    """/book/exotic: a same-kind contract book in ONE kernel launch
+    (reference analog MonteCarloPricerUni.price_batch)."""
+
+    def test_asian_book(self, server):
+        status, body = _post(server, "/book/exotic", {
+            "kind": "asian", "strikes": [90.0, 100.0, 110.0],
+            "n_paths": 20000, "n_steps": 16})
+        assert status == 200 and body["kind"] == "asian_arith"
+        p = body["price"]
+        assert len(p) == 3 and p[0] > p[1] > p[2] > 0
+        assert len(body["std_error"]) == 3
+
+    def test_barrier_book_heston_greeks(self, server):
+        status, body = _post(server, "/book/exotic", {
+            "kind": "barrier", "strikes": [95.0, 105.0],
+            "barriers": [125.0, 135.0], "model": "heston",
+            "greeks": True, "n_paths": 20000, "n_steps": 8})
+        assert status == 200
+        assert body["greek_method"] == "likelihood-ratio"
+        for key in ("price", "delta", "vega_v0", "rho", "theta"):
+            assert len(body[key]) == 2, key
+        assert all(x > 0 for x in body["price"])
+
+    def test_book_validation_400(self, server):
+        status, body = _post(server, "/book/exotic", {
+            "kind": "barrier", "strikes": [95.0, 105.0]})  # missing barriers
+        assert status == 400
+        status, body = _post(server, "/book/exotic", {
+            "kind": "cliquet", "strikes": [100.0]})  # not a book kind
+        assert status == 400
+        status, body = _post(server, "/book/exotic", {
+            "kind": "asian", "strikes": [100.0], "model": "slv"})
+        assert status == 400
+
+
 class TestBasketEndpoint:
     def test_geo_basket_sobol_matches_closed_form(self, server):
         from optionslab_tpu.models.multi_asset import \

@@ -145,6 +145,24 @@ class TestCLI:
             <= out["upper"] + 3 * out["upper_se"]
         assert out["width"] < 0.05, out
 
+    def test_book_subcommand(self, capsys):
+        """`book` quotes a same-kind contract book in one launch; strike
+        monotonicity holds inside the launch."""
+        cli_main(["book", "--kind", "asian", "--strikes", "90", "100",
+                  "110", "--n-paths", "20000", "--n-steps", "16"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["kind"] == "asian_arith" and out["n_contracts"] == 3
+        p = out["price"]
+        assert p[0] > p[1] > p[2] > 0 and len(out["std_error"]) == 3
+
+    def test_book_heston_greeks(self, capsys):
+        cli_main(["book", "--kind", "barrier", "--model", "heston",
+                  "--strikes", "95", "105", "--barriers", "125", "135",
+                  "--greeks", "--n-paths", "20000", "--n-steps", "8"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["greek_method"] == "likelihood-ratio"
+        assert len(out["delta"]) == 2 and all(x > 0 for x in out["price"])
+
     def test_exotic_greeks_barrier_lr(self, capsys):
         """--greeks routes barriers to the in-kernel LR ladder (hash
         sampler auto-selected off-TPU)."""
