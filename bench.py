@@ -342,15 +342,20 @@ def _sec_rbergomi(ctx):
     import jax.numpy as jnp
     from optionslab_tpu.models.rbergomi import RBergomiParams, rbergomi_price
 
+    import numpy as np
+
     rb = RBergomiParams(hurst=0.1, eta=1.9, rho=-0.9, xi0=0.04)
     rb_paths, rb_steps = 1_048_576, 64
-    rbp, _ = rbergomi_price(100.0, jnp.asarray([100.0]), 1.0, 0.05, rb,
+    ks = np.array([100.0], np.float32)  # host operand: no eager-RPC per call
+    rbp, _ = rbergomi_price(100.0, ks, 1.0, 0.05, rb,
                             jax.random.PRNGKey(0), n_paths=rb_paths,
                             n_steps=rb_steps)
     jax.block_until_ready(rbp)
+    keys = [jax.random.PRNGKey(1 + i) for i in range(3)]  # pre-built: key
+    # creation is itself an eager device op on the axon backend
     dt = _rate3(lambda i: rbergomi_price(
-        100.0, jnp.asarray([100.0]), 1.0, 0.05, rb,
-        jax.random.PRNGKey(1 + i), n_paths=rb_paths, n_steps=rb_steps)[0])
+        100.0, ks, 1.0, 0.05, rb,
+        keys[i], n_paths=rb_paths, n_steps=rb_steps)[0])
     rate = round(rb_paths * rb_steps / dt, 1)
     # MXU-bound: 2·(2n)² f32 FLOPs per path through the covariance factor
     rb_flops = rate / rb_steps * 2.0 * (2 * rb_steps) ** 2

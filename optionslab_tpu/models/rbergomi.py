@@ -220,9 +220,17 @@ def rbergomi_price(spot, strikes, maturity, rate, params: RBergomiParams,
     params.validate()
     if n_paths % 2:
         raise ValidationError("n_paths must be even (antithetic)")
-    strikes = jnp.atleast_1d(jnp.asarray(strikes, jnp.float32))
+    # Operand construction stays on the HOST (numpy): every eager jnp op is
+    # a device RPC on the axon backend (~ms each) and this wrapper is hot in
+    # bench/calibration loops — the jit boundary of _rbergomi_core does the
+    # one transfer.  jax arrays/tracers pass through untouched.
     cp_scalar = 1.0 if str(option_type).lower() in ("call", "c", "1") else -1.0
-    cp = jnp.full(strikes.shape, cp_scalar, jnp.float32)
+    if isinstance(strikes, jax.Array):
+        strikes = jnp.atleast_1d(strikes).astype(jnp.float32)
+        cp = jnp.full(strikes.shape, cp_scalar, jnp.float32)
+    else:
+        strikes = np.atleast_1d(np.asarray(strikes, np.float32))
+        cp = np.full(strikes.shape, cp_scalar, np.float32)
     xi_left = None
     if xi_curve is not None:
         t_left = np.linspace(0.0, float(maturity), n_steps, endpoint=False)
@@ -234,8 +242,10 @@ def rbergomi_price(spot, strikes, maturity, rate, params: RBergomiParams,
                 f"xi_curve array must have shape ({n_steps},), got {xi_left.shape}")
         if np.any(xi_left <= 0):
             raise ValidationError("xi_curve must be positive")
-    return _rbergomi_core(jnp.float32(spot), strikes, float(maturity),
-                          jnp.float32(rate), jnp.float32(dividend), cp,
+    def _h32(x):
+        return x if isinstance(x, jax.Array) else np.float32(x)
+    return _rbergomi_core(_h32(spot), strikes, float(maturity),
+                          _h32(rate), _h32(dividend), cp,
                           params, key, n_paths, n_steps, xi_left=xi_left)
 
 
